@@ -1,0 +1,258 @@
+"""Temporal operators: datetime decomposition, durations, tumbling /
+sliding window aggregation, sessionization, as-of join.
+
+Maps SURVEY.md section 2.3 ops 24-26 (timestamp parse, date-part
+extraction, duration) onto the testdata tables, and adds the
+streaming-shaped aggregations of section 2.4 in their batch form (the
+same plans run under Structured Streaming — see streaming/windows.py;
+batch keeps them oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from citybikedatawarehouse_spark.functions.datetime_parts import date_part
+from citybikedatawarehouse_spark.plans.catalog import register
+from citybikedatawarehouse_spark.sources.readers import load_table as _t
+
+
+@register(
+    "q32_date_parts",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER)       AS y,
+           CAST(quarter(o_orderdate) AS INTEGER)    AS q,
+           CAST(month(o_orderdate) AS INTEGER)      AS m,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+           CAST(day(o_orderdate) AS INTEGER)        AS d,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def q32_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime decomposition (reference: pandas .dt accessors,
+    check_and_create_db_v4.py:201-208); weekofyear is ISO-8601 in
+    both engines."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            date_part("year", "o_orderdate").alias("y"),
+            date_part("quarter", "o_orderdate").alias("q"),
+            date_part("month", "o_orderdate").alias("m"),
+            date_part("week", "o_orderdate").alias("iso_week"),
+            date_part("day", "o_orderdate").alias("d"),
+            "o_totalprice",
+        )
+        .groupBy("y", "q", "m", "iso_week", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "q33_time_parts",
+    oracle="""
+    SELECT CAST(hour(ts) AS INTEGER)   AS h,
+           CAST(minute(ts) AS INTEGER) AS mi,
+           CAST(second(ts) AS INTEGER) AS s,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q33_time_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            date_part("hour", "ts").alias("h"),
+            date_part("minute", "ts").alias("mi"),
+            date_part("second", "ts").alias("s"),
+        )
+        .groupBy("h", "mi", "s")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q34_epoch_duration",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           epoch(l.l_shipdate) - epoch(o.o_orderdate) AS wait_seconds,
+           CAST(floor((epoch(l.l_shipdate) - epoch(o.o_orderdate)) / 86400) AS BIGINT) AS wait_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def q34_epoch_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp difference as fraction-preserving seconds — the
+    reference's .dt.total_seconds() (check_and_create_db_v4.py:276):
+    cast-to-double epoch arithmetic, not unix_timestamp (which would
+    truncate sub-second precision)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    wait = F.col("l_shipdate").cast("timestamp").cast("double") - F.col(
+        "o_orderdate"
+    ).cast("timestamp").cast("double")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        wait.alias("wait_seconds"),
+        F.floor(wait / 86400).cast("bigint").alias("wait_days"),
+    )
+
+
+@register(
+    "q35_tumbling_window",
+    oracle="""
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q35_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling window aggregation — the batch form of the
+    Structured Streaming plan in streaming/windows.py (F.window
+    aligns buckets to the epoch, same as floor(epoch/300))."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q36_sliding_window",
+    oracle="""
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300 - off) AS TIMESTAMP) AS window_start,
+           count(*) AS n,
+           round(avg(value), 6) AS avg_value
+    FROM events CROSS JOIN (VALUES (0), (300)) t(off)
+    GROUP BY 1
+    """,
+)
+def q36_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute window sliding every 5 minutes: each event lands in
+    exactly two windows."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "avg_value")
+    )
+
+
+@register(
+    "q37_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def q37_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): lag + cumulative sum — the
+    batch twin of streaming session_window."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("double") - F.lag(
+        F.col("ts").cast("timestamp").cast("double")
+    ).over(w)
+    flagged = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    numbered = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint"),
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "q38_asof_join",
+    oracle="""
+    WITH quotes AS (
+      SELECT o_custkey, o_orderdate, o_totalprice FROM (
+        SELECT o_custkey, o_orderdate, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           q.o_orderdate AS asof_date, q.o_totalprice AS asof_price
+    FROM events e
+    ASOF LEFT JOIN quotes q
+      ON e.user_id = q.o_custkey AND e.ts >= q.o_orderdate
+    """,
+)
+def q38_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY 2.4): implemented
+    with the scalable union trick in operators/asof.py — one shuffle,
+    no per-row lookups; oracle uses DuckDB's native ASOF JOIN."""
+    from citybikedatawarehouse_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    # deterministic right side: one row per (key, ts) — latest orderkey wins
+    w = W.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    quotes = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        quotes,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_payload=("o_orderdate", "o_totalprice"),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderdate").alias("asof_date"),
+        F.col("o_totalprice").alias("asof_price"),
+    )

@@ -1,0 +1,94 @@
+"""Sources: Parquet testdata loader + semicolon-CSV ride reader.
+
+Re-expresses the reference ingestion surface (SURVEY.md section 2.1
+ops 1-8) Spark-first:
+
+  * op 1 (CSV scan, ';' delimiter, header, pandas-inferred dtypes ->
+    /root/reference/src/create_db_from_csv.py:10) becomes
+    ``read_ride_csv``: explicit schema, lenient timestamp parse with
+    a null audit (SURVEY section 2.3 op 24 — the reference's strict
+    '%f' parse raises on rows without fractional seconds; we keep
+    the rows and count them instead).
+  * Parquet is the engine's native at-rest format — columnar, with
+    predicate pushdown + column pruning from Catalyst for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from citybikedatawarehouse_spark.schemas import RIDE_SCHEMA, TESTDATA_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md) as a DataFrame.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark rejects by
+    default; we read it as a long (``nanosAsLong``, set defensively at
+    runtime in case the session wasn't built by :func:`get_spark`) and
+    convert to a microsecond TIMESTAMP_NTZ — the same truncation DuckDB
+    applies, so oracle comparisons agree.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all testdata tables and register them as temp views."""
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def read_ride_csv(
+    spark: SparkSession,
+    path: str,
+    parse_timestamps: bool = True,
+) -> DataFrame:
+    """Read a semicolon-delimited ride CSV with the declared schema.
+
+    Timestamps arrive as strings and are parsed *leniently*:
+    ``to_timestamp`` handles both ``yyyy-MM-dd HH:mm:ss.SSS`` and
+    fraction-less rows (the reference's strict ``%f`` format raises
+    on those — check_and_create_db_v4.py:184; we keep all rows).
+    Use :func:`timestamp_parse_audit` to count unparseable values.
+    """
+    df = (
+        spark.read.option("sep", ";")
+        .option("header", True)
+        .schema(RIDE_SCHEMA)
+        .csv(path)
+    )
+    if parse_timestamps:
+        df = df.withColumn("started_at", F.to_timestamp("started_at")).withColumn(
+            "ended_at", F.to_timestamp("ended_at")
+        )
+    return df
+
+
+def timestamp_parse_audit(raw: DataFrame, cols: tuple[str, ...] = ("started_at", "ended_at")) -> dict[str, int]:
+    """Count rows where the raw string was non-null but the lenient
+    parse produced null — the data-loss audit that replaces the
+    reference's hard failure."""
+    parsed = raw
+    checks = []
+    for c in cols:
+        parsed = parsed.withColumn(f"__parsed_{c}", F.to_timestamp(F.col(c)))
+        checks.append(
+            F.sum(
+                (F.col(c).isNotNull() & F.col(f"__parsed_{c}").isNull()).cast("long")
+            ).alias(c)
+        )
+    row = parsed.agg(*checks).collect()[0]
+    return {c: int(row[c] or 0) for c in cols}

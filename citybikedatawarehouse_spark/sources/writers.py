@@ -1,0 +1,55 @@
+"""Sinks: Parquet-backed tables with the reference's append/replace
+semantics (SURVEY.md section 2.1 ops 2-4).
+
+The reference writes through SQLAlchemy ``to_sql(if_exists=...)``
+into PostgreSQL heap tables; here the warehouse is columnar Parquet:
+
+  * ``if_exists='append'``  -> ``mode('append')``
+  * ``if_exists='replace'`` -> ``mode('overwrite')``
+  * ``to_sql(dtype={...})`` (typed sink, check_and_create_db_v4.py:217-234)
+    -> explicit casts before write (callers pass ``casts``).
+
+At 100 TB the fact table must be partitioned; ``partition_by`` maps to
+Parquet directory partitioning so queries with year/month predicates
+get partition pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+    casts: dict[str, str] | None = None,
+) -> None:
+    """Write a DataFrame to Parquet with optional typed casts and
+    directory partitioning."""
+    if casts:
+        df = df.select(
+            *[
+                F.col(c).cast(casts[c]).alias(c) if c in casts else F.col(c)
+                for c in df.columns
+            ]
+        )
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_table(
+    df: DataFrame,
+    name: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Save as a managed catalog table (metastore-backed)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(name)
