@@ -34,7 +34,12 @@ def zero_coalesce(c: Column) -> Column:
 
 
 def speed_kmh(distance_km: Column | str, duration_sec: Column | str) -> Column:
-    """Speed in km/h with the reference's null/inf -> 0 coercion."""
+    """Speed in km/h with the reference's null/inf -> 0 coercion.
+
+    ``try_divide`` because Spark 4 defaults to ANSI mode where /0
+    raises; try_divide yields null, which zero_coalesce maps to 0 —
+    same observable output as the reference's pandas inf -> 0 path.
+    """
     d = F.col(distance_km) if isinstance(distance_km, str) else distance_km
     t = F.col(duration_sec) if isinstance(duration_sec, str) else duration_sec
-    return zero_coalesce(d / (t / F.lit(3600.0)))
+    return zero_coalesce(F.try_divide(d, t / F.lit(3600.0)))

@@ -71,8 +71,8 @@ def read_ride_csv(
         .csv(path)
     )
     if parse_timestamps:
-        df = df.withColumn("started_at", F.to_timestamp("started_at")).withColumn(
-            "ended_at", F.to_timestamp("ended_at")
+        df = df.withColumn("started_at", F.try_to_timestamp("started_at")).withColumn(
+            "ended_at", F.try_to_timestamp("ended_at")
         )
     return df
 
@@ -84,7 +84,7 @@ def timestamp_parse_audit(raw: DataFrame, cols: tuple[str, ...] = ("started_at",
     parsed = raw
     checks = []
     for c in cols:
-        parsed = parsed.withColumn(f"__parsed_{c}", F.to_timestamp(F.col(c)))
+        parsed = parsed.withColumn(f"__parsed_{c}", F.try_to_timestamp(F.col(c)))
         checks.append(
             F.sum(
                 (F.col(c).isNotNull() & F.col(f"__parsed_{c}").isNull()).cast("long")
