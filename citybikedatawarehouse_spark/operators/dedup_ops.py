@@ -1,0 +1,287 @@
+"""Near-duplicate detection operators (north-star extension).
+
+Four families, all expressed as compositions of built-in DataFrame
+ops (no Python in the hot path — every hash/min/band is a Catalyst
+expression, so the whole pipeline is shuffle-bounded, not CPU-bound):
+
+  * exact: hash-groupBy on a content digest (plans/dedup.py q60)
+  * n-gram Jaccard: inverted shingle index self-join — exact
+    similarity, no candidate misses; cost bounded by shingle
+    frequency (hot-shingle cap for skew at scale)
+  * MinHash + LSH: k permutation-min signatures -> banded bucket
+    join -> exact-Jaccard verification of candidates only.
+    Deterministic: permutation params from a fixed seed, word hashes
+    via xxhash64.
+  * SimHash: 64-bit sign-aggregate fingerprint + banded Hamming
+    candidate join (4x16-bit blocks: Hamming<=3 implies >=1 equal
+    block — pigeonhole, no candidate misses at that radius).
+
+Scale notes: every self-join here joins on a *derived small key*
+(shingle hash, band hash, 16-bit block), never on raw text; the
+explode fan-out is the dominant cost and is linear in corpus token
+count. Hot keys (stop-shingles) are the skew risk — ``max_shingle_freq``
+drops them (standard practice; biases Jaccard at most by the dropped
+share).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from citybikedatawarehouse_spark.functions.textfns import words
+
+MERSENNE31 = 2_147_483_647  # 2^31 - 1
+
+
+def doc_words(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct (id, word) pairs — the set representation."""
+    return (
+        docs.select(id_col, F.explode(words(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+
+
+def shingles(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct word n-gram shingles per document."""
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    # empty index list for docs shorter than n words (sequence() would
+    # otherwise count downward and fabricate indices)
+    idx = F.when(F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return (
+        docs.select(id_col, F.explode(F.array_distinct(sh)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+    )
+
+
+def jaccard_pairs(
+    sets: DataFrame,
+    id_col: str,
+    item_col: str,
+    threshold: float,
+    max_item_freq: int | None = None,
+) -> DataFrame:
+    """Exact pairwise Jaccard >= threshold via inverted-index
+    self-join on the item (shingle/word). Returns (id_1, id_2,
+    jaccard) with id_1 < id_2.
+
+    ``max_item_freq`` drops items appearing in more than that many
+    sets before the join — the skew guard for web-scale corpora.
+    """
+    sizes = sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("__size"))
+    items = sets
+    if max_item_freq is not None:
+        freq = sets.groupBy(item_col).agg(F.count(F.lit(1)).alias("__freq"))
+        items = sets.join(
+            freq.filter(F.col("__freq") <= max_item_freq).select(item_col), item_col
+        )
+    a = items.select(F.col(id_col).alias("id_1"), F.col(item_col).alias("__it"))
+    b = items.select(F.col(id_col).alias("id_2"), F.col(item_col).alias("__it"))
+    inter = (
+        a.join(b, "__it")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("id_1"), F.col("__size").alias("__n1"))
+    s2 = sizes.select(F.col(id_col).alias("id_2"), F.col("__size").alias("__n2"))
+    return (
+        inter.join(s1, "id_1")
+        .join(s2, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            F.round(
+                F.col("__inter")
+                / (F.col("__n1") + F.col("__n2") - F.col("__inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _permutations(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31)) for _ in range(k)
+    ]
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    k: int = 32,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """k-permutation MinHash signature per document: one groupBy over
+    the exploded word set with k min-aggregates; all hashing is
+    xxhash64 + modular arithmetic in the JVM (fits signed-64:
+    operands < 2^31, products < 2^62)."""
+    dw = doc_words(docs, id_col, text_col)
+    w = F.pmod(F.xxhash64("word"), F.lit(MERSENNE31))
+    sigs = [
+        F.min(F.pmod(w * F.lit(a) + F.lit(b), F.lit(MERSENNE31))).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(_permutations(k, seed))
+    ]
+    return dw.groupBy(id_col).agg(*sigs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signature (rows = k/bands) and bucket-join: documents
+    sharing any band bucket become candidate pairs (id_1 < id_2)."""
+    sig_cols = [c for c in signatures.columns if c.startswith("sig_")]
+    rows = len(sig_cols) // bands
+    banded = signatures.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"sig_{bi * rows + r}") for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.select(F.col(id_col).alias("id_1"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_2"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> banded
+    candidates -> exact-Jaccard verification of candidates only.
+    Output: (id_1, id_2, jaccard) — verified near-duplicate pairs."""
+    cands = lsh_candidate_pairs(minhash_signatures(docs, k, seed, id_col, text_col), bands, id_col)
+    dw = doc_words(docs, id_col, text_col)
+    exact = jaccard_pairs(dw, id_col, "word", threshold=0.0)
+    return (
+        cands.join(exact, ["id_1", "id_2"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """64-bit SimHash per document: per-word xxhash64, each bit
+    contributes +count/-count, fingerprint bit = sign of the sum.
+    Returned as a signed 64-bit ``simhash`` plus 4x16-bit blocks for
+    banded Hamming search."""
+    counts = (
+        docs.select(id_col, F.explode(words(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.xxhash64("word"))
+    )
+    bit_sums = counts.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+                .otherwise(-F.col("cnt"))
+            ).alias(f"s_{j}")
+            for j in range(64)
+        ]
+    )
+    fp = None
+    for j in range(64):
+        bit = F.when(F.col(f"s_{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    out = bit_sums.select(id_col, fp.alias("simhash"))
+    for blk in range(4):
+        out = out.withColumn(
+            f"block_{blk}",
+            F.shiftrightunsigned(F.col("simhash"), blk * 16).bitwiseAND(F.lit(0xFFFF)),
+        )
+    return out
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming
+    (<= 3 with 4 blocks: pigeonhole guarantees a shared block, so the
+    banded join misses nothing). Output (id_1, id_2, hamming)."""
+    sh = simhash(docs, id_col, text_col)
+    blocks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("blk"), F.col(f"block_{b}").alias("val"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"))
+    a = blocks.select(
+        F.col(id_col).alias("id_1"), F.col("simhash").alias("__h1"), "blk", "val"
+    )
+    b = blocks.select(
+        F.col(id_col).alias("id_2"), F.col("simhash").alias("__h2"), "blk", "val"
+    )
+    return (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", F.bit_count(F.col("__h1").bitwiseXOR(F.col("__h2"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,192 @@
+"""Embedding similarity search (north-star extension).
+
+Two strategies over an ``array<float>`` embedding column:
+
+  * brute-force cosine top-k — the exact baseline: query set x corpus
+    join, cosine as a Catalyst higher-order-function fold (double
+    math, JVM-side), per-query window top-k. At scale: broadcast the
+    query set (it is the small side), so the corpus is scanned once
+    with no shuffle of the embeddings; the only shuffle is the
+    top-k aggregation keyed by query id.
+  * random-hyperplane LSH ANN — the scale path: H deterministic
+    hyperplanes (signs derived from sha256 of (plane, dim) — no RNG
+    state, reproducible everywhere) give an H-bit signature; the
+    corpus is bucketed by signature prefix, candidates come from the
+    query's bucket, exact cosine re-ranks. Misses are possible
+    (that's the A in ANN); recall is measured against brute force in
+    tests/test_similarity.py.
+
+The signature is computed with a vectorized pandas UDF (Arrow batch
+-> one numpy matmul per batch) — the documented exception to the
+no-UDF rule: a 64xH matmul per row is where numpy beats per-element
+Catalyst expression trees.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from citybikedatawarehouse_spark.functions.vectors import cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+    Output: (query_id, neighbor_id, cos_sim, rank), self excluded,
+    ties broken by neighbor id for determinism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("__qv", "__cv"), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic +-1 hyperplanes: sign(p, d) from sha256 —
+    identical on every machine, no RNG state to ship."""
+    signs = np.empty((dim, n_planes), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = hashlib.sha256(f"plane:{p}:dim:{d}".encode()).digest()
+            signs[d, p] = 1.0 if h[0] % 2 == 0 else -1.0
+    return signs
+
+
+def with_lsh_signatures(
+    df: DataFrame,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    vec_col: str = "embedding",
+    out_col: str = "lsh_sigs",
+) -> DataFrame:
+    """Append ``n_tables`` independent n_planes-bit random-hyperplane
+    signatures (array<long>). Arrow-batched pandas UDF: one
+    (batch x dim) @ (dim x tables*planes) matmul per batch.
+
+    Multi-table is the recall lever of hyperplane LSH: each table is
+    an independent chance for true neighbors to collide; candidates
+    are the union over tables. Bits-per-table trades bucket
+    selectivity (cost) against per-table recall.
+    """
+    planes = _hyperplanes(dim, n_planes * n_tables)  # (dim, T*P)
+    weights = np.power(2.0, np.arange(n_planes))
+
+    @F.pandas_udf("array<long>")
+    def sigs(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)  # (batch, dim)
+        bits = (mat @ planes) > 0  # (batch, T*P)
+        out = [
+            (bits[:, t * n_planes : (t + 1) * n_planes] @ weights).astype(np.int64)
+            for t in range(n_tables)
+        ]
+        return pd.Series(np.stack(out, axis=1).tolist())
+
+    return df.withColumn(out_col, sigs(F.col(vec_col)))
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share any per-table signature
+    bucket with the query (union over tables); exact cosine re-ranks
+    candidates. Output schema matches brute_force_topk (fewer than k
+    rows per query when the buckets are thin — ANN semantics)."""
+
+    def banded(df: DataFrame, idc: str, alias: str, valias: str) -> DataFrame:
+        return (
+            with_lsh_signatures(df, dim, n_planes, n_tables, vec_col)
+            .select(
+                F.col(id_col).alias(alias),
+                F.col(vec_col).alias(valias),
+                F.posexplode("lsh_sigs").alias("table", "sig"),
+            )
+        )
+
+    c = banded(corpus, id_col, "neighbor_id", "__cv")
+    q = banded(queries, id_col, "query_id", "__qv")
+    cands = (
+        c.join(F.broadcast(q), ["table", "sig"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine("__qv", "__cv"), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    block_col: str | None = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold, blocked
+    by ``block_col`` (a cheap cluster/bucket key) to avoid the full
+    N^2 — the standard blocking pattern; set block_col=None for the
+    exact quadratic sweep on small inputs."""
+    a = df.select(
+        F.col(id_col).alias("id_1"),
+        F.col(vec_col).alias("__v1"),
+        *( [F.col(block_col)] if block_col else [] ),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_2"),
+        F.col(vec_col).alias("__v2"),
+        *( [F.col(block_col)] if block_col else [] ),
+    )
+    joined = a.join(b, on=block_col) if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_1") < F.col("id_2"))
+        .select(
+            "id_1",
+            "id_2",
+            F.round(cosine("__v1", "__v2"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -30,3 +30,64 @@ def q60_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_copies"),
         F.min("doc_id").alias("canonical_doc_id"),
     )
+
+
+@register(
+    "q61_ngram_jaccard",
+    oracle=r"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents),
+           UNNEST(range(1, len(words) - 1)) t(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_1, id_2,
+           round(i * 1.0 / (s1.n + s2.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sz s1 ON s1.doc_id = id_1
+    JOIN sz s2 ON s2.doc_id = id_2
+    WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.2
+    """,
+)
+def q61_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs >= 0.2 via inverted
+    shingle index self-join (no N^2 — cost rides on shingle
+    frequency; operators/dedup_ops.py has the hot-shingle cap for
+    web-scale skew)."""
+    from citybikedatawarehouse_spark.operators.dedup_ops import (
+        jaccard_pairs,
+        shingles,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(shingles(d, n=3), "doc_id", "shingle", threshold=0.2)
+
+
+@register("q62_minhash_lsh")
+def q62_minhash_lsh(spark, sf_dir):
+    """MinHash(k=32) + LSH(8 bands x 4 rows) near-dup pairs,
+    verified at exact word-set Jaccard >= 0.8. Deterministic (seeded
+    permutations, xxhash64) but not SQL-expressible — rows-only
+    check; recall vs the exact q61-style pairs is asserted in
+    tests/test_dedup.py."""
+    from citybikedatawarehouse_spark.operators.dedup_ops import minhash_lsh_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(d, threshold=0.8)
+
+
+@register("q63_simhash_neardup")
+def q63_simhash_neardup(spark, sf_dir):
+    """SimHash-64 near-dup pairs at Hamming <= 3 via 4x16-bit banded
+    join (pigeonhole-complete at that radius). Rows-only check;
+    cross-validated against exact Jaccard in tests/test_dedup.py."""
+    from citybikedatawarehouse_spark.operators.dedup_ops import simhash_neardup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(d, max_hamming=3)

@@ -8,6 +8,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from citybikedatawarehouse_spark.functions.textfns import (
+    BPE_ISH_TOKEN_PATTERN,
+    LANG_MARKERS,
+    fingerprint,
+    language_id,
+    marker_hits,
+    token_count_bpe_ish,
+    word_count,
+)
 from citybikedatawarehouse_spark.plans.catalog import register
 from citybikedatawarehouse_spark.sources.readers import load_table as _t
 
@@ -61,4 +70,134 @@ def q51_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(k).cast("bigint").alias("sum_k"),
         F.round(F.avg(k), 6).alias("avg_k"),
+    )
+
+
+def _marker_pat(markers: list[str]) -> str:
+    return r"\b(" + "|".join(markers) + r")\b"
+
+
+@register(
+    "q52_token_count",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '{BPE_ISH_TOKEN_PATTERN}')) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_nonspace
+    FROM documents
+    """,
+)
+def q52_token_count(spark, sf_dir):
+    """Token counting: whitespace words + BPE-ish sub-word tokens —
+    the budgeting pass of an LLM-data pipeline."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        word_count("text").alias("n_words"),
+        token_count_bpe_ish("text").alias("n_tokens"),
+        F.length(F.regexp_replace("text", r"\s+", "")).cast("bigint").alias("n_nonspace"),
+    )
+
+
+_QUALITY_SQL = rf"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_nonspace,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+             CAST(len(regexp_extract_all(text, '{_marker_pat(LANG_MARKERS["en"])}')) AS BIGINT) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_punct,
+           round(coalesce(n_nonspace / nullif(n_words, 0), 0.0::DOUBLE), 6) AS avg_word_len,
+           round(coalesce(n_stop * 1.0 / nullif(n_words, 0), 0.0::DOUBLE), 6) AS stop_ratio,
+           round(coalesce(n_punct * 1.0 / nullif(n_words, 0), 0.0::DOUBLE), 6) AS punct_ratio
+    FROM c
+"""
+
+
+@register("q53_quality_score", oracle=_QUALITY_SQL)
+def q53_quality_score(spark, sf_dir):
+    """Document quality signals: length, punctuation density,
+    stopword ratio — the filter features of a training-data pipeline."""
+    d = _t(spark, sf_dir, "documents")
+    n_words = word_count("text")
+    n_nonspace = F.length(F.regexp_replace("text", r"\s+", "")).cast("bigint")
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)).cast(
+        "bigint"
+    )
+    n_stop = marker_hits("text", LANG_MARKERS["en"])
+    ratio = lambda num, den: F.round(  # noqa: E731
+        F.coalesce(F.try_divide(num, den), F.lit(0.0)), 6
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_punct.alias("n_punct"),
+        ratio(n_nonspace, n_words).alias("avg_word_len"),
+        ratio(n_stop * F.lit(1.0), n_words).alias("stop_ratio"),
+        ratio(n_punct * F.lit(1.0), n_words).alias("punct_ratio"),
+    )
+
+
+def _langid_sql() -> str:
+    hit_cols = ",\n             ".join(
+        f"CAST(len(regexp_extract_all(text, '{_marker_pat(m)}')) AS BIGINT) AS h_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    cases = "\n           ".join(
+        f"WHEN h_{lang} > 0 AND h_{lang} = {greatest} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {hit_cols}
+      FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE {cases} ELSE 'und' END AS predicted_lang
+    FROM h
+    """
+
+
+@register("q54_language_id", oracle=_langid_sql())
+def q54_language_id(spark, sf_dir):
+    """Stopword-marker language ID (n-gram heuristic): argmax of
+    per-language marker hits, fixed tie order, 'und' fallback.
+    Returned next to the labeled lang for downstream agreement
+    analysis (the synthetic corpus is word-soup, so disagreement is
+    expected — the operator, not the model, is under test)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        language_id("text").alias("predicted_lang"),
+    )
+
+
+@register(
+    "q55_fingerprint",
+    oracle=r"""
+    SELECT fp AS fingerprint, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+    FROM (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+                 regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp
+      FROM documents
+    )
+    GROUP BY fp
+    """,
+)
+def q55_fingerprint(spark, sf_dir):
+    """Order-insensitive document fingerprint (sorted distinct word
+    set -> md5): catches reshuffled near-duplicates that exact
+    hashing misses; grouped to dedup clusters."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fingerprint")).groupBy(
+        "fingerprint"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("canonical_doc_id"),
     )

@@ -7,7 +7,8 @@ from citybikedatawarehouse_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="cbdw-tests")
+    # tiny test inputs: fewer shuffle partitions = less task overhead
+    s = get_spark(app_name="cbdw-tests", shuffle_partitions=8)
     yield s
     s.stop()
 

@@ -1,0 +1,124 @@
+"""Cross-validation of the approximate dedup operators against exact
+ground truth, on a corpus with planted near-duplicates."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from citybikedatawarehouse_spark.operators.dedup_ops import (
+    doc_words,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    shingles,
+    simhash,
+    simhash_neardup_pairs,
+)
+
+VOCAB = [f"w{i}" for i in range(500)]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """60 base docs + planted near-dups: 10 docs with one word
+    changed (high jaccard), 5 exact copies."""
+    rng = random.Random(99)
+    rows = []
+    base_texts = []
+    for i in range(60):
+        ws = rng.sample(VOCAB, 40)
+        base_texts.append(ws)
+        rows.append((i, " ".join(ws)))
+    for j in range(10):  # near-dup of doc j: swap one word
+        ws = list(base_texts[j])
+        ws[0] = "unique_replacement_%d" % j
+        rows.append((100 + j, " ".join(ws)))
+    for j in range(5):  # exact dup of doc 20+j
+        rows.append((200 + j, " ".join(base_texts[20 + j])))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_jaccard_finds_planted_pairs(corpus):
+    pairs = jaccard_pairs(doc_words(corpus), "doc_id", "word", threshold=0.8)
+    got = {(r["id_1"], r["id_2"]) for r in pairs.collect()}
+    for j in range(10):
+        assert (j, 100 + j) in got  # 39/41 ≈ 0.95 jaccard
+    for j in range(5):
+        assert (20 + j, 200 + j) in got  # jaccard 1.0
+
+
+def test_minhash_lsh_recall_and_precision(corpus):
+    """LSH(32,8x4) at j>=0.8: candidate prob >= 98.5%; with 15
+    planted pairs expect full recall (seeded, deterministic), and
+    verification guarantees precision 1.0 vs exact jaccard."""
+    got = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in minhash_lsh_dedup(corpus, threshold=0.8).collect()
+    }
+    exact = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in jaccard_pairs(doc_words(corpus), "doc_id", "word", 0.8).collect()
+    }
+    assert set(got) <= set(exact)  # verification: no false positives
+    recall = len(got) / len(exact)
+    assert recall >= 0.9
+    for pair, j in got.items():
+        assert j == exact[pair]  # same exact-jaccard values
+
+
+def test_minhash_signature_deterministic(corpus):
+    s1 = minhash_signatures(corpus).orderBy("doc_id").collect()
+    s2 = minhash_signatures(corpus).orderBy("doc_id").collect()
+    assert s1 == s2
+
+
+def test_exact_copies_have_identical_signatures(corpus):
+    sigs = {r["doc_id"]: tuple(r[c] for c in r.asDict() if c != "doc_id")
+            for r in minhash_signatures(corpus).collect()}
+    for j in range(5):
+        assert sigs[20 + j] == sigs[200 + j]
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(corpus).collect()}
+    for j in range(5):
+        assert sh[20 + j] == sh[200 + j]
+
+
+def test_simhash_neardup_pairs(corpus):
+    """Exact copies are at Hamming 0; one-word-swapped docs are near;
+    banded join must surface all Hamming<=3 pairs (pigeonhole)."""
+    got = {(r["id_1"], r["id_2"]): r["hamming"] for r in
+           simhash_neardup_pairs(corpus, max_hamming=3).collect()}
+    for j in range(5):
+        assert got.get((20 + j, 200 + j)) == 0
+    # completeness: brute-force hamming vs banded result
+    rows = simhash(corpus).select("doc_id", "simhash").collect()
+    brute = set()
+    for i, a in enumerate(rows):
+        for b in rows[i + 1:]:
+            h = bin(a["simhash"] ^ b["simhash"]).count("1")
+            if h <= 3:
+                p = (min(a["doc_id"], b["doc_id"]), max(a["doc_id"], b["doc_id"]))
+                brute.add(p)
+    assert set(got) == brute
+
+
+def test_shingles_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "a b c d"), (3, "")], "doc_id long, text string"
+    )
+    got = shingles(df, n=3).groupBy("doc_id").count().collect()
+    counts = {r["doc_id"]: r["count"] for r in got}
+    assert 1 not in counts and 3 not in counts  # too short -> no shingles
+    assert counts[2] == 2  # 'a b c', 'b c d'
+
+
+def test_lsh_candidates_superset_of_high_jaccard(corpus):
+    cands = {
+        (r["id_1"], r["id_2"])
+        for r in lsh_candidate_pairs(minhash_signatures(corpus)).collect()
+    }
+    for j in range(5):
+        assert (20 + j, 200 + j) in cands  # identical docs always collide
