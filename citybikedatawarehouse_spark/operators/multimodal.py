@@ -1,0 +1,153 @@
+"""Multimodal column plumbing (north-star extension).
+
+Images/audio/video ride through Spark as opaque ``binary`` columns
+with typed metadata columns beside them; decode / feature-extract /
+frame-sample run as Arrow-batched pandas functions over
+``mapInPandas`` so bytes never round-trip through Python row-by-row.
+
+This container ships no codec libraries (PIL/torchaudio/ffmpeg), so
+the actual pixel/sample decode is STUBBED: ``decode_image`` parses
+the deterministic FAKEIMG header and raises ``NotImplementedError``
+from ``_decode_real_image`` if a real codec path is requested. The
+Spark-side plumbing — schema, batch iteration, partition behavior,
+UDF signatures — is real and tested; swapping the stub for PIL is a
+one-function change.
+
+Blob layout (synthesized deterministically from documents.text so
+oracles can check the plumbing end-to-end):
+  bytes 0-7   magic b"FAKEIMG1"
+  bytes 8-9   width  (uint16 big-endian) = 64 + doc_id % 512
+  bytes 10-11 height (uint16 big-endian) = 64 + doc_id % 384
+  bytes 12-   payload (utf-8 text bytes; stands in for pixel data)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAGIC = b"FAKEIMG1"
+HEADER_LEN = 12
+FRAME_BYTES = 256
+
+
+def synthesize_blobs(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, blob binary): deterministic fake image
+    bytes. Pure column expressions: header assembled from the id,
+    payload from the utf-8 text."""
+    width = (F.lit(64) + F.col("doc_id") % 512).cast("int")
+    height = (F.lit(64) + F.col("doc_id") % 384).cast("int")
+    header = F.concat(
+        F.lit(MAGIC),
+        # uint16 big-endian via two bytes
+        F.expr("unhex(lpad(hex(64 + doc_id % 512), 4, '0'))"),
+        F.expr("unhex(lpad(hex(64 + doc_id % 384), 4, '0'))"),
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(header, F.encode("text", "UTF-8")).alias("blob"),
+        width.alias("meta_width"),
+        height.alias("meta_height"),
+    )
+
+
+def _decode_real_image(blob: bytes):  # pragma: no cover - stub
+    """Real codec path — requires PIL, absent in this environment."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image decode needs PIL; this environment ships none — "
+            "the FAKEIMG header path below is the supported stub"
+        ) from e
+    raise NotImplementedError("real decode intentionally unimplemented")
+
+
+DECODE_SCHEMA = (
+    "doc_id long, width int, height int, payload_bytes long, is_fake_format boolean"
+)
+
+
+def decode_images(blobs: DataFrame) -> DataFrame:
+    """Parse the header of each blob into typed metadata.
+    mapInPandas: one pandas batch in, one out — no per-row Python."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = pdf["blob"]
+            is_fake = raw.map(lambda b: bytes(b[:8]) == MAGIC)
+            width = raw.map(lambda b: int.from_bytes(bytes(b[8:10]), "big"))
+            height = raw.map(lambda b: int.from_bytes(bytes(b[10:12]), "big"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width.astype("int32"),
+                    "height": height.astype("int32"),
+                    "payload_bytes": raw.map(len).astype("int64") - HEADER_LEN,
+                    "is_fake_format": is_fake,
+                }
+            )
+
+    return blobs.mapInPandas(decode, schema=DECODE_SCHEMA)
+
+
+FEATURE_SCHEMA = "doc_id long, payload_md5 string, byte_histogram array<bigint>"
+
+
+def extract_features(blobs: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Deterministic 'feature extraction' over the payload bytes:
+    md5 digest + a byte-value histogram (the stand-in for an image
+    embedding; same mapInPandas shape a real model batch would use)."""
+    import hashlib
+
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["blob"].map(lambda b: bytes(b[HEADER_LEN:]))
+            md5s = payloads.map(lambda p: hashlib.md5(p).hexdigest())
+            hists = payloads.map(
+                lambda p: np.bincount(
+                    np.frombuffer(p, dtype=np.uint8) // (256 // n_bins),
+                    minlength=n_bins,
+                ).astype("int64").tolist()
+            )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload_md5": md5s, "byte_histogram": hists}
+            )
+
+    return blobs.mapInPandas(feats, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes long, frame_md5 string"
+
+
+def sample_frames(blobs: DataFrame, every_nth: int = 2) -> DataFrame:
+    """'Video' frame sampling: split the payload into FRAME_BYTES
+    chunks, keep every nth — a fan-out mapInPandas (rows out > rows
+    in), the shape a real keyframe extractor would have."""
+    import hashlib
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame_bytes": [],
+                "frame_md5": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                payload = bytes(blob[HEADER_LEN:])
+                n = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(0, n, every_nth):
+                    chunk = payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(len(chunk))
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(frames, schema=FRAME_SCHEMA)

@@ -50,6 +50,8 @@ def _load_all() -> None:
         dedup,
         similarity,
         temporal,
+        multimodal,
+        streaming_batch,
     )
 
 
