@@ -52,6 +52,7 @@ def _load_all() -> None:
         temporal,
         multimodal,
         streaming_batch,
+        scalar,
     )
 
 

@@ -1,0 +1,81 @@
+"""Physical-plan regression tests: the scale properties that make
+the engine work at 100 TB must be visible in the plan at any SF —
+predicate pushdown into the parquet scan, column pruning, broadcast
+joins for dim tables, TakeOrderedAndProject for top-k, whole-stage
+codegen, and no accidental cartesian products anywhere."""
+
+from __future__ import annotations
+
+import pytest
+
+from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+
+def _plan(spark, name, sf_dir, mode="formatted"):
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, "q02_filter_pushdown", sf_dir)
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(l_quantity,45.0)" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    """The 4-column projection must not read the full 11-column
+    lineitem schema."""
+    plan = _plan(spark, "q02_filter_pushdown", sf_dir)
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_tax" not in read and "l_returnflag" not in read
+    assert "l_quantity" in read
+
+
+def test_joins_broadcast_dimensions(spark, sf_dir):
+    for name in ["q03_topk_revenue", "q05_region_volume", "q07_left_join_enrich"]:
+        plan = _plan(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, "q26_sort_limit_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    # a global Sort would be the scalability bug this test guards against
+    assert "\n+- Sort" not in plan
+
+
+def test_flagship_partial_aggregation(spark, sf_dir):
+    """Map-side combine (partial_sum before the exchange) is what
+    keeps the Q1 shuffle tiny at scale."""
+    plan = _plan(spark, "q01_pricing_summary", sf_dir, mode="simple")
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange")  # partial below exchange
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    offenders = []
+    for name in QUERIES:
+        plan = _plan(spark, name, sf_dir, mode="simple")
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_fact_derive_mode_is_join_free(spark, tmp_path):
+    """The derive-strategy fact build must contain no join operator
+    at all — the core 100 TB design claim of SURVEY section 7."""
+    from citybikedatawarehouse_spark.operators.fact import build_ride_fact
+    from citybikedatawarehouse_spark.sources.readers import read_ride_csv
+    from tests.citibike_fixture import write_fixture
+
+    path = str(tmp_path / "rides.csv")
+    write_fixture(path)
+    fact = build_ride_fact(read_ride_csv(spark, path), strategy="derive", dedup=False)
+    plan = fact._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "Join" not in plan and "Exchange" not in plan
