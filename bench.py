@@ -30,6 +30,10 @@ HEADLINE = [
     "q35_tumbling_window",
     "q38_asof_join",
     "q60_exact_dedup",
+    "q61_ngram_jaccard",
+    "q62_minhash_lsh",
+    "q70_cosine_topk",
+    "q82_frame_sample",
 ]
 
 

@@ -71,11 +71,12 @@ def q61_ngram_jaccard(spark, sf_dir):
 
 @register("q62_minhash_lsh")
 def q62_minhash_lsh(spark, sf_dir):
-    """MinHash(k=32) + LSH(8 bands x 4 rows) near-dup pairs,
-    verified at exact word-set Jaccard >= 0.8. Deterministic (seeded
-    permutations, xxhash64) but not SQL-expressible — rows-only
-    check; recall vs the exact q61-style pairs is asserted in
-    tests/test_dedup.py."""
+    """MinHash(k=32) + LSH(8 bands x 4 rows) near-dup pairs at
+    estimated Jaccard >= 0.8 (signature-agreement estimate — the
+    linear-cost scale path; bucket-size cap guards duplicate-cluster
+    blowup). Deterministic (seeded permutations, xxhash64) but not
+    SQL-expressible — rows-only check; recall/estimate-accuracy are
+    asserted in tests/test_dedup.py."""
     from citybikedatawarehouse_spark.operators.dedup_ops import minhash_lsh_dedup
 
     d = _t(spark, sf_dir, "documents")

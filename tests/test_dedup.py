@@ -25,7 +25,7 @@ VOCAB = [f"w{i}" for i in range(500)]
 @pytest.fixture(scope="module")
 def corpus(spark):
     """60 base docs + planted near-dups: 10 docs with one word
-    changed (high jaccard), 5 exact copies."""
+    changed (high shingle jaccard: 37/39), 5 exact copies."""
     rng = random.Random(99)
     rows = []
     base_texts = []
@@ -51,23 +51,43 @@ def test_exact_jaccard_finds_planted_pairs(corpus):
         assert (20 + j, 200 + j) in got  # jaccard 1.0
 
 
-def test_minhash_lsh_recall_and_precision(corpus):
-    """LSH(32,8x4) at j>=0.8: candidate prob >= 98.5%; with 15
-    planted pairs expect full recall (seeded, deterministic), and
-    verification guarantees precision 1.0 vs exact jaccard."""
+def test_minhash_lsh_exact_verify_recall_and_precision(corpus):
+    """verify='exact': LSH(32,8x4) at j>=0.8 — candidate prob >=
+    98.5% per true pair; verification yields exact jaccard, so no
+    false positives vs ground truth."""
     got = {
         (r["id_1"], r["id_2"]): r["jaccard"]
-        for r in minhash_lsh_dedup(corpus, threshold=0.8).collect()
+        for r in minhash_lsh_dedup(corpus, threshold=0.8, verify="exact").collect()
     }
     exact = {
         (r["id_1"], r["id_2"]): r["jaccard"]
-        for r in jaccard_pairs(doc_words(corpus), "doc_id", "word", 0.8).collect()
+        for r in jaccard_pairs(shingles(corpus, 3), "doc_id", "shingle", 0.8).collect()
     }
     assert set(got) <= set(exact)  # verification: no false positives
     recall = len(got) / len(exact)
     assert recall >= 0.9
     for pair, j in got.items():
         assert j == exact[pair]  # same exact-jaccard values
+
+
+def test_minhash_lsh_signature_estimate(corpus):
+    """verify='signature' (the scale path): the MinHash estimate is
+    unbiased — planted pairs surface and estimates track exact
+    jaccard within sketch noise (k=32 -> sd ~ sqrt(j(1-j)/32))."""
+    got = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in minhash_lsh_dedup(corpus, threshold=0.7).collect()
+    }
+    exact = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in jaccard_pairs(shingles(corpus, 3), "doc_id", "shingle", 0.0).collect()
+    }
+    for j in range(5):  # exact copies: estimate must be exactly 1.0
+        assert got[(20 + j, 200 + j)] == 1.0
+    for j in range(10):  # one-word swaps: high estimate
+        assert got[(j, 100 + j)] >= 0.7
+    for pair, est in got.items():
+        assert abs(est - exact[pair]) <= 0.25  # 3+ sd of k=32 sketch
 
 
 def test_minhash_signature_deterministic(corpus):
