@@ -1,0 +1,137 @@
+"""Declarative data-quality validation (SURVEY.md section 1.3).
+
+The reference declares PRIMARY KEY / FOREIGN KEY / NOT NULL in DDL
+(/root/reference/src/check_and_create_db_v4.py:66-135) and then
+silently drops them on `to_sql(if_exists='replace')`. Spark enforces
+no constraints at all — so the engine re-expresses each constraint as
+a *check*: a DataFrame computation returning violations, composable
+into a validation report.
+
+All checks are single-pass aggregates or anti-joins — at 100 TB each
+costs one scan (plus one shuffle for the FK anti-join), and they run
+lazily so several checks over one table share the cached scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+REPORT_COLS = ("constraint_name", "kind", "violations")
+
+
+def check_primary_key(df: DataFrame, *cols: str, name: str | None = None) -> DataFrame:
+    """PK = unique and non-null over ``cols``."""
+    label = name or f"pk({','.join(cols)})"
+    any_null = (
+        F.greatest(*[F.col(c).isNull().cast("int") for c in cols]) == 1
+        if len(cols) > 1
+        else F.col(cols[0]).isNull()
+    )
+    nulls = F.coalesce(F.sum(any_null.cast("int")), F.lit(0))
+    non_null_rows = F.sum((~any_null).cast("int"))
+    # count_distinct skips rows with any null key part, so duplicates
+    # are measured over the non-null rows only
+    dup = F.coalesce(non_null_rows, F.lit(0)) - F.count_distinct(
+        *[F.col(c) for c in cols]
+    )
+    return df.agg(
+        F.lit(label).alias("constraint_name"),
+        F.lit("primary_key").alias("kind"),
+        (dup + nulls).cast("bigint").alias("violations"),
+    )
+
+
+def check_foreign_key(
+    child: DataFrame,
+    child_col: str,
+    parent: DataFrame,
+    parent_col: str,
+    name: str | None = None,
+) -> DataFrame:
+    """FK = every non-null child key exists in the parent (anti-join
+    orphan count)."""
+    label = name or f"fk({child_col}->{parent_col})"
+    orphans = (
+        child.filter(F.col(child_col).isNotNull())
+        .join(parent, child[child_col] == parent[parent_col], "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    return orphans.select(
+        F.lit(label).alias("constraint_name"),
+        F.lit("foreign_key").alias("kind"),
+        F.col("violations").cast("bigint"),
+    )
+
+
+def check_not_null(df: DataFrame, col: str, name: str | None = None) -> DataFrame:
+    label = name or f"not_null({col})"
+    return df.agg(
+        F.lit(label).alias("constraint_name"),
+        F.lit("not_null").alias("kind"),
+        F.sum(F.col(col).isNull().cast("int")).cast("bigint").alias("violations"),
+    )
+
+
+def check_value_range(
+    df: DataFrame,
+    col: str,
+    min_val=None,
+    max_val=None,
+    name: str | None = None,
+) -> DataFrame:
+    """CHECK (col BETWEEN min AND max) — nulls are not violations
+    (SQL CHECK semantics)."""
+    label = name or f"range({col})"
+    cond = F.lit(False)
+    if min_val is not None:
+        cond = cond | (F.col(col) < F.lit(min_val))
+    if max_val is not None:
+        cond = cond | (F.col(col) > F.lit(max_val))
+    return df.agg(
+        F.lit(label).alias("constraint_name"),
+        F.lit("value_range").alias("kind"),
+        F.coalesce(F.sum(cond.cast("int")), F.lit(0)).cast("bigint").alias("violations"),
+    )
+
+
+def check_accepted_values(
+    df: DataFrame, col: str, values: list, name: str | None = None
+) -> DataFrame:
+    label = name or f"accepted_values({col})"
+    bad = (~F.col(col).isin(values)) & F.col(col).isNotNull()
+    return df.agg(
+        F.lit(label).alias("constraint_name"),
+        F.lit("accepted_values").alias("kind"),
+        F.coalesce(F.sum(bad.cast("int")), F.lit(0)).cast("bigint").alias("violations"),
+    )
+
+
+def validation_report(checks: list[DataFrame]) -> DataFrame:
+    """Union the individual checks into one report DataFrame."""
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def citibike_star_checks(tables: dict[str, DataFrame]) -> DataFrame:
+    """The reference's declared constraints, as a validation report
+    over the built star schema (v4 DDL: PKs on every dimension, six
+    FKs from ride_fact, check_and_create_db_v4.py:97-103)."""
+    fact = tables["ride_fact"]
+    checks = [
+        check_primary_key(tables["member_dimension"], "id", name="member_dimension.pk"),
+        check_primary_key(tables["rideable_dimension"], "id", name="rideable_dimension.pk"),
+        check_primary_key(tables["station_dimension"], "id", name="station_dimension.pk"),
+        check_primary_key(tables["date_dimension"], "id", name="date_dimension.pk"),
+        check_foreign_key(fact, "member_type_id", tables["member_dimension"], "id"),
+        check_foreign_key(fact, "rideable_type_id", tables["rideable_dimension"], "id"),
+        check_foreign_key(fact, "start_station_id", tables["station_dimension"], "id"),
+        check_foreign_key(fact, "end_station_id", tables["station_dimension"], "id"),
+        check_foreign_key(fact, "start_date_id", tables["date_dimension"], "id"),
+        check_foreign_key(fact, "end_date_id", tables["date_dimension"], "id"),
+        check_not_null(fact, "trip_duration"),
+        check_value_range(fact, "speed", min_val=0.0, name="speed_non_negative"),
+    ]
+    return validation_report(checks)

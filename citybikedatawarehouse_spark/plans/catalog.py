@@ -53,6 +53,7 @@ def _load_all() -> None:
         multimodal,
         streaming_batch,
         scalar,
+        sql_api,
     )
 
 

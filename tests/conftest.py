@@ -7,8 +7,15 @@ from citybikedatawarehouse_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    # tiny test inputs: fewer shuffle partitions = less task overhead
-    s = get_spark(app_name="cbdw-tests", shuffle_partitions=8)
+    import tempfile
+
+    # tiny test inputs: fewer shuffle partitions = less task overhead;
+    # warehouse in a tmp dir so saveAsTable never writes into the repo
+    s = get_spark(
+        app_name="cbdw-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="cbdw_wh_")},
+    )
     yield s
     s.stop()
 

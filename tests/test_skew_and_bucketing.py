@@ -1,0 +1,83 @@
+"""Skew salting + bucketing: result-equivalence of the salted
+operators, and shuffle-free joins between co-bucketed tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from citybikedatawarehouse_spark.operators.skew import salted_aggregate, salted_join
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """1000 rows where 90% share one hot key."""
+    rows = [(i, i % 10 if i % 10 else 0, float(i)) for i in range(1000)]
+    hot = [(10_000 + i, 0, float(i)) for i in range(2000)]
+    return spark.createDataFrame(rows + hot, "uid long, key int, v double")
+
+
+def test_salted_aggregate_equals_plain(skewed):
+    got = salted_aggregate(
+        skewed,
+        ["key"],
+        {"total": ("v", "sum"), "n": ("v", "count"), "mx": ("v", "max")},
+        salt_col="uid",
+        n_salts=8,
+    )
+    want = skewed.groupBy("key").agg(
+        F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"), F.max("v").alias("mx")
+    )
+    g = {r["key"]: (r["total"], r["n"], r["mx"]) for r in got.collect()}
+    w = {r["key"]: (r["total"], r["n"], r["mx"]) for r in want.collect()}
+    assert g == w
+
+
+def test_salted_join_equals_plain(spark, skewed):
+    dim = spark.createDataFrame(
+        [(k, f"name_{k}") for k in range(10)], "key int, kname string"
+    )
+    got = salted_join(skewed, dim, on="key", salt_col="uid", n_salts=8)
+    want = skewed.join(dim, "key")
+    assert sorted(map(str, got.select("uid", "key", "kname").collect())) == sorted(
+        map(str, want.select("uid", "key", "kname").collect())
+    )
+    assert "__salt" not in got.columns
+
+
+def test_salted_join_spreads_hot_key(skewed, spark):
+    """The hot key's rows must land on multiple salt values."""
+    s = skewed.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("uid")), F.lit(8))
+    ).filter(F.col("key") == 0)
+    n_salts_used = s.select("__salt").distinct().count()
+    assert n_salts_used == 8
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Tables co-bucketed on the join key join without an Exchange —
+    the at-rest co-location strategy for repeated large-large joins."""
+    big = spark.range(0, 10_000).select(
+        F.col("id").alias("key"), (F.col("id") * 2).alias("a")
+    )
+    other = spark.range(0, 5_000).select(
+        F.col("id").alias("key"), (F.col("id") * 3).alias("b")
+    )
+    spark.sql("DROP TABLE IF EXISTS bk1")
+    spark.sql("DROP TABLE IF EXISTS bk2")
+    big.write.bucketBy(8, "key").sortBy("key").saveAsTable("bk1")
+    other.write.bucketBy(8, "key").sortBy("key").saveAsTable("bk2")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bk1").join(spark.table("bk2"), "key")
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # bucketing removed the shuffle
+        assert j.count() == 5_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk1")
+        spark.sql("DROP TABLE IF EXISTS bk2")

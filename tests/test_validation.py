@@ -1,0 +1,91 @@
+"""Validation-operator tests: each check fires on planted violations
+and stays silent on clean data; the citibike star schema built by the
+ETL passes its own declared constraints."""
+
+from __future__ import annotations
+
+import pytest
+
+from citybikedatawarehouse_spark.operators.validation import (
+    check_accepted_values,
+    check_foreign_key,
+    check_not_null,
+    check_primary_key,
+    check_value_range,
+    citibike_star_checks,
+    validation_report,
+)
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    parent = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    child = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 99), (13, None)], "cid int, pid int"
+    )
+    dup = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (None, "z")], "k int, v string"
+    )
+    return parent, child, dup
+
+
+def test_primary_key_counts_dups_and_nulls(dirty):
+    _, _, dup = dirty
+    row = check_primary_key(dup, "k").collect()[0]
+    assert row["violations"] == 2  # one duplicate + one null
+    assert row["kind"] == "primary_key"
+
+
+def test_primary_key_clean(dirty):
+    parent, _, _ = dirty
+    assert check_primary_key(parent, "id").collect()[0]["violations"] == 0
+
+
+def test_foreign_key_orphans(dirty):
+    parent, child, _ = dirty
+    row = check_foreign_key(child, "pid", parent, "id").collect()[0]
+    assert row["violations"] == 1  # pid=99; null pid is not a violation
+
+
+def test_not_null(dirty):
+    _, child, _ = dirty
+    assert check_not_null(child, "pid").collect()[0]["violations"] == 1
+
+
+def test_value_range_and_accepted_values(spark):
+    df = spark.createDataFrame([(0.5,), (-1.0,), (2.0,), (None,)], "x double")
+    assert (
+        check_value_range(df, "x", min_val=0.0, max_val=1.0).collect()[0]["violations"]
+        == 2
+    )
+    df2 = spark.createDataFrame([("a",), ("b",), ("zz",)], "s string")
+    assert (
+        check_accepted_values(df2, "s", ["a", "b"]).collect()[0]["violations"] == 1
+    )
+
+
+def test_report_shape(dirty):
+    parent, child, dup = dirty
+    rep = validation_report(
+        [check_primary_key(dup, "k"), check_foreign_key(child, "pid", parent, "id")]
+    )
+    rows = rep.collect()
+    assert len(rows) == 2
+    assert set(rep.columns) == {"constraint_name", "kind", "violations"}
+
+
+def test_citibike_star_passes_own_constraints(spark, tmp_path):
+    """The ETL output satisfies every constraint the reference DDL
+    declares — including the six FK relationships the derive-mode
+    fact never joined on."""
+    from citybikedatawarehouse_spark.etl import run_citibike_etl
+    from tests.citibike_fixture import write_fixture
+
+    path = str(tmp_path / "rides.csv")
+    write_fixture(path)
+    result = run_citibike_etl(spark, path)
+    report = citibike_star_checks(result.tables).collect()
+    # the fully-null-end fixture row yields a null end_station_id,
+    # which FK semantics ignore; everything else must be 0
+    bad = {r["constraint_name"]: r["violations"] for r in report if r["violations"]}
+    assert bad == {}, f"unexpected violations: {bad}"
