@@ -233,12 +233,13 @@ def q38_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     o = _t(spark, sf_dir, "orders")
-    # deterministic right side: one row per (key, ts) — latest orderkey wins
-    w = W.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
-    quotes = (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderdate", "o_totalprice")
+    # deterministic right side: one row per (key, ts) — latest orderkey
+    # wins. max(struct) hash-aggregates in one pass (partial+final);
+    # a row_number window here would cost an extra full sort.
+    quotes = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.max(F.struct("o_orderkey", "o_totalprice"))["o_totalprice"].alias(
+            "o_totalprice"
+        )
     )
     joined = asof_join(
         ev.select("event_id", "user_id", "ts"),

@@ -53,3 +53,21 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.saveAsTable(name)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """JDBC sink — the direct equivalent of the reference's
+    SQLAlchemy ``to_sql`` into PostgreSQL (create_db_from_csv.py:14).
+
+    Requires the JDBC driver jar on the Spark classpath
+    (``spark.jars`` / ``--jars``); this environment ships none, so
+    the function is exercised only against real infrastructure.
+    Use ``write_parquet`` for the engine's native warehouse format.
+    """
+    df.write.jdbc(url=url, table=table, mode=mode, properties=properties or {})

@@ -163,3 +163,16 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     )
     q.processAllAvailable()
     return q
+
+
+def run_foreach_batch_parquet(df: DataFrame, out_dir: str):
+    """Exactly-once-style file sink via foreachBatch: each micro-batch
+    lands in an epoch-named subdirectory, so a replayed epoch
+    overwrites its own output instead of duplicating it (the
+    idempotent-sink pattern for stores without transactional commit).
+    Returns the started query (caller processes/stops)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    return df.writeStream.foreachBatch(sink).start()

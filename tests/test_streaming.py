@@ -193,3 +193,25 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         assert not any(r["total_value"] == 101.0 for r in rows)
     finally:
         q.stop()
+
+
+def test_foreach_batch_parquet_sink(spark, events_dir, tmp_path):
+    """foreachBatch epoch-directory sink: all rows land exactly once
+    across epochs."""
+    from citybikedatawarehouse_spark.streaming.windows import (
+        run_foreach_batch_parquet,
+    )
+
+    out = str(tmp_path / "sink")
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = run_foreach_batch_parquet(stream.select("event_id", "ts", "value"), out)
+    try:
+        q.processAllAvailable()
+        got = spark.read.parquet(out)
+        want = _batch_events(spark, events_dir)
+        assert got.count() == want.count()
+        assert got.select(F.sum("event_id")).collect() == want.select(
+            F.sum("event_id")
+        ).collect()
+    finally:
+        q.stop()
