@@ -81,3 +81,18 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk1")
         spark.sql("DROP TABLE IF EXISTS bk2")
+
+
+def test_catalog_database_ddl(spark):
+    """SURVEY 2.1 op 5: database existence-check + create, through
+    the Spark catalog instead of pg_catalog probes."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS cbdw_test_db")
+    try:
+        assert spark.catalog.databaseExists("cbdw_test_db")
+        big = spark.range(0, 100).select(F.col("id").alias("k"))
+        big.write.mode("overwrite").saveAsTable("cbdw_test_db.t1")
+        assert spark.table("cbdw_test_db.t1").count() == 100
+        assert spark.catalog.tableExists("cbdw_test_db.t1")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cbdw_test_db.t1")
+        spark.sql("DROP DATABASE IF EXISTS cbdw_test_db")
