@@ -89,6 +89,7 @@ def jaccard_pairs(
     item_col: str,
     threshold: float,
     max_item_freq: int | None = None,
+    hash_items: bool = True,
 ) -> DataFrame:
     """Exact pairwise Jaccard >= threshold via inverted-index
     self-join on the item (shingle/word). Returns (id_1, id_2,
@@ -96,7 +97,15 @@ def jaccard_pairs(
 
     ``max_item_freq`` drops items appearing in more than that many
     sets before the join — the skew guard for web-scale corpora.
+
+    ``hash_items`` replaces the item string with xxhash64 before the
+    join: the shuffle and join keys become 8-byte longs instead of
+    arbitrary-length text (collision odds ~n^2/2^64 — immaterial),
+    cutting shuffle bytes and comparison cost. Jaccard values are
+    unchanged (hashing preserves set distinctness).
     """
+    if hash_items:
+        sets = sets.withColumn(item_col, F.xxhash64(F.col(item_col)))
     sizes = sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("__size"))
     items = sets
     if max_item_freq is not None:
