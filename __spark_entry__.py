@@ -13,11 +13,19 @@ registry.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from citybikedatawarehouse_spark.plans.catalog import ORACLES, QUERIES
+# the driver may load this file from any CWD; the engine package
+# lives next to it
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from citybikedatawarehouse_spark.plans.catalog import ORACLES, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

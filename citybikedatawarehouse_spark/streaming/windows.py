@@ -176,3 +176,36 @@ def run_foreach_batch_parquet(df: DataFrame, out_dir: str):
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
 
     return df.writeStream.foreachBatch(sink).start()
+
+
+def enrich_stream_static(events: DataFrame, dim: DataFrame, on, how: str = "left") -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (lazily
+    re-read) static side — the streaming twin of the reference's
+    dimension enrichment joins. Broadcast chosen by size as in batch."""
+    return events.join(dim, on, how)
+
+
+def stream_stream_self_join(
+    events: DataFrame, window_seconds: int = 600, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream join with event-time bounds: pairs of events by
+    the same user within ``window_seconds`` (a < b). Both sides need
+    watermarks + a time-interval condition so Spark can bound the
+    join state."""
+    a = events.select(
+        F.col("user_id"),
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+    ).withWatermark("a_ts", watermark)
+    b = events.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+    ).withWatermark("b_ts", watermark)
+    return a.join(
+        b,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("a_id") < F.col("b_id"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {window_seconds} SECONDS")),
+    ).select("user_id", "a_id", "b_id", "a_ts", "b_ts")

@@ -1,0 +1,88 @@
+"""Compaction utility + stream-static and stream-stream joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from citybikedatawarehouse_spark.operators.maintenance import (
+    compact_parquet,
+    parquet_file_stats,
+)
+from citybikedatawarehouse_spark.sources.readers import load_table
+from citybikedatawarehouse_spark.streaming.windows import (
+    enrich_stream_static,
+    read_events_stream,
+    run_to_memory,
+    stream_stream_self_join,
+)
+
+
+def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    frag = str(tmp_path / "frag")
+    src = load_table(spark, sf_dir, "lineitem")
+    src.repartition(40).write.parquet(frag)  # fragment: 40 small files
+    n_before, _ = parquet_file_stats(frag)
+    assert n_before >= 40
+    rows_before = spark.read.parquet(frag).count()
+    checksum_before = spark.read.parquet(frag).agg(
+        F.sum("l_orderkey"), F.round(F.sum("l_extendedprice"), 2)
+    ).collect()
+
+    compacted = compact_parquet(spark, frag, target_file_mb=128)
+    n_after, _ = parquet_file_stats(frag)
+    assert n_after < n_before and n_after <= 2
+    assert compacted.count() == rows_before
+    assert (
+        spark.read.parquet(frag)
+        .agg(F.sum("l_orderkey"), F.round(F.sum("l_extendedprice"), 2))
+        .collect()
+        == checksum_before
+    )
+
+
+@pytest.fixture()
+def events_stream_dir(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "ev")
+    load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).write.parquet(out)
+    return out
+
+
+def test_stream_static_enrichment(spark, events_stream_dir):
+    dim = spark.createDataFrame(
+        [(t,) for t in ["click", "view", "purchase", "signup", "error"]],
+        "event_type string",
+    ).withColumn("type_code", F.substring("event_type", 1, 2))
+    stream = read_events_stream(spark, events_stream_dir, max_files_per_trigger=4)
+    q = run_to_memory(
+        enrich_stream_static(stream, dim, "event_type").select(
+            "event_id", "event_type", "type_code"
+        ),
+        "t_enrich",
+        output_mode="append",
+    )
+    try:
+        got = spark.sql("SELECT * FROM t_enrich")
+        assert got.count() == spark.read.parquet(events_stream_dir).count()
+        assert got.filter(F.col("type_code").isNull()).count() == 0
+    finally:
+        q.stop()
+
+
+def test_stream_stream_self_join_matches_batch(spark, events_stream_dir):
+    stream = read_events_stream(spark, events_stream_dir, max_files_per_trigger=4)
+    joined = stream_stream_self_join(stream, window_seconds=600)
+    q = run_to_memory(joined, "t_ss", output_mode="append")
+    try:
+        got = spark.sql("SELECT user_id, a_id, b_id FROM t_ss")
+        ev = spark.read.parquet(events_stream_dir)
+        want = stream_stream_self_join(ev, window_seconds=600).select(
+            "user_id", "a_id", "b_id"
+        )
+        g = sorted(map(tuple, got.collect()))
+        w = sorted(map(tuple, want.collect()))
+        assert g == w and len(g) > 0
+    finally:
+        q.stop()
