@@ -190,3 +190,107 @@ def cosine_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list, DataFrame]:
+    """IVF coarse quantizer without iterative training: centroids are
+    a deterministic corpus sample (every ceil(N/n_centroids)-th vector
+    by id — at real scale you'd k-means a sample instead; the
+    assignment/probe machinery below is identical either way).
+
+    Returns (centroids, assigned) where ``assigned`` carries each
+    corpus vector's nearest-centroid id (``ivf_cell``). Assignment is
+    one Arrow-batched matmul per batch: (batch x dim) @ (dim x C).
+    """
+    import numpy as np
+    import pandas as pd
+
+    ids = [r[0] for r in corpus.select(id_col).orderBy(id_col).collect()]
+    step = max(1, len(ids) // n_centroids)
+    cent_ids = set(ids[::step][:n_centroids])
+    cents = (
+        corpus.filter(F.col(id_col).isin(list(cent_ids)))
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    cent_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in cents])
+    cent_norm = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mat @ cent_norm.T, axis=1).astype("int32"))
+
+    return list(range(len(cents))), corpus.withColumn("ivf_cell", assign(F.col(vec_col)))
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 40,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: corpus bucketed by nearest centroid; each query probes
+    its ``n_probe`` nearest cells; exact cosine re-ranks candidates.
+    Same output shape as brute_force_topk. At scale the assigned
+    corpus is written partitioned by ivf_cell so a probe reads only
+    n_probe/n_centroids of the data (partition pruning)."""
+    import numpy as np
+    import pandas as pd
+
+    _, assigned = ivf_index(corpus, n_centroids, id_col, vec_col)
+    # recompute the centroid matrix exactly as ivf_index did
+    ids = [r[0] for r in corpus.select(id_col).orderBy(id_col).collect()]
+    step = max(1, len(ids) // n_centroids)
+    cent_ids = set(ids[::step][:n_centroids])
+    cents = (
+        corpus.filter(F.col(id_col).isin(list(cent_ids)))
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    cent_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in cents])
+    cent_norm = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+    probe = min(n_probe, len(cents))
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cent_norm.T
+        order = np.argsort(-sims, axis=1)[:, :probe].astype("int32")
+        return pd.Series(order.tolist())
+
+    q = (
+        queries.withColumn("ivf_cell", F.explode(probe_cells(F.col(vec_col))))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            "ivf_cell",
+        )
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "ivf_cell"
+    )
+    scored = (
+        c.join(F.broadcast(q), "ivf_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("__qv", "__cv"), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

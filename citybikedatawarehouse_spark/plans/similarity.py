@@ -119,3 +119,15 @@ def q73_embedding_stats(spark, sf_dir):
             F.round(F.max("nrm"), 6).alias("max_norm"),
         )
     )
+
+
+@register("q74_ivf_ann_topk")
+def q74_ivf_ann_topk(spark, sf_dir):
+    """IVF ANN top-5 (deterministic coarse quantizer, 4-cell probe,
+    exact re-rank) — the partition-pruned alternative scale path to
+    q72's hyperplane LSH. Rows-only check; recall vs brute force
+    asserted in tests/test_similarity.py."""
+    from citybikedatawarehouse_spark.operators.similarity_ops import ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)

@@ -201,3 +201,31 @@ def q55_fingerprint(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("canonical_doc_id"),
     )
+
+
+@register(
+    "q56b_text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                   '\s+', ' ', 'g'))) AS norm_hash,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                           '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+    FROM documents
+    """,
+)
+def q56b_text_normalize(spark, sf_dir):
+    """Canonical text normalization (lowercase, strip non-alnum,
+    collapse whitespace) — the cleaning stage before any dedup/
+    tokenization pass; hashed so the oracle pins the exact bytes."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9 ]", " "), r"\s+", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )

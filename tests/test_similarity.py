@@ -92,3 +92,29 @@ def test_cosine_neardup_blocked(emb):
            cosine_neardup_pairs(emb, threshold=0.999, block_col="label").collect()}
     for i in range(10):
         assert (i, 1000 + i) in got
+
+
+def test_ivf_ann_recall(emb):
+    """IVF with 4-of-20 probed cells: the planted parallel vector
+    shares the query's cell (identical direction), so it must always
+    surface; overall recall vs brute force stays useful."""
+    from citybikedatawarehouse_spark.operators.similarity_ops import ivf_ann_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    ann = ivf_ann_topk(emb, queries, k=5, n_centroids=20, n_probe=4).collect()
+    ann_pairs = {(r["query_id"], r["neighbor_id"]) for r in ann}
+    for i in range(10):
+        assert (i, 1000 + i) in ann_pairs
+    brute = brute_force_topk(emb, queries, k=5).collect()
+    brute_pairs = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    recall = len(ann_pairs & brute_pairs) / len(brute_pairs)
+    assert recall >= 0.3
+
+
+def test_ivf_deterministic(emb):
+    from citybikedatawarehouse_spark.operators.similarity_ops import ivf_ann_topk
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = sorted(map(str, ivf_ann_topk(emb, queries, k=3, n_centroids=20).collect()))
+    b = sorted(map(str, ivf_ann_topk(emb, queries, k=3, n_centroids=20).collect()))
+    assert a == b
