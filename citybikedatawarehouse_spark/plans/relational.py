@@ -716,3 +716,125 @@ def q30_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("orphan_rows"))
     )
+
+
+@register(
+    "q32b_shipmode_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN l_quantity >= 25.0::DOUBLE THEN 1 ELSE 0 END) AS BIGINT)
+               AS high_qty_lines,
+           CAST(sum(CASE WHEN l_quantity <  25.0::DOUBLE THEN 1 ELSE 0 END) AS BIGINT)
+               AS low_qty_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def q32b_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape: join + conditional (CASE) aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("l_quantity") >= 25.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_qty_lines"),
+            F.sum(F.when(F.col("l_quantity") < 25.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_qty_lines"),
+        )
+    )
+
+
+@register(
+    "q33b_promo_revenue_share",
+    oracle="""
+    SELECT round(
+             100.0::DOUBLE * sum(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0.0::DOUBLE END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def q33b_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate ratio over a broadcast
+    part join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+@register(
+    "q34b_nation_trade_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, CAST(y AS INTEGER) AS y,
+           round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l.l_shipdate) AS y,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      WHERE n1.n_name IN ('FRANCE', 'GERMANY') AND n2.n_name IN ('FRANCE', 'GERMANY')
+    )
+    GROUP BY supp_nation, cust_nation, y
+    """,
+)
+def q34b_nation_trade_volume(spark, sf_dir):
+    """TPC-H Q7 shape: two-nation trade volume by year — double
+    nation-dimension join with IN filters."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    nations = ["FRANCE", "GERMANY"]
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(F.col("supp_nation").isin(nations) & F.col("cust_nation").isin(nations))
+        .withColumn("y", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "y")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
