@@ -49,9 +49,12 @@ def main() -> None:
             continue
         df = QUERIES[name](spark, sf_dir)
         df.count()  # warm: plan + scan caches (file listing, footers)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: damp JIT/GC noise
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -32,13 +32,13 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
-        # NOTE: do not raise spark.driver.memory here by default — a
-        # 48g heap measured 40x SLOWER end-to-end on this box than the
-        # 1g default (GC regime change dominates); the workloads fit.
-        # Override via SPARK_GRAFT_DRIVER_MEM only when a job OOMs.
+        # Driver heap sizing is non-monotonic on this box: 1g OOMs on
+        # 10x-scale dedup shuffles, 48g is ~40x SLOWER end-to-end (GC
+        # regime change dominates), 8g passes both with bench parity.
+        # Only effective at JVM launch; ignored on an existing session.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "1g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         )
         # determinism: timestamps interpreted in UTC everywhere
         .config("spark.sql.session.timeZone", "UTC")
