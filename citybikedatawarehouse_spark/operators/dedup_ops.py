@@ -407,3 +407,61 @@ def simhash_neardup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: assign every id the
+    minimum id reachable through the pair graph (the cluster's
+    canonical representative).
+
+    Iterative label propagation: each round, every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(log(diameter)) rounds for typical dup clusters (which are
+    near-cliques — usually 2-3 rounds). Each round is one join +
+    one aggregate; intermediate results are localCheckpointed to cut
+    the growing lineage. Deterministic.
+
+    Returns (id, cluster_id, is_canonical).
+    """
+    edges = (
+        pairs.select(F.col("id_1").alias("a"), F.col("id_2").alias("b"))
+        .unionByName(pairs.select(F.col("id_2").alias("a"), F.col("id_1").alias("b")))
+        .distinct()
+    )
+    labels = ids.select(F.col(id_col).alias("a"), F.col(id_col).alias("label"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("a", "b2"), edges.b == F.col("b2"))
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "a", "left")
+            .select(
+                "a",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "a")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("a").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("a") == F.col("label")).alias("is_canonical"),
+    )

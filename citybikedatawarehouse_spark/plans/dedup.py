@@ -92,3 +92,21 @@ def q63_simhash_neardup(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return simhash_neardup_pairs(d, max_hamming=3)
+
+
+@register("q64_dedup_clusters")
+def q64_dedup_clusters(spark, sf_dir):
+    """End-to-end dedup keep-list: MinHash-LSH near-dup pairs ->
+    connected components -> canonical representative per cluster.
+    The rows a training pipeline would KEEP are is_canonical=true.
+    Iterative (label propagation) — not SQL-expressible without
+    recursion, rows-only check; chain/clique correctness in
+    tests/test_dedup.py."""
+    from citybikedatawarehouse_spark.operators.dedup_ops import (
+        dedup_clusters,
+        minhash_lsh_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(d, threshold=0.8)
+    return dedup_clusters(d.select("doc_id"), pairs)

@@ -142,3 +142,43 @@ def test_lsh_candidates_superset_of_high_jaccard(corpus):
     }
     for j in range(5):
         assert (20 + j, 200 + j) in cands  # identical docs always collide
+
+
+def test_dedup_clusters_chain_and_clique(spark):
+    """A chain a-b-c and a separate pair must collapse to min-id
+    clusters; singletons stay canonical."""
+    from citybikedatawarehouse_spark.operators.dedup_ops import dedup_clusters
+
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 8, 99]], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_1 long, id_2 long"
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in dedup_clusters(ids, pairs).collect()}
+    assert got[1] == (1, True) and got[2] == (1, False) and got[3] == (1, False)
+    assert got[7] == (7, True) and got[8] == (7, False)
+    assert got[99] == (99, True)
+
+
+def test_dedup_clusters_on_corpus(corpus):
+    """Exact copies must land in their base doc's cluster with the
+    base doc canonical."""
+    from citybikedatawarehouse_spark.operators.dedup_ops import (
+        dedup_clusters,
+        minhash_lsh_dedup,
+    )
+
+    pairs = minhash_lsh_dedup(corpus, threshold=0.8)
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in dedup_clusters(corpus.select("doc_id"), pairs).collect()}
+    for j in range(5):
+        assert got[200 + j][0] == 20 + j and not got[200 + j][1]
+        assert got[20 + j] == (20 + j, True)
+    # one canonical per cluster
+    from collections import defaultdict
+    clusters = defaultdict(list)
+    for doc, (cid, canon) in got.items():
+        clusters[cid].append((doc, canon))
+    for cid, members in clusters.items():
+        assert sum(1 for _, c in members if c) == 1
+        assert min(d for d, _ in members) == cid
