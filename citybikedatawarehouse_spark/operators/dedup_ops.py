@@ -106,18 +106,49 @@ def jaccard_pairs(
     """
     if hash_items:
         sets = sets.withColumn(item_col, F.xxhash64(F.col(item_col)))
-    sizes = sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("__size"))
-    items = sets
-    if max_item_freq is not None:
+    # Build the inverted index (posting list per item) with ONE
+    # shuffle of the set relation, then derive BOTH the pair counts
+    # and the per-set sizes from it — set sizes re-explode the index
+    # (cheap: hashed longs, post-aggregation cardinality) instead of
+    # rescanning + re-tokenizing the input, and the two consumers
+    # share the shuffle via ReusedExchange. The old a><b self-join
+    # recomputed and shuffled the set relation three times.
+    if max_item_freq is None:
+        grouped = sets.groupBy(item_col).agg(F.collect_list(id_col).alias("__ids"))
+        sizes = (
+            grouped.select(F.explode("__ids").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__size"))
+        )
+        buckets = grouped
+    else:
+        # Capped path: pre-filter hot items with a plain count BEFORE
+        # collecting ids, so no aggregation buffer ever holds a
+        # web-scale posting list. Sizes must still count the FULL set
+        # (the cap only prunes candidate generation, not the Jaccard
+        # denominator), so they come from the unfiltered relation.
+        sizes = sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("__size"))
         freq = sets.groupBy(item_col).agg(F.count(F.lit(1)).alias("__freq"))
-        items = sets.join(
+        kept = sets.join(
             freq.filter(F.col("__freq") <= max_item_freq).select(item_col), item_col
         )
-    a = items.select(F.col(id_col).alias("id_1"), F.col(item_col).alias("__it"))
-    b = items.select(F.col(id_col).alias("id_2"), F.col(item_col).alias("__it"))
+        buckets = kept.groupBy(item_col).agg(F.collect_list(id_col).alias("__ids"))
+    # Emit each bucket's id pairs from the collected array — narrow,
+    # no join. Per-bucket work is quadratic in posting-list length,
+    # which max_item_freq bounds.
+    ids = F.array_sort(F.col("__ids"))
+    pair_array = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_1"), y.alias("id_2")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "__it")
-        .filter(F.col("id_1") < F.col("id_2"))
+        buckets.select(F.explode(pair_array).alias("__p"))
+        .select("__p.id_1", "__p.id_2")
         .groupBy("id_1", "id_2")
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
