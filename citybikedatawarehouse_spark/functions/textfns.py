@@ -9,7 +9,7 @@ the cluster. Patterns restricted to the regex subset where Java
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # language marker words for the n-gram/stopword language-ID heuristic;
@@ -69,3 +69,50 @@ def fingerprint(text: Column | str) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct word set — catches shuffled/reordered near-duplicates."""
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words(text)))))
+
+
+def winnow_fingerprint_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): md5 over every k-char window of the normalized text
+    (the rolling-hash pass), then the minimum hash of each w-window
+    of those — a position-robust fingerprint set whose density is
+    ~2/(w+1) regardless of document length. Matching fingerprints
+    across documents locate shared passages (plagiarism/near-dup
+    evidence) via a plain equi-join on the output.
+
+    Narrow, codegen-only pipeline — but staged across THREE
+    projections on purpose: lambdas do not subexpression-eliminate,
+    so the normalized text and the hash array must each be bound to
+    a column before a transform() indexes into them, or they are
+    recomputed per element (same trap as dedup_ops.shingles).
+
+    Returns distinct (id, fingerprint) rows; texts shorter than k
+    chars yield no rows."""
+    s = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    staged = docs.select(id_col, s.alias("__s"))
+    n_hash = F.length("__s") - k + 1
+    hashes = F.when(
+        n_hash >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_hash),
+            lambda i: F.md5(F.substring(F.col("__s"), i, F.lit(k)).cast("binary")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = staged.select(id_col, hashes.alias("__h"))
+    n_win = F.size("__h") - w + 1
+    fps = F.when(
+        n_win >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda j: F.array_min(F.slice(F.col("__h"), j, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return hashed.select(id_col, F.explode(fps).alias("fingerprint"))

@@ -838,3 +838,94 @@ def q34b_nation_trade_volume(spark, sf_dir):
             ).alias("revenue")
         )
     )
+
+
+@register(
+    "q35b_returned_item_ranking",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, c_acctbal,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q35b_returned_item_ranking(spark, sf_dir):
+    """TPC-H Q10 shape: top returned-item customers by lost revenue.
+    Fact-side filters reach the parquet scan; nation broadcasts; the
+    sorted limit runs as TakeOrderedAndProject (no full sort at any
+    scale). c_custkey tiebreak keeps the limit boundary deterministic
+    across engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        # sum exact integer cents, not doubles: per-row products are
+        # bit-identical across engines, and an integer sum is
+        # order-independent — immune to the last-ulp drift that a
+        # rounded double sum hits at half-cent boundaries
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("bigint")
+                ).cast("double")
+                / 100
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q36b_large_order_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q36b_large_order_customers(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold, joined back to the order and customer. The HAVING
+    aggregate is partial+final (map-side combine) and shrinks the
+    join input before any wide join happens."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__raw_qty"))
+        # filter on the RAW sum (as the oracle's HAVING does), round
+        # only the projected output — a boundary value like 150.0001
+        # must pass the threshold but still print rounded
+        .filter(F.col("__raw_qty") > 150)
+        .select("l_orderkey", F.round("__raw_qty", 2).alias("sum_qty"))
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )

@@ -229,3 +229,40 @@ def q56b_text_normalize(spark, sf_dir):
         F.md5(norm).alias("norm_hash"),
         F.length(norm).cast("bigint").alias("norm_len"),
     )
+
+
+@register(
+    "q65_winnow_fingerprint",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS s
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(s) - 8 + 2, 1)),
+                            i -> md5(substr(s, i, 8))) AS hs
+      FROM n
+    ),
+    f AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, greatest(len(hs) - 4 + 2, 1)),
+                              j -> list_min(hs[j:j+3]))) AS fps
+      FROM h
+    )
+    SELECT doc_id, unnest(fps) AS fingerprint FROM f
+    """,
+)
+def q65_winnow_fingerprint(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (k=8-char windows, w=4
+    winnow) — the position-robust shared-passage fingerprint set per
+    document; equi-joining the output across docs locates copied
+    spans. Pure codegen (no UDF); see
+    functions/textfns.winnow_fingerprint_pairs."""
+    from citybikedatawarehouse_spark.functions.textfns import (
+        winnow_fingerprint_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_fingerprint_pairs(d, k=8, w=4)
