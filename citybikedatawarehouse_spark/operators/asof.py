@@ -79,3 +79,113 @@ def asof_join(
     return filled.filter(F.col(_SIDE) == 1).select(
         *left.columns, *[F.col(f"__f_{c}").alias(c) for c in payload]
     )
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Skew-robust as-of join: same semantics as :func:`asof_join`,
+    but the running-fill window partitions on (key, time-bucket)
+    instead of key alone, so parallelism is keys x buckets — a hot
+    key whose timeline dwarfs the others no longer pins a single
+    task. A second, tiny window over the per-(key, bucket) summaries
+    carries the last payload across bucket boundaries, and a final
+    coalesce patches rows that precede their bucket's first match.
+
+    Cost: one extra aggregation + one window + one join, all over
+    keys x buckets rows (thousands, not billions) — the big table is
+    still shuffled exactly once. Bucket width derives from the left
+    table's observed ts range (one min/max scan at plan-build time,
+    the same kind of sampling a range partitioner does).
+    """
+    payload = [c for c in right_payload]
+    rdt = dict(right.dtypes)
+    ldt = dict(left.dtypes)
+
+    def _epoch(col_name: str, dtype: str):
+        c = F.col(col_name)
+        # TIMESTAMP_NTZ has no direct numeric cast — hop through LTZ
+        # (session tz is pinned UTC, so the epoch is unambiguous)
+        if dtype.startswith("timestamp_ntz"):
+            c = c.cast("timestamp")
+        return c.cast("double")
+
+    bounds = left.agg(
+        F.min(_epoch(left_ts, ldt[left_ts])).alias("lo"),
+        F.max(_epoch(left_ts, ldt[left_ts])).alias("hi"),
+    ).first()
+    lo = bounds["lo"] or 0.0
+    width = ((bounds["hi"] or 0.0) - lo) / n_buckets
+    if width <= 0:
+        return asof_join(
+            left, right, left_on, right_on, left_ts, right_ts, right_payload
+        )
+
+    def bucket(ts_col: str, dtype: str):
+        return F.floor((_epoch(ts_col, dtype) - F.lit(lo)) / F.lit(width))
+
+    pay_struct = F.struct(*[F.col(c).alias(c) for c in payload])
+    null_pay = F.lit(None).cast(
+        "struct<" + ",".join(f"{c}:{rdt[c]}" for c in payload) + ">"
+    )
+    l_tagged = left.select(
+        F.col(left_on).alias(_KEY),
+        F.col(left_ts).alias(_TS),
+        bucket(left_ts, ldt[left_ts]).alias("__b"),
+        F.lit(1).alias(_SIDE),
+        *[F.col(c) for c in left.columns],
+        null_pay.alias("__pay"),
+    )
+    r_tagged = right.select(
+        F.col(right_on).alias(_KEY),
+        F.col(right_ts).alias(_TS),
+        bucket(right_ts, rdt[right_ts]).alias("__b"),
+        F.lit(0).alias(_SIDE),
+        *[F.lit(None).cast(ldt[c]).alias(c) for c in left.columns],
+        pay_struct.alias("__pay"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w_in = (
+        W.partitionBy(_KEY, "__b")
+        .orderBy(_TS, _SIDE)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = unioned.select(
+        *left.columns,
+        F.col(_KEY).alias(_KEY),
+        F.col("__b").alias("__b"),
+        F.col(_SIDE).alias(_SIDE),
+        F.col(_TS).alias(_TS),
+        F.last("__pay", ignorenulls=True).over(w_in).alias("__f"),
+    )
+    # last carried payload per (key, bucket): the max (ts, side) row's
+    # fill — one small aggregate, then a tiny per-key window carries
+    # it across bucket gaps (buckets with no right rows inherit).
+    summary = filled.groupBy(_KEY, "__b").agg(
+        F.max_by("__f", F.struct(_TS, _SIDE)).alias("__bucket_last")
+    )
+    w_carry = (
+        W.partitionBy(_KEY)
+        .orderBy("__b")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carry = summary.select(
+        _KEY,
+        "__b",
+        F.last("__bucket_last", ignorenulls=True).over(w_carry).alias("__prev"),
+    )
+    patched = (
+        filled.filter(F.col(_SIDE) == 1)
+        .join(carry, [_KEY, "__b"], "left")
+        .withColumn("__pf", F.coalesce("__f", "__prev"))
+    )
+    return patched.select(
+        *left.columns, *[F.col("__pf")[c].alias(c) for c in payload]
+    )

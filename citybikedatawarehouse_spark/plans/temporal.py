@@ -257,3 +257,55 @@ def q38_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("asof_date"),
         F.col("o_totalprice").alias("asof_price"),
     )
+
+
+@register(
+    "q39_asof_join_bucketed",
+    oracle="""
+    WITH quotes AS (
+      SELECT o_custkey, o_orderdate, o_totalprice FROM (
+        SELECT o_custkey, o_orderdate, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           q.o_orderdate AS asof_date, q.o_totalprice AS asof_price
+    FROM events e
+    ASOF LEFT JOIN quotes q
+      ON e.user_id = q.o_custkey AND e.ts >= q.o_orderdate
+    """,
+)
+def q39_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-robust as-of join (same semantics and oracle as q38): the
+    running-fill window partitions on (key, time-bucket) so one hot
+    key's timeline spreads across tasks — the plan that survives a
+    single user with a billion events. See
+    operators/asof.asof_join_bucketed."""
+    from citybikedatawarehouse_spark.operators.asof import asof_join_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    quotes = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.max(F.struct("o_orderkey", "o_totalprice"))["o_totalprice"].alias(
+            "o_totalprice"
+        )
+    )
+    joined = asof_join_bucketed(
+        ev.select("event_id", "user_id", "ts"),
+        quotes,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_payload=("o_orderdate", "o_totalprice"),
+        n_buckets=64,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderdate").alias("asof_date"),
+        F.col("o_totalprice").alias("asof_price"),
+    )

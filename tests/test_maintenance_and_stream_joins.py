@@ -86,3 +86,46 @@ def test_stream_stream_self_join_matches_batch(spark, events_stream_dir):
         assert g == w and len(g) > 0
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# as-of join: plain vs skew-bucketed equivalence
+# ---------------------------------------------------------------------------
+
+
+def test_asof_bucketed_matches_plain_on_skewed_key(spark):
+    """One key owns 90% of the left timeline (the case the bucketed
+    variant exists for): both implementations must agree row-for-row,
+    including left rows that precede any right row (null payload) and
+    buckets with no right rows (carry across the gap)."""
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.operators.asof import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    left = spark.range(2000).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.lit(2)).alias("k"),
+        (F.lit(1000.0) + F.col("id") * 7).alias("ts"),
+    )
+    right = spark.range(40).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % 4 == 0, F.lit(2)).otherwise(F.lit(1)).alias("k"),
+        # sparse: long stretches of left buckets see no right row
+        (F.lit(900.0) + F.col("id") * 400).alias("rts"),
+        (F.col("id") * 1.5).alias("quote"),
+    ).dropDuplicates(["k", "rts"])
+    kwargs = dict(
+        left_on="k",
+        right_on="k",
+        left_ts="ts",
+        right_ts="rts",
+        right_payload=("rts", "quote"),
+    )
+    plain = asof_join(left, right, **kwargs)
+    bucketed = asof_join_bucketed(left, right, n_buckets=16, **kwargs)
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in bucketed.collect()}
+    assert a == b and len(a) == 2000
