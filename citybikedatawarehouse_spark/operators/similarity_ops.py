@@ -197,29 +197,28 @@ def ivf_index(
     n_centroids: int = 40,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[list, DataFrame]:
+) -> tuple[np.ndarray, DataFrame]:
     """IVF coarse quantizer without iterative training: centroids are
-    a deterministic corpus sample (every ceil(N/n_centroids)-th vector
-    by id — at real scale you'd k-means a sample instead; the
-    assignment/probe machinery below is identical either way).
+    a deterministic pseudo-random corpus sample — the C rows with the
+    smallest ``xxhash64(id)``. Spark executes orderBy+limit as
+    TakeOrderedAndProject (each partition keeps its local top-C, the
+    driver merges C-sized heaps), so only C rows ever reach the
+    driver — no O(N) materialization. At real scale you'd k-means the
+    same sample; the assignment/probe machinery below is identical
+    either way.
 
-    Returns (centroids, assigned) where ``assigned`` carries each
-    corpus vector's nearest-centroid id (``ivf_cell``). Assignment is
-    one Arrow-batched matmul per batch: (batch x dim) @ (dim x C).
+    Returns (cent_norm, assigned): the row-normalized (C x dim)
+    centroid matrix, and the corpus with each vector's
+    nearest-centroid id (``ivf_cell``). Assignment is one
+    Arrow-batched matmul per batch: (batch x dim) @ (dim x C).
     """
-    import numpy as np
-    import pandas as pd
-
-    ids = [r[0] for r in corpus.select(id_col).orderBy(id_col).collect()]
-    step = max(1, len(ids) // n_centroids)
-    cent_ids = set(ids[::step][:n_centroids])
     cents = (
-        corpus.filter(F.col(id_col).isin(list(cent_ids)))
-        .select(id_col, vec_col)
-        .orderBy(id_col)
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy(F.xxhash64("__id"), F.col("__id"))
+        .limit(n_centroids)
         .collect()
     )
-    cent_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in cents])
+    cent_mat = np.stack([np.asarray(r["__v"], dtype=np.float64) for r in cents])
     cent_norm = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
 
     @F.pandas_udf("int")
@@ -228,7 +227,7 @@ def ivf_index(
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(mat @ cent_norm.T, axis=1).astype("int32"))
 
-    return list(range(len(cents))), corpus.withColumn("ivf_cell", assign(F.col(vec_col)))
+    return cent_norm, corpus.withColumn("ivf_cell", assign(F.col(vec_col)))
 
 
 def ivf_ann_topk(
@@ -245,23 +244,8 @@ def ivf_ann_topk(
     Same output shape as brute_force_topk. At scale the assigned
     corpus is written partitioned by ivf_cell so a probe reads only
     n_probe/n_centroids of the data (partition pruning)."""
-    import numpy as np
-    import pandas as pd
-
-    _, assigned = ivf_index(corpus, n_centroids, id_col, vec_col)
-    # recompute the centroid matrix exactly as ivf_index did
-    ids = [r[0] for r in corpus.select(id_col).orderBy(id_col).collect()]
-    step = max(1, len(ids) // n_centroids)
-    cent_ids = set(ids[::step][:n_centroids])
-    cents = (
-        corpus.filter(F.col(id_col).isin(list(cent_ids)))
-        .select(id_col, vec_col)
-        .orderBy(id_col)
-        .collect()
-    )
-    cent_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in cents])
-    cent_norm = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
-    probe = min(n_probe, len(cents))
+    cent_norm, assigned = ivf_index(corpus, n_centroids, id_col, vec_col)
+    probe = min(n_probe, cent_norm.shape[0])
 
     @F.pandas_udf("array<int>")
     def probe_cells(v: pd.Series) -> pd.Series:

@@ -134,13 +134,15 @@ def q06_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q03_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join -> agg -> deterministic top-k.
-    customer is small -> broadcast; lineitem-orders is the real join."""
+    customer scales with SF (sf x 150k) so it gets NO broadcast hint —
+    AQE's autoBroadcastJoinThreshold picks broadcast at small SF and
+    shuffle join at large SF; lineitem-orders is the real join."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -168,8 +170,13 @@ def q03_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q05_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way join. Dim chain region->nation->customer
-    broadcasts; the only large-large join is lineitem-orders."""
+    """TPC-H Q5 shape: 6-way join. Only the constant-size dims
+    (region: 5 rows, nation: 25 rows) carry broadcast hints;
+    customer (sf x 150k) and supplier (sf x 10k) are fact-scale in
+    TPC-H — a forced broadcast would override AQE's size check and
+    OOM executors at large SF, so those joins are left to
+    AQE/autoBroadcastJoinThreshold (broadcast while small, shuffle
+    join when not)."""
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
@@ -178,9 +185,9 @@ def q05_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -230,10 +237,11 @@ def q04_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q07_left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-outer equi join — the reference's only join kind
-    (check_and_create_db_v4.py:240-270), dim side broadcast."""
+    (check_and_create_db_v4.py:240-270). customer is fact-scale, so
+    no broadcast hint: AQE decides by measured size."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+    return o.join(c, o.o_custkey == c.c_custkey, "left").select(
         "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
     )
 
@@ -767,8 +775,9 @@ def q32b_shipmode_priority(spark, sf_dir):
     """,
 )
 def q33b_promo_revenue_share(spark, sf_dir):
-    """TPC-H Q14 shape: conditional-aggregate ratio over a broadcast
-    part join."""
+    """TPC-H Q14 shape: conditional-aggregate ratio over a part join
+    (part is sf x 200k — fact-scale, so no broadcast hint; AQE
+    decides)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -777,7 +786,7 @@ def q33b_promo_revenue_share(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
         )
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -811,7 +820,9 @@ def q33b_promo_revenue_share(spark, sf_dir):
 )
 def q34b_nation_trade_volume(spark, sf_dir):
     """TPC-H Q7 shape: two-nation trade volume by year — double
-    nation-dimension join with IN filters."""
+    nation-dimension join with IN filters. Only the 25-row nation
+    dims get broadcast hints; supplier/customer are fact-scale (AQE
+    decides)."""
     s = _t(spark, sf_dir, "supplier")
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
@@ -825,8 +836,8 @@ def q34b_nation_trade_volume(spark, sf_dir):
     nations = ["FRANCE", "GERMANY"]
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
         .filter(F.col("supp_nation").isin(nations) & F.col("cust_nation").isin(nations))

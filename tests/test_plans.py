@@ -35,10 +35,37 @@ def test_column_pruning(spark, sf_dir):
 
 
 def test_joins_broadcast_dimensions(spark, sf_dir):
+    """At tiny SF, size-based stats (no hints needed) still broadcast
+    the small sides; no query degenerates to a cartesian product."""
     for name in ["q03_topk_revenue", "q05_region_volume", "q07_left_join_enrich"]:
         plan = _plan(spark, name, sf_dir)
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_no_forced_broadcast_of_fact_scale_tables(spark, sf_dir):
+    """customer/supplier/part scale with SF — a hard F.broadcast()
+    hint on them would override AQE's size check and OOM executors at
+    large SF. With size-based broadcasting disabled, the only
+    BroadcastHashJoins left must be the hinted constant-size dims
+    (region: 5 rows, nation: 25 rows)."""
+    expected_hinted = {
+        "q03_topk_revenue": 0,     # customer: no hint
+        "q07_left_join_enrich": 0, # customer: no hint
+        "q33b_promo_revenue_share": 0,  # part: no hint
+        "q05_region_volume": 2,    # nation + region hints only
+        "q34b_nation_trade_volume": 2,  # two nation aliases only
+    }
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, n_hinted in expected_hinted.items():
+            plan = _plan(spark, name, sf_dir, mode="simple")
+            assert plan.count("BroadcastHashJoin") == n_hinted, (
+                f"{name}: expected {n_hinted} hinted broadcasts, plan:\n{plan}"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_topk_uses_take_ordered(spark, sf_dir):
