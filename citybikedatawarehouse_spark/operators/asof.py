@@ -43,11 +43,65 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_payload: Sequence[str],
+    strategy: str = "auto",
+    n_buckets: int = 64,
+    skew_threshold: int = 2_000_000,
+    sample_rows: int = 100_000,
 ) -> DataFrame:
     """For each left row, attach the right-side payload of the latest
     right row with ``right.ts <= left.ts`` on the same key (left
-    outer: unmatched left rows keep null payload)."""
+    outer: unmatched left rows keep null payload).
+
+    The single public entry point; ``strategy`` picks the physical
+    shape (both are semantically identical — equivalence-tested on
+    skewed and unskewed inputs in tests):
+
+      * ``"plain"`` — one window per key. Cheapest when no single
+        key's timeline exceeds a task (the bucketed variant measures
+        ~2x constant overhead on unskewed data).
+      * ``"bucketed"`` — window per (key, time-bucket) + cross-bucket
+        carry; parallelism is keys x buckets, so one hot key can't
+        pin a task.
+      * ``"auto"`` (default) — decision by measurement, the way a
+        range partitioner samples: count the keyed rows (left+right
+        share the window partition), and if a seeded ~``sample_rows``
+        sample extrapolates the hottest key above ``skew_threshold``
+        rows, go bucketed. Costs two small plan-build jobs over the
+        key column only; callers that know their skew should pass the
+        strategy explicitly.
+    """
+    if strategy not in ("auto", "plain", "bucketed"):
+        raise ValueError(f"unknown asof strategy: {strategy}")
+    if strategy == "bucketed":
+        return asof_join_bucketed(
+            left, right, left_on, right_on, left_ts, right_ts, right_payload,
+            n_buckets=n_buckets,
+        )
+    if strategy == "auto":
+        keys = left.select(F.col(left_on).alias("__k")).unionAll(
+            right.select(F.col(right_on).alias("__k"))
+        )
+        n = keys.count()
+        if n > skew_threshold:
+            frac = min(1.0, sample_rows / n)
+            hottest = (
+                keys.sample(fraction=frac, seed=7)
+                .groupBy("__k")
+                .count()
+                .agg(F.max("count"))
+                .first()[0]
+                or 0
+            )
+            if hottest / frac > skew_threshold:
+                return asof_join_bucketed(
+                    left, right, left_on, right_on, left_ts, right_ts,
+                    right_payload, n_buckets=n_buckets,
+                )
     payload = [c for c in right_payload]
+    # a null right ts would sort nulls-first and be carried to every
+    # left row as if infinitely early, but "right.ts <= left.ts" can
+    # never match a null — drop null-ts/null-key right rows up front
+    right = right.filter(F.col(right_ts).isNotNull() & F.col(right_on).isNotNull())
     l_tagged = left.select(
         F.col(left_on).alias(_KEY),
         F.col(left_ts).alias(_TS),
@@ -106,6 +160,10 @@ def asof_join_bucketed(
     the same kind of sampling a range partitioner does).
     """
     payload = [c for c in right_payload]
+    # same null hygiene as asof_join — keeps the two variants
+    # semantically identical (a null right ts must match nothing, not
+    # land in a null bucket)
+    right = right.filter(F.col(right_ts).isNotNull() & F.col(right_on).isNotNull())
     rdt = dict(right.dtypes)
     ldt = dict(left.dtypes)
 
@@ -125,7 +183,8 @@ def asof_join_bucketed(
     width = ((bounds["hi"] or 0.0) - lo) / n_buckets
     if width <= 0:
         return asof_join(
-            left, right, left_on, right_on, left_ts, right_ts, right_payload
+            left, right, left_on, right_on, left_ts, right_ts, right_payload,
+            strategy="plain",
         )
 
     def bucket(ts_col: str, dtype: str):

@@ -503,12 +503,18 @@ def dedup_clusters(
     minimum id reachable through the pair graph (the cluster's
     canonical representative).
 
-    Iterative label propagation: each round, every node adopts the
-    smallest label among itself and its neighbors; converges in
-    O(log(diameter)) rounds for typical dup clusters (which are
-    near-cliques — usually 2-3 rounds). Each round is one join +
-    one aggregate; intermediate results are localCheckpointed to cut
-    the growing lineage. Deterministic.
+    Iterative label propagation with pointer jumping: each round,
+    every node adopts the smallest label among itself and its
+    neighbors, THEN shortcuts to its label's own label (path
+    doubling) — reachable-label distance doubles per round, so a
+    chain of diameter D converges in O(log D) rounds, not O(D).
+    Each round is two joins + one aggregate over the (small) label
+    relation; intermediate results are localCheckpointed to cut the
+    growing lineage. Deterministic.
+
+    Raises RuntimeError if the fixpoint is not reached within
+    ``max_iterations`` (a silent early exit would return split
+    clusters — duplicate documents surviving dedup).
 
     Returns (id, cluster_id, is_canonical).
     """
@@ -518,18 +524,34 @@ def dedup_clusters(
         .distinct()
     )
     labels = ids.select(F.col(id_col).alias("a"), F.col(id_col).alias("label"))
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("a", "b2"), edges.b == F.col("b2"))
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, "a", "left")
             .select(
                 "a",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # pointer jumping: labels always point within the component
+        # (they start as self and only ever move to component members),
+        # so adopting label(label(a)) is safe and halves chain depth
+        lab2 = stepped.select(
+            F.col("a").alias("__la"), F.col("label").alias("__ll")
+        )
+        new_labels = (
+            stepped.join(lab2, stepped.label == F.col("__la"), "left")
+            .select(
+                "a",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("__ll"), F.col("label"))
                 ).alias("label"),
             )
         )
@@ -543,7 +565,14 @@ def dedup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_iterations} "
+            "iterations — raise max_iterations (rounds needed is "
+            "~log2 of the largest cluster's diameter)"
+        )
     return labels.select(
         F.col("a").alias(id_col),
         F.col("label").alias("cluster_id"),

@@ -58,15 +58,27 @@ def q60_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q61_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard near-dup pairs >= 0.2 via inverted
     shingle index self-join (no N^2 — cost rides on shingle
-    frequency; operators/dedup_ops.py has the hot-shingle cap for
-    web-scale skew)."""
+    frequency).
+
+    max_item_freq=1000 is the hot-shingle skew guard: a shingle
+    shared by f docs generates f^2/2 candidate pairs in ONE task, so
+    an uncapped stop-phrase shingle (say 10^6 docs at web scale) is a
+    quadratic single-task bomb. The cap bounds any bucket's fan-out
+    at ~500k pairs. It is lossless here: measured max shingle
+    doc-frequency is 7 at sf0.01 / 25 at sf0.1 (so no qualifying
+    pair loses intersection mass and the DuckDB oracle still hash-
+    matches); at web scale set it to ~0.01-0.1%% of corpus size and
+    accept the documented downward bias on pairs glued only by
+    stop-phrases."""
     from citybikedatawarehouse_spark.operators.dedup_ops import (
         jaccard_pairs,
         shingles,
     )
 
     d = _t(spark, sf_dir, "documents")
-    return jaccard_pairs(shingles(d, n=3), "doc_id", "shingle", threshold=0.2)
+    return jaccard_pairs(
+        shingles(d, n=3), "doc_id", "shingle", threshold=0.2, max_item_freq=1000
+    )
 
 
 @register("q62_minhash_lsh")

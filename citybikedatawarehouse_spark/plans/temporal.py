@@ -249,6 +249,9 @@ def q38_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="o_orderdate",
         right_payload=("o_orderdate", "o_totalprice"),
+        # this catalog entry IS the plain variant (q39 is the bucketed
+        # twin); API users get strategy="auto"
+        strategy="plain",
     )
     return joined.select(
         "event_id",

@@ -182,3 +182,62 @@ def test_dedup_clusters_on_corpus(corpus):
     for cid, members in clusters.items():
         assert sum(1 for _, c in members if c) == 1
         assert min(d for d, _ in members) == cid
+
+
+def test_jaccard_hot_item_cap_bounds_skew(spark):
+    """Skew stress: one stop-phrase shingle shared by 50% of docs.
+    Uncapped, that bucket alone generates (N/2)^2/2 candidate pairs
+    in a single task. With max_item_freq below the hot frequency the
+    hot shingle is pruned from candidate generation, planted
+    high-jaccard pairs are still found with their EXACT jaccard (the
+    denominator always counts the full set), and pairs glued only by
+    the stop-phrase are gone — the documented downward bias."""
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        ws = rng.sample(VOCAB, 30)
+        if i < 100:  # half the corpus shares one hot 3-shingle
+            ws[10:13] = ["the", "quick", "fox"]
+        rows.append((i, " ".join(ws)))
+    # planted near-dup of doc 0 (also carries the hot shingle)
+    dup = rows[0][1].split()
+    dup[0] = "changed"
+    rows.append((500, " ".join(dup)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingles(docs, n=3)
+
+    capped = jaccard_pairs(sh, "doc_id", "shingle", threshold=0.5, max_item_freq=50)
+    got = {(r["id_1"], r["id_2"]): r["jaccard"] for r in capped.collect()}
+    assert (0, 500) in got
+    uncapped = jaccard_pairs(sh, "doc_id", "shingle", threshold=0.5)
+    full = {(r["id_1"], r["id_2"]): r["jaccard"] for r in uncapped.collect()}
+    # pruned hot shingles leave the intersection count, never the
+    # denominator -> capped jaccard is biased DOWN, never up, and
+    # capped pairs are a subset of uncapped pairs (no fabrications)
+    for k, v in got.items():
+        assert v <= full[k]
+    assert got[(0, 500)] < full[(0, 500)]  # pair shares the hot shingle
+    # the cap is lossless here above the hot frequency
+    relaxed = jaccard_pairs(sh, "doc_id", "shingle", threshold=0.5, max_item_freq=1000)
+    got_relaxed = {(r["id_1"], r["id_2"]): r["jaccard"] for r in relaxed.collect()}
+    assert got_relaxed == full
+
+
+def test_dedup_clusters_long_chain_pointer_jumping(spark):
+    """A 300-link chain converges well within 20 rounds only because
+    of path doubling (plain neighbor-min would need ~300 rounds), and
+    an insufficient iteration budget raises instead of silently
+    returning split clusters."""
+    from citybikedatawarehouse_spark.operators.dedup_ops import dedup_clusters
+
+    n = 300
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_1 long, id_2 long"
+    )
+    out = dedup_clusters(ids, pairs, max_iterations=12).collect()
+    assert all(r["cluster_id"] == 0 for r in out)
+    assert sum(r["is_canonical"] for r in out) == 1
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(ids, pairs, max_iterations=2).collect()

@@ -124,8 +124,76 @@ def test_asof_bucketed_matches_plain_on_skewed_key(spark):
         right_ts="rts",
         right_payload=("rts", "quote"),
     )
-    plain = asof_join(left, right, **kwargs)
+    plain = asof_join(left, right, strategy="plain", **kwargs)
     bucketed = asof_join_bucketed(left, right, n_buckets=16, **kwargs)
     a = {tuple(r) for r in plain.collect()}
     b = {tuple(r) for r in bucketed.collect()}
     assert a == b and len(a) == 2000
+
+
+def test_asof_null_right_ts_matches_nothing(spark):
+    """A right row with null ts must never be carried (right.ts <=
+    left.ts is never true for null) and both variants must agree —
+    pre-fix, plain sorted it nulls-first and carried it everywhere
+    while bucketed dropped it into a null bucket."""
+    from citybikedatawarehouse_spark.operators.asof import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 1, 50.0), (3, 2, 10.0)],
+        "event_id long, k long, ts double",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, 30.0, 7.0), (None, 5.0, 13.0)],
+        "k long, rts double, quote double",
+    )
+    kwargs = dict(
+        left_on="k", right_on="k", left_ts="ts", right_ts="rts",
+        right_payload=("rts", "quote"),
+    )
+    plain = {tuple(r) for r in asof_join(left, right, strategy="plain", **kwargs).collect()}
+    bucketed = {
+        tuple(r)
+        for r in asof_join_bucketed(left, right, n_buckets=4, **kwargs).collect()
+    }
+    expected = {
+        (1, 1, 10.0, None, None),   # before any valid right row
+        (2, 1, 50.0, 30.0, 7.0),    # matches the real row, not the null-ts one
+        (3, 2, 10.0, None, None),   # key 2 has no valid right rows
+    }
+    assert plain == expected
+    assert bucketed == expected
+
+
+def test_asof_auto_strategy_dispatches_and_agrees(spark):
+    """auto on small input = plain plan (no crash, same rows); forcing
+    a tiny skew_threshold routes through the bucketed path."""
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.operators.asof import asof_join
+
+    left = spark.range(500).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).alias("k"),
+        (F.col("id") * 2.0).alias("ts"),
+    )
+    right = spark.range(20).select(
+        (F.col("id") % 3).alias("k"),
+        (F.col("id") * 40.0).alias("rts"),
+        (F.col("id") * 1.0).alias("quote"),
+    ).dropDuplicates(["k", "rts"])
+    kwargs = dict(
+        left_on="k", right_on="k", left_ts="ts", right_ts="rts",
+        right_payload=("rts", "quote"),
+    )
+    auto = {tuple(r) for r in asof_join(left, right, **kwargs).collect()}
+    plain = {tuple(r) for r in asof_join(left, right, strategy="plain", **kwargs).collect()}
+    skew_forced = {
+        tuple(r)
+        for r in asof_join(
+            left, right, strategy="auto", skew_threshold=10, sample_rows=500, **kwargs
+        ).collect()
+    }
+    assert auto == plain == skew_forced and len(auto) == 500
