@@ -33,9 +33,62 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+# Round 1's driver correctness sweep recorded exactly the FIRST 50
+# entries of this dict, in dict order (CORRECTNESS_r01.json key order
+# == registration order) — so dict order decides which queries reach
+# the hard gate if the sweep truncates again. Priority order:
+#   1. oracle-paired queries with NO round-1 driver entry (fastest
+#      first — 37 entries incl. the newly oracle-paired q62/q64/q28b),
+#   2. queries already driver-verified in round 1 (fastest first),
+#   3. rows-only approximate ops last (q74/q72/q63).
+# Every name is asserted against the registry at import time.
+_SWEEP_PRIORITY = [
+    "q49_posexplode", "q48_array_agg", "q91_running_totals_batch",
+    "q47_conditionals", "q56_map_ops", "q57_struct_ops",
+    "q73_embedding_stats", "q32_date_parts", "q33_time_parts",
+    "q82_frame_sample", "q81_multimodal_features", "q59_cross_join",
+    "q106_salted_aggregate", "q28b_approx_aggregates",
+    "q80_multimodal_decode", "q35_tumbling_window",
+    "q90_stream_dedup_batch", "q36_sliding_window", "q107_salted_join",
+    "q34_epoch_duration", "q28_percentiles", "q37_sessionization",
+    "q58_unpivot", "q45_math_suite", "q105_smoke_limit",
+    "q46_datetime_suite", "q71_cosine_neardup", "q102_in_subquery",
+    "q101_correlated_exists", "q100_scalar_subquery",
+    "q104_above_group_avg", "q70_cosine_topk", "q38_asof_join",
+    "q103_cte_pipeline", "q39_asof_join_bucketed", "q62_minhash_lsh",
+    "q64_dedup_clusters",
+    # -- driver-verified in round 1 --
+    "q26_sort_limit_topk", "q56b_text_normalize", "q52_token_count",
+    "q60_exact_dedup", "q43_haversine", "q54_language_id",
+    "q29_pk_uniqueness", "q40_dim_build", "q42_fact_derived_keys",
+    "q53_quality_score", "q10_distinct_dedup", "q25_agg_stats",
+    "q09_anti_join", "q30_fk_orphans", "q12_union_all", "q15_except",
+    "q22_rollup", "q17_window_topk_per_group", "q08_semi_join",
+    "q02_filter_pushdown", "q18_window_running_sum", "q55_fingerprint",
+    "q27_pivot", "q33b_promo_revenue_share", "q31_range_join",
+    "q51_json_extract", "q20_window_rank_suite", "q23_grouping_sets",
+    "q06_predicate_revenue", "q13_union_distinct", "q14_intersect",
+    "q24_count_distinct", "q32b_shipmode_priority", "q41_date_dim_build",
+    "q07_left_join_enrich", "q36b_large_order_customers",
+    "q11_keyed_dedup_first", "q16_except_all", "q21_cube",
+    "q34b_nation_trade_volume", "q44_speed_coercion",
+    "q04_exists_priority", "q35b_returned_item_ranking",
+    "q19_window_lag_lead", "q05_region_volume", "q03_topk_revenue",
+    "q50_string_funcs", "q61_ngram_jaccard", "q65_winnow_fingerprint",
+    "q01_pricing_summary",
+    # -- rows-only approximate ops --
+    "q74_ivf_ann_topk", "q72_lsh_ann_topk", "q63_simhash_neardup",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md section 2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md section 2,
+    in driver-sweep priority order (see _SWEEP_PRIORITY)."""
+    ordered = {n: QUERIES[n] for n in _SWEEP_PRIORITY}
+    # safety: anything registered but not in the priority list still
+    # ships (appended at the end) rather than silently disappearing
+    ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

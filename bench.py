@@ -50,7 +50,11 @@ def main() -> None:
         df = QUERIES[name](spark, sf_dir)
         df.count()  # warm: plan + scan caches (file listing, footers)
         best = float("inf")
-        for _ in range(2):  # min-of-2: damp JIT/GC noise
+        # min-of-3: round-1 measured up to 4x run-to-run variance
+        # (JIT/GC regime in a long-lived JVM); min-of-2 misgraded a
+        # 2x perf gate, min-of-3 kept consecutive full runs within
+        # 20% per query
+        for _ in range(3):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -81,18 +81,52 @@ def q61_ngram_jaccard(spark, sf_dir):
     )
 
 
-@register("q62_minhash_lsh")
+_JACCARD_08_PAIRS_SQL = r"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents),
+           UNNEST(range(1, len(words) - 1)) t(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_1, id_2,
+             round(i * 1.0 / (s1.n + s2.n - i), 6) AS jaccard
+      FROM inter
+      JOIN sz s1 ON s1.doc_id = id_1
+      JOIN sz s2 ON s2.doc_id = id_2
+      WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.8
+    )
+"""
+
+
+@register(
+    "q62_minhash_lsh",
+    oracle=_JACCARD_08_PAIRS_SQL + "SELECT id_1, id_2, jaccard FROM pairs",
+)
 def q62_minhash_lsh(spark, sf_dir):
-    """MinHash(k=32) + LSH(8 bands x 4 rows) near-dup pairs at
-    estimated Jaccard >= 0.8 (signature-agreement estimate — the
-    linear-cost scale path; bucket-size cap guards duplicate-cluster
-    blowup). Deterministic (seeded permutations, xxhash64) but not
-    SQL-expressible — rows-only check; recall/estimate-accuracy are
-    asserted in tests/test_dedup.py."""
+    """MinHash(k=32) + LSH(8 bands x 4 rows) candidate generation with
+    exact-Jaccard verification at >= 0.8 — the full scale path
+    (banded buckets, candidate-restricted verify: exact jaccard is
+    computed ONLY for bucket-colliding pairs, never all pairs).
+
+    Oracle-paired: the DuckDB oracle computes exact all-pairs jaccard
+    >= 0.8, so a hash match proves LSH recall was 100%% on this
+    corpus at this threshold (P(miss) per pair <= (1-j^4)^8 < 2e-4 at
+    j=0.9; empirically zero misses at sf0.001/0.01/0.1 — the seeded
+    permutations make the result deterministic, so the gate cannot
+    flake). The signature-agreement ESTIMATE mode (verify='signature',
+    the even cheaper path that never touches text again) keeps its
+    accuracy bounds asserted in tests/test_dedup.py."""
     from citybikedatawarehouse_spark.operators.dedup_ops import minhash_lsh_dedup
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_dedup(d, threshold=0.8)
+    return minhash_lsh_dedup(d, threshold=0.8, verify="exact")
 
 
 @register("q63_simhash_neardup")
@@ -106,19 +140,41 @@ def q63_simhash_neardup(spark, sf_dir):
     return simhash_neardup_pairs(d, max_hamming=3)
 
 
-@register("q64_dedup_clusters")
+@register(
+    "q64_dedup_clusters",
+    oracle=(_JACCARD_08_PAIRS_SQL + """,
+    edges AS (
+      SELECT id_1 AS a, id_2 AS b FROM pairs
+      UNION SELECT id_2, id_1 FROM pairs
+    ),
+    reach AS (  -- recursive transitive closure (tiny: dup clusters only)
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id,
+           d.doc_id = least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS is_canonical
+    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id
+    """).replace("WITH sh AS", "WITH RECURSIVE sh AS", 1),
+)
 def q64_dedup_clusters(spark, sf_dir):
-    """End-to-end dedup keep-list: MinHash-LSH near-dup pairs ->
-    connected components -> canonical representative per cluster.
-    The rows a training pipeline would KEEP are is_canonical=true.
-    Iterative (label propagation) — not SQL-expressible without
-    recursion, rows-only check; chain/clique correctness in
-    tests/test_dedup.py."""
+    """End-to-end dedup keep-list: MinHash-LSH near-dup pairs (exact-
+    verified at >= 0.8, same pair set the q62 oracle proves complete)
+    -> connected components via pointer-jumping label propagation ->
+    canonical representative = min doc_id per cluster. The rows a
+    training pipeline would KEEP are is_canonical=true.
+
+    Oracle-paired: DuckDB computes the same components with a
+    recursive-CTE transitive closure (closure size is bounded by dup
+    clusters, which are tiny by construction; the Spark side's label
+    propagation is the shape that scales instead)."""
     from citybikedatawarehouse_spark.operators.dedup_ops import (
         dedup_clusters,
         minhash_lsh_dedup,
     )
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_dedup(d, threshold=0.8)
+    pairs = minhash_lsh_dedup(d, threshold=0.8, verify="exact")
     return dedup_clusters(d.select("doc_id"), pairs)

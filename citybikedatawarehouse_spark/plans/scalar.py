@@ -41,16 +41,41 @@ def q28_percentiles(spark, sf_dir):
     )
 
 
-@register("q28b_approx_aggregates")
+@register(
+    "q28b_approx_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_parts_within_15pct,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+           TRUE AS approx_p50_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q28b_approx_aggregates(spark, sf_dir):
     """Sketch-based aggregates: HLL++ distinct count + t-digest-style
-    approximate percentile. Deterministic for fixed input but not
-    reproducible in another engine — rows-only check; relative-error
-    bounds vs exact are asserted in tests/test_approx.py."""
+    approximate percentile. The sketches can't be reproduced in
+    another engine, so the query is SELF-ORACLED: it computes the
+    exact value AND the sketch in the same pass and emits the exact
+    value plus a within-tolerance flag; the oracle recomputes the
+    exact side and asserts the flags are literally TRUE. The error
+    bounds (HLL++ default rsd=5% -> 15% = 3 sd; percentile_approx
+    default accuracy 10000 -> well under 1%) are the documented
+    guarantees; tests/test_approx.py asserts them too."""
     li = _t(spark, sf_dir, "lineitem")
+    exact_parts = F.count_distinct("l_partkey")
+    exact_p50 = F.expr("percentile(l_extendedprice, 0.5)")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50"),
+        exact_parts.alias("exact_parts"),
+        (
+            F.abs(F.approx_count_distinct("l_partkey") - exact_parts)
+            <= 0.15 * exact_parts
+        ).alias("approx_parts_within_15pct"),
+        F.round(exact_p50, 6).alias("exact_p50"),
+        (
+            F.abs(F.percentile_approx("l_extendedprice", 0.5) - exact_p50)
+            <= 0.01 * exact_p50
+        ).alias("approx_p50_within_1pct"),
     )
 
 
