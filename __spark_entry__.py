@@ -56,7 +56,7 @@ _SWEEP_PRIORITY = [
     "q101_correlated_exists", "q100_scalar_subquery",
     "q104_above_group_avg", "q70_cosine_topk", "q38_asof_join",
     "q103_cte_pipeline", "q39_asof_join_bucketed", "q62_minhash_lsh",
-    "q64_dedup_clusters",
+    "q64_dedup_clusters", "q108_scd2_merge", "q109_compaction",
     # -- driver-verified in round 1 --
     "q26_sort_limit_topk", "q56b_text_normalize", "q52_token_count",
     "q60_exact_dedup", "q43_haversine", "q54_language_id",

@@ -54,6 +54,7 @@ def _load_all() -> None:
         streaming_batch,
         scalar,
         sql_api,
+        warehouse_ops,
     )
 
 
