@@ -418,19 +418,35 @@ def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per document: per-word xxhash64, each bit
+    """64-bit SimHash per document: per-word 64-bit hash, each bit
     contributes +count/-count, fingerprint bit = sign of the sum.
     Returned as a signed 64-bit ``simhash`` plus 4x16-bit blocks for
-    banded Hamming search."""
+    banded Hamming search.
+
+    ``hash_fn``: 'xxhash64' (default — cheapest, JVM-native) or
+    'md5' (64 bits from the first 16 hex chars — bit-identical to
+    what another engine derives from its own md5(), which is how the
+    q63 DuckDB oracle replays the fingerprint)."""
     counts = (
         _ensure_parallelism(docs)
         .select(id_col, F.explode(words(text_col)).alias("word"))
         .filter(F.col("word") != "")
         .groupBy(id_col, "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", F.xxhash64("word"))
     )
+    if hash_fn == "xxhash64":
+        counts = counts.withColumn("h", F.xxhash64("word"))
+    elif hash_fn == "md5":
+        # two 32-bit halves (each fits a signed long after conv),
+        # packed into one 64-bit value; bit extraction below is
+        # sign-agnostic
+        hi = F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(F.md5("word"), 9, 8), 16, 10).cast("long")
+        counts = counts.withColumn("h", F.shiftleft(hi, 32).bitwiseOR(lo))
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
     bit_sums = counts.groupBy(id_col).agg(
         *[
             F.sum(
@@ -461,11 +477,12 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming
     (<= 3 with 4 blocks: pigeonhole guarantees a shared block, so the
     banded join misses nothing). Output (id_1, id_2, hamming)."""
-    sh = simhash(docs, id_col, text_col)
+    sh = simhash(docs, id_col, text_col, hash_fn)
     blocks = sh.select(
         id_col,
         "simhash",

@@ -129,15 +129,64 @@ def q62_minhash_lsh(spark, sf_dir):
     return minhash_lsh_dedup(d, threshold=0.8, verify="exact")
 
 
-@register("q63_simhash_neardup")
+def _simhash_oracle_sql() -> str:
+    """DuckDB replay of the md5-based SimHash: same word counts, same
+    64 bit-sums (+cnt/-cnt by md5 bit), same sign fingerprint —
+    then brute-force Hamming <= 3 over all pairs (fine for an oracle
+    at sf0.01; the Spark side's banded join is the shape that
+    scales). Generated programmatically: 64 bit-sum columns."""
+    bit_sums = []
+    for j in range(64):
+        half, shift = ("hi", j - 32) if j >= 32 else ("lo", j)
+        bit_sums.append(
+            f"sum(CASE WHEN ({half} >> {shift}) & 1 = 1 "
+            f"THEN cnt ELSE -cnt END) AS s_{j}"
+        )
+    fp_lo = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32)
+    )
+    fp_hi = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN {1 << (j - 32)} ELSE 0 END)"
+        for j in range(32, 64)
+    )
+    return rf"""
+    WITH w AS (
+      SELECT doc_id, words[i] AS word
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+            FROM documents),
+           UNNEST(range(1, len(words) + 1)) t(i)
+      WHERE words[i] <> ''
+    ),
+    c AS (
+      SELECT doc_id, word, count(*) AS cnt,
+             ('0x' || substr(md5(word), 1, 8))::BIGINT AS hi,
+             ('0x' || substr(md5(word), 9, 8))::BIGINT AS lo
+      FROM w GROUP BY doc_id, word
+    ),
+    s AS (SELECT doc_id, {", ".join(bit_sums)} FROM c GROUP BY doc_id),
+    fp AS (SELECT doc_id, ({fp_lo})::BIGINT AS fp_lo, ({fp_hi})::BIGINT AS fp_hi FROM s)
+    SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+           CAST(bit_count(xor(a.fp_lo, b.fp_lo))
+                + bit_count(xor(a.fp_hi, b.fp_hi)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp_lo, b.fp_lo))
+          + bit_count(xor(a.fp_hi, b.fp_hi)) <= 3
+    """
+
+
+@register("q63_simhash_neardup", oracle=_simhash_oracle_sql())
 def q63_simhash_neardup(spark, sf_dir):
     """SimHash-64 near-dup pairs at Hamming <= 3 via 4x16-bit banded
-    join (pigeonhole-complete at that radius). Rows-only check;
+    join (pigeonhole-complete at that radius: <= 3 differing bits
+    across 4 blocks leaves at least one block equal, so the banded
+    join provably misses nothing — which is exactly what the
+    brute-force DuckDB oracle checks). Uses the md5-derived 64-bit
+    word hash so both engines compute bit-identical fingerprints;
     cross-validated against exact Jaccard in tests/test_dedup.py."""
     from citybikedatawarehouse_spark.operators.dedup_ops import simhash_neardup_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_neardup_pairs(d, max_hamming=3)
+    return simhash_neardup_pairs(d, max_hamming=3, hash_fn="md5")
 
 
 @register(
