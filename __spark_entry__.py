@@ -37,10 +37,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries of this dict, in dict order (CORRECTNESS_r01.json key order
 # == registration order) — so dict order decides which queries reach
 # the hard gate if the sweep truncates again. Priority order:
-#   1. oracle-paired queries with NO round-1 driver entry (fastest
-#      first — 37 entries incl. the newly oracle-paired q62/q64/q28b),
-#   2. queries already driver-verified in round 1 (fastest first),
-#   3. rows-only approximate ops last (q74/q72/q63).
+#   1. oracle-paired queries with NO round-1 driver entry, fastest
+#      first (as of round 2 every one of the 92 queries is
+#      oracle-paired — q62/q63/q64/q72/q74/q28b gained oracles),
+#   2. queries already driver-verified in round 1, fastest first.
 # Every name is asserted against the registry at import time.
 _SWEEP_PRIORITY = [
     "q49_posexplode", "q48_array_agg", "q91_running_totals_batch",
@@ -57,6 +57,7 @@ _SWEEP_PRIORITY = [
     "q104_above_group_avg", "q70_cosine_topk", "q38_asof_join",
     "q103_cte_pipeline", "q39_asof_join_bucketed", "q62_minhash_lsh",
     "q64_dedup_clusters", "q108_scd2_merge", "q109_compaction",
+    "q74_ivf_ann_topk", "q72_lsh_ann_topk", "q63_simhash_neardup",
     # -- driver-verified in round 1 --
     "q26_sort_limit_topk", "q56b_text_normalize", "q52_token_count",
     "q60_exact_dedup", "q43_haversine", "q54_language_id",
@@ -76,8 +77,6 @@ _SWEEP_PRIORITY = [
     "q19_window_lag_lead", "q05_region_volume", "q03_topk_revenue",
     "q50_string_funcs", "q61_ngram_jaccard", "q65_winnow_fingerprint",
     "q01_pricing_summary",
-    # -- rows-only approximate ops --
-    "q74_ivf_ann_topk", "q72_lsh_ann_topk", "q63_simhash_neardup",
 ]
 
 

@@ -102,7 +102,10 @@ def with_lsh_signatures(
     @F.pandas_udf("array<long>")
     def sigs(v: pd.Series) -> pd.Series:
         mat = np.stack(v.to_numpy()).astype(np.float64)  # (batch, dim)
-        bits = (mat @ planes) > 0  # (batch, T*P)
+        # round-6 before the sign test: an engine replaying the
+        # projection from SQL folds must reach the identical bit even
+        # when a dot sits within accumulation-order ulp of zero
+        bits = np.round(mat @ planes, 6) > 0  # (batch, T*P)
         out = [
             (bits[:, t * n_planes : (t + 1) * n_planes] @ weights).astype(np.int64)
             for t in range(n_tables)
@@ -200,21 +203,27 @@ def ivf_index(
 ) -> tuple[np.ndarray, DataFrame]:
     """IVF coarse quantizer without iterative training: centroids are
     a deterministic pseudo-random corpus sample — the C rows with the
-    smallest ``xxhash64(id)``. Spark executes orderBy+limit as
-    TakeOrderedAndProject (each partition keeps its local top-C, the
-    driver merges C-sized heaps), so only C rows ever reach the
-    driver — no O(N) materialization. At real scale you'd k-means the
-    same sample; the assignment/probe machinery below is identical
-    either way.
+    smallest ``md5(id)`` (md5 of the id rendered as a string: both
+    this engine and the DuckDB oracle derive the identical order, so
+    the whole index is cross-engine reproducible). Spark executes
+    orderBy+limit as TakeOrderedAndProject (each partition keeps its
+    local top-C, the driver merges C-sized heaps), so only C rows
+    ever reach the driver — no O(N) materialization. At real scale
+    you'd k-means the same sample; the assignment/probe machinery
+    below is identical either way.
 
     Returns (cent_norm, assigned): the row-normalized (C x dim)
     centroid matrix, and the corpus with each vector's
     nearest-centroid id (``ivf_cell``). Assignment is one
-    Arrow-batched matmul per batch: (batch x dim) @ (dim x C).
+    Arrow-batched matmul per batch: (batch x dim) @ (dim x C);
+    cosines are rounded to 6 decimals before the argmax with ties to
+    the lowest cell — the same decision an engine replaying the index
+    from SQL folds arrives at (raw last-ulp accumulation-order drift
+    must not flip cell choices).
     """
     cents = (
         corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-        .orderBy(F.xxhash64("__id"), F.col("__id"))
+        .orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
         .limit(n_centroids)
         .collect()
     )
@@ -225,7 +234,9 @@ def ivf_index(
     def assign(v: pd.Series) -> pd.Series:
         mat = np.stack(v.to_numpy()).astype(np.float64)
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(mat @ cent_norm.T, axis=1).astype("int32"))
+        sims = np.round(mat @ cent_norm.T, 6)
+        # argmax returns the FIRST max -> tie goes to the lowest cell
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
 
     return cent_norm, corpus.withColumn("ivf_cell", assign(F.col(vec_col)))
 
@@ -251,8 +262,10 @@ def ivf_ann_topk(
     def probe_cells(v: pd.Series) -> pd.Series:
         mat = np.stack(v.to_numpy()).astype(np.float64)
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        sims = mat @ cent_norm.T
-        order = np.argsort(-sims, axis=1)[:, :probe].astype("int32")
+        sims = np.round(mat @ cent_norm.T, 6)
+        # stable sort on rounded sims: ties go to the lowest cell,
+        # matching a SQL (sim DESC, cell ASC) ranking exactly
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :probe].astype("int32")
         return pd.Series(order.tolist())
 
     q = (

@@ -73,13 +73,62 @@ def q71_cosine_neardup(spark, sf_dir):
     return cosine_neardup_pairs(emb, threshold=0.95, block_col="label")
 
 
-@register("q72_lsh_ann_topk")
+@register(
+    "q72_lsh_ann_topk",
+    oracle="""
+    WITH planes AS (  -- sha256-derived +-1 hyperplanes: sign(p,d)
+      SELECT p, d,
+             CASE WHEN ('0x' || substr(sha256('plane:' || p || ':dim:' || d), 1, 2))::INT % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS sgn
+      FROM range(0, 32) t1(p) CROSS JOIN range(0, 64) t2(d)
+    ),
+    dots AS (  -- projection of every vector on every plane, round 6
+      SELECT e.vec_id, pl.p,
+             round(sum(CAST(e.embedding[pl.d + 1] AS DOUBLE) * pl.sgn), 6) AS dot
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY 1, 2
+    ),
+    sigs AS (  -- 4 tables x 8-bit signatures
+      SELECT vec_id, p // 8 AS tbl,
+             CAST(sum(CASE WHEN dot > 0 THEN power(2, p % 8) ELSE 0 END) AS BIGINT) AS sig
+      FROM dots GROUP BY 1, 2
+    ),
+    cands AS (  -- bucket collisions in any table
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.sig = c.sig
+      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    ),
+    scored AS (  -- exact cosine re-rank of candidates
+      SELECT query_id, neighbor_id,
+             round(sum(qe * ce) / (sqrt(sum(qe * qe)) * sqrt(sum(ce * ce))), 6) AS cos_sim
+      FROM (
+        SELECT cd.query_id, cd.neighbor_id,
+               CAST(unnest(q.embedding) AS DOUBLE) AS qe,
+               CAST(unnest(c.embedding) AS DOUBLE) AS ce
+        FROM cands cd
+        JOIN embeddings q ON q.vec_id = cd.query_id
+        JOIN embeddings c ON c.vec_id = cd.neighbor_id
+      ) GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
 def q72_lsh_ann_topk(spark, sf_dir):
     """Random-hyperplane LSH ANN top-5: 4 tables x 8-bit signatures,
     candidates = union of bucket hits, exact cosine re-rank.
-    Deterministic (sha256-derived planes) but approximate and
-    pandas-UDF-backed — rows-only check; recall vs brute force is
-    asserted in tests/test_similarity.py."""
+
+    Oracle-paired: the sha256-derived planes are pure public math
+    both engines can evaluate, so DuckDB replays signature
+    construction, bucket collisions, and the re-ranked top-k — the
+    hash gate covers the whole ANN path (the Spark side computes
+    signatures in an Arrow-batched matmul; round-6 before the sign
+    test keeps bit decisions identical across engines). Recall vs
+    brute force is additionally asserted in tests/test_similarity.py."""
     from citybikedatawarehouse_spark.operators.similarity_ops import lsh_ann_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -121,12 +170,78 @@ def q73_embedding_stats(spark, sf_dir):
     )
 
 
-@register("q74_ivf_ann_topk")
+@register(
+    "q74_ivf_ann_topk",
+    oracle="""
+    WITH cents AS (
+      SELECT cell, cvec FROM (
+        SELECT embedding AS cvec,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                 - 1 AS cell
+        FROM embeddings
+      ) WHERE cell < 40
+    ),
+    asims AS (  -- cosine of every vector to every centroid, round 6
+      SELECT vec_id, cell,
+             round(sum(ee * ce) / (sqrt(sum(ee * ee)) * sqrt(sum(ce * ce))), 6) AS sim
+      FROM (
+        SELECT e.vec_id, c.cell,
+               CAST(unnest(e.embedding) AS DOUBLE) AS ee,
+               CAST(unnest(c.cvec) AS DOUBLE) AS ce
+        FROM embeddings e CROSS JOIN cents c
+      ) GROUP BY 1, 2
+    ),
+    assign AS (  -- nearest cell per corpus vector (ties -> low cell)
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM asims
+      ) WHERE rn = 1
+    ),
+    probes AS (  -- each query probes its 4 nearest cells
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM asims WHERE vec_id < 10
+      ) WHERE rn <= 4
+    ),
+    cands AS (
+      SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+    ),
+    scored AS (  -- exact cosine re-rank of candidates
+      SELECT query_id, neighbor_id,
+             round(sum(qe * ce) / (sqrt(sum(qe * qe)) * sqrt(sum(ce * ce))), 6) AS cos_sim
+      FROM (
+        SELECT cd.query_id, cd.neighbor_id,
+               CAST(unnest(q.embedding) AS DOUBLE) AS qe,
+               CAST(unnest(c.embedding) AS DOUBLE) AS ce
+        FROM cands cd
+        JOIN embeddings q ON q.vec_id = cd.query_id
+        JOIN embeddings c ON c.vec_id = cd.neighbor_id
+      ) GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
 def q74_ivf_ann_topk(spark, sf_dir):
-    """IVF ANN top-5 (deterministic coarse quantizer, 4-cell probe,
-    exact re-rank) — the partition-pruned alternative scale path to
-    q72's hyperplane LSH. Rows-only check; recall vs brute force
-    asserted in tests/test_similarity.py."""
+    """IVF ANN top-5 (deterministic md5-sampled coarse quantizer,
+    4-cell probe, exact re-rank) — the partition-pruned alternative
+    scale path to q72's hyperplane LSH.
+
+    Oracle-paired: centroid order (md5 of the id string), cell
+    assignment (round-6 cosine argmax, ties to the low cell), probe
+    sets, and the re-ranked top-k are all replayed in DuckDB SQL, so
+    the hash gate checks the ENTIRE index construction, not just the
+    final ranking. Recall vs brute force is additionally asserted in
+    tests/test_similarity.py."""
     from citybikedatawarehouse_spark.operators.similarity_ops import ivf_ann_topk
 
     emb = _t(spark, sf_dir, "embeddings")
