@@ -45,6 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _SWEEP_PRIORITY = [
     "q49_posexplode", "q48_array_agg", "q91_running_totals_batch",
     "q47_conditionals", "q56_map_ops", "q57_struct_ops",
+    "q66_quality_filter_pipeline", "q67_stratified_sample",
     "q73_embedding_stats", "q32_date_parts", "q33_time_parts",
     "q82_frame_sample", "q81_multimodal_features", "q59_cross_join",
     "q106_salted_aggregate", "q28b_approx_aggregates",

@@ -266,3 +266,110 @@ def q65_winnow_fingerprint(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return winnow_fingerprint_pairs(d, k=8, w=4)
+
+
+_FILTER_GATES_SQL = rf"""
+    WITH c AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_nonspace,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang, n_words,
+             round(coalesce(n_punct * 1.0 / nullif(n_words, 0), 0.0::DOUBLE), 6) AS punct_ratio,
+             round(coalesce(n_nonspace / nullif(n_words, 0), 0.0::DOUBLE), 6) AS avg_word_len
+      FROM c
+    )
+    SELECT doc_id, lang, n_words, punct_ratio, avg_word_len,
+           CASE
+             WHEN n_words < 5            THEN 'too_short'
+             WHEN n_words > 100000       THEN 'too_long'
+             WHEN punct_ratio > 0.6      THEN 'punct_heavy'
+             WHEN avg_word_len < 2.0     THEN 'degenerate_words'
+             WHEN avg_word_len > 40.0    THEN 'degenerate_words'
+             ELSE 'kept'
+           END AS verdict
+    FROM g
+"""
+
+
+@register("q66_quality_filter_pipeline", oracle=_FILTER_GATES_SQL)
+def q66_quality_filter_pipeline(spark, sf_dir):
+    """The composed KEEP/DROP decision of a training-data pipeline:
+    ordered quality gates (length bounds, punctuation density,
+    degenerate word length) with the FIRST failing gate as the
+    verdict — the audit trail a data curator needs, not just a
+    boolean. Single narrow projection over the scan: every gate is a
+    Catalyst expression on features computed once (no UDF, no
+    shuffle), so the filter runs at scan speed at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    n_words = word_count("text")
+    n_nonspace = F.length(F.regexp_replace("text", r"\s+", "")).cast("bigint")
+    n_punct = F.size(
+        F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)
+    ).cast("bigint")
+    ratio = lambda num, den: F.round(  # noqa: E731
+        F.coalesce(F.try_divide(num, den), F.lit(0.0)), 6
+    )
+    feats = d.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        ratio(n_punct * F.lit(1.0), n_words).alias("punct_ratio"),
+        ratio(n_nonspace, n_words).alias("avg_word_len"),
+    )
+    verdict = (
+        F.when(F.col("n_words") < 5, "too_short")
+        .when(F.col("n_words") > 100000, "too_long")
+        .when(F.col("punct_ratio") > 0.6, "punct_heavy")
+        .when(F.col("avg_word_len") < 2.0, "degenerate_words")
+        .when(F.col("avg_word_len") > 40.0, "degenerate_words")
+        .otherwise("kept")
+    )
+    return feats.withColumn("verdict", verdict)
+
+
+@register(
+    "q67_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('sample:' || doc_id), 1, 8))::BIGINT % 1000 AS tick
+      FROM documents
+    )
+    WHERE tick < CASE lang
+                   WHEN 'en' THEN 900
+                   WHEN 'zh' THEN 500
+                   ELSE 250
+                 END
+    """,
+)
+def q67_stratified_sample(spark, sf_dir):
+    """Deterministic stratified downsampling by language: keep a doc
+    iff md5('sample:'||doc_id) mod 1000 falls under its stratum's
+    rate (en 90%, zh 50%, rest 25%). Hash-based sampling is the
+    reproducible alternative to RNG sampling for training-data
+    curation: no seed state to ship, membership is a pure function of
+    the id (stable across reruns, engines, and partitionings), and
+    the predicate pushes down to the scan. Exactly what sampleBy
+    can't promise across engines — hence the cross-engine oracle."""
+    d = _t(spark, sf_dir, "documents")
+    tick = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 900)
+        .when(F.col("lang") == "zh", 500)
+        .otherwise(250)
+    )
+    return d.select("doc_id", "lang", tick.alias("__tick"), rate.alias("__rate")) \
+        .filter(F.col("__tick") < F.col("__rate")).select("doc_id", "lang")
