@@ -539,6 +539,10 @@ def dedup_clusters(
         pairs.select(F.col("id_1").alias("a"), F.col("id_2").alias("b"))
         .unionByName(pairs.select(F.col("id_2").alias("a"), F.col("id_1").alias("b")))
         .distinct()
+        # materialize once: every round joins edges, and without this
+        # the whole upstream pair-generation pipeline (LSH, verify)
+        # would re-execute per round
+        .localCheckpoint(eager=True)
     )
     labels = ids.select(F.col(id_col).alias("a"), F.col(id_col).alias("label"))
     converged = False
@@ -552,6 +556,7 @@ def dedup_clusters(
             labels.join(neighbor_min, "a", "left")
             .select(
                 "a",
+                F.col("label").alias("__old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
@@ -570,17 +575,19 @@ def dedup_clusters(
                 F.least(
                     F.col("label"), F.coalesce(F.col("__ll"), F.col("label"))
                 ).alias("label"),
+                (
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("__ll"), F.col("label"))
+                    )
+                    != F.col("__old")
+                ).alias("__changed"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "a")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # convergence check is a filter over the just-materialized
+        # checkpoint — no recompute, no old-vs-new shuffle join
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.select("a", "label")
         if changed == 0:
             converged = True
             break
