@@ -59,22 +59,20 @@ def doc_words(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def shingles(
-    docs: DataFrame,
-    n: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Distinct word n-gram shingles per document."""
-    # Materialize the token array in its OWN projection: expressions
-    # inside higher-order-function lambdas are not subexpression-
-    # eliminated, so an inline split re-runs the regex for every
-    # element_at access (measured 2.3x slower at sf0.1). The
-    # optimizer keeps the two projections separate because inlining
-    # would duplicate a non-cheap expression.
-    toks = _ensure_parallelism(docs).select(
+def _tokens_projection(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __w token array) — the token array lives in its OWN
+    projection: expressions inside higher-order-function lambdas are
+    not subexpression-eliminated, so an inline split re-runs the regex
+    for every element_at access (measured 2.3x slower at sf0.1). The
+    optimizer keeps the two projections separate because inlining
+    would duplicate a non-cheap expression."""
+    return _ensure_parallelism(docs).select(
         id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("__w")
     )
+
+
+def _shingle_expr(n: int):
+    """Distinct n-gram array over the ``__w`` token column."""
     w = F.col("__w")
     # empty index list for docs shorter than n words (sequence() would
     # otherwise count downward and fabricate indices)
@@ -85,8 +83,42 @@ def shingles(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]),
     )
+    return F.array_distinct(sh)
+
+
+def shingle_arrays(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct word n-gram shingles per document, as one array row
+    per document (``(id, shingle_arr)``). The array form is the
+    preferred input to :func:`jaccard_pairs_arrays` — the set size is
+    ``size(shingle_arr)``, a narrow expression, so the pipeline never
+    needs a per-document aggregation to learn it. Docs shorter than n
+    words get an empty array (the index sequence is empty, so no ''
+    placeholder ever enters the set)."""
+    return _tokens_projection(docs, id_col, text_col).select(
+        id_col, _shingle_expr(n).alias("shingle_arr")
+    )
+
+
+def shingles(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct word n-gram shingles per document (exploded form).
+
+    Kept as explode-then-filter rather than exploding a pre-cleaned
+    array: wrapping the shingle array in another array op before the
+    explode de-optimizes the Generate pipeline (measured ~4x at
+    sf0.1), while a post-explode filter fuses into codegen."""
     return (
-        toks.select(id_col, F.explode(F.array_distinct(sh)).alias("shingle"))
+        _tokens_projection(docs, id_col, text_col)
+        .select(id_col, F.explode(_shingle_expr(n)).alias("shingle"))
         .filter(F.col("shingle") != "")
     )
 
@@ -111,6 +143,10 @@ def jaccard_pairs(
     arbitrary-length text (collision odds ~n^2/2^64 — immaterial),
     cutting shuffle bytes and comparison cost. Jaccard values are
     unchanged (hashing preserves set distinctness).
+
+    Takes the EXPLODED (id, item) relation; when the caller holds the
+    per-set array form, :func:`jaccard_pairs_arrays` is strictly
+    cheaper (narrow set sizes, no sizes shuffle or joins).
     """
     if hash_items:
         sets = sets.withColumn(item_col, F.xxhash64(F.col(item_col)))
@@ -166,6 +202,92 @@ def jaccard_pairs(
         inter.join(s1, "id_1")
         .join(s2, "id_2")
         .select(
+            "id_1",
+            "id_2",
+            F.round(
+                F.col("__inter")
+                / (F.col("__n1") + F.col("__n2") - F.col("__inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_pairs_arrays(
+    arrays: DataFrame,
+    id_col: str,
+    items_col: str,
+    threshold: float,
+    max_item_freq: int | None = None,
+    hash_items: bool = True,
+) -> DataFrame:
+    """:func:`jaccard_pairs` over the per-set ARRAY representation
+    (``(id, array<item>)``, items distinct within a set) — the
+    preferred entry point when the caller builds sets itself (e.g.
+    :func:`shingle_arrays`).
+
+    The set size is ``size(array)`` — a narrow projection — and it is
+    CARRIED through the explode as an 8-byte column, so the Jaccard
+    denominator arrives at the pair aggregation for free. Compared to
+    the exploded-input path this deletes three plan nodes that all
+    scale with corpus size: the per-id sizes shuffle and the two
+    pair->size joins. Remaining shuffles: one of the exploded relation
+    by item (shared by the frequency cap and the posting-list build
+    via exchange reuse) and one of the candidate pairs. Critically,
+    the carried size is computed BEFORE the hot-item cap filter, so
+    capping prunes candidate generation but never the denominator
+    (same semantics as `jaccard_pairs`).
+    """
+    items = F.col(items_col)
+    # Hash INSIDE the explode and size the RAW array: a shared
+    # transformed-array reference from both size() and explode()
+    # defeats the Generate pipeline's one-eval-per-input-row shape
+    # (measured 5x at sf0.1). transform preserves length, so
+    # size(raw) == size(hashed).
+    exploded = F.transform(items, lambda x: F.xxhash64(x)) if hash_items else items
+    sets = arrays.select(
+        F.col(id_col).alias("__id"),
+        F.size(items).alias("__n"),
+        F.explode(exploded).alias("__item"),
+    )
+    if max_item_freq is not None:
+        freq = sets.groupBy("__item").agg(F.count(F.lit(1)).alias("__freq"))
+        sets = sets.join(
+            freq.filter(F.col("__freq") <= max_item_freq).select("__item"),
+            "__item",
+        )
+    buckets = sets.groupBy("__item").agg(
+        F.collect_list(F.struct(F.col("__id").alias("id"), F.col("__n").alias("n"))).alias(
+            "__mem"
+        )
+    )
+    # struct sort orders by first field (the id) — ids are unique per
+    # bucket, so this is a total order and pair emission yields
+    # id_1 < id_2 exactly as the exploded path does.
+    mem = F.array_sort(F.col("__mem"))
+    pair_array = F.flatten(
+        F.transform(
+            mem,
+            lambda x, i: F.transform(
+                F.slice(mem, i + 2, F.size(mem)),
+                lambda y: F.struct(
+                    x["id"].alias("id_1"),
+                    x["n"].alias("__n1"),
+                    y["id"].alias("id_2"),
+                    y["n"].alias("__n2"),
+                ),
+            ),
+        )
+    )
+    inter = (
+        buckets.select(F.explode(pair_array).alias("__p"))
+        .select("__p.id_1", "__p.__n1", "__p.id_2", "__p.__n2")
+        .groupBy("id_1", "id_2", "__n1", "__n2")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    return (
+        inter.select(
             "id_1",
             "id_2",
             F.round(

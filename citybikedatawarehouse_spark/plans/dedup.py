@@ -71,13 +71,14 @@ def q61_ngram_jaccard(spark, sf_dir):
     accept the documented downward bias on pairs glued only by
     stop-phrases."""
     from citybikedatawarehouse_spark.operators.dedup_ops import (
-        jaccard_pairs,
-        shingles,
+        jaccard_pairs_arrays,
+        shingle_arrays,
     )
 
     d = _t(spark, sf_dir, "documents")
-    return jaccard_pairs(
-        shingles(d, n=3), "doc_id", "shingle", threshold=0.2, max_item_freq=1000
+    return jaccard_pairs_arrays(
+        shingle_arrays(d, n=3), "doc_id", "shingle_arr", threshold=0.2,
+        max_item_freq=1000,
     )
 
 

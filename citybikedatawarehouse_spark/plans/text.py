@@ -352,9 +352,10 @@ def q67_stratified_sample(spark, sf_dir):
     rate (en 90%, zh 50%, rest 25%). Hash-based sampling is the
     reproducible alternative to RNG sampling for training-data
     curation: no seed state to ship, membership is a pure function of
-    the id (stable across reruns, engines, and partitionings), and
-    the predicate pushes down to the scan. Exactly what sampleBy
-    can't promise across engines — hence the cross-engine oracle."""
+    the id (stable across reruns, engines, and partitionings). Plan:
+    a 2-column pruned scan + one whole-stage-codegen filter, zero
+    shuffles. Exactly what sampleBy can't promise across engines —
+    hence the cross-engine oracle."""
     d = _t(spark, sf_dir, "documents")
     tick = (
         F.conv(
