@@ -246,3 +246,82 @@ def q74_ivf_ann_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _kmeans_oracle_sql(k: int = 4, n_iter: int = 2, dim: int = 64) -> str:
+    """DuckDB replay of the deterministic fixed-iteration Lloyd's fit
+    (operators/clustering.py): same init (k lowest ids), same round-6
+    distances/means, same low-cluster tie-break — generated as one
+    CTE chain per iteration (c0 -> a0 -> c1 -> a1 -> c2 -> final)."""
+    sq = (
+        "round(sum((CAST(e.embedding[t.i] AS DOUBLE) - c.cvec[t.i]) "
+        "* (CAST(e.embedding[t.i] AS DOUBLE) - c.cvec[t.i])), 6)"
+    )
+
+    def assign(name: str, cents: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT vec_id, cell, sq FROM (
+        SELECT vec_id, cell, sq,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sq, cell) AS rn
+        FROM (
+          SELECT e.vec_id, c.cell, {sq} AS sq
+          FROM embeddings e CROSS JOIN {cents} c,
+               range(1, {dim} + 1) t(i)
+          GROUP BY e.vec_id, c.cell
+        )
+      ) WHERE rn = 1
+    )"""
+
+    def update(name: str, assigned: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT cell, list(m ORDER BY i) AS cvec FROM (
+        SELECT a.cell, t.i,
+               round(avg(CAST(e.embedding[t.i] AS DOUBLE)), 6) AS m
+        FROM {assigned} a JOIN embeddings e USING (vec_id),
+             range(1, {dim} + 1) t(i)
+        GROUP BY a.cell, t.i
+      ) GROUP BY cell
+    )"""
+
+    ctes = [
+        f"""
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+             list_transform(embedding,
+                            x -> round(CAST(x AS DOUBLE), 6)) AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    for it in range(n_iter):
+        ctes.append(assign(f"a{it}", f"c{it}"))
+        ctes.append(update(f"c{it + 1}", f"a{it}"))
+    ctes.append(assign("afinal", f"c{n_iter}"))
+    return (
+        "WITH" + ",".join(ctes) + """
+    SELECT vec_id, CAST(cell AS INTEGER) AS cluster_id, sq AS sq_dist
+    FROM afinal
+    """
+    )
+
+
+@register("q75_kmeans", oracle=_kmeans_oracle_sql(k=4, n_iter=2))
+def q75_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means (k=4, 2 fixed iterations) over the
+    embeddings table — the iterative-algorithm shape: every step is a
+    lazy DataFrame op (broadcast cross join + windowed argmin for
+    assignment, posexplode + per-dim mean for the update), no driver
+    collect, no RNG.
+
+    Oracle-paired: deterministic init (k lowest ids), round-6
+    distances and means, and low-cluster tie-breaks make the ENTIRE
+    fit — both update steps included — replayable as a DuckDB CTE
+    chain, so the hash gate checks the iteration itself, not just the
+    final labels."""
+    from citybikedatawarehouse_spark.operators.clustering import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_fit(emb, k=4, n_iter=2)
+    return assigned

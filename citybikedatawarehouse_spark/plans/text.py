@@ -374,3 +374,65 @@ def q67_stratified_sample(spark, sf_dir):
     )
     return d.select("doc_id", "lang", tick.alias("__tick"), rate.alias("__rate")) \
         .filter(F.col("__tick") < F.col("__rate")).select("doc_id", "lang")
+
+
+@register(
+    "q68_tfidf_topterms",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, words[i] AS word
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+            FROM documents),
+           UNNEST(range(1, len(words) + 1)) t(i)
+      WHERE words[i] <> ''
+    ),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+    dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, word, tf, df, tfidf, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT doc_id, word,
+             CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) DESC,
+                        word) AS rank
+      FROM tf JOIN dfreq USING (word) CROSS JOIN n
+    ) WHERE rank <= 3
+    """,
+)
+def q68_tfidf_topterms(spark, sf_dir):
+    """Top-3 terms per document by tf-idf — the corpus-statistics
+    text op (keyword extraction / quality signals for curation).
+
+    Scale shape: term frequencies in ONE shuffle of the exploded
+    words keyed (doc, word); document frequency aggregates FROM the
+    tf relation (word-keyed, combiner-friendly — never re-explodes
+    text); the corpus size joins in as a broadcast of one row, and
+    the final top-k is a doc-partitioned window. Ranking happens on
+    the ROUNDED score with a word tie-break, so the order is
+    identical in the DuckDB replay (ln() is transcendental — raw
+    doubles drift last-ulp across engines)."""
+    d = _t(spark, sf_dir, "documents")
+    from citybikedatawarehouse_spark.functions.textfns import words as _words
+    from pyspark.sql import Window
+
+    w = d.select(
+        "doc_id", F.explode(_words("text")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = F.round(
+        F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word").asc()
+    )
+    return (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "word", "tf", "df", tfidf.alias("tfidf"))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 3)
+    )

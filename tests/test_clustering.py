@@ -1,0 +1,81 @@
+"""Distributed Lloyd's k-means (operators/clustering.py): behavioral
+properties beyond the q75 oracle hash — argmin correctness, inertia
+monotonicity, determinism, and the no-driver-collect plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from citybikedatawarehouse_spark.operators.clustering import (
+    kmeans_assign,
+    kmeans_fit,
+    kmeans_init,
+    kmeans_update,
+)
+from citybikedatawarehouse_spark.sources.readers import load_table
+
+
+def _inertia(assigned) -> float:
+    return assigned.agg(F.sum("sq_dist")).collect()[0][0]
+
+
+def test_assign_is_argmin(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_init(emb, 3, "vec_id", "embedding")
+    assigned = kmeans_assign(emb, cents, "vec_id", "embedding")
+    # exactly one row per vector
+    assert assigned.count() == emb.count()
+    # the assigned distance is the minimum over all centroids
+    sq = F.aggregate(
+        F.zip_with(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.col("centroid"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    all_d = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", F.round(sq, 6).alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min("d").alias("min_d"))
+    )
+    bad = (
+        assigned.join(all_d, "vec_id")
+        .filter(F.col("sq_dist") != F.col("min_d"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_inertia_never_increases(spark, sf_dir):
+    """Lloyd's guarantee: each assign+update round cannot raise the
+    summed squared distance (up to the round-6 quantization)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_init(emb, 4, "vec_id", "embedding")
+    prev = None
+    for _ in range(3):
+        assigned = kmeans_assign(emb, cents, "vec_id", "embedding")
+        cur = _inertia(assigned)
+        if prev is not None:
+            assert cur <= prev + 1e-3
+        prev = cur
+        cents = kmeans_update(assigned, "embedding")
+
+
+def test_fit_deterministic(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a1, c1 = kmeans_fit(emb, k=4, n_iter=2)
+    a2, c2 = kmeans_fit(emb, k=4, n_iter=2)
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
+
+
+def test_clusters_nonempty_and_labeled(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_fit(emb, k=4, n_iter=2)
+    ids = {r[0] for r in cents.select("cluster_id").collect()}
+    assert ids <= {0, 1, 2, 3}
+    got = {r[0] for r in assigned.select("cluster_id").distinct().collect()}
+    assert got <= ids
