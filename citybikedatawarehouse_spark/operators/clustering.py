@@ -121,3 +121,81 @@ def kmeans_fit(
         id_col, "cluster_id", "sq_dist"
     )
     return final, cents
+
+
+def kmeans_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_iter: int = 2,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with a k-means-TRAINED coarse quantizer (vs
+    similarity_ops.ivf_index's sampled one): Lloyd-fit the cells,
+    assign the corpus, probe each query's n_probe nearest cells, and
+    exact-cosine re-rank the union of probed cells. Output shape
+    matches brute_force_topk (query_id, neighbor_id, cos_sim, rank).
+
+    All Catalyst HOF expressions — no pandas UDF and no driver-side
+    centroid matrix: the quantizer stays a k-row DataFrame that is
+    localCheckpointed once (it is consumed by both the corpus
+    assignment and the query probe; without the checkpoint each
+    consumer would replay the whole Lloyd chain). At scale the
+    assigned corpus is written partitioned by cluster_id, so a probe
+    reads n_probe/n_cells of the data via partition pruning."""
+    from citybikedatawarehouse_spark.functions.vectors import cosine
+
+    cents = kmeans_init(corpus, n_cells, id_col, vec_col)
+    for _ in range(n_iter):
+        cents = kmeans_update(
+            kmeans_assign(corpus, cents, id_col, vec_col), vec_col
+        )
+    cents = cents.localCheckpoint(eager=False)  # k rows, two consumers
+    assigned = kmeans_assign(corpus, cents, id_col, vec_col)
+
+    sq = F.aggregate(
+        F.zip_with(
+            _as_double(vec_col), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__sq").asc(), F.col("cluster_id").asc()
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            "cluster_id",
+            F.round(sq, 6).alias("__sq"),
+        )
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "__qv", "cluster_id")
+    )
+    cand = (
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            "cluster_id",
+        )
+        .join(F.broadcast(probes), "cluster_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("__qv", "__cv"), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w_rank)).filter(
+        F.col("rank") <= k
+    )

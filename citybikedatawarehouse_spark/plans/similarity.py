@@ -248,15 +248,18 @@ def q74_ivf_ann_topk(spark, sf_dir):
     return ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-def _kmeans_oracle_sql(k: int = 4, n_iter: int = 2, dim: int = 64) -> str:
-    """DuckDB replay of the deterministic fixed-iteration Lloyd's fit
-    (operators/clustering.py): same init (k lowest ids), same round-6
-    distances/means, same low-cluster tie-break — generated as one
-    CTE chain per iteration (c0 -> a0 -> c1 -> a1 -> c2 -> final)."""
-    sq = (
-        "round(sum((CAST(e.embedding[t.i] AS DOUBLE) - c.cvec[t.i]) "
-        "* (CAST(e.embedding[t.i] AS DOUBLE) - c.cvec[t.i])), 6)"
-    )
+_KM_SQ = (
+    "round(sum((CAST(e.embedding[t.i] AS DOUBLE) - c.cvec[t.i]) "
+    "* (CAST(e.embedding[t.i] AS DOUBLE) - c.cvec[t.i])), 6)"
+)
+
+
+def _kmeans_ctes(k: int, n_iter: int, dim: int) -> list[str]:
+    """CTE chain replaying the deterministic fixed-iteration Lloyd's
+    fit (operators/clustering.py): same init (k lowest ids), same
+    round-6 distances/means, same low-cluster tie-break — one
+    assign/update pair per iteration (c0 -> a0 -> c1 -> ... ->
+    afinal). Shared by the q75 and q76 oracles."""
 
     def assign(name: str, cents: str) -> str:
         return f"""
@@ -266,7 +269,7 @@ def _kmeans_oracle_sql(k: int = 4, n_iter: int = 2, dim: int = 64) -> str:
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY sq, cell) AS rn
         FROM (
-          SELECT e.vec_id, c.cell, {sq} AS sq
+          SELECT e.vec_id, c.cell, {_KM_SQ} AS sq
           FROM embeddings e CROSS JOIN {cents} c,
                range(1, {dim} + 1) t(i)
           GROUP BY e.vec_id, c.cell
@@ -299,8 +302,12 @@ def _kmeans_oracle_sql(k: int = 4, n_iter: int = 2, dim: int = 64) -> str:
         ctes.append(assign(f"a{it}", f"c{it}"))
         ctes.append(update(f"c{it + 1}", f"a{it}"))
     ctes.append(assign("afinal", f"c{n_iter}"))
+    return ctes
+
+
+def _kmeans_oracle_sql(k: int = 4, n_iter: int = 2, dim: int = 64) -> str:
     return (
-        "WITH" + ",".join(ctes) + """
+        "WITH" + ",".join(_kmeans_ctes(k, n_iter, dim)) + """
     SELECT vec_id, CAST(cell AS INTEGER) AS cluster_id, sq AS sq_dist
     FROM afinal
     """
@@ -325,3 +332,76 @@ def q75_kmeans(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     assigned, _ = kmeans_fit(emb, k=4, n_iter=2)
     return assigned
+
+
+def _ivf_kmeans_oracle_sql(
+    n_cells: int = 8, n_iter: int = 2, dim: int = 64, n_probe: int = 2, topk: int = 5
+) -> str:
+    """q76 replay: the shared k-means CTE chain trains the quantizer,
+    afinal is the corpus cell assignment, then probe/candidate/re-rank
+    follow the q74 IVF pattern."""
+    ctes = _kmeans_ctes(n_cells, n_iter, dim)
+    ctes.append(f"""
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT query_id, cell,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sq, cell) AS rn
+        FROM (
+          SELECT e.vec_id AS query_id, c.cell, {_KM_SQ} AS sq
+          FROM embeddings e CROSS JOIN c{n_iter} c,
+               range(1, {dim} + 1) t(i)
+          WHERE e.vec_id < 10
+          GROUP BY e.vec_id, c.cell
+        )
+      ) WHERE rn <= {n_probe}
+    )""")
+    ctes.append("""
+    cands AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN afinal a USING (cell)
+      WHERE a.vec_id <> p.query_id
+    )""")
+    ctes.append("""
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(sum(qe * ce) / (sqrt(sum(qe * qe)) * sqrt(sum(ce * ce))), 6) AS cos_sim
+      FROM (
+        SELECT cd.query_id, cd.neighbor_id,
+               CAST(unnest(q.embedding) AS DOUBLE) AS qe,
+               CAST(unnest(c.embedding) AS DOUBLE) AS ce
+        FROM cands cd
+        JOIN embeddings q ON q.vec_id = cd.query_id
+        JOIN embeddings c ON c.vec_id = cd.neighbor_id
+      ) GROUP BY 1, 2
+    )""")
+    return (
+        "WITH" + ",".join(ctes) + f"""
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {topk}
+    """
+    )
+
+
+@register("q76_ivf_kmeans_topk", oracle=_ivf_kmeans_oracle_sql())
+def q76_ivf_kmeans_topk(spark, sf_dir):
+    """IVF ANN top-5 with a k-means-TRAINED coarse quantizer (8
+    Lloyd-fitted cells, 2-cell probe, exact cosine re-rank) — the
+    trained-index counterpart of q74's sampled quantizer, and the
+    piece that ties the clustering operator into the similarity
+    suite. Pure Catalyst HOF expressions end to end: no pandas UDF,
+    no driver-side centroid matrix.
+
+    Oracle-paired: the shared Lloyd CTE chain plus the probe /
+    candidate / re-rank replay means the hash gate covers quantizer
+    TRAINING and the search path in one check."""
+    from citybikedatawarehouse_spark.operators.clustering import kmeans_ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=8, n_iter=2, n_probe=2
+    )

@@ -79,3 +79,27 @@ def test_clusters_nonempty_and_labeled(spark, sf_dir):
     assert ids <= {0, 1, 2, 3}
     got = {r[0] for r in assigned.select("cluster_id").distinct().collect()}
     assert got <= ids
+
+
+def test_kmeans_ivf_topk(spark, sf_dir):
+    """Trained-quantizer IVF vs brute force on real testdata: output
+    shape, determinism, and recall (euclidean cells + 2-of-8 probes
+    on the planted-structure corpus must recover most of the true
+    top-5)."""
+    from citybikedatawarehouse_spark.operators.clustering import kmeans_ivf_topk
+    from citybikedatawarehouse_spark.operators.similarity_ops import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    ann = kmeans_ivf_topk(emb, queries, k=5, n_cells=8, n_iter=2, n_probe=2).collect()
+    assert {r["query_id"] for r in ann} == set(range(10))
+    for r in ann:
+        assert 1 <= r["rank"] <= 5
+    ann2 = kmeans_ivf_topk(emb, queries, k=5, n_cells=8, n_iter=2, n_probe=2).collect()
+    assert sorted(map(tuple, ann)) == sorted(map(tuple, ann2))
+    brute_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    ann_pairs = {(r["query_id"], r["neighbor_id"]) for r in ann}
+    assert len(ann_pairs & brute_pairs) / len(brute_pairs) >= 0.3
