@@ -44,6 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every name is asserted against the registry at import time.
 _SWEEP_PRIORITY = [
     "q68_tfidf_topterms", "q75_kmeans", "q76_ivf_kmeans_topk",
+    "q69_decontaminate",
     "q49_posexplode", "q48_array_agg", "q91_running_totals_batch",
     "q47_conditionals", "q56_map_ops", "q57_struct_ops",
     "q66_quality_filter_pipeline", "q67_stratified_sample",

@@ -724,3 +724,35 @@ def dedup_clusters(
         F.col("label").alias("cluster_id"),
         (F.col("a") == F.col("label")).alias("is_canonical"),
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: find corpus documents that share at
+    least one word n-gram with an eval/benchmark set (the GPT-3-style
+    13-gram overlap filter, parameterized). Returns
+    ``(id, n_shared_shingles)`` — one row per contaminated document;
+    anti-join the result against the corpus to get the clean keep-set.
+
+    Scale design: the benchmark side is an eval suite — thousands of
+    documents, not billions — so its distinct shingle set is
+    broadcast. The corpus is scanned exactly once and never shuffled
+    on text; the only shuffle is the final per-document count, which
+    is map-side combined on the id after the broadcast join has
+    already discarded every non-matching shingle."""
+    bench_sh = (
+        shingles(benchmark, n=n, id_col=id_col, text_col=text_col)
+        .select("shingle")
+        .distinct()
+    )
+    corp_sh = shingles(corpus, n=n, id_col=id_col, text_col=text_col)
+    return (
+        corp_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )

@@ -228,3 +228,46 @@ def q64_dedup_clusters(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_dedup(d, threshold=0.8, verify="exact")
     return dedup_clusters(d.select("doc_id"), pairs)
+
+
+@register(
+    "q69_decontaminate",
+    oracle=r"""
+    WITH bench AS (
+      SELECT DISTINCT
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+             || ' ' || words[i+3] || ' ' || words[i+4] AS shingle
+      FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS words
+            FROM documents WHERE doc_id < 20),
+           UNNEST(range(1, len(words) - 3)) t(i)
+    ),
+    corp AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+             || ' ' || words[i+3] || ' ' || words[i+4] AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+            FROM documents WHERE doc_id >= 20),
+           UNNEST(range(1, len(words) - 3)) t(i)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+    FROM corp JOIN bench USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+def q69_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3-style n-gram overlap
+    filter): flag every training document sharing at least one word
+    5-gram with the held-out eval set (here: doc_id < 20 stands in
+    for the benchmark suite). A training pipeline anti-joins this
+    against the corpus before anything else ships.
+
+    Scale shape: the eval suite's distinct shingles are BROADCAST
+    (eval sets are thousands of docs); the 100 TB corpus is scanned
+    once, never shuffled on text — the only exchange is the map-side-
+    combined per-doc count of matching shingles."""
+    from citybikedatawarehouse_spark.operators.dedup_ops import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        d.filter(F.col("doc_id") >= 20), d.filter(F.col("doc_id") < 20), n=5
+    )

@@ -153,3 +153,58 @@ def q109_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("content_hash"),
         F.lit(n_after < n_before).alias("files_reduced"),
     )
+
+
+def _zorder_oracle_sql(bits: int = 16) -> str:
+    """DuckDB replay of the q77 Z-order key: same 1-row bounds agg,
+    same exact-BIGINT bucket scaling ('div' == '//'), same 32-term
+    shift/mask interleave (custkey owns even bit positions, epoch-day
+    odd) — generated programmatically to match
+    functions/layout.morton_interleave term by term."""
+    top = (1 << bits) - 1
+    terms = []
+    for j in range(bits):
+        terms.append(f"(((sx >> {j}) & 1) << {2 * j})")
+        terms.append(f"(((sy >> {j}) & 1) << {2 * j + 1})")
+    interleave = " | ".join(terms)
+    return f"""
+    WITH b AS (
+      SELECT min(o_custkey) AS mnx, max(o_custkey) AS mxx,
+             min(datediff('day', DATE '1970-01-01', o_orderdate)) AS mny,
+             max(datediff('day', DATE '1970-01-01', o_orderdate)) AS mxy
+      FROM orders
+    ),
+    scaled AS (
+      SELECT o_orderkey,
+             CASE WHEN mxx = mnx THEN 0
+                  ELSE (CAST(o_custkey AS BIGINT) - mnx) * {top} // (mxx - mnx)
+             END AS sx,
+             CASE WHEN mxy = mny THEN 0
+                  ELSE (datediff('day', DATE '1970-01-01', o_orderdate) - mny)
+                       * {top} // (mxy - mny)
+             END AS sy
+      FROM orders CROSS JOIN b
+    )
+    SELECT o_orderkey, CAST({interleave} AS BIGINT) AS z_key
+    FROM scaled
+    """
+
+
+@register("q77_zorder_key", oracle=_zorder_oracle_sql())
+def q77_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key over orders(o_custkey, o_orderdate): the
+    write-side half of multi-dimensional file pruning. Sorting or
+    range-partitioning the table by this key before writing keeps
+    every parquet file's min/max box tight in BOTH dimensions, so
+    scans filtering on customer OR date range skip most files — the
+    Delta OPTIMIZE ZORDER BY / Iceberg sort-order trick, as a pure
+    Catalyst integer expression (no UDF, no extra shuffle; the bounds
+    pass is a 1-row aggregate broadcast back)."""
+    from citybikedatawarehouse_spark.functions.layout import zorder_key
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "__epoch_day", F.datediff("o_orderdate", F.lit("1970-01-01"))
+    )
+    return zorder_key(o, ["o_custkey", "__epoch_day"], bits=16).select(
+        "o_orderkey", "z_key"
+    )

@@ -8,6 +8,8 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
+from citybikedatawarehouse_spark.sources.readers import load_table
+
 from citybikedatawarehouse_spark.operators.dedup_ops import (
     doc_words,
     jaccard_pairs,
@@ -241,3 +243,45 @@ def test_dedup_clusters_long_chain_pointer_jumping(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(ids, pairs, max_iterations=2).collect()
+
+
+def test_decontaminate_synthetic(spark):
+    """Known-overlap corpus: doc 100 shares a 5-gram with the
+    benchmark, doc 101 shares only 4 consecutive words (no 5-gram),
+    doc 102 is disjoint. Only doc 100 is flagged, with the exact
+    shared-shingle count."""
+    from citybikedatawarehouse_spark.operators.dedup_ops import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (100, "xx quick brown fox jumps over yy"),
+            (101, "quick brown fox jumps zz aa bb cc dd"),
+            (102, "completely different words entirely here now friend"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_shared_shingles"]
+        for r in decontaminate(corpus, bench, n=5).collect()
+    }
+    assert got == {100: 1}
+
+
+def test_decontaminate_testdata(spark, sf_dir):
+    """Real corpus: flagged docs are never benchmark docs, counts are
+    positive, and the planted near-dup of a benchmark doc is caught
+    (doc_id 1000+i duplicates doc i for i < 20 at every SF)."""
+    from citybikedatawarehouse_spark.operators.dedup_ops import decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    flagged = decontaminate(
+        d.filter(F.col("doc_id") >= 20), d.filter(F.col("doc_id") < 20), n=5
+    ).collect()
+    ids = {r["doc_id"] for r in flagged}
+    assert all(i >= 20 for i in ids)
+    assert all(r["n_shared_shingles"] >= 1 for r in flagged)
+    assert len(ids) >= 1
