@@ -33,19 +33,28 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Round 1's driver correctness sweep recorded exactly the FIRST 50
-# entries of this dict, in dict order (CORRECTNESS_r01.json key order
-# == registration order) — so dict order decides which queries reach
-# the hard gate if the sweep truncates again. Priority order:
-#   1. oracle-paired queries with NO round-1 driver entry, fastest
-#      first (as of round 2 every one of the 92 queries is
-#      oracle-paired — q62/q63/q64/q72/q74/q28b gained oracles),
-#   2. queries already driver-verified in round 1, fastest first.
-# Every name is asserted against the registry at import time.
+# The driver's correctness sweep records the FIRST 50 entries of
+# this dict, in dict order — so dict order decides which queries
+# reach the hard gate each round. Round-3 priority order:
+#   1. never-driver-verified (q77) and the round-2 red row (q48,
+#      reworked to emit a hashable canonical string),
+#   2. queries whose implementation changed this round (q61/q62/
+#      q74/q38/q39 perf work) plus new round-3 operators,
+#   3. everything else, least-recently-verified first.
+# Every name is asserted against the registry at import time (see
+# the assert after the list).
 _SWEEP_PRIORITY = [
+    # -- never driver-checked / red in round 2 --
+    "q77_zorder_key", "q48_array_agg",
+    # -- changed in round 3 (perf rework) --
+    "q61_ngram_jaccard", "q62_minhash_lsh", "q74_ivf_ann_topk",
+    "q38_asof_join", "q39_asof_join_bucketed",
+    # -- new in round 3 --
+    # (inserted here as they land)
+    # -- driver-verified in round 2 --
     "q68_tfidf_topterms", "q75_kmeans", "q76_ivf_kmeans_topk",
     "q69_decontaminate",
-    "q49_posexplode", "q48_array_agg", "q91_running_totals_batch",
+    "q49_posexplode", "q91_running_totals_batch",
     "q47_conditionals", "q56_map_ops", "q57_struct_ops",
     "q66_quality_filter_pipeline", "q67_stratified_sample",
     "q73_embedding_stats", "q32_date_parts", "q33_time_parts",
@@ -57,10 +66,10 @@ _SWEEP_PRIORITY = [
     "q58_unpivot", "q45_math_suite", "q105_smoke_limit",
     "q46_datetime_suite", "q71_cosine_neardup", "q102_in_subquery",
     "q101_correlated_exists", "q100_scalar_subquery",
-    "q104_above_group_avg", "q70_cosine_topk", "q38_asof_join",
-    "q103_cte_pipeline", "q39_asof_join_bucketed", "q62_minhash_lsh",
+    "q104_above_group_avg", "q70_cosine_topk",
+    "q103_cte_pipeline",
     "q64_dedup_clusters", "q108_scd2_merge", "q109_compaction",
-    "q74_ivf_ann_topk", "q72_lsh_ann_topk", "q63_simhash_neardup",
+    "q72_lsh_ann_topk", "q63_simhash_neardup",
     # -- driver-verified in round 1 --
     "q26_sort_limit_topk", "q56b_text_normalize", "q52_token_count",
     "q60_exact_dedup", "q43_haversine", "q54_language_id",
@@ -78,9 +87,17 @@ _SWEEP_PRIORITY = [
     "q34b_nation_trade_volume", "q44_speed_coercion",
     "q04_exists_priority", "q35b_returned_item_ranking",
     "q19_window_lag_lead", "q05_region_volume", "q03_topk_revenue",
-    "q50_string_funcs", "q61_ngram_jaccard", "q65_winnow_fingerprint",
+    "q50_string_funcs", "q65_winnow_fingerprint",
     "q01_pricing_summary",
 ]
+
+# a stale/renamed entry must fail HERE, at import time, not as a
+# KeyError mid-sweep that takes the whole gate down
+_unknown = set(_SWEEP_PRIORITY) - set(QUERIES)
+assert not _unknown, f"_SWEEP_PRIORITY names not in registry: {_unknown}"
+assert len(_SWEEP_PRIORITY) == len(set(_SWEEP_PRIORITY)), (
+    "_SWEEP_PRIORITY has duplicates"
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -186,8 +186,9 @@ def q47_conditionals(spark, sf_dir):
     "q48_array_agg",
     oracle="""
     SELECT n_regionkey,
-           list_sort(array_agg(n_name)) AS nations,
-           list_sort(list_distinct(array_agg(n_name))) AS distinct_nations,
+           array_to_string(list_sort(array_agg(n_name)), '|') AS nations,
+           array_to_string(list_sort(list_distinct(array_agg(n_name))), '|')
+               AS distinct_nations,
            CAST(len(array_agg(n_name)) AS INTEGER) AS n
     FROM nation GROUP BY n_regionkey
     """,
@@ -195,11 +196,22 @@ def q47_conditionals(spark, sf_dir):
 def q48_array_agg(spark, sf_dir):
     """Array aggregation: collect_list/collect_set sorted for
     determinism (collection order is partition-dependent; the sorted
-    multiset is the well-defined result)."""
+    multiset is the well-defined result).
+
+    The aggregate is computed as a real array (collect_list /
+    collect_set + array_sort); the surfaced column is the
+    '|'-joined canonical string because the driver's comparator
+    canonicalizes via pandas sort_values, which cannot hash
+    array-typed cells (CORRECTNESS_r02: TypeError unhashable list).
+    Same information, hashable shape."""
     n = _t(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations"),
-        F.array_sort(F.collect_set("n_name")).alias("distinct_nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias(
+            "nations"
+        ),
+        F.array_join(F.array_sort(F.collect_set("n_name")), "|").alias(
+            "distinct_nations"
+        ),
         F.size(F.collect_list("n_name")).alias("n"),
     )
 
