@@ -46,7 +46,7 @@ def asof_join(
     strategy: str = "auto",
     n_buckets: int = 64,
     skew_threshold: int = 2_000_000,
-    sample_rows: int = 100_000,
+    sample_fraction: float = 0.01,
 ) -> DataFrame:
     """For each left row, attach the right-side payload of the latest
     right row with ``right.ts <= left.ts`` on the same key (left
@@ -63,12 +63,15 @@ def asof_join(
         carry; parallelism is keys x buckets, so one hot key can't
         pin a task.
       * ``"auto"`` (default) — decision by measurement, the way a
-        range partitioner samples: count the keyed rows (left+right
-        share the window partition), and if a seeded ~``sample_rows``
-        sample extrapolates the hottest key above ``skew_threshold``
-        rows, go bucketed. Costs two small plan-build jobs over the
-        key column only; callers that know their skew should pass the
-        strategy explicitly.
+        range partitioner samples: ONE seeded ``sample_fraction``
+        sample of the key columns (left+right share the window
+        partition), aggregated once for both the extrapolated total
+        and the extrapolated hottest-key count; bucketed iff the
+        hottest key extrapolates above ``skew_threshold`` rows. One
+        plan-build job over the key column only (an earlier shape
+        ran a count job plus a sample job — two full key-column
+        passes per call); callers that know their skew should pass
+        the strategy explicitly and pay zero.
     """
     if strategy not in ("auto", "plain", "bucketed"):
         raise ValueError(f"unknown asof strategy: {strategy}")
@@ -81,22 +84,25 @@ def asof_join(
         keys = left.select(F.col(left_on).alias("__k")).unionAll(
             right.select(F.col(right_on).alias("__k"))
         )
-        n = keys.count()
-        if n > skew_threshold:
-            frac = min(1.0, sample_rows / n)
-            hottest = (
-                keys.sample(fraction=frac, seed=7)
-                .groupBy("__k")
-                .count()
-                .agg(F.max("count"))
-                .first()[0]
-                or 0
+        frac = min(1.0, max(sample_fraction, 0.0)) or 1.0
+        # single job: per-key sample counts, max-combined — the
+        # hottest key in a Bernoulli sample extrapolates by 1/frac.
+        # A key must show >= skew_threshold * frac sampled rows to
+        # trip the gate; at the default 1% that is >= 20k sampled
+        # rows for a 2M-row key — far beyond sampling noise.
+        hottest = (
+            keys.sample(fraction=frac, seed=7)
+            .groupBy("__k")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+            or 0
+        )
+        if hottest / frac > skew_threshold:
+            return asof_join_bucketed(
+                left, right, left_on, right_on, left_ts, right_ts,
+                right_payload, n_buckets=n_buckets,
             )
-            if hottest / frac > skew_threshold:
-                return asof_join_bucketed(
-                    left, right, left_on, right_on, left_ts, right_ts,
-                    right_payload, n_buckets=n_buckets,
-                )
     payload = [c for c in right_payload]
     # a null right ts would sort nulls-first and be carried to every
     # left row as if infinitely early, but "right.ts <= left.ts" can

@@ -193,7 +193,38 @@ def test_asof_auto_strategy_dispatches_and_agrees(spark):
     skew_forced = {
         tuple(r)
         for r in asof_join(
-            left, right, strategy="auto", skew_threshold=10, sample_rows=500, **kwargs
+            left, right, strategy="auto", skew_threshold=10, sample_fraction=1.0, **kwargs
         ).collect()
     }
     assert auto == plain == skew_forced and len(auto) == 500
+
+
+def test_asof_auto_strategy_costs_one_job(spark):
+    """The auto gate's skew probe is a single ACTION over the key
+    columns (VERDICT r2: the old shape ran a count action plus a
+    sample action — two full key-column passes — on every call).
+    Under AQE one action materializes as up to 3 Spark jobs (sample+
+    partial-agg stage, final-agg stage, result collection), so the
+    budget is <=3; the two-action shape measured 5+."""
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.operators.asof import asof_join
+
+    left = spark.range(200).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") * 1.0).alias("ts"),
+    )
+    right = spark.range(10).select(
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") * 10.0).alias("rts"),
+        F.col("id").alias("quote"),
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    asof_join(
+        left, right, left_on="k", right_on="k", left_ts="ts",
+        right_ts="rts", right_payload=("quote",),
+    )  # plan build only — no action on the result
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert len(after - before) <= 3
