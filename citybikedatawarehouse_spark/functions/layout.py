@@ -53,6 +53,12 @@ def zorder_key(
     broadcast — O(1) driver data, one extra scan (or zero if the
     caller supplies cached stats). Integer div keeps the bucket ids
     bit-exact across engines (no double rounding at bucket edges).
+
+    Overflow safety: the proportional form ``(v - mn) * (2^bits - 1)``
+    wraps (non-ANSI) once the column's range exceeds ~2^(63 - bits),
+    so wide ranges switch to an equivalent bucket-width form
+    ``(v - mn) div (range div top + 1)`` that never multiplies —
+    same [0, 2^bits) codomain, no wrap at any BIGINT range.
     """
     bounds = df.agg(
         *[
@@ -65,14 +71,37 @@ def zorder_key(
         ]
     )
     top = (1 << bits) - 1
+    # widest range for which (v - mn) * top cannot exceed 2^63 - 1
+    safe_range = ((1 << 63) - 1) // top
     joined = df.crossJoin(F.broadcast(bounds))
     scaled = [
         F.when(
             F.col(f"__mx_{c}") == F.col(f"__mn_{c}"), F.lit(0).cast("long")
-        ).otherwise(
+        )
+        .when(
+            # try_subtract: a range beyond BIGINT yields null (not an
+            # ANSI overflow error) and falls through to the safe branch
+            F.try_subtract(F.col(f"__mx_{c}"), F.col(f"__mn_{c}"))
+            <= F.lit(safe_range),
             F.expr(
                 f"(CAST({c} AS BIGINT) - __mn_{c}) * {top} "
                 f"div (__mx_{c} - __mn_{c})"
+            ),
+        )
+        .otherwise(
+            # bucket-width form, dividing BEFORE subtracting so neither
+            # (v - mn) nor (mx - mn) is ever materialized; width
+            # w = mx/top - mn/top + 1 > range/top keeps the quotient
+            # monotone in v, and the least() clamp pins the codomain
+            # to [0, 2^bits) against truncating-div corner cases
+            F.least(
+                F.lit(top).cast("long"),
+                F.expr(
+                    f"CAST({c} AS BIGINT) "
+                    f"div (__mx_{c} div {top} - __mn_{c} div {top} + 1) "
+                    f"- __mn_{c} "
+                    f"div (__mx_{c} div {top} - __mn_{c} div {top} + 1)"
+                ),
             )
         )
         for c in cols

@@ -121,7 +121,14 @@ def q62_minhash_lsh(spark, sf_dir):
     corpus at this threshold (P(miss) per pair <= (1-j^4)^8 < 2e-4 at
     j=0.9; empirically zero misses at sf0.001/0.01/0.1 — the seeded
     permutations make the result deterministic, so the gate cannot
-    flake). The signature-agreement ESTIMATE mode (verify='signature',
+    flake). Known data-dependent gate risk: a pair whose jaccard sits
+    JUST above 0.8 has ~1.5%% miss probability under 8x4 banding, so
+    an unseen corpus with boundary pairs could deterministically fail
+    this exact-oracle gate even though the operator behaves as
+    designed; the tested corpora have no pairs in (0.8, 0.87), which
+    is why recall is provably 100%% here. Raising bands (16x2) would
+    buy recall margin at ~2x candidate cost if a future corpus needs
+    it. The signature-agreement ESTIMATE mode (verify='signature',
     the even cheaper path that never touches text again) keeps its
     accuracy bounds asserted in tests/test_dedup.py."""
     from citybikedatawarehouse_spark.operators.dedup_ops import minhash_lsh_dedup

@@ -41,11 +41,7 @@ def test_zorder_locality_beats_single_column_sort(spark, sf_dir):
     from pyspark.sql import Window
 
     w = Window.orderBy("z_key", "o_orderkey")
-    chunked = z.withColumn(
-        "chunk", (F.row_number().over(w) % 32)
-        if False
-        else F.ntile(32).over(w),
-    )
+    chunked = z.withColumn("chunk", F.ntile(32).over(w))
     ext = (
         chunked.groupBy("chunk")
         .agg(
@@ -62,6 +58,26 @@ def test_zorder_locality_beats_single_column_sort(spark, sf_dir):
     # both dimensions stay tight simultaneously
     assert ext["mean_d"] < 0.5 * full["d"]
     assert ext["mean_c"] < 0.5 * full["c"]
+
+
+def test_zorder_wide_range_no_wrap(spark):
+    """Ranges beyond 2^(63-bits) used to wrap the proportional
+    (v-mn)*65535 scaling (non-ANSI overflow -> garbage keys). The
+    bucket-width branch must keep keys in [0, 2^(2*bits)) and
+    monotone."""
+    vals = [-(1 << 62), -(1 << 55), 0, 1 << 50, 1 << 55, (1 << 62) + 17]
+    df = spark.createDataFrame([(v, 1) for v in vals], "a long, k long")
+    rows = (
+        zorder_key(df, ["a", "k"], bits=16)
+        .orderBy("a")
+        .select("z_key")
+        .collect()
+    )
+    keys = [r[0] for r in rows]
+    assert all(0 <= z < (1 << 32) for z in keys)
+    assert keys == sorted(keys)
+    # extremes actually spread across the bucket space (not collapsed)
+    assert keys[-1] > keys[0]
 
 
 def test_zorder_constant_column_is_zero(spark):
