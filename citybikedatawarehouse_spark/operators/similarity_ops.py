@@ -221,12 +221,27 @@ def ivf_index(
     from SQL folds arrives at (raw last-ulp accumulation-order drift
     must not flip cell choices).
     """
+    base = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+    # the C globally-smallest md5 values all start with '0', so a
+    # md5 < '1' pre-filter prunes ~15/16 of rows BEFORE the top-C
+    # heap ever sees them — same result, no full-corpus ranking.
+    # (TakeOrderedAndProject still scans once to hash ids, but the
+    # per-row heap work now happens on the filtered sliver only.)
+    key = F.md5(F.col("__id").cast("string"))
     cents = (
-        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-        .orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
+        base.filter(key < F.lit("1"))
+        .orderBy(key, F.col("__id"))
         .limit(n_centroids)
         .collect()
     )
+    if len(cents) < n_centroids:
+        # corpus smaller than ~16*C: the sliver can run short — fall
+        # back to the unfiltered ranking (tiny input, cost irrelevant)
+        cents = (
+            base.orderBy(key, F.col("__id")).limit(n_centroids).collect()
+        )
     cent_mat = np.stack([np.asarray(r["__v"], dtype=np.float64) for r in cents])
     cent_norm = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
 
