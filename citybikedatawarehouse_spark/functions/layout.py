@@ -56,9 +56,12 @@ def zorder_key(
 
     Overflow safety: the proportional form ``(v - mn) * (2^bits - 1)``
     wraps (non-ANSI) once the column's range exceeds ~2^(63 - bits),
-    so wide ranges switch to an equivalent bucket-width form
-    ``(v - mn) div (range div top + 1)`` that never multiplies —
-    same [0, 2^bits) codomain, no wrap at any BIGINT range.
+    so wide ranges switch to a bucket-width form that divides BEFORE
+    subtracting — ``v div w - mn div w`` with
+    ``w = mx div top - mn div top + 1`` — so neither ``v - mn`` nor
+    ``mx - mn`` is ever materialized (those differences are exactly
+    what overflows in this branch); same [0, 2^bits) codomain after
+    the least() clamp, no wrap at any BIGINT range.
     """
     bounds = df.agg(
         *[

@@ -380,7 +380,7 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(
     signatures: DataFrame,
-    bands: int = 8,
+    bands: int = 16,
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
 ) -> DataFrame:
@@ -390,7 +390,10 @@ def lsh_candidate_pairs(
     ``max_bucket_size`` drops buckets larger than the cap before the
     self-join — the quadratic-blowup guard for corpora with huge
     exact-duplicate clusters (those are caught upstream by exact
-    hash dedup; near-dup LSH should not re-enumerate them)."""
+    hash dedup; near-dup LSH should not re-enumerate them). The cap
+    is a window count over (band, bucket), so it rides the same
+    exchange the self-join needs — no second aggregate + join-back
+    pass over the banded rows."""
     sig_cols = [c for c in signatures.columns if c.startswith("sig_")]
     rows = len(sig_cols) // bands
     banded = signatures.select(
@@ -410,12 +413,13 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
     if max_bucket_size is not None:
-        sizes = banded.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("__bsz")
-        )
-        banded = banded.join(
-            sizes.filter(F.col("__bsz") <= max_bucket_size).select("band", "bucket"),
-            ["band", "bucket"],
+        banded = (
+            banded.withColumn(
+                "__bsz",
+                F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
+            )
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
         )
     a = banded.select(F.col(id_col).alias("id_1"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_2"), "band", "bucket")
@@ -431,7 +435,7 @@ def minhash_lsh_dedup(
     docs: DataFrame,
     threshold: float = 0.5,
     k: int = 32,
-    bands: int = 8,
+    bands: int = 16,
     seed: int = 42,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -441,6 +445,15 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded
     candidates -> Jaccard >= threshold on the candidates.
+
+    Default banding is 16 bands x 2 rows (k=32): P(candidate) =
+    1-(1-j^2)^16, so recall at j=0.8 is 1 - 0.36^16 ~ 1 - 8e-8 —
+    boundary pairs just above a 0.8 threshold are no longer a
+    realistic miss (the old 8x4 banding left ~1.5% per-pair miss
+    probability there). The price is a coarser per-band key (2 rows)
+    -> more false-positive candidates; the exact/signature verify
+    stage filters them, and the bucket cap still bounds any single
+    bucket's quadratic fan-out.
 
     verify='signature' (default, the scale path): Jaccard is the
     unbiased MinHash estimate — the fraction of agreeing signature
@@ -459,21 +472,27 @@ def minhash_lsh_dedup(
     sigs = minhash_signatures(docs, k, seed, id_col, text_col, ngram)
     if verify == "exact":
         cands = lsh_candidate_pairs(sigs, bands, id_col, max_bucket_size)
-        dw = minhash_items(docs, ngram, id_col, text_col)
-        sizes = dw.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-        w1 = dw.select(F.col(id_col).alias("id_1"), F.col("item"))
-        w2 = dw.select(F.col(id_col).alias("id_2"), F.col("item"))
-        inter = (
+        # set sizes are CARRIED on the item rows via a window count
+        # over doc_id instead of a separate groupBy aggregate joined
+        # back twice: the w1/w2 verify branches below share one
+        # identical subtree up to the window's exchange, so Spark
+        # computes the shingle set + size once (ReusedExchange) and
+        # the old sizes/s1/s2 three-exchange tail disappears —
+        # tests/test_plans.py pins both properties
+        dw = minhash_items(docs, ngram, id_col, text_col).withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
+        w1 = dw.select(
+            F.col(id_col).alias("id_1"), F.col("item"), F.col("__n").alias("__n1")
+        )
+        w2 = dw.select(
+            F.col(id_col).alias("id_2"), F.col("item"), F.col("__n").alias("__n2")
+        )
+        scored = (
             cands.join(w1, "id_1")
             .join(w2, ["id_2", "item"])
-            .groupBy("id_1", "id_2")
+            .groupBy("id_1", "id_2", "__n1", "__n2")
             .agg(F.count(F.lit(1)).alias("__inter"))
-        )
-        s1 = sizes.select(F.col(id_col).alias("id_1"), F.col("__n").alias("__n1"))
-        s2 = sizes.select(F.col(id_col).alias("id_2"), F.col("__n").alias("__n2"))
-        scored = (
-            inter.join(s1, "id_1")
-            .join(s2, "id_2")
             .select(
                 "id_1",
                 "id_2",
@@ -516,14 +535,17 @@ def minhash_lsh_dedup(
             ).alias("bb"),
         ).select(id_col, "__sig", "bb.band", "bb.bucket")
         if max_bucket_size is not None:
-            bsizes = banded.groupBy("band", "bucket").agg(
-                F.count(F.lit(1)).alias("__bsz")
-            )
-            banded = banded.join(
-                bsizes.filter(F.col("__bsz") <= max_bucket_size).select(
-                    "band", "bucket"
-                ),
-                ["band", "bucket"],
+            # window count over the SAME keys the self-join below
+            # shuffles on: the cap shares that one exchange instead
+            # of adding a groupBy aggregate + join-back (which cost
+            # two more exchanges of the banded rows)
+            banded = (
+                banded.withColumn(
+                    "__bsz",
+                    F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
+                )
+                .filter(F.col("__bsz") <= max_bucket_size)
+                .drop("__bsz")
             )
         a = banded.select(
             F.col(id_col).alias("id_1"), F.col("__sig").alias("__sig1"), "band", "bucket"

@@ -128,26 +128,43 @@ FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes long, frame_md5 string"
 def sample_frames(blobs: DataFrame, every_nth: int = 2) -> DataFrame:
     """'Video' frame sampling: split the payload into FRAME_BYTES
     chunks, keep every nth — a fan-out mapInPandas (rows out > rows
-    in), the shape a real keyframe extractor would have."""
+    in), the shape a real keyframe extractor would have.
+
+    The fan-out index math (which doc each output frame belongs to,
+    its chunk index, its byte length) is vectorized numpy over the
+    whole Arrow batch; the only per-frame Python is the md5 call
+    itself, as one flat comprehension over precomputed offsets."""
     import hashlib
+
+    import numpy as np
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {
-                "doc_id": [],
-                "frame_idx": [],
-                "frame_bytes": [],
-                "frame_md5": [],
-            }
-            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                payload = bytes(blob[HEADER_LEN:])
-                n = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
-                for i in range(0, n, every_nth):
-                    chunk = payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
-                    out["doc_id"].append(doc_id)
-                    out["frame_idx"].append(i)
-                    out["frame_bytes"].append(len(chunk))
-                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
-            yield pd.DataFrame(out)
+            payloads = [bytes(b[HEADER_LEN:]) for b in pdf["blob"]]
+            lens = np.fromiter(
+                (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
+            )
+            n_chunks = -(-lens // FRAME_BYTES)  # ceil div
+            kept = -(-n_chunks // every_nth)  # frames kept per doc
+            doc_pos = np.repeat(np.arange(len(payloads)), kept)
+            # chunk index within each doc: 0, n, 2n, ... — one global
+            # arange re-based per doc, no per-doc loop
+            starts = np.concatenate(([0], np.cumsum(kept)))
+            frame_idx = (
+                np.arange(starts[-1]) - np.repeat(starts[:-1], kept)
+            ) * every_nth
+            off = frame_idx * FRAME_BYTES
+            frame_bytes = np.minimum(lens[doc_pos] - off, FRAME_BYTES)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[doc_pos],
+                    "frame_idx": frame_idx.astype("int32"),
+                    "frame_bytes": frame_bytes,
+                    "frame_md5": [
+                        hashlib.md5(payloads[d][o : o + FRAME_BYTES]).hexdigest()
+                        for d, o in zip(doc_pos, off)
+                    ],
+                }
+            )
 
     return blobs.mapInPandas(frames, schema=FRAME_SCHEMA)

@@ -221,7 +221,12 @@ def ivf_index(
     from SQL folds arrives at (raw last-ulp accumulation-order drift
     must not flip cell choices).
     """
-    base = corpus.select(
+    # null ids are excluded up front so BOTH selection paths (the
+    # md5 < '1' sliver and the small-corpus fallback) see the same
+    # candidate set — without this, the sliver filter would drop
+    # null-id rows while the fallback's ASC-NULLS-FIRST sort would
+    # pick them, silently changing the centroid set between paths
+    base = corpus.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     )
     # the C globally-smallest md5 values all start with '0', so a

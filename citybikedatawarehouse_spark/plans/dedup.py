@@ -111,24 +111,20 @@ _JACCARD_08_PAIRS_SQL = r"""
     oracle=_JACCARD_08_PAIRS_SQL + "SELECT id_1, id_2, jaccard FROM pairs",
 )
 def q62_minhash_lsh(spark, sf_dir):
-    """MinHash(k=32) + LSH(8 bands x 4 rows) candidate generation with
-    exact-Jaccard verification at >= 0.8 — the full scale path
+    """MinHash(k=32) + LSH(16 bands x 2 rows) candidate generation
+    with exact-Jaccard verification at >= 0.8 — the full scale path
     (banded buckets, candidate-restricted verify: exact jaccard is
     computed ONLY for bucket-colliding pairs, never all pairs).
 
     Oracle-paired: the DuckDB oracle computes exact all-pairs jaccard
     >= 0.8, so a hash match proves LSH recall was 100%% on this
-    corpus at this threshold (P(miss) per pair <= (1-j^4)^8 < 2e-4 at
-    j=0.9; empirically zero misses at sf0.001/0.01/0.1 — the seeded
-    permutations make the result deterministic, so the gate cannot
-    flake). Known data-dependent gate risk: a pair whose jaccard sits
-    JUST above 0.8 has ~1.5%% miss probability under 8x4 banding, so
-    an unseen corpus with boundary pairs could deterministically fail
-    this exact-oracle gate even though the operator behaves as
-    designed; the tested corpora have no pairs in (0.8, 0.87), which
-    is why recall is provably 100%% here. Raising bands (16x2) would
-    buy recall margin at ~2x candidate cost if a future corpus needs
-    it. The signature-agreement ESTIMATE mode (verify='signature',
+    corpus at this threshold. 16x2 banding makes that robust to
+    boundary pairs on ANY corpus, not just this one: P(miss) per
+    pair = (1-j^2)^16 <= 0.36^16 ~ 8e-8 at j=0.8 (the previous 8x4
+    banding left ~1.5%% per-pair miss probability just above the
+    threshold — a data-dependent gate risk, now closed). The seeded
+    permutations keep the result deterministic, so the gate cannot
+    flake. The signature-agreement ESTIMATE mode (verify='signature',
     the even cheaper path that never touches text again) keeps its
     accuracy bounds asserted in tests/test_dedup.py."""
     from citybikedatawarehouse_spark.operators.dedup_ops import minhash_lsh_dedup

@@ -106,3 +106,30 @@ def test_fact_derive_mode_is_join_free(spark, tmp_path):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_minhash_lsh_exchange_reuse(spark, sf_dir):
+    """q62's exact-verify pipeline must share exchanges, not rescan:
+    (a) the banded self-join's two sides reuse ONE (band, bucket)
+    exchange (the bucket-size cap is a window count riding that same
+    exchange, not a separate aggregate + join-back), and (b) the
+    w1/w2 verify branches reuse ONE doc_id exchange (set sizes are a
+    window count carried on the item rows). Net effect: the FINAL
+    adaptive plan reads the documents parquet at most twice —
+    signature build + verify items — where the unfused formulation
+    read it six times. Broadcast is disabled so the asserted shape is
+    the sort-merge one a 100 TB corpus would take."""
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["q62_minhash_lsh"](spark, sf_dir)
+        df.collect()  # AQE: reuse is decided at runtime — need the final plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "isFinalPlan=true" in final
+        assert final.count("ReusedExchange") >= 2, final
+        assert final.count("Scan parquet") <= 2, final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
