@@ -35,42 +35,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness sweep records the FIRST 50 entries of
 # this dict, in dict order — so dict order decides which queries
-# reach the hard gate each round. Round-3 priority order:
-#   1. never-driver-verified (q77) and the round-2 red row (q48,
-#      reworked to emit a hashable canonical string),
-#   2. queries whose implementation changed this round (q61/q62/
-#      q74/q38/q39 perf work) plus new round-3 operators,
+# reach the hard gate each round. Round-4 priority order:
+#   1. queries whose implementation changed this round (q62/q64
+#      16x2 banding + window-count caps + fused verify, q74 null-id
+#      filter, q82 vectorized chunking),
+#   2. the round-1 cohort — 49 queries whose newest driver evidence
+#      is CORRECTNESS_r01, refreshed so no query's evidence is more
+#      than two rounds old. The three continuously-exercised bench
+#      headliners (q05/q03/q01: re-proven every round by bench +
+#      plan tests + the entry() smoke) sit last as the deliberate
+#      slot-50 overflow,
 #   3. everything else, least-recently-verified first.
 # Every name is asserted against the registry at import time (see
 # the assert after the list).
 _SWEEP_PRIORITY = [
-    # -- never driver-checked / red in round 2 --
-    "q77_zorder_key", "q48_array_agg",
-    # -- changed in round 3 (perf rework) --
-    "q61_ngram_jaccard", "q62_minhash_lsh", "q74_ivf_ann_topk",
-    "q38_asof_join", "q39_asof_join_bucketed",
-    # -- new in round 3 --
-    # (inserted here as they land)
-    # -- driver-verified in round 2 --
-    "q68_tfidf_topterms", "q75_kmeans", "q76_ivf_kmeans_topk",
-    "q69_decontaminate",
-    "q49_posexplode", "q91_running_totals_batch",
-    "q47_conditionals", "q56_map_ops", "q57_struct_ops",
-    "q66_quality_filter_pipeline", "q67_stratified_sample",
-    "q73_embedding_stats", "q32_date_parts", "q33_time_parts",
-    "q82_frame_sample", "q81_multimodal_features", "q59_cross_join",
-    "q106_salted_aggregate", "q28b_approx_aggregates",
-    "q80_multimodal_decode", "q35_tumbling_window",
-    "q90_stream_dedup_batch", "q36_sliding_window", "q107_salted_join",
-    "q34_epoch_duration", "q28_percentiles", "q37_sessionization",
-    "q58_unpivot", "q45_math_suite", "q105_smoke_limit",
-    "q46_datetime_suite", "q71_cosine_neardup", "q102_in_subquery",
-    "q101_correlated_exists", "q100_scalar_subquery",
-    "q104_above_group_avg", "q70_cosine_topk",
-    "q103_cte_pipeline",
-    "q64_dedup_clusters", "q108_scd2_merge", "q109_compaction",
-    "q72_lsh_ann_topk", "q63_simhash_neardup",
-    # -- driver-verified in round 1 --
+    # -- changed in round 4 --
+    "q62_minhash_lsh", "q64_dedup_clusters", "q74_ivf_ann_topk",
+    "q82_frame_sample",
+    # -- round-1 cohort (stalest evidence first this round) --
     "q26_sort_limit_topk", "q56b_text_normalize", "q52_token_count",
     "q60_exact_dedup", "q43_haversine", "q54_language_id",
     "q29_pk_uniqueness", "q40_dim_build", "q42_fact_derived_keys",
@@ -86,9 +68,29 @@ _SWEEP_PRIORITY = [
     "q11_keyed_dedup_first", "q16_except_all", "q21_cube",
     "q34b_nation_trade_volume", "q44_speed_coercion",
     "q04_exists_priority", "q35b_returned_item_ranking",
-    "q19_window_lag_lead", "q05_region_volume", "q03_topk_revenue",
-    "q50_string_funcs", "q65_winnow_fingerprint",
-    "q01_pricing_summary",
+    "q19_window_lag_lead", "q50_string_funcs", "q65_winnow_fingerprint",
+    "q05_region_volume", "q03_topk_revenue", "q01_pricing_summary",
+    # -- driver-verified in rounds 2-3 --
+    "q77_zorder_key", "q48_array_agg",
+    "q61_ngram_jaccard", "q38_asof_join", "q39_asof_join_bucketed",
+    "q68_tfidf_topterms", "q75_kmeans", "q76_ivf_kmeans_topk",
+    "q69_decontaminate",
+    "q49_posexplode", "q91_running_totals_batch",
+    "q47_conditionals", "q56_map_ops", "q57_struct_ops",
+    "q66_quality_filter_pipeline", "q67_stratified_sample",
+    "q73_embedding_stats", "q32_date_parts", "q33_time_parts",
+    "q81_multimodal_features", "q59_cross_join",
+    "q106_salted_aggregate", "q28b_approx_aggregates",
+    "q80_multimodal_decode", "q35_tumbling_window",
+    "q90_stream_dedup_batch", "q36_sliding_window", "q107_salted_join",
+    "q34_epoch_duration", "q28_percentiles", "q37_sessionization",
+    "q58_unpivot", "q45_math_suite", "q105_smoke_limit",
+    "q46_datetime_suite", "q71_cosine_neardup", "q102_in_subquery",
+    "q101_correlated_exists", "q100_scalar_subquery",
+    "q104_above_group_avg", "q70_cosine_topk",
+    "q103_cte_pipeline",
+    "q108_scd2_merge", "q109_compaction",
+    "q72_lsh_ann_topk", "q63_simhash_neardup",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a
