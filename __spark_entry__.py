@@ -36,19 +36,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness sweep records the FIRST 50 entries of
 # this dict, in dict order — so dict order decides which queries
 # reach the hard gate each round. Round-4 priority order:
-#   1. queries whose implementation changed this round (q62/q64
+#   1. the five queries NEW in round 4 (curation suite q78/q83-q86)
+#      — never driver-verified, highest value,
+#   2. queries whose implementation changed this round (q62/q64
 #      16x2 banding + window-count caps + fused verify, q74 null-id
 #      filter, q82 vectorized chunking),
-#   2. the round-1 cohort — 49 queries whose newest driver evidence
+#   3. the round-1 cohort — queries whose newest driver evidence
 #      is CORRECTNESS_r01, refreshed so no query's evidence is more
-#      than two rounds old. The three continuously-exercised bench
-#      headliners (q05/q03/q01: re-proven every round by bench +
-#      plan tests + the entry() smoke) sit last as the deliberate
-#      slot-50 overflow,
-#   3. everything else, least-recently-verified first.
+#      than two rounds old. The head slots taken by the new queries
+#      push the cohort's last five (q04/q35b/q19/q50/q65) plus the
+#      three continuously-exercised bench headliners (q05/q03/q01:
+#      re-proven every round by bench + plan tests + the entry()
+#      smoke) past slot 50 — those eight go FIRST next round,
+#   4. everything else, least-recently-verified first.
 # Every name is asserted against the registry at import time (see
 # the assert after the list).
 _SWEEP_PRIORITY = [
+    # -- new in round 4 (curation suite) --
+    "q78_embedding_quantize", "q83_sequence_pack", "q84_dataset_split",
+    "q85_repetition_filter", "q86_incremental_dedup",
     # -- changed in round 4 --
     "q62_minhash_lsh", "q64_dedup_clusters", "q74_ivf_ann_topk",
     "q82_frame_sample",

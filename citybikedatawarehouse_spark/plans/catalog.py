@@ -48,6 +48,7 @@ def _load_all() -> None:
         star,
         text,
         dedup,
+        curation,
         similarity,
         temporal,
         multimodal,

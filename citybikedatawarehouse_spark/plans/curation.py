@@ -1,0 +1,361 @@
+"""Training-data curation operators (north-star extension beyond
+SURVEY.md section 2.4): sequence packing to a token budget,
+deterministic dataset splits, Gopher-style repetition filtering,
+embedding int8 quantization, and incremental (cross-batch) dedup.
+
+These are the export-side operators of an LLM data pipeline — the
+steps between "corpus is clean" (plans/dedup.py, plans/text.py) and
+"tensors hit the trainer". All are pure Catalyst plans with DuckDB
+oracles; determinism comes from md5-keyed decisions (no RNG state),
+the same contract as q67_stratified_sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from citybikedatawarehouse_spark.functions.textfns import (
+    token_count_bpe_ish,
+    word_count,
+    words,
+)
+from citybikedatawarehouse_spark.plans.catalog import register
+from citybikedatawarehouse_spark.sources.readers import load_table as _t
+
+
+def _md5_tick(tag: str, id_col: str, mod: int) -> F.Column:
+    """Deterministic per-row tick in [0, mod): first 8 hex digits of
+    md5(tag || id) as an integer, mod ``mod``. Pure function of the
+    id — stable across reruns, engines, and partitionings."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % mod
+    )
+
+
+@register(
+    "q83_sequence_pack",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok,
+             md5('pack:' || doc_id) AS ord_key,
+             ('0x' || substr(md5('shard:' || doc_id), 1, 8))::BIGINT % 8 AS shard
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, tok,
+             sum(tok) OVER (PARTITION BY shard ORDER BY ord_key, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    )
+    SELECT shard, CAST((cum - tok) // 512 AS BIGINT) AS bin_id,
+           count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens
+    FROM packed
+    GROUP BY 1, 2
+    """,
+)
+def q83_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents in a deterministic
+    md5-shuffled order and cut every BUDGET tokens (GPT-style "pack
+    then split" — a document is assigned to the bin its first token
+    lands in: bin = (cumsum - tok) div BUDGET). Emits the packing
+    manifest (shard, bin, n_docs, tokens).
+
+    Scale design: a single global running sum would serialize the
+    corpus through one task, so packing is sharded — shard =
+    md5('shard:'||id) mod S, and the window partitions by shard. One
+    shuffle, S-way parallel; at 100 TB raise S to O(cluster cores)
+    (each shard still packs deterministically, and shard membership
+    is a pure hash so the manifest is reproducible). The reference
+    has no packing op (its unit is one CSV row); this is the
+    north-star trainer-export step.
+    """
+    budget = 512
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        word_count("text").alias("tok"),
+        F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))).alias(
+            "ord_key"
+        ),
+        _md5_tick("shard:", "doc_id", 8).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("ord_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.withColumn("cum", F.sum("tok").over(w))
+    return (
+        packed.groupBy(
+            "shard",
+            ((F.col("cum") - F.col("tok")) / budget)
+            .cast("bigint")
+            .alias("bin_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("bin_tokens"),
+        )
+    )
+
+
+@register(
+    "q84_dataset_split",
+    oracle="""
+    WITH t AS (
+      SELECT source, n_chars,
+             ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 100 AS tick
+      FROM documents
+    )
+    SELECT CASE WHEN tick < 90 THEN 'train'
+                WHEN tick < 95 THEN 'valid'
+                ELSE 'test' END AS split,
+           source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM t
+    GROUP BY 1, 2
+    """,
+)
+def q84_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/valid/test split: membership =
+    md5('split:'||id) mod 100 — a pure function of the id, so the
+    split survives reruns, repartitioning, and engine changes (no
+    randomSplit seed state to ship), and a document can never migrate
+    between splits when the corpus grows. Emits the per-(split,
+    source) manifest a training job reads. Plan: 3-column pruned
+    scan, one hash aggregate — no shuffle beyond the agg exchange."""
+    d = _t(spark, sf_dir, "documents")
+    tick = _md5_tick("split:", "doc_id", 100)
+    split = (
+        F.when(tick < 90, "train").when(tick < 95, "valid").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "q85_repetition_filter",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, words[i] AS word, i
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+            FROM documents),
+           UNNEST(range(1, len(words) + 1)) t(i)
+    ),
+    grams AS (
+      SELECT doc_id, word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY i) AS gram
+      FROM w
+    ),
+    gc AS (
+      SELECT doc_id, gram, count(*) AS c
+      FROM grams WHERE gram IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    rep AS (
+      SELECT doc_id,
+             round(max(c) * 1.0 / sum(c), 6) AS top_gram_frac,
+             sum(c) AS n_grams
+      FROM gc GROUP BY doc_id
+    ),
+    sym AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_sym,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words
+      FROM documents
+    )
+    SELECT r.doc_id, r.top_gram_frac,
+           round(s.n_sym * 1.0 / s.n_words, 6) AS symbol_ratio,
+           (r.top_gram_frac > 0.06 OR s.n_sym * 1.0 / s.n_words > 0.5) AS flagged
+    FROM rep r JOIN sym s ON r.doc_id = s.doc_id
+    """,
+)
+def q85_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    word-2-grams taken by the single most frequent 2-gram (boilerplate
+    / looping-generation detector) and the symbol-to-word ratio, plus
+    the gate verdict. Real pipelines drop flagged docs; emitting the
+    scores keeps the oracle able to check the arithmetic, not just
+    the survivor set.
+
+    Plan shape: 2-grams come from posexplode + a lead() window keyed
+    (doc_id, pos) — the window and the per-doc aggregate share one
+    hash-partition-by-doc_id exchange, so the whole scoring pass is
+    scan -> explode -> 1 shuffle -> agg. No self-join on the gram
+    table (the naive zip-the-array-against-itself plan), no UDF. At
+    100 TB the explode multiplies rows by doc length but keys stay
+    (doc_id, gram) — skew-free (a doc's grams all land in one
+    partition, bounded by max doc length, not corpus size)."""
+    d = _t(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", F.posexplode(words("text")).alias("pos", "word")
+    )
+    gram = F.concat_ws(
+        " ",
+        F.col("word"),
+        F.lead("word").over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    grams = (
+        ex.select("doc_id", gram.alias("gram"))
+        .filter(F.col("gram").contains(" "))  # drop the tail NULL-lead gram
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rep = grams.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_gram_frac"),
+    )
+    sym = d.select(
+        "doc_id",
+        (
+            F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0))
+            .cast("bigint")
+        ).alias("n_sym"),
+        word_count("text").alias("n_words"),
+    )
+    symbol_ratio = F.col("n_sym") / F.col("n_words")
+    return (
+        rep.join(sym, "doc_id")
+        .select(
+            "doc_id",
+            "top_gram_frac",
+            F.round(symbol_ratio, 6).alias("symbol_ratio"),
+            ((F.col("top_gram_frac") > 0.06) | (symbol_ratio > 0.5)).alias(
+                "flagged"
+            ),
+        )
+    )
+
+
+@register(
+    "q78_embedding_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    m AS (SELECT vec_id, max(abs(v)) AS mx FROM e GROUP BY vec_id)
+    SELECT e.vec_id,
+           round(m.mx, 6) AS abs_max,
+           CAST(sum(CAST(round(e.v * 127 / m.mx) AS BIGINT)) AS BIGINT) AS q_sum,
+           round(max(abs(e.v - round(e.v * 127 / m.mx) * m.mx / 127)), 6) AS max_err
+    FROM e JOIN m ON e.vec_id = m.vec_id
+    GROUP BY e.vec_id, m.mx
+    """,
+)
+def q78_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization audit: per vector,
+    scale = 127 / max|v|, q_i = round(v_i * 127 / max|v|), and the
+    reconstruction error max|v_i - q_i/scale| — the compression step
+    before shipping embeddings to an ANN index or a trainer (4x
+    smaller than float32, 75% less shuffle volume for every
+    similarity op downstream).
+
+    All higher-order functions on the array column — aggregate() for
+    abs-max and the two sums, transform() for the quantized values —
+    zero explode, zero shuffle: per-row work stays inside
+    whole-stage codegen. The oracle replays it element-wise via
+    unnest (the proven q70 idiom), same double math: v*127/mx written
+    identically on both sides so IEEE gives bit-equal inputs to
+    round()."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    with_max = emb.select(
+        "vec_id",
+        dbl.alias("v"),
+        F.aggregate(
+            dbl,
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, F.abs(x)),
+        ).alias("mx"),
+    )
+    q = F.transform(
+        F.col("v"), lambda x: F.round(x * 127 / F.col("mx")).cast("bigint")
+    )
+    err = F.zip_with(
+        F.col("v"),
+        q,
+        lambda v, qi: F.abs(v - qi * F.col("mx") / 127),
+    )
+    return with_max.select(
+        "vec_id",
+        F.round(F.col("mx"), 6).alias("abs_max"),
+        F.aggregate(
+            q, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        F.round(
+            F.aggregate(
+                err, F.lit(0.0), lambda acc, x: F.greatest(acc, x)
+            ),
+            6,
+        ).alias("max_err"),
+    )
+
+
+@register(
+    "q86_incremental_dedup",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, source, md5(text) AS digest,
+             ('0x' || substr(md5('batch:' || doc_id), 1, 8))::BIGINT % 5 = 0
+               AS incoming
+      FROM documents
+    ),
+    survivors AS (
+      SELECT i.doc_id, i.source, i.digest
+      FROM (SELECT * FROM tagged WHERE incoming) i
+      WHERE NOT EXISTS (
+        SELECT 1 FROM tagged e
+        WHERE NOT e.incoming AND e.digest = i.digest
+      )
+    )
+    SELECT doc_id, source, digest FROM (
+      SELECT doc_id, source, digest,
+             row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+      FROM survivors
+    ) WHERE rn = 1
+    """,
+)
+def q86_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-batch) exact dedup: an incoming batch
+    (deterministic 20% slice by md5 mod — stand-in for today's crawl)
+    is deduplicated AGAINST the existing corpus (anti-join on content
+    digest) and then WITHIN itself (min-doc_id survivor per digest).
+    This is the steady-state shape of production dedup — you never
+    re-dedup the whole corpus, you dedup the delta against it.
+
+    Scale design: both legs shuffle 32-byte digests, never text
+    (q60's rule). The anti-join and the within-batch survivor pick
+    hash-partition by the same digest key, so AQE plans one exchange
+    per side; the existing-corpus side would be a Bloom-filter
+    pushdown at 100 TB (Spark's InjectRuntimeFilter does this for
+    free when the incoming side is selective)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("digest"),
+        (_md5_tick("batch:", "doc_id", 5) == 0).alias("incoming"),
+    )
+    incoming = d.filter(F.col("incoming"))
+    existing = d.filter(~F.col("incoming")).select("digest")
+    fresh = incoming.join(existing, "digest", "left_anti")
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "digest")
+    )

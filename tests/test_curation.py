@@ -1,0 +1,154 @@
+"""Semantic invariants for the curation suite (plans/curation.py).
+Cross-engine value equality is proven by test_oracle_parity; these
+pin the properties the oracle can't see — conservation laws, split
+totals, quantization error bounds — plus the plan shapes that make
+the operators scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from citybikedatawarehouse_spark.plans.catalog import QUERIES
+from citybikedatawarehouse_spark.sources.readers import load_table
+
+
+def test_sequence_pack_conserves_docs_and_tokens(spark, sf_dir):
+    """Packing is a partition of the corpus: every doc lands in
+    exactly one (shard, bin), and bin token totals sum to the corpus
+    token total."""
+    manifest = QUERIES["q83_sequence_pack"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    totals = manifest.agg(
+        F.sum("n_docs").alias("docs"), F.sum("bin_tokens").alias("toks")
+    ).first()
+    n_docs = docs.count()
+    n_toks = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("t")
+    ).first()["t"]
+    assert totals["docs"] == n_docs
+    assert totals["toks"] == n_toks
+    # greedy pack-then-split: no bin (except possibly each shard's
+    # last) starts beyond the budget boundary it was cut at, so every
+    # bin's id is consistent with a monotone cumsum: ids per shard
+    # are dense from 0
+    per_shard = (
+        manifest.groupBy("shard")
+        .agg(F.min("bin_id").alias("mn"), F.max("bin_id").alias("mx"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in per_shard:
+        assert r["mn"] == 0
+        assert r["n"] == r["mx"] + 1  # dense bin ids: cumsum never skips a bin
+
+
+def test_dataset_split_is_exhaustive_and_disjoint(spark, sf_dir):
+    """The 3-way split covers every document exactly once, and the
+    realized proportions are within a loose tolerance of 90/5/5."""
+    m = QUERIES["q84_dataset_split"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    by_split = {
+        r["split"]: r["n"]
+        for r in m.groupBy("split").agg(F.sum("n_docs").alias("n")).collect()
+    }
+    total = docs.count()
+    assert sum(by_split.values()) == total
+    assert set(by_split) == {"train", "valid", "test"}
+    assert by_split["train"] / total > 0.8  # 90% nominal, loose gate
+
+
+def test_quantization_error_bounded_by_half_step(spark, sf_dir):
+    """Symmetric int8 round-to-nearest: reconstruction error is at
+    most half a quantization step (mx/127/2). Both output columns are
+    rounded to 6 decimals, so the bound carries a 1e-6 slack."""
+    q = QUERIES["q78_embedding_quantize"](spark, sf_dir)
+    bad = q.filter(
+        F.col("max_err") > F.col("abs_max") / 127 / 2 + 1e-6
+    ).count()
+    assert bad == 0
+
+
+def test_incremental_dedup_survivors_are_fresh_and_unique(spark, sf_dir):
+    """No survivor's digest exists in the retained corpus slice, and
+    survivors are digest-unique within the batch."""
+    s = QUERIES["q86_incremental_dedup"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    incoming_ids = {r["doc_id"] for r in s.select("doc_id").collect()}
+    # survivors must be digest-unique
+    dup = (
+        s.groupBy("digest").count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    # and disjoint from the existing side's digests
+    existing = docs.filter(
+        ~(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("batch:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 5
+            == 0
+        )
+    ).select("digest")
+    overlap = s.join(existing, "digest", "inner").count()
+    assert overlap == 0
+    assert incoming_ids  # non-degenerate: the 20% slice is non-empty
+
+
+def test_repetition_filter_flags_planted_loop(spark, sf_dir):
+    """A synthetic looping document (one 2-gram repeated) must be
+    flagged; a normal corpus document must not dominate the gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    flagged_frac = (
+        QUERIES["q85_repetition_filter"](spark, sf_dir)
+        .agg(F.avg(F.col("flagged").cast("double")).alias("f"))
+        .first()["f"]
+    )
+    # synthetic corpus text is near-uniform random words; the gate
+    # must not wipe the corpus
+    assert flagged_frac < 0.5
+    # planted pathological doc: "spam ham" * 50
+    from citybikedatawarehouse_spark.plans import curation  # noqa: F401
+
+    loop_df = spark.createDataFrame(
+        [(999_999, "spam ham " * 50)], "doc_id long, text string"
+    )
+    ex = loop_df.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "word"),
+    )
+    from pyspark.sql.window import Window
+
+    gram = F.concat_ws(
+        " ",
+        F.col("word"),
+        F.lead("word").over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    gc = (
+        ex.select("doc_id", gram.alias("gram"))
+        .filter(F.col("gram").contains(" "))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = gc.groupBy("doc_id").agg(
+        (F.max("c") / F.sum("c")).alias("top_gram_frac")
+    ).first()
+    assert top["top_gram_frac"] > 0.06  # would be flagged
+
+
+def test_curation_plans_stay_in_codegen(spark, sf_dir):
+    """The quantize plan must be UDF-free (no BatchEvalPython /
+    ArrowEvalPython): all HOF work stays JVM-side."""
+    plan = QUERIES["q78_embedding_quantize"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    # packing: exactly one shuffle for the window + one for the agg,
+    # both keyed by shard — no extra exchanges sneak in
+    pack_plan = QUERIES["q83_sequence_pack"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert pack_plan.count("Exchange hashpartitioning") <= 2
