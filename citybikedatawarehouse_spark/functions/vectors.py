@@ -41,3 +41,19 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; null if either norm is 0 (try_divide —
     ANSI-safe), which callers may coalesce."""
     return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def cosine_hoisted(
+    a: Column | str, b: Column | str, na: Column | str, nb: Column | str
+) -> Column:
+    """Cosine with precomputed norms: ``na``/``nb`` must be
+    ``norm(a)``/``norm(b)`` computed in each join side's row
+    projection. Bit-identical to ``cosine`` (each factor is the same
+    double — same fold over the same array, just evaluated once per
+    ROW instead of once per PAIR), but a k-pair join evaluates one
+    HOF fold per pair instead of three. HOFs are interpreted
+    (CodegenFallback), so on an N x Q scoring join this cuts the
+    dominant interpreted work ~3x."""
+    na = F.col(na) if isinstance(na, str) else na
+    nb = F.col(nb) if isinstance(nb, str) else nb
+    return F.try_divide(dot(a, b), na * nb)

@@ -146,7 +146,10 @@ def kmeans_ivf_topk(
     consumer would replay the whole Lloyd chain). At scale the
     assigned corpus is written partitioned by cluster_id, so a probe
     reads n_probe/n_cells of the data via partition pruning."""
-    from citybikedatawarehouse_spark.functions.vectors import cosine
+    from citybikedatawarehouse_spark.functions.vectors import (
+        cosine_hoisted,
+        norm,
+    )
 
     cents = kmeans_init(corpus, n_cells, id_col, vec_col)
     for _ in range(n_iter):
@@ -176,12 +179,13 @@ def kmeans_ivf_topk(
         )
         .withColumn("__rn", F.row_number().over(w_probe))
         .filter(F.col("__rn") <= n_probe)
-        .select("query_id", "__qv", "cluster_id")
+        .select("query_id", "__qv", norm("__qv").alias("__qn"), "cluster_id")
     )
     cand = (
         assigned.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("__cv"),
+            norm(vec_col).alias("__cn"),
             "cluster_id",
         )
         .join(F.broadcast(probes), "cluster_id")
@@ -189,7 +193,7 @@ def kmeans_ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("__qv", "__cv"), 6).alias("cos_sim"),
+            F.round(cosine_hoisted("__qv", "__cv", "__qn", "__cn"), 6).alias("cos_sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )

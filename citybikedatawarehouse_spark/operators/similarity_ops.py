@@ -32,7 +32,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from citybikedatawarehouse_spark.functions.vectors import cosine
+from citybikedatawarehouse_spark.functions.vectors import (
+    cosine_hoisted,
+    norm,
+)
 
 
 def brute_force_topk(
@@ -45,18 +48,27 @@ def brute_force_topk(
     """Exact top-k cosine neighbors for each query vector.
     Output: (query_id, neighbor_id, cos_sim, rank), self excluded,
     ties broken by neighbor id for determinism."""
+    # norms hoisted into each side's row projection: the scoring
+    # join then evaluates ONE interpreted HOF fold (the dot) per
+    # pair instead of three — bit-identical cosines
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm(vec_col).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(vec_col).alias("__cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("__qv", "__cv"), 6).alias("cos_sim"),
+            F.round(
+                cosine_hoisted("__qv", "__cv", "__qn", "__cn"), 6
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(
@@ -130,28 +142,29 @@ def lsh_ann_topk(
     candidates. Output schema matches brute_force_topk (fewer than k
     rows per query when the buckets are thin — ANN semantics)."""
 
-    def banded(df: DataFrame, idc: str, alias: str, valias: str) -> DataFrame:
+    def banded(df: DataFrame, idc: str, alias: str, valias: str, nalias: str) -> DataFrame:
         return (
             with_lsh_signatures(df, dim, n_planes, n_tables, vec_col)
             .select(
                 F.col(id_col).alias(alias),
                 F.col(vec_col).alias(valias),
+                norm(vec_col).alias(nalias),
                 F.posexplode("lsh_sigs").alias("table", "sig"),
             )
         )
 
-    c = banded(corpus, id_col, "neighbor_id", "__cv")
-    q = banded(queries, id_col, "query_id", "__qv")
+    c = banded(corpus, id_col, "neighbor_id", "__cv", "__cn")
+    q = banded(queries, id_col, "query_id", "__qv", "__qn")
     cands = (
         c.join(F.broadcast(q), ["table", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .select("query_id", "neighbor_id", "__qv", "__cv", "__qn", "__cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine("__qv", "__cv"), 6).alias("cos_sim"),
+        F.round(cosine_hoisted("__qv", "__cv", "__qn", "__cn"), 6).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -176,11 +189,13 @@ def cosine_neardup_pairs(
     a = df.select(
         F.col(id_col).alias("id_1"),
         F.col(vec_col).alias("__v1"),
+        norm(vec_col).alias("__n1"),
         *( [F.col(block_col)] if block_col else [] ),
     )
     b = df.select(
         F.col(id_col).alias("id_2"),
         F.col(vec_col).alias("__v2"),
+        norm(vec_col).alias("__n2"),
         *( [F.col(block_col)] if block_col else [] ),
     )
     joined = a.join(b, on=block_col) if block_col else a.crossJoin(b)
@@ -189,7 +204,7 @@ def cosine_neardup_pairs(
         .select(
             "id_1",
             "id_2",
-            F.round(cosine("__v1", "__v2"), 6).alias("cos_sim"),
+            F.round(cosine_hoisted("__v1", "__v2", "__n1", "__n2"), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -293,11 +308,15 @@ def ivf_ann_topk(
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qv"),
+            norm(vec_col).alias("__qn"),
             "ivf_cell",
         )
     )
     c = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "ivf_cell"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(vec_col).alias("__cn"),
+        "ivf_cell",
     )
     scored = (
         c.join(F.broadcast(q), "ivf_cell")
@@ -305,7 +324,7 @@ def ivf_ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("__qv", "__cv"), 6).alias("cos_sim"),
+            F.round(cosine_hoisted("__qv", "__cv", "__qn", "__cn"), 6).alias("cos_sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
