@@ -47,36 +47,50 @@ def kmeans_init(emb: DataFrame, k: int, id_col: str, vec_col: str) -> DataFrame:
 def kmeans_assign(
     emb: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the k centroid rows,
-    score every vector against all k (the k-way fan-out is the
-    standard Lloyd cost), argmin on the ROUNDED squared distance with
-    ties to the lowest cluster id (cross-engine determinism).
+    """Nearest-centroid assignment: collapse the k centroid rows into
+    ONE broadcast array row, then argmin as a higher-order-function
+    fold per vector — zero shuffle of the corpus. A crossJoin fan-out
+    + groupBy(id) argmin (the previous shape) re-shuffles every
+    vector once per assignment even though all k candidate rows stay
+    in their input partition; with the k-array broadcast the corpus
+    never moves at all during Lloyd's — only the k x dim partial
+    sums in the update step ever cross the wire. argmin =
+    array_min(struct(ROUNDED sq_dist, cluster_id)): ties to the
+    lowest cluster id, identical to the SQL replay's
+    min(struct(...)) decision."""
+    cents_row = centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cluster_id", "centroid"))
+        ).alias("__cents")
+    )
 
-    The argmin is min(struct(dist, cluster)) under hash aggregation,
-    NOT a window: the broadcast fan-out keeps all k candidate rows in
-    their input partition, so the partial aggregate collapses them
-    k->1 map-side and the shuffle moves one row per vector — a
-    windowed row_number would shuffle and sort all k*N fanned-out
-    rows."""
-    sq = F.aggregate(
-        F.zip_with(
-            _as_double(vec_col), F.col("centroid"), lambda x, y: (x - y) * (x - y)
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    def sq_to(c):
+        return F.aggregate(
+            F.zip_with(
+                _as_double(vec_col), c["centroid"], lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    best = F.array_min(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                F.round(sq_to(c), 6).alias("sq_dist"),
+                c["cluster_id"].alias("cluster_id"),
+            ),
+        )
     )
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
-        id_col, vec_col, "cluster_id", F.round(sq, 6).alias("sq_dist")
-    )
-    best = scored.groupBy(id_col).agg(
-        F.min(F.struct("sq_dist", "cluster_id")).alias("__best"),
-        F.first(vec_col).alias(vec_col),  # identical across the k fan-out rows
-    )
-    return best.select(
-        id_col,
-        vec_col,
-        F.col("__best.cluster_id").alias("cluster_id"),
-        F.col("__best.sq_dist").alias("sq_dist"),
+    return (
+        emb.crossJoin(F.broadcast(cents_row))
+        .select(id_col, vec_col, best.alias("__best"))
+        .select(
+            id_col,
+            vec_col,
+            F.col("__best.cluster_id").alias("cluster_id"),
+            F.col("__best.sq_dist").alias("sq_dist"),
+        )
     )
 
 
