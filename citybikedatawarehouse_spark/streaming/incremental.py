@@ -1,0 +1,87 @@
+"""Cross-batch streaming dedup with persistent digest state.
+
+``dropDuplicatesWithinWatermark`` (windows.py) bounds its state by
+the watermark horizon — correct for event streams, wrong for corpus
+ingestion, where "have we EVER seen this document" has no horizon.
+This module is the streaming twin of q86_incremental_dedup
+(plans/curation.py): each micro-batch is deduplicated within itself
+(min-id survivor per digest — deterministic regardless of arrival
+order inside the batch) and against a persistent digest-state table,
+survivors are appended to the output corpus and their digests to the
+state.
+
+State is a plain parquet directory of 32-byte digests. At scale the
+same loop runs unchanged with the state in a transactional table
+format (Delta/Iceberg MERGE) or behind a Bloom-filter pre-check; the
+anti-join already shuffles only digests, never text (q60's rule).
+foreachBatch makes each micro-batch a normal batch job, so the whole
+dedup plan — including AQE and broadcast of a small state side — is
+the oracle-verified batch plan, executed incrementally.
+
+Epoch replays (failure recovery) are tolerated by routing each
+epoch's survivors to an epoch-keyed subdirectory (the idempotent-sink
+pattern of windows.run_foreach_batch_parquet): a replayed epoch
+overwrites its own output. The state append is NOT transactional
+with the output write on plain parquet — a crash between the two can
+leave a digest recorded whose rows were then overwritten by the
+replay; at scale both writes land in one Delta/Iceberg transaction.
+Re-recorded digests are harmless (dedup state is a set).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+DIGEST_STATE_SCHEMA = T.StructType(
+    [T.StructField("digest", T.StringType(), False)]
+)
+
+
+def dedup_batch_against_state(
+    batch: DataFrame, state_df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """One batch step: digest, within-batch min-id survivor, then
+    anti-join against the accumulated state. Pure function of
+    (batch, state) — unit-testable without a stream, and exactly the
+    q86 batch shape."""
+    digested = batch.withColumn("digest", F.md5(F.col(text_col)))
+    w = Window.partitionBy("digest").orderBy(id_col)
+    in_batch = (
+        digested.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return in_batch.join(state_df, "digest", "left_anti")
+
+
+def start_incremental_dedup(
+    docs_stream: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Start the streaming dedup: survivors append under
+    ``out_dir/epoch=N``, digests accumulate in ``state_dir``.
+    Returns the started query (caller processes/stops)."""
+    spark = docs_stream.sparkSession
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        if os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(state_dir)
+        ):
+            state = spark.read.schema(DIGEST_STATE_SCHEMA).parquet(state_dir)
+        else:
+            state = spark.createDataFrame([], DIGEST_STATE_SCHEMA)
+        fresh = dedup_batch_against_state(
+            batch_df, state, id_col, text_col
+        ).localCheckpoint()  # two consumers below; don't replay the join
+        fresh.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+        fresh.select("digest").write.mode("append").parquet(state_dir)
+
+    return docs_stream.writeStream.foreachBatch(step).start()

@@ -1,0 +1,107 @@
+"""Cross-batch streaming dedup (streaming/incremental.py): the
+persistent-digest-state foreachBatch loop must converge to exactly
+the batch first-seen survivor set, independent of micro-batch
+boundaries."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from citybikedatawarehouse_spark.streaming.incremental import (
+    DIGEST_STATE_SCHEMA,
+    dedup_batch_against_state,
+    start_incremental_dedup,
+)
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+# three "days" of crawl: day2 re-crawls half of day1, day3 re-crawls
+# from both plus brings one in-batch duplicate pair
+DAY1 = [(1, "alpha"), (2, "bravo"), (3, "charlie")]
+DAY2 = [(4, "bravo"), (5, "delta"), (6, "charlie")]
+DAY3 = [(7, "delta"), (8, "echo"), (9, "echo"), (10, "alpha")]
+
+
+@pytest.fixture()
+def stream_dirs(spark, tmp_path):
+    src = tmp_path / "src"
+    for i, day in enumerate((DAY1, DAY2, DAY3)):
+        # one file per day + maxFilesPerTrigger=1 -> one micro-batch per day
+        spark.createDataFrame(day, DOCS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    return str(src), str(tmp_path / "out"), str(tmp_path / "state")
+
+
+def test_stream_dedup_equals_batch_first_seen(spark, stream_dirs):
+    src, out, state = stream_dirs
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_incremental_dedup(stream, out, state)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(f"{out}/epoch=*").select(
+            "doc_id", "text"
+        ).collect()
+    }
+    # ground truth: global first-seen (min doc_id per text) — doc_ids
+    # here increase with arrival order, so min-id == first-seen
+    all_rows = DAY1 + DAY2 + DAY3
+    first_seen = {}
+    for doc_id, text in sorted(all_rows):
+        first_seen.setdefault(text, (doc_id, text))
+    assert got == set(first_seen.values())
+
+    # state holds each digest exactly once (appends never re-record)
+    digests = spark.read.parquet(state).collect()
+    assert len(digests) == len({r["digest"] for r in digests}) == len(first_seen)
+
+
+def test_batch_step_is_pure_q86_shape(spark):
+    """The per-batch function alone: within-batch min-id survivor +
+    anti-join against state."""
+    state = spark.createDataFrame([("known",)], ["digest"]).select(
+        F.md5("digest").alias("digest")
+    )
+    # plant: "known" already in state; "dup" twice in the batch
+    batch = spark.createDataFrame(
+        [(10, "known"), (11, "dup"), (12, "dup"), (13, "new")], DOCS_SCHEMA
+    )
+    out = dedup_batch_against_state(batch, state, "doc_id", "text")
+    rows = {(r["doc_id"], r["text"]) for r in out.collect()}
+    assert rows == {(11, "dup"), (13, "new")}
+
+
+def test_stream_dedup_plan_shuffles_digests_only(spark):
+    """Scale guard: the anti-join key is the 32-byte digest column,
+    never the text — assert no exchange carries the text column as a
+    partitioning key."""
+    state = spark.createDataFrame([], DIGEST_STATE_SCHEMA)
+    batch = spark.createDataFrame([(1, "x" * 10000)], DOCS_SCHEMA)
+    plan = (
+        dedup_batch_against_state(batch, state, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "text" not in line
