@@ -41,6 +41,38 @@ def _md5_tick(tag: str, id_col: str, mod: int) -> F.Column:
     )
 
 
+def pack_assignments(
+    docs: DataFrame,
+    budget: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Doc-level packing assignment (the shared core of
+    q83_sequence_pack and the packed-corpus export writer): appends
+    ``tok`` (whitespace token count), ``shard`` (md5 hash mod
+    n_shards), ``ord_key`` (md5 shuffle order within the shard) and
+    ``bin_id`` (which budget-sized training sequence the doc's first
+    token lands in). One shuffle, keyed by shard."""
+    d = docs.select(
+        "*",
+        word_count(text_col).alias("tok"),
+        F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))).alias(
+            "ord_key"
+        ),
+        _md5_tick("shard:", id_col, n_shards).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("ord_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.withColumn(
+        "bin_id",
+        ((F.sum("tok").over(w) - F.col("tok")) / budget).cast("bigint"),
+    )
+
+
 @register(
     "q83_sequence_pack",
     oracle="""
@@ -79,32 +111,14 @@ def q83_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no packing op (its unit is one CSV row); this is the
     north-star trainer-export step.
     """
-    budget = 512
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        word_count("text").alias("tok"),
-        F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))).alias(
-            "ord_key"
-        ),
-        _md5_tick("shard:", "doc_id", 8).alias("shard"),
+    assigned = pack_assignments(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        budget=512,
+        n_shards=8,
     )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("ord_key", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = d.withColumn("cum", F.sum("tok").over(w))
-    return (
-        packed.groupBy(
-            "shard",
-            ((F.col("cum") - F.col("tok")) / budget)
-            .cast("bigint")
-            .alias("bin_id"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("tok").alias("bin_tokens"),
-        )
+    return assigned.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("bin_tokens"),
     )
 
 

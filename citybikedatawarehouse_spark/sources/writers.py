@@ -55,6 +55,40 @@ def write_table(
     writer.saveAsTable(name)
 
 
+def export_packed_corpus(
+    docs: DataFrame,
+    out_dir: str,
+    budget: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Trainer-export sink: write the corpus as packed training
+    sequences — directory-partitioned by ``shard`` and sorted within
+    each shard by (bin_id, ord_key, id) so a trainer (or a
+    ``mapInPandas`` tokenizer) reads each shard as ONE contiguous,
+    deterministically pre-shuffled token stream, cut every ``budget``
+    tokens at the bin boundaries recorded in the rows.
+
+    Layout contract at scale: one task per shard (repartition on the
+    shard key before the partitioned write, so each shard is written
+    by exactly one task as a sorted run, not splintered across
+    writers); readers of a shard subset get directory partition
+    pruning. Shard count = O(cluster cores) keeps tasks parallel and
+    files trainer-sized.
+    """
+    from citybikedatawarehouse_spark.plans.curation import pack_assignments
+
+    assigned = pack_assignments(docs, budget, n_shards, id_col, text_col)
+    (
+        assigned.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "bin_id", "ord_key", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

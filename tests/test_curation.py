@@ -152,3 +152,42 @@ def test_curation_plans_stay_in_codegen(spark, sf_dir):
     # both keyed by shard — no extra exchanges sneak in
     pack_plan = QUERIES["q83_sequence_pack"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert pack_plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_export_packed_corpus_layout(spark, sf_dir, tmp_path):
+    """Export contract: shard-partitioned layout, partition pruning
+    on read-back, rows conserved, and each shard readable as one
+    sorted (bin_id, ord_key) run."""
+    import os
+
+    from citybikedatawarehouse_spark.sources.writers import export_packed_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "packed")
+    export_packed_corpus(docs, out, budget=512, n_shards=8)
+
+    shards = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert shards == [f"shard={i}" for i in range(8)]
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+
+    # partition pruning: a shard predicate must reach PartitionFilters
+    plan = (
+        back.filter(F.col("shard") == 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(shard" in plan
+
+    # one sorted run per shard: bin_id non-decreasing in file order
+    import pyarrow.parquet as pq
+
+    shard_dir = os.path.join(out, "shard=3")
+    files = [f for f in os.listdir(shard_dir) if f.endswith(".parquet")]
+    assert len(files) == 1  # one task wrote the whole shard
+    bins = pq.read_table(os.path.join(shard_dir, files[0]), columns=["bin_id"])[
+        "bin_id"
+    ].to_pylist()
+    assert bins == sorted(bins)
