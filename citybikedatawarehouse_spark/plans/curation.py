@@ -321,6 +321,105 @@ def q78_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q87_unigram_logprob",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, words[i] AS word
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+            FROM documents),
+           UNNEST(range(1, len(words) + 1)) t(i)
+      WHERE words[i] <> ''
+    ),
+    uni AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+    tot AS (SELECT count(*) AS t FROM w)
+    SELECT w.doc_id,
+           count(*) AS n_words,
+           round(avg(-ln(uni.cnt * 1.0 / tot.t)), 6) AS avg_neg_logprob
+    FROM w JOIN uni USING (word) CROSS JOIN tot
+    GROUP BY w.doc_id
+    """,
+)
+def q87_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality score (the simplified CCNet-style filter):
+    each document scored by the average negative log-probability of
+    its words under the corpus's own unigram distribution — low
+    scores mean generic/common-word text, high scores mean rare-word
+    (or noisy) text; real pipelines gate on both tails.
+
+    Scale shape: one explode -> word-count agg (map-side combined:
+    the shuffle carries distinct words, not occurrences) -> the
+    unigram table joins BACK to the exploded words by word key.
+    Vocabulary is Zipf-bounded (millions of rows at web scale, far
+    under the corpus size), so AQE broadcasts it and the scoring pass
+    is shuffle-free beyond the per-doc aggregate; the grand total is
+    a 1-row broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(words("text")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    uni = w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = w.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        w.join(uni, "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.avg(-F.log(F.col("cnt") / F.col("t"))), 6).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )
+
+
+@register(
+    "q79_matryoshka_truncate",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             CAST(embedding[i] AS DOUBLE) AS v,
+             i
+      FROM embeddings,
+           UNNEST(range(1, len(embedding) + 1)) t(i)
+    )
+    SELECT vec_id,
+           round(sqrt(sum(CASE WHEN i <= 16 THEN v * v ELSE 0 END)), 6)
+             AS norm_16,
+           round(sqrt(sum(CASE WHEN i <= 16 THEN v * v ELSE 0 END))
+                 / sqrt(sum(v * v)), 6) AS norm_retention
+    FROM e
+    GROUP BY vec_id
+    """,
+)
+def q79_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: keep the first 16 of 64
+    dims and report the truncated norm and the norm retention ratio —
+    the decision metric for serving shorter embeddings (MRL-trained
+    models concentrate mass in the prefix; near-1 retention means the
+    16-dim prefix is safe for coarse retrieval). Pure HOF folds
+    (slice + aggregate), zero explode, zero shuffle beyond the scan.
+
+    Float caveat shared with q78: the prefix fold accumulates in
+    array order on both engines, so the doubles agree bit-exactly
+    before the 6-decimal rounding."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def ssq(arr):
+        return F.aggregate(
+            arr, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+
+    n16 = F.sqrt(ssq(F.slice(dbl, 1, 16)))
+    nfull = F.sqrt(ssq(dbl))
+    return emb.select(
+        "vec_id",
+        F.round(n16, 6).alias("norm_16"),
+        F.round(n16 / nfull, 6).alias("norm_retention"),
+    )
+
+
+@register(
     "q86_incremental_dedup",
     oracle="""
     WITH tagged AS (

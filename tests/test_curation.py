@@ -191,3 +191,22 @@ def test_export_packed_corpus_layout(spark, sf_dir, tmp_path):
         "bin_id"
     ].to_pylist()
     assert bins == sorted(bins)
+
+
+def test_matryoshka_retention_in_unit_range(spark, sf_dir):
+    """Norm retention is a fraction of the full norm: (0, 1] (6-dec
+    rounding slack on the upper edge)."""
+    q = QUERIES["q79_matryoshka_truncate"](spark, sf_dir)
+    bad = q.filter(
+        (F.col("norm_retention") <= 0) | (F.col("norm_retention") > 1.000001)
+    ).count()
+    assert bad == 0
+
+
+def test_unigram_logprob_positive_and_covers_corpus(spark, sf_dir):
+    """-ln(p) > 0 for every word (p < 1 in any multi-word corpus) and
+    every document gets a score."""
+    q = QUERIES["q87_unigram_logprob"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    assert q.count() == docs.count()
+    assert q.filter(F.col("avg_neg_logprob") <= 0).count() == 0
