@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis) for the invariants most likely
+to break on adversarial inputs: the Z-order key's overflow branch,
+packing conservation under arbitrary corpora, and the quantization
+error bound under arbitrary vectors. Each example builds a tiny
+DataFrame, so example counts are kept small and deadlines off (Spark
+job latency, not algorithm cost, dominates)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from citybikedatawarehouse_spark.functions.layout import zorder_key
+
+I64 = st.integers(min_value=-(2**62), max_value=2**62 - 1)
+PROP = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@PROP
+@given(st.lists(I64, min_size=2, max_size=12, unique=True))
+def test_zorder_single_col_is_order_preserving(spark, vals):
+    """One column: the z-key is the range code itself, which must be
+    monotone non-decreasing in the value — including ranges wide
+    enough to hit the divide-before-subtract overflow branch."""
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = zorder_key(df, ["v"], bits=16).select("v", "z_key").collect()
+    by_val = sorted((r["v"], r["z_key"]) for r in rows)
+    keys = [k for _, k in by_val]
+    assert keys == sorted(keys)
+    assert all(0 <= k < (1 << 16) for k in keys)
+
+
+@PROP
+@given(
+    st.lists(st.tuples(I64, I64), min_size=2, max_size=10, unique=True)
+)
+def test_zorder_two_cols_codomain_and_equality(spark, pairs):
+    """Two columns: key stays in [0, 2^(2*bits)), and equal rows get
+    equal keys (the key is a pure function of the row + bounds)."""
+    data = pairs + [pairs[0]]  # plant one duplicate row
+    df = spark.createDataFrame(data, "a long, b long")
+    rows = zorder_key(df, ["a", "b"], bits=8).collect()
+    keys = {}
+    for r in rows:
+        keys.setdefault((r["a"], r["b"]), set()).add(r["z_key"])
+        assert 0 <= r["z_key"] < (1 << 16)
+    assert all(len(ks) == 1 for ks in keys.values())
+
+
+@PROP
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab "), min_size=0, max_size=30
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_pack_assignments_conserve_any_corpus(spark, texts):
+    """Packing partitions ANY corpus: every doc appears exactly once,
+    token totals conserved, bin ids dense from 0 per shard."""
+    from citybikedatawarehouse_spark.plans.curation import pack_assignments
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = pack_assignments(docs, budget=7, n_shards=2).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(len(texts)))
+    # whitespace-split token count, matching functions.textfns.words
+    # (split of the trimmed text on \s+ — empty text still yields [''],
+    # i.e. one token, which is what word_count counts)
+    def toks(t):
+        import re
+
+        return len(re.split(r"\s+", t.strip()))
+
+    assert sum(r["tok"] for r in out) == sum(toks(t) for t in texts)
+    for shard in {r["shard"] for r in out}:
+        bins = sorted({r["bin_id"] for r in out if r["shard"] == shard})
+        assert bins[0] == 0 and bins == list(range(len(bins)))
+
+
+@PROP
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100,
+                max_value=100,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=4,
+            max_size=8,
+        ).filter(lambda v: any(abs(x) > 1e-3 for x in v)),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_quantization_bound_any_vectors(spark, vecs):
+    """Half-step reconstruction bound holds for arbitrary non-zero
+    float32 vectors (any sign, any magnitude in range)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(list(enumerate(vecs)), schema)
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mx = F.aggregate(dbl, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+    q = F.transform(dbl, lambda x: F.round(x * 127 / mx))
+    err = F.aggregate(
+        F.zip_with(dbl, q, lambda v, qi: F.abs(v - qi * mx / 127)),
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, x),
+    )
+    bad = (
+        df.select(mx.alias("mx"), err.alias("err"))
+        .filter(F.col("err") > F.col("mx") / 254 + 1e-12)
+        .count()
+    )
+    assert bad == 0
