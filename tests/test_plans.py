@@ -133,3 +133,43 @@ def test_minhash_lsh_exchange_reuse(spark, sf_dir):
         assert final.count("Scan parquet") <= 2, final
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_kmeans_assign_is_shuffle_free(spark, sf_dir):
+    """Lloyd's assignment must not move the corpus: a single assign
+    against given centroids contains no exchange keyed by the corpus
+    (the only exchanges in a full fit belong to the k x dim update
+    aggregates and the k-row centroid collapse)."""
+    from citybikedatawarehouse_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_init,
+    )
+    from citybikedatawarehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_init(emb, 4, "vec_id", "embedding").localCheckpoint()
+    plan = (
+        kmeans_assign(emb, cents, "vec_id", "embedding")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the centroid collapse aggregates 4 rows to 1 (SinglePartition);
+    # nothing may hash-partition the embeddings themselves
+    assert "hashpartitioning(vec_id" not in plan
+    assert "hashpartitioning(embedding" not in plan
+
+
+def test_cosine_topk_single_corpus_scan_one_shuffle(spark, sf_dir):
+    """Brute-force top-k: the corpus parquet is scanned once, and the
+    only hash exchange is the window's (query_id) — the scoring join
+    itself is broadcast, shuffle-free."""
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    df = QUERIES["q70_cosine_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 2  # corpus + (broadcast) queries
+    hash_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1 and "query_id" in hash_exchanges[0]
