@@ -59,6 +59,58 @@ def dedup_batch_against_state(
     return in_batch.join(state_df, "digest", "left_anti")
 
 
+def start_scd2_stream(
+    updates_stream: DataFrame,
+    state_dir: str,
+    key: str,
+    attrs: list[str],
+    effective_ts: str,
+):
+    """Streaming SCD2 maintenance: each micro-batch of dimension
+    updates is collapsed to its latest row per key (history inside
+    one micro-batch is batch-granular — only the newest version
+    opens; ordering is (effective_ts, attrs) descending, so the
+    survivor is deterministic even for same-timestamp conflicts) and
+    merged into the persistent dimension with operators.scd.scd2_merge
+    — the incremental upsert-with-history the reference's
+    ``if_exists='replace'`` wholesale reload loses.
+
+    The state parquet is rewritten via staging-dir swap each epoch
+    (the dimension is read lazily while being replaced; at scale this
+    rewrite is a transactional-format MERGE and only touched
+    partitions rewrite). First batch bootstraps via scd2_init."""
+    import shutil
+
+    from citybikedatawarehouse_spark.operators.scd import scd2_init, scd2_merge
+
+    spark = updates_stream.sparkSession
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        w = Window.partitionBy(key).orderBy(
+            F.col(effective_ts).desc(), *[F.col(a).desc() for a in attrs]
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        has_state = os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(state_dir)
+        )
+        if has_state:
+            dim = spark.read.parquet(state_dir)
+            merged = scd2_merge(dim, latest, key, attrs, effective_ts)
+        else:
+            merged = scd2_init(latest, key, effective_ts)
+        staging = state_dir.rstrip("/") + "__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(staging, state_dir)
+
+    return updates_stream.writeStream.foreachBatch(step).start()
+
+
 def start_incremental_dedup(
     docs_stream: DataFrame,
     out_dir: str,

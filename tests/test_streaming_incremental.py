@@ -105,3 +105,74 @@ def test_stream_dedup_plan_shuffles_digests_only(spark):
     for line in plan.splitlines():
         if "hashpartitioning" in line:
             assert "text" not in line
+
+
+UPD_SCHEMA = T.StructType(
+    [
+        T.StructField("station_id", T.LongType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("capacity", T.LongType(), True),
+        T.StructField("eff", T.TimestampType(), True),
+    ]
+)
+
+
+def test_scd2_stream_equals_sequential_batch_merges(spark, tmp_path):
+    """Two micro-batches of dimension updates through the stream must
+    produce exactly the state of applying scd2_init + scd2_merge
+    sequentially: history preserved, one current row per key,
+    in-batch conflicts resolved to the latest."""
+    import datetime as dt
+
+    from citybikedatawarehouse_spark.operators.scd import scd2_init, scd2_merge
+    from citybikedatawarehouse_spark.streaming.incremental import start_scd2_stream
+
+    t0 = dt.datetime(2026, 1, 1)
+    t1 = dt.datetime(2026, 2, 1)
+    day1 = [(1, "alpha", 10, t0), (2, "bravo", 20, t0)]
+    # day2: station 1 renamed; station 2 has an in-batch conflict
+    # (same key twice — later eff must win); station 3 is new
+    day2 = [
+        (1, "alpha-2", 10, t1),
+        (2, "bravo", 25, t0),
+        (2, "bravo", 30, t1),
+        (3, "charlie", 5, t1),
+    ]
+    src = tmp_path / "upd"
+    for day in (day1, day2):
+        spark.createDataFrame(day, UPD_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    state = str(tmp_path / "dim")
+    stream = (
+        spark.readStream.schema(UPD_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = start_scd2_stream(stream, state, "station_id", ["name", "capacity"], "eff")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(state)
+    # expected: batch twin applied in order, with day2's in-batch
+    # conflict collapsed to the t1 row first
+    d1 = spark.createDataFrame(day1, UPD_SCHEMA)
+    d2 = spark.createDataFrame([day2[0], day2[2], day2[3]], UPD_SCHEMA)
+    want = scd2_merge(
+        scd2_init(d1, "station_id", "eff"),
+        d2,
+        "station_id",
+        ["name", "capacity"],
+        "eff",
+    )
+    cols = ["station_id", "name", "capacity", "valid_from", "valid_to", "is_current"]
+    key = lambda df: sorted(tuple(r[c] for c in cols) for r in df.collect())
+    assert key(got) == key(want)
+    # invariant: exactly one current row per key
+    cur = got.filter(F.col("is_current")).groupBy("station_id").count()
+    assert cur.filter(F.col("count") > 1).count() == 0
+    # history survived: station 1 and 2 have a closed version each
+    closed = got.filter(~F.col("is_current"))
+    assert {r["station_id"] for r in closed.collect()} == {1, 2}
