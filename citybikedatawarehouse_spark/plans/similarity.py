@@ -405,3 +405,86 @@ def q76_ivf_kmeans_topk(spark, sf_dir):
     return kmeans_ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=8, n_iter=2, n_probe=2
     )
+
+
+def _semantic_dedup_oracle_sql(
+    k: int = 8, n_iter: int = 2, dim: int = 64, threshold: float = 0.4
+) -> str:
+    """q88 replay: the shared k-means CTE chain assigns every vector
+    to its trained cluster (the semantic blocking key), then any
+    vector with a smaller-id neighbor at cosine >= threshold inside
+    its cluster is dropped (the greedy SemDeDup keep-min rule,
+    closure-free)."""
+    ctes = _kmeans_ctes(k, n_iter, dim)
+    ctes.append("""
+    cpairs AS (
+      SELECT a1.vec_id AS id_1, a2.vec_id AS id_2, a1.cell
+      FROM afinal a1 JOIN afinal a2
+        ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
+    )""")
+    ctes.append("""
+    cscored AS (
+      SELECT id_1, id_2, cell,
+             round(sum(ae * be) / (sqrt(sum(ae * ae)) * sqrt(sum(be * be))), 6) AS cos_sim
+      FROM (
+        SELECT p.id_1, p.id_2, p.cell,
+               CAST(unnest(a.embedding) AS DOUBLE) AS ae,
+               CAST(unnest(b.embedding) AS DOUBLE) AS be
+        FROM cpairs p
+        JOIN embeddings a ON a.vec_id = p.id_1
+        JOIN embeddings b ON b.vec_id = p.id_2
+      ) GROUP BY 1, 2, 3
+    )"""
+    )
+    return (
+        "WITH" + ",".join(ctes) + f"""
+    SELECT DISTINCT id_2 AS vec_id, CAST(cell AS INTEGER) AS cluster_id
+    FROM cscored WHERE cos_sim >= {threshold}
+    """
+    )
+
+
+@register("q88_semantic_dedup", oracle=_semantic_dedup_oracle_sql())
+def q88_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication: a trained k-means
+    clustering is the blocking key (vectors can only be near-dups
+    inside one semantic cell), then the greedy keep-min-id rule drops
+    every vector with a smaller-id cluster-mate at cosine >= 0.4.
+    Returns the dropped set (vec_id, cluster_id).
+
+    Scale story: the pair scan is quadratic only WITHIN a cell —
+    cells shrink as k grows (k = corpus/expected-cell-size at 100 TB)
+    — and the scoring join reuses the hoisted-norm single-fold
+    cosine. Versus q71's given-label blocking, the blocking key here
+    is LEARNED, so the operator works on unlabeled corpora; the
+    oracle replays the full fit + pair sweep in SQL."""
+    from citybikedatawarehouse_spark.functions.vectors import cosine_hoisted, norm
+    from citybikedatawarehouse_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, cents = kmeans_fit(emb, k=8, n_iter=2)
+    av = kmeans_assign(emb, cents, "vec_id", "embedding")
+    a = av.select(
+        F.col("vec_id").alias("id_1"),
+        F.col("embedding").alias("__v1"),
+        norm("embedding").alias("__n1"),
+        "cluster_id",
+    )
+    b = av.select(
+        F.col("vec_id").alias("id_2"),
+        F.col("embedding").alias("__v2"),
+        norm("embedding").alias("__n2"),
+        "cluster_id",
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .filter(
+            F.round(cosine_hoisted("__v1", "__v2", "__n1", "__n2"), 6) >= 0.4
+        )
+        .select(F.col("id_2").alias("vec_id"), "cluster_id")
+        .distinct()
+    )
