@@ -472,3 +472,54 @@ def q86_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "source", "digest")
     )
+
+
+@register(
+    "q89_split_leakage",
+    oracle=r"""
+    WITH tagged AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 100 AS tick
+      FROM documents
+    ),
+    test_sh AS (
+      SELECT DISTINCT
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS words
+            FROM tagged WHERE tick >= 95),
+           UNNEST(range(1, len(words) - 1)) t(i)
+    ),
+    train_sh AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+            FROM tagged WHERE tick < 90),
+           UNNEST(range(1, len(words) - 1)) t(i)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+    FROM train_sh JOIN test_sh USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+def q89_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: q84's deterministic split is only safe if
+    no training document shares content with the held-out test split
+    — near-duplicates that straddle the split boundary leak eval
+    answers into training. This runs the q69 decontamination operator
+    with the TEST SPLIT as the benchmark: every train-split document
+    sharing a word 3-gram with any test document is flagged with its
+    overlap count; the pipeline re-buckets or drops the flagged docs.
+
+    Same scale shape as q69: the test split is 5% and its distinct
+    shingles broadcast; the train side is scanned once, shuffled only
+    for the map-side-combined per-doc count."""
+    from citybikedatawarehouse_spark.operators.dedup_ops import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    tick = _md5_tick("split:", "doc_id", 100)
+    tagged = d.withColumn("__tick", tick)
+    return decontaminate(
+        tagged.filter(F.col("__tick") < 90),
+        tagged.filter(F.col("__tick") >= 95),
+        n=3,
+    )
