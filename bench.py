@@ -37,6 +37,8 @@ HEADLINE = [
     "q75_kmeans",
     "q76_ivf_kmeans_topk",
     "q82_frame_sample",
+    "q87_unigram_logprob",
+    "q88_semantic_dedup",
     "q108_scd2_merge",
 ]
 

@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from citybikedatawarehouse_spark.functions.textfns import (
-    token_count_bpe_ish,
     word_count,
     words,
 )
