@@ -42,6 +42,12 @@ HEADLINE = [
     "q108_scd2_merge",
 ]
 
+# every headline name must resolve — a renamed query must fail here,
+# not silently drop out of the bench (the in-loop `continue` guard
+# only protects a PARTIAL registry import)
+_missing = [q for q in HEADLINE if q not in QUERIES]
+assert not _missing, f"HEADLINE names not in registry: {_missing}"
+
 
 def _calibrate() -> float:
     """Fixed single-core CPU workload (~0.1 s on the round-1 host),
@@ -83,12 +89,25 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    # the round-1 baseline benched exactly these 13; rounds add
+    # queries to HEADLINE for regression visibility, so the raw
+    # total is not comparable across rounds — value_r1_subset is
+    R1_SUBSET = [
+        "q01_pricing_summary", "q03_topk_revenue", "q05_region_volume",
+        "q17_window_topk_per_group", "q21_cube", "q34_epoch_duration",
+        "q35_tumbling_window", "q38_asof_join", "q60_exact_dedup",
+        "q61_ngram_jaccard", "q62_minhash_lsh", "q70_cosine_topk",
+        "q82_frame_sample",
+    ]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "value_r1_subset": round(
+                    sum(timings.get(q, 0.0) for q in R1_SUBSET), 4
+                ),
                 "queries": timings,
                 "sf": sf,
                 "calib_sec": min(_calibrate() for _ in range(3)),
