@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from citybikedatawarehouse_spark.schemas import RIDE_SCHEMA, TESTDATA_TABLES
 
@@ -92,3 +93,50 @@ def timestamp_parse_audit(raw: DataFrame, cols: tuple[str, ...] = ("started_at",
         )
     row = parsed.agg(*checks).collect()[0]
     return {c: int(row[c] or 0) for c in cols}
+
+
+DOCUMENTS_JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+        T.StructField("_corrupt_record", T.StringType(), True),
+    ]
+)
+
+
+def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Read a documents corpus from JSON-lines — the wire format
+    crawls actually arrive in — with the lenient-ingest contract of
+    :func:`read_ride_csv`: a malformed line becomes one row whose
+    ``_corrupt_record`` holds the raw line (PERMISSIVE mode) instead
+    of failing the job or silently vanishing (DROPMALFORMED). Schema
+    is declared, never inferred (inference is a second full pass and
+    nondeterministic under schema drift).
+
+    Callers split the result: ``df.filter(col('_corrupt_record')
+    .isNull())`` is the clean corpus, :func:`jsonl_corrupt_audit`
+    counts the quarantine. At scale the quarantine rows are written
+    to a dead-letter table for inspection, not dropped."""
+    return (
+        spark.read.schema(DOCUMENTS_JSONL_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def jsonl_corrupt_audit(df: DataFrame) -> int:
+    """Count quarantined (malformed) rows from a PERMISSIVE JSON
+    read. The cache() is load-bearing: Spark refuses any query whose
+    only reference into the JSON scan is the corrupt-record column
+    (SPARK-26108 — the internal column has no provenance without the
+    full row), and the documented workaround is caching the FULL
+    frame before filtering on it."""
+    cached = df.cache()
+    try:
+        return cached.filter(F.col("_corrupt_record").isNotNull()).count()
+    finally:
+        cached.unpersist()
