@@ -522,3 +522,106 @@ def q89_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged.filter(F.col("__tick") >= 95),
         n=3,
     )
+
+
+@register(
+    "q92_curation_e2e",
+    oracle=r"""
+    WITH c AS (
+      SELECT doc_id, text,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_nonspace,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, text, n_words,
+             round(coalesce(n_punct * 1.0 / nullif(n_words, 0), 0.0::DOUBLE), 6) AS punct_ratio,
+             round(coalesce(n_nonspace / nullif(n_words, 0), 0.0::DOUBLE), 6) AS avg_word_len
+      FROM c
+    ),
+    kept AS (
+      SELECT doc_id, text FROM g
+      WHERE NOT (n_words < 5 OR n_words > 100000 OR punct_ratio > 0.6
+                 OR avg_word_len < 2.0 OR avg_word_len > 40.0)
+    ),
+    dedup AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+        FROM kept
+      ) WHERE doc_id = canon
+    ),
+    train AS (
+      SELECT doc_id, text FROM dedup
+      WHERE ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 100 < 90
+    ),
+    toks AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok,
+             md5('pack:' || doc_id) AS ord_key,
+             ('0x' || substr(md5('shard:' || doc_id), 1, 8))::BIGINT % 8 AS shard
+      FROM train
+    ),
+    packed AS (
+      SELECT shard, tok,
+             sum(tok) OVER (PARTITION BY shard ORDER BY ord_key, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    )
+    SELECT shard, CAST((cum - tok) // 512 AS BIGINT) AS bin_id,
+           count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens
+    FROM packed
+    GROUP BY 1, 2
+    """,
+)
+def q92_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation capstone: quality gates (q66's thresholds) ->
+    exact content dedup (min-id survivor per digest) -> deterministic
+    train split (q84's tick < 90) -> sequence packing (q83), composed
+    as ONE lazy plan whose output is the packing manifest of the
+    export-ready training corpus. This is the plan a real pipeline
+    submits nightly; the stages exist separately for audit, and this
+    query proves they compose without materialization barriers.
+
+    Plan shape: scan -> narrow quality filter (codegen, at scan
+    speed) -> one digest-keyed window for the dedup survivor -> tick
+    filter -> one shard-keyed window + agg for packing. Two shuffles
+    total for the whole pipeline (digest, shard); Catalyst pipelines
+    the three filters into the scan side of the first exchange."""
+    d = _t(spark, sf_dir, "documents")
+    n_words = word_count("text")
+    n_nonspace = F.length(F.regexp_replace("text", r"\s+", "")).cast("bigint")
+    n_punct = F.size(
+        F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)
+    ).cast("bigint")
+    ratio = lambda num, den: F.round(  # noqa: E731
+        F.coalesce(F.try_divide(num, den), F.lit(0.0)), 6
+    )
+    feats = d.select(
+        "doc_id",
+        "text",
+        n_words.alias("n_words"),
+        ratio(n_punct * F.lit(1.0), n_words).alias("punct_ratio"),
+        ratio(n_nonspace, n_words).alias("avg_word_len"),
+    )
+    kept = feats.filter(
+        ~(
+            (F.col("n_words") < 5)
+            | (F.col("n_words") > 100000)
+            | (F.col("punct_ratio") > 0.6)
+            | (F.col("avg_word_len") < 2.0)
+            | (F.col("avg_word_len") > 40.0)
+        )
+    ).select("doc_id", "text")
+    w_digest = Window.partitionBy(F.md5("text"))
+    deduped = (
+        kept.withColumn("__canon", F.min("doc_id").over(w_digest))
+        .filter(F.col("doc_id") == F.col("__canon"))
+        .select("doc_id", "text")
+    )
+    train = deduped.filter(_md5_tick("split:", "doc_id", 100) < 90)
+    assigned = pack_assignments(train, budget=512, n_shards=8)
+    return assigned.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("bin_tokens"),
+    )
