@@ -217,3 +217,115 @@ def kmeans_ivf_topk(
     return cand.withColumn("rank", F.row_number().over(w_rank)).filter(
         F.col("rank") <= k
     )
+
+
+def hier_assign(
+    av: DataFrame, fines: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Fine-level assignment for the hierarchical quantizer: the fine
+    centroids of each coarse cell collapse into one array row, the
+    (tiny, k_coarse-row) table broadcasts, and each vector argmins
+    over ONLY its own coarse cell's fine centroids — the corpus never
+    shuffles, and per-vector work is k_fine folds, not
+    k_coarse*k_fine."""
+    per_cell = fines.groupBy("coarse_cell").agg(
+        F.array_sort(
+            F.collect_list(F.struct("fine_id", "centroid"))
+        ).alias("__fc")
+    )
+
+    def sq_to(c):
+        return F.aggregate(
+            F.zip_with(
+                _as_double(vec_col), c["centroid"], lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    best = F.array_min(
+        F.transform(
+            F.col("__fc"),
+            lambda c: F.struct(
+                F.round(sq_to(c), 6).alias("sq_dist"),
+                c["fine_id"].alias("fine_id"),
+            ),
+        )
+    )
+    return (
+        av.join(F.broadcast(per_cell), "coarse_cell")
+        .select(id_col, vec_col, "coarse_cell", best.alias("__best"))
+        .select(
+            id_col,
+            vec_col,
+            "coarse_cell",
+            F.col("__best.fine_id").alias("fine_id"),
+            F.col("__best.sq_dist").alias("sq_dist"),
+        )
+    )
+
+
+def hier_kmeans_fit(
+    emb: DataFrame,
+    k_coarse: int = 8,
+    k_fine: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Two-level (hierarchical) k-means quantizer — the scale escape
+    for flat IVF's O(N*k) assignment once k must grow with the
+    corpus: a coarse Lloyd's fit (k_coarse cells) partitions the
+    corpus, then k_fine sub-cells train INSIDE every coarse cell
+    simultaneously (one distributed job per iteration, not a
+    per-cell loop — the fine update is a single groupBy
+    (coarse, fine, dim)). Per-vector assignment work drops from
+    O(k_coarse*k_fine) to O(k_coarse) + O(k_fine); effective cells =
+    k_coarse*k_fine.
+
+    Determinism matches the flat fit: seeds are the k_fine lowest ids
+    per coarse cell, distances/means round to 6, ties to the lowest
+    cell — the whole two-level fit replays as a DuckDB CTE chain
+    (q93's oracle). The coarse assignment is localCheckpointed: every
+    fine iteration reads it, and at scale it is a persisted
+    cluster-keyed table, not a recomputation of the coarse chain.
+
+    Returns (assignments, fine_centroids): assignments carry
+    (id, coarse_cell, fine_id, sq_dist to the fine centroid)."""
+    _, coarse = kmeans_fit(emb, k=k_coarse, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    av = (
+        kmeans_assign(emb, coarse, id_col, vec_col)
+        .withColumnRenamed("cluster_id", "coarse_cell")
+        .drop("sq_dist")
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("coarse_cell").orderBy(id_col)
+    fines = (
+        av.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k_fine)
+        .select(
+            "coarse_cell",
+            (F.col("__rn") - 1).alias("fine_id"),
+            _round6(_as_double(vec_col)).alias("centroid"),
+        )
+    )
+    for _ in range(n_iter):
+        assigned = hier_assign(av, fines, id_col, vec_col)
+        per_dim = assigned.select(
+            "coarse_cell",
+            "fine_id",
+            F.posexplode(_as_double(vec_col)).alias("__pos", "__val"),
+        )
+        means = per_dim.groupBy("coarse_cell", "fine_id", "__pos").agg(
+            F.round(F.avg("__val"), 6).alias("__m")
+        )
+        fines = means.groupBy("coarse_cell", "fine_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                lambda s: s["__m"],
+            ).alias("centroid")
+        )
+    final = hier_assign(av, fines, id_col, vec_col).select(
+        id_col, "coarse_cell", "fine_id", "sq_dist"
+    )
+    return final, fines

@@ -492,3 +492,94 @@ def q88_semantic_dedup(spark, sf_dir):
         .select(F.col("id_2").alias("vec_id"), "cluster_id")
         .distinct()
     )
+
+
+_HKM_SQ = (
+    "round(sum((CAST(e.embedding[t.i] AS DOUBLE) - c.cvec[t.i]) "
+    "* (CAST(e.embedding[t.i] AS DOUBLE) - c.cvec[t.i])), 6)"
+)
+
+
+def _hier_kmeans_oracle_sql(
+    k_coarse: int = 8, k_fine: int = 4, n_iter: int = 2, dim: int = 64
+) -> str:
+    """q93 replay: the shared coarse CTE chain (afinal = per-vector
+    coarse cell), then the fine level — seeds are the k_fine lowest
+    ids per coarse cell, and every fine assign joins a vector only to
+    its own coarse cell's fine centroids."""
+    ctes = _kmeans_ctes(k_coarse, n_iter, dim)
+    ctes.append(f"""
+    f0 AS (
+      SELECT s.cell AS ccell, s.rn - 1 AS fine,
+             list_transform(e.embedding,
+                            x -> round(CAST(x AS DOUBLE), 6)) AS cvec
+      FROM (SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+            FROM afinal) s
+      JOIN embeddings e ON e.vec_id = s.vec_id
+      WHERE s.rn <= {k_fine}
+    )""")
+
+    def fassign(name: str, cents: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT vec_id, ccell, fine, sq FROM (
+        SELECT vec_id, ccell, fine, sq,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sq, fine) AS rn
+        FROM (
+          SELECT e.vec_id, c.ccell, c.fine, {_HKM_SQ} AS sq
+          FROM embeddings e
+          JOIN afinal a ON a.vec_id = e.vec_id
+          JOIN {cents} c ON c.ccell = a.cell,
+               range(1, {dim} + 1) t(i)
+          GROUP BY e.vec_id, c.ccell, c.fine
+        )
+      ) WHERE rn = 1
+    )"""
+
+    def fupdate(name: str, assigned: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT ccell, fine, list(m ORDER BY i) AS cvec FROM (
+        SELECT a.ccell, a.fine, t.i,
+               round(avg(CAST(e.embedding[t.i] AS DOUBLE)), 6) AS m
+        FROM {assigned} a JOIN embeddings e USING (vec_id),
+             range(1, {dim} + 1) t(i)
+        GROUP BY a.ccell, a.fine, t.i
+      ) GROUP BY ccell, fine
+    )"""
+
+    for it in range(n_iter):
+        ctes.append(fassign(f"fa{it}", f"f{it}"))
+        ctes.append(fupdate(f"f{it + 1}", f"fa{it}"))
+    ctes.append(fassign("fafinal", f"f{n_iter}"))
+    return (
+        "WITH" + ",".join(ctes) + """
+    SELECT vec_id, CAST(ccell AS INTEGER) AS coarse_cell,
+           CAST(fine AS INTEGER) AS fine_id, sq AS sq_dist
+    FROM fafinal
+    """
+    )
+
+
+@register("q93_hier_kmeans", oracle=_hier_kmeans_oracle_sql())
+def q93_hier_kmeans(spark, sf_dir):
+    """Two-level hierarchical k-means quantizer (8 coarse x 4 fine =
+    32 effective cells): the scale escape for flat IVF once the cell
+    count must grow with the corpus — per-vector assignment work is
+    O(k_coarse) + O(k_fine) instead of O(k_coarse*k_fine), and the
+    fine level trains inside every coarse cell SIMULTANEOUSLY (one
+    distributed groupBy per iteration, never a per-cell loop). The
+    oracle replays both levels end-to-end, fine seeds and per-cell
+    restricted assignments included.
+
+    Scale notes: both assign levels are broadcast-array argmin folds
+    (zero corpus shuffle, same as q75 post-round-4); the coarse
+    assignment localCheckpoints because every fine iteration reads it
+    — at 100 TB that is the persisted cluster-keyed corpus table."""
+    from citybikedatawarehouse_spark.operators.clustering import hier_kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = hier_kmeans_fit(emb, k_coarse=8, k_fine=4, n_iter=2)
+    return assigned

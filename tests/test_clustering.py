@@ -103,3 +103,38 @@ def test_kmeans_ivf_topk(spark, sf_dir):
     }
     ann_pairs = {(r["query_id"], r["neighbor_id"]) for r in ann}
     assert len(ann_pairs & brute_pairs) / len(brute_pairs) >= 0.3
+
+
+def test_hier_kmeans_partitions_and_respects_coarse(spark, sf_dir):
+    """Hierarchical fit invariants: every vector assigned exactly
+    once, fine ids within [0, k_fine), and each vector's coarse cell
+    equals the flat coarse assignment it was derived from."""
+    from citybikedatawarehouse_spark.operators.clustering import (
+        hier_kmeans_fit,
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from citybikedatawarehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, fines = hier_kmeans_fit(emb, k_coarse=8, k_fine=4, n_iter=2)
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    assert assigned.filter(
+        (F.col("fine_id") < 0) | (F.col("fine_id") >= 4)
+    ).count() == 0
+    # coarse level must match the flat fit it reuses
+    _, coarse = kmeans_fit(emb, k=8, n_iter=2)
+    flat = kmeans_assign(emb, coarse, "vec_id", "embedding").select(
+        "vec_id", F.col("cluster_id").alias("coarse_flat")
+    )
+    mismatch = (
+        assigned.join(flat, "vec_id")
+        .filter(F.col("coarse_cell") != F.col("coarse_flat"))
+        .count()
+    )
+    assert mismatch == 0
+    # every fine centroid belongs to an existing coarse cell
+    cells = {r["coarse_cell"] for r in fines.select("coarse_cell").distinct().collect()}
+    assert cells <= {r["coarse_cell"] for r in assigned.select("coarse_cell").distinct().collect()}
