@@ -329,3 +329,125 @@ def hier_kmeans_fit(
         id_col, "coarse_cell", "fine_id", "sq_dist"
     )
     return final, fines
+
+
+def hier_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k_coarse: int = 8,
+    k_fine: int = 4,
+    n_iter: int = 2,
+    n_probe_coarse: int = 2,
+    n_probe_fine: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k through the hierarchical quantizer: each query
+    probes its ``n_probe_coarse`` nearest coarse cells, then the
+    ``n_probe_fine`` nearest fine cells WITHIN each probed coarse
+    cell, and exact cosine re-ranks the candidate union. Probe work
+    per query is O(k_coarse) + O(n_probe_coarse * k_fine) — the
+    hierarchical version of kmeans_ivf_topk's O(k) probe, which is
+    what keeps query cost flat as the cell count grows with the
+    corpus. Candidate volume is bounded by the probed (coarse, fine)
+    cells; at scale the assigned corpus is stored partitioned by
+    (coarse_cell, fine_id) so the candidate join is partition-pruned.
+    """
+    from citybikedatawarehouse_spark.functions.vectors import (
+        cosine_hoisted,
+        norm,
+    )
+
+    assigned, fines = hier_kmeans_fit(
+        corpus, k_coarse, k_fine, n_iter, id_col, vec_col
+    )
+    fines = fines.localCheckpoint(eager=False)  # probed twice below
+
+    # coarse probe: nearest coarse cells by distance to the coarse
+    # MEANS of the fine centroids? No — the coarse centroids trained
+    # first are gone from the fit output, so probe against the fine
+    # centroids grouped per coarse cell: a query's distance to a
+    # coarse cell is its distance to that cell's NEAREST fine
+    # centroid (the same argmin the corpus assignment ran, so probe
+    # and assignment agree on geometry).
+    per_cell = fines.groupBy("coarse_cell").agg(
+        F.array_sort(
+            F.collect_list(F.struct("fine_id", "centroid"))
+        ).alias("__fc")
+    )
+
+    def sq_to(c):
+        return F.aggregate(
+            F.zip_with(
+                _as_double(vec_col), c["centroid"], lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    scored_cells = F.transform(
+        F.col("__fc"),
+        lambda c: F.struct(
+            F.round(sq_to(c), 6).alias("sq"),
+            c["fine_id"].alias("fine_id"),
+        ),
+    )
+    w_coarse = Window.partitionBy("query_id").orderBy(
+        F.col("__cell_best.sq").asc(), F.col("coarse_cell").asc()
+    )
+    probed_coarse = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col)
+        )
+        .crossJoin(F.broadcast(per_cell))
+        .select(
+            "query_id",
+            vec_col,
+            "coarse_cell",
+            F.array_min(scored_cells).alias("__cell_best"),
+            scored_cells.alias("__scored"),
+        )
+        .withColumn("__rn", F.row_number().over(w_coarse))
+        .filter(F.col("__rn") <= n_probe_coarse)
+    )
+    # fine probe inside each probed coarse cell: the n_probe_fine
+    # best (sq, fine_id) structs of the already-computed score array
+    probed = probed_coarse.select(
+        "query_id",
+        F.col(vec_col).alias("__qv"),
+        norm(vec_col).alias("__qn"),
+        "coarse_cell",
+        F.explode(
+            F.slice(F.array_sort(F.col("__scored")), 1, n_probe_fine)
+        ).alias("__f"),
+    ).select(
+        "query_id", "__qv", "__qn", "coarse_cell",
+        F.col("__f.fine_id").alias("fine_id"),
+    )
+    cand = (
+        assigned.join(corpus.select(id_col, vec_col), id_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            norm(vec_col).alias("__cn"),
+            "coarse_cell",
+            "fine_id",
+        )
+        .join(F.broadcast(probed), ["coarse_cell", "fine_id"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_hoisted("__qv", "__cv", "__qn", "__cn"), 6
+            ).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w_rank)).filter(
+        F.col("rank") <= k
+    )

@@ -583,3 +583,96 @@ def q93_hier_kmeans(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     assigned, _ = hier_kmeans_fit(emb, k_coarse=8, k_fine=4, n_iter=2)
     return assigned
+
+
+def _hier_ivf_oracle_sql(
+    k_coarse: int = 8,
+    k_fine: int = 4,
+    n_iter: int = 2,
+    dim: int = 64,
+    n_probe_coarse: int = 2,
+    n_probe_fine: int = 2,
+    topk: int = 5,
+) -> str:
+    """q94 replay: q93's two-level fit, then the hierarchical probe —
+    coarse cells ranked by their nearest fine centroid, fine cells
+    ranked within each probed coarse cell, candidates re-ranked by
+    exact cosine (the q76 pattern)."""
+    # reuse q93's full CTE chain (coarse + fine levels) verbatim:
+    # take everything between its WITH and its final SELECT
+    hier = _hier_kmeans_oracle_sql(k_coarse, k_fine, n_iter, dim)
+    fine_part = hier.split("WITH", 1)[1].rsplit("SELECT vec_id, CAST(ccell", 1)[0]
+    ctes = [fine_part.rstrip().rstrip(",")]
+    ctes.append(f"""
+    qsq AS (
+      SELECT e.vec_id AS query_id, c.ccell, c.fine, {_HKM_SQ} AS sq
+      FROM embeddings e CROSS JOIN f{n_iter} c,
+           range(1, {dim} + 1) t(i)
+      WHERE e.vec_id < 10
+      GROUP BY e.vec_id, c.ccell, c.fine
+    )""")
+    ctes.append(f"""
+    cprobe AS (
+      SELECT query_id, ccell FROM (
+        SELECT query_id, ccell,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY min(sq), ccell) AS rn
+        FROM qsq GROUP BY query_id, ccell
+      ) WHERE rn <= {n_probe_coarse}
+    )""")
+    ctes.append(f"""
+    fprobe AS (
+      SELECT q.query_id, q.ccell, q.fine FROM (
+        SELECT query_id, ccell, fine,
+               row_number() OVER (PARTITION BY query_id, ccell
+                                  ORDER BY sq, fine) AS rn
+        FROM qsq
+      ) q JOIN cprobe p ON p.query_id = q.query_id AND p.ccell = q.ccell
+      WHERE q.rn <= {n_probe_fine}
+    )""")
+    ctes.append("""
+    hcands AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM fprobe p JOIN fafinal a ON a.ccell = p.ccell AND a.fine = p.fine
+      WHERE a.vec_id <> p.query_id
+    )""")
+    ctes.append("""
+    hscored AS (
+      SELECT query_id, neighbor_id,
+             round(sum(qe * ce) / (sqrt(sum(qe * qe)) * sqrt(sum(ce * ce))), 6) AS cos_sim
+      FROM (
+        SELECT cd.query_id, cd.neighbor_id,
+               CAST(unnest(q.embedding) AS DOUBLE) AS qe,
+               CAST(unnest(c.embedding) AS DOUBLE) AS ce
+        FROM hcands cd
+        JOIN embeddings q ON q.vec_id = cd.query_id
+        JOIN embeddings c ON c.vec_id = cd.neighbor_id
+      ) GROUP BY 1, 2
+    )""")
+    return (
+        "WITH" + ",".join(ctes) + f"""
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM hscored
+    ) WHERE rank <= {topk}
+    """
+    )
+
+
+@register("q94_hier_ivf_topk", oracle=_hier_ivf_oracle_sql())
+def q94_hier_ivf_topk(spark, sf_dir):
+    """ANN top-5 through the hierarchical quantizer (q93's fit):
+    queries probe their 2 nearest coarse cells, the 2 nearest fine
+    cells within each, and exact cosine re-ranks the candidates.
+    Probe work per query is O(k_coarse) + O(n_probe_coarse * k_fine)
+    — flat as effective cell count grows — versus the flat IVF's
+    O(cells). A coarse cell's distance is the distance to its nearest
+    fine centroid, the same argmin the corpus assignment used, so
+    probe geometry and assignment geometry agree. Oracle replays fit,
+    both probe levels, and the re-rank."""
+    from citybikedatawarehouse_spark.operators.clustering import hier_ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hier_ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
