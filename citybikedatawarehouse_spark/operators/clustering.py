@@ -451,3 +451,56 @@ def hier_ivf_topk(
     return cand.withColumn("rank", F.row_number().over(w_rank)).filter(
         F.col("rank") <= k
     )
+
+
+def pq_fit_encode(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization: split each vector into ``m`` contiguous
+    subspaces, Lloyd-fit a ``k``-entry codebook per subspace (all the
+    determinism rules of kmeans_fit), and encode every vector as its
+    m nearest-code ids — the compression layer of a large-scale
+    embedding store (64 float32 dims = 256 B shrink to m code bytes;
+    ANN distance tables then work on codes, not vectors).
+
+    Returns (id, code_0..code_{m-1}, recon_err) where recon_err is
+    the total squared distance to the selected codes (the sum of the
+    per-subspace rounded sq_dists — the quantity PQ minimizes).
+
+    Scale shape: each subspace fit is the shuffle-free kmeans_fit on
+    a SLICED projection (the slice is a narrow per-row expression, so
+    the m fits each scan the corpus once over sub/dim of the bytes);
+    the final m-way join is id-keyed and AQE co-partitions it. The m
+    fits are independent — Spark schedules their jobs concurrently
+    under the same action."""
+    sub = dim // m
+    parts = []
+    for s in range(m):
+        sliced = emb.select(
+            id_col, F.slice(vec_col, s * sub + 1, sub).alias("__sub")
+        )
+        assigned, _ = kmeans_fit(
+            sliced, k=k, n_iter=n_iter, id_col=id_col, vec_col="__sub"
+        )
+        parts.append(
+            assigned.select(
+                id_col,
+                F.col("cluster_id").alias(f"code_{s}"),
+                F.col("sq_dist").alias(f"__err_{s}"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.join(p, id_col)
+    total = F.round(
+        sum(F.col(f"__err_{s}") for s in range(m)), 6
+    ).alias("recon_err")
+    return out.select(
+        id_col, *[f"code_{s}" for s in range(m)], total
+    )

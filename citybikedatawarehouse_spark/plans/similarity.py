@@ -676,3 +676,97 @@ def q94_hier_ivf_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return hier_ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _pq_ctes(s: int, off: int, sub: int, k: int, n_iter: int) -> list[str]:
+    """Per-subspace replay of the sliced kmeans_fit: identical to
+    _kmeans_ctes but indexing embedding[t.i + off] so the slice never
+    materializes. CTE names are s{s}-prefixed."""
+    sq = (
+        f"round(sum((CAST(e.embedding[t.i + {off}] AS DOUBLE) - c.cvec[t.i]) "
+        f"* (CAST(e.embedding[t.i + {off}] AS DOUBLE) - c.cvec[t.i])), 6)"
+    )
+
+    def assign(name: str, cents: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT vec_id, cell, sq FROM (
+        SELECT vec_id, cell, sq,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sq, cell) AS rn
+        FROM (
+          SELECT e.vec_id, c.cell, {sq} AS sq
+          FROM embeddings e CROSS JOIN {cents} c,
+               range(1, {sub} + 1) t(i)
+          GROUP BY e.vec_id, c.cell
+        )
+      ) WHERE rn = 1
+    )"""
+
+    def update(name: str, assigned: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT cell, list(m ORDER BY i) AS cvec FROM (
+        SELECT a.cell, t.i,
+               round(avg(CAST(e.embedding[t.i + {off}] AS DOUBLE)), 6) AS m
+        FROM {assigned} a JOIN embeddings e USING (vec_id),
+             range(1, {sub} + 1) t(i)
+        GROUP BY a.cell, t.i
+      ) GROUP BY cell
+    )"""
+
+    ctes = [
+        f"""
+    s{s}c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+             list_transform(embedding[{off + 1}:{off + sub}],
+                            x -> round(CAST(x AS DOUBLE), 6)) AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    for it in range(n_iter):
+        ctes.append(assign(f"s{s}a{it}", f"s{s}c{it}"))
+        ctes.append(update(f"s{s}c{it + 1}", f"s{s}a{it}"))
+    ctes.append(assign(f"s{s}afinal", f"s{s}c{n_iter}"))
+    return ctes
+
+
+def _pq_oracle_sql(
+    m: int = 4, k: int = 8, n_iter: int = 1, dim: int = 64
+) -> str:
+    sub = dim // m
+    ctes: list[str] = []
+    for s in range(m):
+        ctes.extend(_pq_ctes(s, s * sub, sub, k, n_iter))
+    code_cols = ", ".join(
+        f"CAST(s{s}afinal.cell AS INTEGER) AS code_{s}" for s in range(m)
+    )
+    joins = " ".join(
+        f"JOIN s{s}afinal ON s{s}afinal.vec_id = s0afinal.vec_id"
+        for s in range(1, m)
+    )
+    err = " + ".join(f"s{s}afinal.sq" for s in range(m))
+    return (
+        "WITH" + ",".join(ctes) + f"""
+    SELECT s0afinal.vec_id, {code_cols},
+           round({err}, 6) AS recon_err
+    FROM s0afinal {joins}
+    """
+    )
+
+
+@register("q95_pq_encode", oracle=_pq_oracle_sql())
+def q95_pq_encode(spark, sf_dir):
+    """Product quantization (4 subspaces x 16 dims, 8-entry codebooks,
+    1 Lloyd iteration): every vector compresses to 4 code ids + its
+    reconstruction error — 256 bytes of float32 down to 4 bytes, the
+    storage/shuffle format a 100 TB embedding store actually keeps
+    online (ANN then scans distance tables over codes, touching raw
+    vectors only at re-rank). Each subspace codebook is the
+    shuffle-free kmeans_fit on a sliced projection; the m fits are
+    independent jobs over 1/m of the vector bytes each. Oracle
+    replays all four sub-fits end-to-end."""
+    from citybikedatawarehouse_spark.operators.clustering import pq_fit_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_fit_encode(emb, m=4, k=8, n_iter=1)
