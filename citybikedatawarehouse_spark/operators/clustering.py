@@ -479,13 +479,30 @@ def pq_fit_encode(
     the final m-way join is id-keyed and AQE co-partitions it. The m
     fits are independent — Spark schedules their jobs concurrently
     under the same action."""
+    codes, _books = pq_fit(emb, m, k, n_iter, dim, id_col, vec_col)
+    return codes
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """The full PQ model: returns (codes, codebooks) where codes is
+    pq_fit_encode's output and codebooks is one row per
+    (subspace, cell, centroid) — the m*k-row relation ADC search
+    broadcasts to build per-query distance tables."""
     sub = dim // m
-    parts = []
+    parts, books = [], []
     for s in range(m):
         sliced = emb.select(
             id_col, F.slice(vec_col, s * sub + 1, sub).alias("__sub")
         )
-        assigned, _ = kmeans_fit(
+        assigned, cents = kmeans_fit(
             sliced, k=k, n_iter=n_iter, id_col=id_col, vec_col="__sub"
         )
         parts.append(
@@ -495,12 +512,93 @@ def pq_fit_encode(
                 F.col("sq_dist").alias(f"__err_{s}"),
             )
         )
+        books.append(
+            cents.select(
+                F.lit(s).alias("subspace"),
+                F.col("cluster_id").alias("cell"),
+                "centroid",
+            )
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.join(p, id_col)
     total = F.round(
         sum(F.col(f"__err_{s}") for s in range(m)), 6
     ).alias("recon_err")
-    return out.select(
-        id_col, *[f"code_{s}" for s in range(m)], total
+    codes = out.select(id_col, *[f"code_{s}" for s in range(m)], total)
+    allbooks = books[0]
+    for b in books[1:]:
+        allbooks = allbooks.unionByName(b)
+    return codes, allbooks
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    k_codes: int = 8,
+    n_iter: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric distance computation over PQ codes — the standard
+    PQ query path: each query builds an m*k_codes distance table
+    (exact squared distance of its subspace slices to every codebook
+    entry), and a corpus vector's approximate distance is the SUM of
+    m table lookups selected by its stored codes. No raw corpus
+    vector is ever touched at query time — the scan reads m small
+    int codes per vector, which is the whole point of PQ at 100 TB
+    (the 64x-compressed code table is what stays hot).
+
+    Plan: codes posexplode to (id, subspace, code) and join the
+    BROADCAST distance tables on (subspace, cell); the per-(query,
+    neighbor) sum is map-side combinable. Rounding: table entries
+    round to 6 (cross-engine bit-stable), the m-term sum rounds to 6
+    again — same order-insensitive arithmetic the oracle replays."""
+    sub = dim // m
+    codes, books = pq_fit(
+        corpus, m, k_codes, n_iter, dim, id_col, vec_col
+    )
+    qd_dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                _as_double(
+                    F.slice(
+                        F.col(vec_col),
+                        F.col("subspace") * sub + 1,
+                        sub,
+                    )
+                ),
+                F.col("centroid"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    qd = (
+        queries.select(F.col(id_col).alias("query_id"), vec_col)
+        .crossJoin(books)
+        .select("query_id", "subspace", "cell", qd_dist.alias("__d"))
+    )
+    cc = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(
+            F.array(*[f"code_{s}" for s in range(m)])
+        ).alias("subspace", "cell"),
+    )
+    approx = (
+        cc.join(F.broadcast(qd), ["subspace", "cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("__d"), 6).alias("approx_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return approx.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )

@@ -770,3 +770,67 @@ def q95_pq_encode(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return pq_fit_encode(emb, m=4, k=8, n_iter=1)
+
+
+def _pq_adc_oracle_sql(
+    m: int = 4, k: int = 8, n_iter: int = 1, dim: int = 64, topk: int = 5
+) -> str:
+    sub = dim // m
+    ctes: list[str] = []
+    for s in range(m):
+        ctes.extend(_pq_ctes(s, s * sub, sub, k, n_iter))
+    books = " UNION ALL ".join(
+        f"SELECT {s} AS subspace, cell, cvec FROM s{s}c{n_iter}"
+        for s in range(m)
+    )
+    codes = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS subspace, cell FROM s{s}afinal"
+        for s in range(m)
+    )
+    ctes.append(f"""
+    books AS ({books})""")
+    ctes.append(f"""
+    qcodes AS ({codes})""")
+    ctes.append(f"""
+    qd AS (
+      SELECT q.vec_id AS query_id, b.subspace, b.cell,
+             round(sum((CAST(q.embedding[t.i + b.subspace * {sub}] AS DOUBLE) - b.cvec[t.i])
+                       * (CAST(q.embedding[t.i + b.subspace * {sub}] AS DOUBLE) - b.cvec[t.i])), 6) AS d
+      FROM embeddings q CROSS JOIN books b,
+           range(1, {sub} + 1) t(i)
+      WHERE q.vec_id < 10
+      GROUP BY 1, 2, 3
+    )""")
+    ctes.append("""
+    approx AS (
+      SELECT qd.query_id, c.vec_id AS neighbor_id,
+             round(sum(qd.d), 6) AS approx_dist
+      FROM qcodes c JOIN qd ON qd.subspace = c.subspace AND qd.cell = c.cell
+      WHERE c.vec_id <> qd.query_id
+      GROUP BY 1, 2
+    )""")
+    return (
+        "WITH" + ",".join(ctes) + f"""
+    SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT query_id, neighbor_id, approx_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_dist, neighbor_id) AS rank
+      FROM approx
+    ) WHERE rank <= {topk}
+    """
+    )
+
+
+@register("q96_pq_adc_topk", oracle=_pq_adc_oracle_sql())
+def q96_pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance top-5 over PQ codes (q95's model): each
+    query builds a 4x8 distance table against the subspace codebooks;
+    a corpus vector's approximate distance is the sum of 4 table
+    lookups selected by its stored codes — query-time scans touch
+    only the compressed code table, never raw vectors. Oracle replays
+    codebook training, encoding, the distance tables, and the ranked
+    lookup sum end-to-end."""
+    from citybikedatawarehouse_spark.operators.clustering import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
