@@ -138,3 +138,52 @@ def test_hier_kmeans_partitions_and_respects_coarse(spark, sf_dir):
     # every fine centroid belongs to an existing coarse cell
     cells = {r["coarse_cell"] for r in fines.select("coarse_cell").distinct().collect()}
     assert cells <= {r["coarse_cell"] for r in assigned.select("coarse_cell").distinct().collect()}
+
+
+def test_pq_adc_self_distance_is_recon_err(spark, sf_dir):
+    """ADC consistency identity: looking up a vector's OWN codes in
+    its own distance table must reproduce exactly its reconstruction
+    error (sum of per-subspace distances to its selected codes) —
+    ties the q95 encode output and the q96 table math together."""
+    from citybikedatawarehouse_spark.operators.clustering import pq_fit
+    from citybikedatawarehouse_spark.functions.vectors import _as_double
+    from citybikedatawarehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, books = pq_fit(emb, m=4, k=8, n_iter=1)
+    sub = 16
+    qd_dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                _as_double(
+                    F.slice(F.col("embedding"), F.col("subspace") * sub + 1, sub)
+                ),
+                F.col("centroid"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    qd = (
+        emb.select(F.col("vec_id").alias("query_id"), "embedding")
+        .crossJoin(books)
+        .select("query_id", "subspace", "cell", qd_dist.alias("d"))
+    )
+    own = codes.select(
+        F.col("vec_id").alias("query_id"),
+        "recon_err",
+        F.posexplode(F.array("code_0", "code_1", "code_2", "code_3")).alias(
+            "subspace", "cell"
+        ),
+    )
+    self_dist = (
+        own.join(qd, ["query_id", "subspace", "cell"])
+        .groupBy("query_id", "recon_err")
+        .agg(F.round(F.sum("d"), 6).alias("adc_self"))
+    )
+    mismatch = self_dist.filter(
+        F.abs(F.col("adc_self") - F.col("recon_err")) > 1e-9
+    ).count()
+    assert mismatch == 0
