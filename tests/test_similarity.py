@@ -118,3 +118,22 @@ def test_ivf_deterministic(emb):
     a = sorted(map(str, ivf_ann_topk(emb, queries, k=3, n_centroids=20).collect()))
     b = sorted(map(str, ivf_ann_topk(emb, queries, k=3, n_centroids=20).collect()))
     assert a == b
+
+
+def test_hier_ivf_recall(emb):
+    """Hierarchical IVF (L2 quantizer, 2-of-5 coarse x 2-of-4 fine
+    probes): recall vs brute force on the fixture is deterministic —
+    measured 0.84; the floor leaves margin for parameter tweaks but
+    catches a broken probe path (which craters to ~0.1)."""
+    from citybikedatawarehouse_spark.operators.clustering import hier_ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    ann = hier_ivf_topk(
+        emb, queries, k=5, k_coarse=5, k_fine=4, n_iter=2,
+        n_probe_coarse=2, n_probe_fine=2,
+    ).collect()
+    ann_pairs = {(r["query_id"], r["neighbor_id"]) for r in ann}
+    brute = brute_force_topk(emb, queries, k=5).collect()
+    brute_pairs = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    recall = len(ann_pairs & brute_pairs) / len(brute_pairs)
+    assert recall >= 0.6
