@@ -44,12 +44,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. the round-1 cohort — queries whose newest driver evidence
 #      is CORRECTNESS_r01, refreshed so no query's evidence is more
 #      than two rounds old. The head slots taken by the new queries
-#      push the cohort's last fourteen (q32b/q41/q07/q36b/q11/q16/
-#      q21/q34b/q44/q04/q35b/q19/q50/q65; q21 is also re-run by
+#      push the cohort's last fifteen (q24/q32b/q41/q07/q36b/q11/
+#      q16/q21/q34b/q44/q04/q35b/q19/q50/q65; q21 is also re-run by
 #      bench every round) plus the three continuously-exercised
 #      bench headliners (q05/q03/q01: re-proven every round by bench
 #      + plan tests + the entry() smoke) past slot 50 — those
-#      seventeen go FIRST next round,
+#      eighteen go FIRST next round,
 #   4. everything else, least-recently-verified first.
 # Every name is asserted against the registry at import time (see
 # the assert after the list).
@@ -60,7 +60,7 @@ _SWEEP_PRIORITY = [
     "q87_unigram_logprob", "q79_matryoshka_truncate",
     "q88_semantic_dedup", "q89_split_leakage", "q92_curation_e2e",
     "q93_hier_kmeans", "q94_hier_ivf_topk", "q95_pq_encode",
-    "q96_pq_adc_topk",
+    "q96_pq_adc_topk", "q97_mixture_sample",
     # -- changed in round 4 --
     "q62_minhash_lsh", "q64_dedup_clusters", "q74_ivf_ann_topk",
     "q82_frame_sample",

@@ -625,3 +625,87 @@ def q92_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tok").alias("bin_tokens"),
     )
+
+
+@register(
+    "q97_mixture_sample",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok,
+             ('0x' || substr(md5('mix:' || doc_id), 1, 8))::BIGINT % 1000000 AS tick
+      FROM documents
+    ),
+    totals AS (
+      SELECT source, CAST(sum(tok) AS BIGINT) AS src_tokens,
+             CAST(sum(sum(tok)) OVER () AS BIGINT) AS corpus_tokens,
+             CAST(count(*) OVER () AS BIGINT) AS n_sources
+      FROM toks GROUP BY source
+    ),
+    rates AS (
+      SELECT source, src_tokens,
+             CAST(least(1.0, (corpus_tokens * 0.5 / n_sources) / src_tokens)
+                  * 1000000 AS BIGINT) AS thresh
+      FROM totals
+    )
+    SELECT t.source,
+           r.src_tokens,
+           CAST(count(*) FILTER (WHERE t.tick < r.thresh) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(tok) FILTER (WHERE t.tick < r.thresh), 0) AS BIGINT)
+             AS kept_tokens
+    FROM toks t JOIN rates r USING (source)
+    GROUP BY t.source, r.src_tokens
+    """,
+)
+def q97_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing: hit a token budget (50% of the
+    corpus) with EQUAL token share per source — the mixture-weighting
+    step of training-data assembly ("each source contributes its
+    target share, oversized sources downsample, undersized ones keep
+    everything"). Per-source accept rate = min(1, target/src_tokens),
+    applied as a deterministic md5 tick threshold (same integer
+    threshold both engines: the double rate is computed by the
+    identical formula, scaled, and truncated), so membership is
+    reproducible and the mixture never resamples already-shipped
+    docs on rerun. Emits the per-source audit (kept counts/tokens vs
+    the source's total).
+
+    Plan shape: one scan -> per-source token agg (tiny) -> window
+    grand totals on the agg -> broadcast the rates back -> one
+    filtered re-aggregation. The corpus is scanned twice (stats pass
+    + apply pass) — the unavoidable two-phase shape of
+    budget-targeting; at 100 TB the stats pass reads only (source,
+    token-count) columns."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        word_count("text").alias("tok"),
+        _md5_tick("mix:", "doc_id", 1_000_000).alias("tick"),
+    )
+    totals = d.groupBy("source").agg(F.sum("tok").alias("src_tokens"))
+    w = Window.partitionBy()
+    rates = totals.select(
+        "source",
+        "src_tokens",
+        (
+            F.least(
+                F.lit(1.0),
+                (F.sum("src_tokens").over(w) * 0.5 / F.count(F.lit(1)).over(w))
+                / F.col("src_tokens"),
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("thresh"),
+    )
+    kept = F.col("tick") < F.col("thresh")
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source", "src_tokens")
+        .agg(
+            F.sum(kept.cast("bigint")).alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(kept, F.col("tok"))), F.lit(0)
+            ).cast("bigint").alias("kept_tokens"),
+        )
+    )
