@@ -36,8 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness sweep records the FIRST 50 entries of
 # this dict, in dict order — so dict order decides which queries
 # reach the hard gate each round. Round-4 priority order:
-#   1. the fifteen queries NEW in round 4 (curation suite q78/q79/
-#      q83-q89/q92/q97, hierarchical+PQ ANN q93-q96) — never
+#   1. the sixteen queries NEW in round 4 (curation suite q78/q79/
+#      q83-q89/q92/q97/q98, hierarchical+PQ ANN q93-q96) — never
 #      driver-verified, highest value,
 #   2. queries whose implementation CHANGED in round 4: q62/q64
 #      (16x2 banding + window-count caps + fused verify), q74
@@ -47,9 +47,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #      gate even though the local DuckDB twin re-proved all of them
 #      this round,
 #   3. the round-1 cohort — queries whose newest driver evidence is
-#      CORRECTNESS_r01. The 24 head slots push the cohort's tail
-#      (q20/q23/q06/q13/q14/q24/q32b/q41/q07/q36b/q11/q16/q21/q34b/
-#      q44/q04/q35b/q19/q50/q65) plus the three continuously-
+#      CORRECTNESS_r01. The 25 head slots push the cohort's tail
+#      (q51/q20/q23/q06/q13/q14/q24/q32b/q41/q07/q36b/q11/q16/q21/
+#      q34b/q44/q04/q35b/q19/q50/q65) plus the three continuously-
 #      exercised bench headliners (q05/q03/q01: re-proven every
 #      round by bench + plan tests + the entry() smoke) past slot
 #      50 — that deferred set goes FIRST next round; all of them
@@ -65,7 +65,7 @@ _SWEEP_PRIORITY = [
     "q87_unigram_logprob", "q79_matryoshka_truncate",
     "q88_semantic_dedup", "q89_split_leakage", "q92_curation_e2e",
     "q93_hier_kmeans", "q94_hier_ivf_topk", "q95_pq_encode",
-    "q96_pq_adc_topk", "q97_mixture_sample",
+    "q96_pq_adc_topk", "q97_mixture_sample", "q98_length_buckets",
     # -- changed in round 4 --
     "q62_minhash_lsh", "q64_dedup_clusters", "q74_ivf_ann_topk",
     "q82_frame_sample",

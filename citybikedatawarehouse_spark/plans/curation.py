@@ -709,3 +709,51 @@ def q97_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("kept_tokens"),
         )
     )
+
+
+@register(
+    "q98_length_buckets",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT), 1) AS tok
+      FROM documents
+    )
+    SELECT CAST(floor(log2(tok)) AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(min(tok) AS BIGINT) AS min_tok,
+           CAST(max(tok) AS BIGINT) AS max_tok,
+           CAST(sum(tok) AS BIGINT) AS sum_tok,
+           CAST(count(*) * max(tok) - sum(tok) AS BIGINT) AS padding_waste
+    FROM toks
+    GROUP BY 1
+    """,
+)
+def q98_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: documents grouped into
+    power-of-two token-length buckets (bucket = floor(log2(tokens)))
+    with the padding waste each bucket would pay if batched to its
+    max length — the accounting behind bucketed batch assembly for
+    inference and non-packed training (padding cost is the quantity
+    the bucketing minimizes vs one global max-length batch).
+
+    Log-width buckets instead of ntile quantiles on purpose: a
+    quantile bucketing needs a global sort (single-task bottleneck)
+    or approximate quantiles (not bit-reproducible cross-engine);
+    floor(log2) is a pure per-row expression — no shuffle beyond the
+    final aggregate, deterministic everywhere, and bucket ids are
+    stable as the corpus grows (a doc never changes bucket when data
+    is added, unlike quantiles)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = F.greatest(word_count("text"), F.lit(1))
+    return (
+        d.select(F.floor(F.log2(tok)).cast("bigint").alias("bucket"), tok.alias("tok"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("tok").alias("min_tok"),
+            F.max("tok").alias("max_tok"),
+            F.sum("tok").alias("sum_tok"),
+            (F.count(F.lit(1)) * F.max("tok") - F.sum("tok")).alias("padding_waste"),
+        )
+    )
