@@ -35,69 +35,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness sweep records the FIRST 50 entries of
 # this dict, in dict order — so dict order decides which queries
-# reach the hard gate each round. Round-4 priority order:
-#   1. the sixteen queries NEW in round 4 (curation suite q78/q79/
-#      q83-q89/q92/q97/q98, hierarchical+PQ ANN q93-q96) — never
-#      driver-verified, highest value,
-#   2. queries whose implementation CHANGED in round 4: q62/q64
-#      (16x2 banding + window-count caps + fused verify), q74
-#      (null-id filter), q82 (vectorized chunking), and the
-#      cosine-hoist + shuffle-free-assign rework that touched
-#      q70/q71/q72/q75/q76 — changed code must re-face the official
-#      gate even though the local DuckDB twin re-proved all of them
-#      this round,
-#   3. the round-1 cohort — queries whose newest driver evidence is
-#      CORRECTNESS_r01. The 25 head slots push the cohort's tail
-#      (q51/q20/q23/q06/q13/q14/q24/q32b/q41/q07/q36b/q11/q16/q21/
-#      q34b/q44/q04/q35b/q19/q50/q65) plus the three continuously-
-#      exercised bench headliners (q05/q03/q01: re-proven every
-#      round by bench + plan tests + the entry() smoke) past slot
-#      50 — that deferred set goes FIRST next round; all of them
-#      remain green in this session's local sf0.01 sweep and the
-#      pytest sf0.001 parity run,
-#   4. everything else, least-recently-verified first.
+# reach the hard gate each round. Round-5 priority order (per the
+# round-4 VERDICT's explicit ask, item 3):
+#   1. the 24 queries whose newest driver evidence was still
+#      CORRECTNESS_r01 after round 4 — the head slots were promised
+#      to them; after this sweep no query's driver evidence is older
+#      than r04,
+#   2. queries NEW or CHANGED in round 5: q110 (new pack-then-split
+#      segments), q88 (anchor-capped pair sweep + checkpointed fit
+#      input), q97 (explicit floor on both engines), q83/q92
+#      (pack_assignments now carries `cum`), q75/q76/q93-q96
+#      (warning-free kmeans_init seed numbering; q96 also the pinned
+#      ADC broadcast) — changed code must re-face the official gate,
+#   3. everything else, least-recently-verified first (r02/r03
+#      evidence, then the r04-verified block).
 # Every name is asserted against the registry at import time (see
 # the assert after the list).
 _SWEEP_PRIORITY = [
-    # -- new in round 4 (curation suite + hierarchical/PQ ANN) --
-    "q78_embedding_quantize", "q83_sequence_pack", "q84_dataset_split",
-    "q85_repetition_filter", "q86_incremental_dedup",
-    "q87_unigram_logprob", "q79_matryoshka_truncate",
-    "q88_semantic_dedup", "q89_split_leakage", "q92_curation_e2e",
-    "q93_hier_kmeans", "q94_hier_ivf_topk", "q95_pq_encode",
-    "q96_pq_adc_topk", "q97_mixture_sample", "q98_length_buckets",
-    # -- changed in round 4 --
-    "q62_minhash_lsh", "q64_dedup_clusters", "q74_ivf_ann_topk",
-    "q82_frame_sample",
-    "q70_cosine_topk", "q71_cosine_neardup", "q72_lsh_ann_topk",
+    # -- 1. the r01-evidence cohort (deferred from r04, head slots) --
+    "q01_pricing_summary", "q03_topk_revenue", "q04_exists_priority",
+    "q05_region_volume", "q06_predicate_revenue", "q07_left_join_enrich",
+    "q11_keyed_dedup_first", "q13_union_distinct", "q14_intersect",
+    "q16_except_all", "q19_window_lag_lead", "q20_window_rank_suite",
+    "q21_cube", "q23_grouping_sets", "q24_count_distinct",
+    "q32b_shipmode_priority", "q34b_nation_trade_volume",
+    "q35b_returned_item_ranking", "q36b_large_order_customers",
+    "q41_date_dim_build", "q44_speed_coercion", "q50_string_funcs",
+    "q51_json_extract", "q65_winnow_fingerprint",
+    # -- 2. new or changed in round 5 --
+    "q110_pack_segments",
+    "q88_semantic_dedup", "q97_mixture_sample",
+    "q83_sequence_pack", "q92_curation_e2e",
     "q75_kmeans", "q76_ivf_kmeans_topk",
-    # -- round-1 cohort (stalest evidence first this round) --
-    "q26_sort_limit_topk", "q56b_text_normalize", "q52_token_count",
-    "q60_exact_dedup", "q43_haversine", "q54_language_id",
-    "q29_pk_uniqueness", "q40_dim_build", "q42_fact_derived_keys",
-    "q53_quality_score", "q10_distinct_dedup", "q25_agg_stats",
-    "q09_anti_join", "q30_fk_orphans", "q12_union_all", "q15_except",
-    "q22_rollup", "q17_window_topk_per_group", "q08_semi_join",
-    "q02_filter_pushdown", "q18_window_running_sum", "q55_fingerprint",
-    "q27_pivot", "q33b_promo_revenue_share", "q31_range_join",
-    "q51_json_extract", "q20_window_rank_suite", "q23_grouping_sets",
-    "q06_predicate_revenue", "q13_union_distinct", "q14_intersect",
-    "q24_count_distinct", "q32b_shipmode_priority", "q41_date_dim_build",
-    "q07_left_join_enrich", "q36b_large_order_customers",
-    "q11_keyed_dedup_first", "q16_except_all", "q21_cube",
-    "q34b_nation_trade_volume", "q44_speed_coercion",
-    "q04_exists_priority", "q35b_returned_item_ranking",
-    "q19_window_lag_lead", "q50_string_funcs", "q65_winnow_fingerprint",
-    "q05_region_volume", "q03_topk_revenue", "q01_pricing_summary",
-    # -- driver-verified in rounds 2-3 --
+    "q93_hier_kmeans", "q94_hier_ivf_topk",
+    "q95_pq_encode", "q96_pq_adc_topk",
+    # -- 3. least-recently-verified (r02/r03 evidence) --
     "q77_zorder_key", "q48_array_agg",
     "q61_ngram_jaccard", "q38_asof_join", "q39_asof_join_bucketed",
-    "q68_tfidf_topterms",
-    "q69_decontaminate",
+    "q68_tfidf_topterms", "q69_decontaminate",
     "q49_posexplode", "q91_running_totals_batch",
     "q47_conditionals", "q56_map_ops", "q57_struct_ops",
     "q66_quality_filter_pipeline", "q67_stratified_sample",
-    "q73_embedding_stats", "q32_date_parts", "q33_time_parts",
+    "q73_embedding_stats",
+    # ---- slot-50 boundary falls in this r03 block ----
+    "q32_date_parts", "q33_time_parts",
     "q81_multimodal_features", "q59_cross_join",
     "q106_salted_aggregate", "q28b_approx_aggregates",
     "q80_multimodal_decode", "q35_tumbling_window",
@@ -106,10 +87,24 @@ _SWEEP_PRIORITY = [
     "q58_unpivot", "q45_math_suite", "q105_smoke_limit",
     "q46_datetime_suite", "q102_in_subquery",
     "q101_correlated_exists", "q100_scalar_subquery",
-    "q104_above_group_avg",
-    "q103_cte_pipeline",
-    "q108_scd2_merge", "q109_compaction",
-    "q63_simhash_neardup",
+    "q104_above_group_avg", "q103_cte_pipeline",
+    "q108_scd2_merge", "q109_compaction", "q63_simhash_neardup",
+    # -- r04-verified block (freshest evidence, tail) --
+    "q78_embedding_quantize", "q84_dataset_split",
+    "q85_repetition_filter", "q86_incremental_dedup",
+    "q87_unigram_logprob", "q79_matryoshka_truncate",
+    "q89_split_leakage", "q98_length_buckets",
+    "q62_minhash_lsh", "q64_dedup_clusters", "q74_ivf_ann_topk",
+    "q82_frame_sample",
+    "q70_cosine_topk", "q71_cosine_neardup", "q72_lsh_ann_topk",
+    "q26_sort_limit_topk", "q56b_text_normalize", "q52_token_count",
+    "q60_exact_dedup", "q43_haversine", "q54_language_id",
+    "q29_pk_uniqueness", "q40_dim_build", "q42_fact_derived_keys",
+    "q53_quality_score", "q10_distinct_dedup", "q25_agg_stats",
+    "q09_anti_join", "q30_fk_orphans", "q12_union_all", "q15_except",
+    "q22_rollup", "q17_window_topk_per_group", "q08_semi_join",
+    "q02_filter_pushdown", "q18_window_running_sum", "q55_fingerprint",
+    "q27_pivot", "q33b_promo_revenue_share", "q31_range_join",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

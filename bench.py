@@ -42,11 +42,26 @@ HEADLINE = [
     "q108_scd2_merge",
 ]
 
+# the round-1 baseline benched exactly these 13; rounds add queries
+# to HEADLINE for regression visibility, so the raw total is not
+# comparable across rounds — value_r1_subset is
+R1_SUBSET = [
+    "q01_pricing_summary", "q03_topk_revenue", "q05_region_volume",
+    "q17_window_topk_per_group", "q21_cube", "q34_epoch_duration",
+    "q35_tumbling_window", "q38_asof_join", "q60_exact_dedup",
+    "q61_ngram_jaccard", "q62_minhash_lsh", "q70_cosine_topk",
+    "q82_frame_sample",
+]
+
 # every headline name must resolve — a renamed query must fail here,
 # not silently drop out of the bench (the in-loop `continue` guard
-# only protects a PARTIAL registry import)
+# only protects a PARTIAL registry import); and the r1 subset must
+# stay inside HEADLINE, else value_r1_subset silently shrinks and
+# cross-round comparability is gone
 _missing = [q for q in HEADLINE if q not in QUERIES]
 assert not _missing, f"HEADLINE names not in registry: {_missing}"
+_drifted = [q for q in R1_SUBSET if q not in HEADLINE]
+assert not _drifted, f"R1_SUBSET names not in HEADLINE: {_drifted}"
 
 
 def _calibrate() -> float:
@@ -89,16 +104,6 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    # the round-1 baseline benched exactly these 13; rounds add
-    # queries to HEADLINE for regression visibility, so the raw
-    # total is not comparable across rounds — value_r1_subset is
-    R1_SUBSET = [
-        "q01_pricing_summary", "q03_topk_revenue", "q05_region_volume",
-        "q17_window_topk_per_group", "q21_cube", "q34_epoch_duration",
-        "q35_tumbling_window", "q38_asof_join", "q60_exact_dedup",
-        "q61_ngram_jaccard", "q62_minhash_lsh", "q70_cosine_topk",
-        "q82_frame_sample",
-    ]
     print(
         json.dumps(
             {
@@ -106,7 +111,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "value_r1_subset": round(
-                    sum(timings.get(q, 0.0) for q in R1_SUBSET), 4
+                    sum(timings[q] for q in R1_SUBSET), 4
                 ),
                 "queries": timings,
                 "sf": sf,

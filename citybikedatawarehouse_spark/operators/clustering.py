@@ -36,12 +36,23 @@ def _round6(arr):
 def kmeans_init(emb: DataFrame, k: int, id_col: str, vec_col: str) -> DataFrame:
     """Deterministic seeding: the k lowest-id vectors, numbered
     0..k-1 in id order. TakeOrdered collects nothing to the driver —
-    the limit stays in the plan (k rows cross the final exchange)."""
-    seed = emb.orderBy(id_col).limit(k)
-    return seed.select(
-        (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cluster_id"),
-        _round6(_as_double(vec_col)).alias("centroid"),
+    the limit stays in the plan (k rows cross the final exchange).
+
+    Numbering is collect_list -> array_sort -> posexplode on the
+    already-limited k rows rather than an unpartitioned row_number
+    window: same values, but the bench/test tail stays free of
+    `WindowExec: No Partition Defined` warnings, so a REAL
+    unpartitioned window sneaking onto a data path is visible instead
+    of drowned by k-row seeding noise."""
+    seed = emb.orderBy(id_col).limit(k).select(
+        F.col(id_col).alias("__sid"), _round6(_as_double(vec_col)).alias("centroid")
     )
+    packed = seed.agg(
+        F.array_sort(F.collect_list(F.struct("__sid", "centroid"))).alias("__s")
+    )
+    return packed.select(
+        F.posexplode("__s").alias("cluster_id", "__e")
+    ).select("cluster_id", F.col("__e.centroid").alias("centroid"))
 
 
 def kmeans_assign(
@@ -579,9 +590,12 @@ def pq_adc_topk(
         ),
         6,
     )
+    # books is m*k_codes rows — broadcast explicitly (AQE would
+    # usually rescue the plan, but the hint costs nothing and pins it,
+    # matching the ADC lookup join below)
     qd = (
         queries.select(F.col(id_col).alias("query_id"), vec_col)
-        .crossJoin(books)
+        .crossJoin(F.broadcast(books))
         .select("query_id", "subspace", "cell", qd_dist.alias("__d"))
     )
     cc = codes.select(

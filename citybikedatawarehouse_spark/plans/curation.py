@@ -50,9 +50,21 @@ def pack_assignments(
     """Doc-level packing assignment (the shared core of
     q83_sequence_pack and the packed-corpus export writer): appends
     ``tok`` (whitespace token count), ``shard`` (md5 hash mod
-    n_shards), ``ord_key`` (md5 shuffle order within the shard) and
-    ``bin_id`` (which budget-sized training sequence the doc's first
-    token lands in). One shuffle, keyed by shard."""
+    n_shards), ``ord_key`` (md5 shuffle order within the shard),
+    ``cum`` (running token total through this doc within the shard)
+    and ``bin_id`` (which budget-sized training sequence the doc's
+    FIRST token lands in). One shuffle, keyed by shard.
+
+    Invariant (first-token assignment, one row per doc): within a
+    shard, ordered by (ord_key, id), bin ids are non-decreasing and
+    start at 0, but they are NOT dense — a doc with tok > budget
+    spans several budget windows, and the windows it covers entirely
+    contain no doc *start*, so the next doc's bin skips them
+    (precisely: bin[i+1] - bin[i] = g >= 2 implies tok[i] >
+    (g-1)*budget). Callers that need dense bins with exact budget
+    fill — i.e. the actual token-stream cuts — use
+    ``pack_segments``, which splits each doc into one row per budget
+    window it overlaps."""
     d = docs.select(
         "*",
         word_count(text_col).alias("tok"),
@@ -66,9 +78,48 @@ def pack_assignments(
         .orderBy("ord_key", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return d.withColumn(
+    return d.withColumn("cum", F.sum("tok").over(w)).withColumn(
         "bin_id",
-        ((F.sum("tok").over(w) - F.col("tok")) / budget).cast("bigint"),
+        ((F.col("cum") - F.col("tok")) / budget).cast("bigint"),
+    )
+
+
+def pack_segments(
+    docs: DataFrame,
+    budget: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-stream packing segments (true GPT-style "pack then
+    split"): each doc contributes ONE ROW PER BUDGET WINDOW it
+    overlaps in the concatenated shard stream — ``bin_id`` plus
+    ``seg_tok`` (how many of the doc's tokens land in that window).
+
+    Invariants (the ones ``pack_assignments`` deliberately does not
+    have): per shard, bin ids are DENSE from 0, every bin except the
+    shard's last holds exactly ``budget`` tokens, and token totals
+    are conserved (sum(seg_tok) per doc = tok). A doc spanning k
+    windows appears k times; trainers cut sequences exactly at the
+    recorded boundaries.
+
+    Plan: pack_assignments' single shard-keyed window, then a narrow
+    ``explode(sequence(first_bin, last_bin))`` — per-row fan-out is
+    ceil(tok/budget), so corpus-scale blowup is bounded by
+    total_tokens/budget extra rows, never quadratic. No second
+    shuffle."""
+    a = pack_assignments(docs, budget, n_shards, id_col, text_col)
+    first_bin = F.col("bin_id")
+    last_bin = ((F.col("cum") - 1) / budget).cast("bigint")
+    seg = a.withColumn(
+        "seg_bin", F.explode(F.sequence(first_bin, last_bin))
+    )
+    lo = F.greatest(F.col("cum") - F.col("tok"), F.col("seg_bin") * budget)
+    hi = F.least(F.col("cum") - 1, (F.col("seg_bin") + 1) * budget - 1)
+    return (
+        seg.withColumn("seg_tok", (hi - lo + 1).cast("bigint"))
+        .drop("bin_id")
+        .withColumnRenamed("seg_bin", "bin_id")
     )
 
 
@@ -118,6 +169,61 @@ def q83_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("shard", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tok").alias("bin_tokens"),
+    )
+
+
+@register(
+    "q110_pack_segments",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok,
+             md5('pack:' || doc_id) AS ord_key,
+             ('0x' || substr(md5('shard:' || doc_id), 1, 8))::BIGINT % 8 AS shard
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, tok,
+             CAST(sum(tok) OVER (PARTITION BY shard ORDER BY ord_key, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM toks
+    ),
+    segs AS (
+      SELECT shard, tok, cum,
+             unnest(generate_series((cum - tok) // 512, (cum - 1) // 512))
+               AS bin_id
+      FROM packed
+    )
+    SELECT shard, CAST(bin_id AS BIGINT) AS bin_id,
+           count(*) AS n_segs,
+           CAST(sum(least(cum - 1, (bin_id + 1) * 512 - 1)
+                    - greatest(cum - tok, bin_id * 512) + 1) AS BIGINT)
+             AS bin_tokens
+    FROM segs
+    GROUP BY 1, 2
+    """,
+)
+def q110_pack_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level packing manifest (GPT-style pack-THEN-split):
+    the shard token stream is cut every 512 tokens, and a doc
+    overlapping k windows contributes k segments. Unlike q83's
+    doc-level manifest (first-token assignment, bins may skip where
+    a doc spans whole windows), this manifest's bins are dense from
+    0 per shard and every non-final bin holds exactly 512 tokens —
+    the shape a trainer's data loader actually consumes.
+
+    Scale design: same single shard-keyed shuffle as q83; the
+    segment fan-out is a narrow explode bounded by
+    total_tokens/budget extra rows. The reference has no packing op;
+    this is the north-star trainer-export step."""
+    segs = pack_segments(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        budget=512,
+        n_shards=8,
+    )
+    return segs.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum("seg_tok").alias("bin_tokens"),
     )
 
 
@@ -644,8 +750,8 @@ def q92_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     rates AS (
       SELECT source, src_tokens,
-             CAST(least(1.0, (corpus_tokens * 0.5 / n_sources) / src_tokens)
-                  * 1000000 AS BIGINT) AS thresh
+             CAST(floor(least(1.0, (corpus_tokens * 0.5 / n_sources) / src_tokens)
+                        * 1000000) AS BIGINT) AS thresh
       FROM totals
     )
     SELECT t.source,
@@ -665,7 +771,8 @@ def q97_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything"). Per-source accept rate = min(1, target/src_tokens),
     applied as a deterministic md5 tick threshold (same integer
     threshold both engines: the double rate is computed by the
-    identical formula, scaled, and truncated), so membership is
+    identical formula, scaled, and explicitly FLOORED — a bare bigint
+    cast truncates in Spark but rounds in DuckDB), so membership is
     reproducible and the mixture never resamples already-shipped
     docs on rerun. Emits the per-source audit (kept counts/tokens vs
     the source's total).
@@ -683,14 +790,24 @@ def q97_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _md5_tick("mix:", "doc_id", 1_000_000).alias("tick"),
     )
     totals = d.groupBy("source").agg(F.sum("tok").alias("src_tokens"))
-    w = Window.partitionBy()
-    rates = totals.select(
+    # grand totals as a 1-row broadcast joined back to the per-source
+    # agg (not an unpartitioned window: same values on these few
+    # rows, but keeps WindowExec warnings meaningful). The threshold
+    # is FLOORED explicitly on both engines — Spark's bigint cast
+    # truncates while DuckDB's rounds to nearest, so a bare cast can
+    # differ by 1 whenever the scaled rate's fraction is >= 0.5 and a
+    # doc's md5 tick sits exactly on the boundary.
+    grand = totals.agg(
+        F.sum("src_tokens").alias("__corpus_tokens"),
+        F.count(F.lit(1)).alias("__n_sources"),
+    )
+    rates = totals.crossJoin(F.broadcast(grand)).select(
         "source",
         "src_tokens",
-        (
+        F.floor(
             F.least(
                 F.lit(1.0),
-                (F.sum("src_tokens").over(w) * 0.5 / F.count(F.lit(1)).over(w))
+                (F.col("__corpus_tokens") * 0.5 / F.col("__n_sources"))
                 / F.col("src_tokens"),
             )
             * 1_000_000

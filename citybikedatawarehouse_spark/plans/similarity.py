@@ -9,6 +9,7 @@ explicitly (parallel unnest zips element-wise in DuckDB).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from citybikedatawarehouse_spark.plans.catalog import register
@@ -408,19 +409,30 @@ def q76_ivf_kmeans_topk(spark, sf_dir):
 
 
 def _semantic_dedup_oracle_sql(
-    k: int = 16, n_iter: int = 2, dim: int = 64, threshold: float = 0.4
+    k: int = 16,
+    n_iter: int = 2,
+    dim: int = 64,
+    threshold: float = 0.4,
+    anchor_cap: int = 128,
 ) -> str:
     """q88 replay: the shared k-means CTE chain assigns every vector
     to its trained cluster (the semantic blocking key), then any
-    vector with a smaller-id neighbor at cosine >= threshold inside
-    its cluster is dropped (the greedy SemDeDup keep-min rule,
-    closure-free)."""
+    vector with a smaller-id ANCHOR neighbor at cosine >= threshold
+    inside its cluster is dropped (the greedy SemDeDup keep-min rule,
+    closure-free). Anchors = the anchor_cap lowest-id members of the
+    cell — the same skew bound the Spark side applies, so both
+    engines agree on every input."""
     ctes = _kmeans_ctes(k, n_iter, dim)
-    ctes.append("""
+    ctes.append(f"""
     cpairs AS (
       SELECT a1.vec_id AS id_1, a2.vec_id AS id_2, a1.cell
-      FROM afinal a1 JOIN afinal a2
+      FROM (SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY cell
+                                      ORDER BY vec_id) AS rn
+            FROM afinal) a1
+      JOIN afinal a2
         ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
+      WHERE a1.rn <= {anchor_cap}
     )""")
     ctes.append("""
     cscored AS (
@@ -444,54 +456,101 @@ def _semantic_dedup_oracle_sql(
     )
 
 
-@register("q88_semantic_dedup", oracle=_semantic_dedup_oracle_sql())
-def q88_semantic_dedup(spark, sf_dir):
-    """SemDeDup-style semantic deduplication: a trained k-means
-    clustering is the blocking key (vectors can only be near-dups
-    inside one semantic cell), then the greedy keep-min-id rule drops
-    every vector with a smaller-id cluster-mate at cosine >= 0.4.
-    Returns the dropped set (vec_id, cluster_id).
+def semantic_dedup(
+    emb,
+    k: int = 16,
+    n_iter: int = 2,
+    threshold: float = 0.4,
+    anchor_cap: int = 128,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """SemDeDup core (shared by q88 and the skew tests): k-means
+    blocking + greedy keep-min-id drop rule, with the within-cell
+    pair sweep bounded by ``anchor_cap``.
 
-    Scale story: the pair scan is quadratic only WITHIN a cell —
-    cells shrink as k grows (k = corpus/expected-cell-size at 100 TB)
-    — and the scoring join reuses the hoisted-norm single-fold
-    cosine. Versus q71's given-label blocking, the blocking key here
-    is LEARNED, so the operator works on unlabeled corpora; the
-    oracle replays the full fit + pair sweep in SQL."""
+    The cap is the LSH-bucket-cap pattern applied to learned cells:
+    each vector is compared against only the cap lowest-id members
+    ("anchors") of its cell — a ``row_number`` window over
+    ``cluster_id`` that rides the exact exchange the pair join needs,
+    so the bound costs no extra shuffle. Pair volume per cell falls
+    from O(|cell|^2) to O(|cell| * cap): one giant cell (skewed
+    k-means fits ARE common on real embedding corpora) can no longer
+    explode the join. Semantics under the cap: a duplicate pair is
+    detected iff its smaller-id member is an anchor — in the
+    degenerate all-near-identical corpus every vector matches anchor
+    #1 and the dedup is still complete (see
+    tests/test_skew_properties.py); what is sacrificed is only
+    far-tail pairs inside oversized MIXED cells, where callers should
+    raise k (or sub-cluster with hier_kmeans_fit) so cells stay under
+    the cap. The oracle applies the identical rank filter."""
     from citybikedatawarehouse_spark.functions.vectors import cosine_hoisted, norm
     from citybikedatawarehouse_spark.operators.clustering import (
         kmeans_assign,
         kmeans_fit,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
-    # k=16 balances the two costs that pull k in opposite directions:
-    # assignment is O(N*k*dim) while the within-cell pair sweep is
-    # O(N^2/k) — measured at sf0.1: k=8 3.2s, k=16 2.5s, k=24 2.7s.
-    # At scale k grows with the corpus to hold cell size constant.
-    _, cents = kmeans_fit(emb, k=16, n_iter=2)
-    av = kmeans_assign(emb, cents, "vec_id", "embedding")
-    a = av.select(
-        F.col("vec_id").alias("id_1"),
-        F.col("embedding").alias("__v1"),
-        norm("embedding").alias("__n1"),
+    # Lloyd's re-scans the input 2*n_iter+2 times; materialize the
+    # projected (id, vec) relation ONCE so every pass reads executor-
+    # local blocks instead of re-decoding parquet (the clustering
+    # module's own scale note, applied). Measured at sf0.1: 2.72 s ->
+    # 2.57 s, a ~6% win — modest here because the sf0.1 scan is
+    # cheap, but the gap widens with input size since the saved work
+    # is per-scan decode; see PERFORMANCE.md round 5.
+    emb_p = emb.select(id_col, vec_col).localCheckpoint(eager=False)
+    _, cents = kmeans_fit(emb_p, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    av = kmeans_assign(emb_p, cents, id_col, vec_col)
+    w_anchor = Window.partitionBy("cluster_id").orderBy(id_col)
+    av = av.select(
+        id_col,
+        vec_col,
+        "cluster_id",
+        F.row_number().over(w_anchor).alias("__rank"),
+    )
+    a = av.filter(F.col("__rank") <= anchor_cap).select(
+        F.col(id_col).alias("id_1"),
+        F.col(vec_col).alias("__v1"),
+        norm(vec_col).alias("__n1"),
         "cluster_id",
     )
     b = av.select(
-        F.col("vec_id").alias("id_2"),
-        F.col("embedding").alias("__v2"),
-        norm("embedding").alias("__n2"),
+        F.col(id_col).alias("id_2"),
+        F.col(vec_col).alias("__v2"),
+        norm(vec_col).alias("__n2"),
         "cluster_id",
     )
     return (
         a.join(b, "cluster_id")
         .filter(F.col("id_1") < F.col("id_2"))
         .filter(
-            F.round(cosine_hoisted("__v1", "__v2", "__n1", "__n2"), 6) >= 0.4
+            F.round(cosine_hoisted("__v1", "__v2", "__n1", "__n2"), 6)
+            >= threshold
         )
-        .select(F.col("id_2").alias("vec_id"), "cluster_id")
+        .select(F.col("id_2").alias(id_col), "cluster_id")
         .distinct()
     )
+
+
+@register("q88_semantic_dedup", oracle=_semantic_dedup_oracle_sql())
+def q88_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication: a trained k-means
+    clustering is the blocking key (vectors can only be near-dups
+    inside one semantic cell), then the greedy keep-min-id rule drops
+    every vector with a smaller-id anchor cluster-mate at cosine >=
+    0.4. Returns the dropped set (vec_id, cluster_id).
+
+    Scale story: the pair scan is quadratic only WITHIN a cell, and
+    since round 5 it is hard-bounded by the 128-anchor cap (see
+    ``semantic_dedup``) — a skewed fit that lands 10% of a 100 TB
+    corpus in one cell produces O(|cell|*128) pairs, not O(|cell|^2).
+    k=16 balances assignment O(N*k*dim) against the pair sweep
+    O(N^2/k) — measured at sf0.1: k=8 3.2s, k=16 2.5s, k=24 2.7s; at
+    scale k grows with the corpus to hold cell size constant, with
+    hier_kmeans_fit as the subdivide path once flat k saturates.
+    Versus q71's given-label blocking, the blocking key here is
+    LEARNED, so the operator works on unlabeled corpora; the oracle
+    replays the full fit + capped pair sweep in SQL."""
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"))
 
 
 _HKM_SQ = (

@@ -70,18 +70,21 @@ def export_packed_corpus(
     deterministically pre-shuffled token stream, cut every ``budget``
     tokens at the bin boundaries recorded in the rows.
 
-    Layout contract at scale: one task per shard (repartition on the
-    shard key before the partitioned write, so each shard is written
-    by exactly one task as a sorted run, not splintered across
-    writers); readers of a shard subset get directory partition
-    pruning. Shard count = O(cluster cores) keeps tasks parallel and
-    files trainer-sized.
+    Layout contract at scale: one task per shard — RANGE-partitioned
+    on the shard key (``repartitionByRange``), because hash
+    repartitioning n_shards distinct values into n_shards partitions
+    collides shards into shared tasks while other tasks sit empty;
+    range boundaries over the n_shards distinct values give each
+    shard its own writer, so every shard is one sorted run and files
+    stay trainer-sized. Readers of a shard subset get directory
+    partition pruning. Shard count = O(cluster cores) keeps tasks
+    parallel.
     """
     from citybikedatawarehouse_spark.plans.curation import pack_assignments
 
     assigned = pack_assignments(docs, budget, n_shards, id_col, text_col)
     (
-        assigned.repartition(n_shards, "shard")
+        assigned.repartitionByRange(n_shards, "shard")
         .sortWithinPartitions("shard", "bin_id", "ord_key", id_col)
         .write.mode("overwrite")
         .partitionBy("shard")

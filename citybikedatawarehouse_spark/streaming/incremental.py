@@ -18,14 +18,17 @@ foreachBatch makes each micro-batch a normal batch job, so the whole
 dedup plan — including AQE and broadcast of a small state side — is
 the oracle-verified batch plan, executed incrementally.
 
-Epoch replays (failure recovery) are tolerated by routing each
-epoch's survivors to an epoch-keyed subdirectory (the idempotent-sink
-pattern of windows.run_foreach_batch_parquet): a replayed epoch
-overwrites its own output. The state append is NOT transactional
-with the output write on plain parquet — a crash between the two can
-leave a digest recorded whose rows were then overwritten by the
-replay; at scale both writes land in one Delta/Iceberg transaction.
-Re-recorded digests are harmless (dedup state is a set).
+Epoch replays (failure recovery) are tolerated by routing BOTH
+writes to epoch-keyed subdirectories (the idempotent-sink pattern of
+windows.run_foreach_batch_parquet): a replayed epoch overwrites its
+own output AND its own state slice, and the state read excludes the
+current epoch — so a batch can never anti-join against digests its
+own crashed attempt recorded (which would yield an empty "fresh"
+that overwrites the epoch dir holding the real survivors). Both
+writes are idempotent under replay on plain parquet; at scale the
+same loop gains atomicity-per-write from a transactional table
+format (Delta/Iceberg), with the epoch key doubling as the
+partition column.
 """
 
 from __future__ import annotations
@@ -118,22 +121,38 @@ def start_incremental_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
 ):
-    """Start the streaming dedup: survivors append under
-    ``out_dir/epoch=N``, digests accumulate in ``state_dir``.
-    Returns the started query (caller processes/stops)."""
+    """Start the streaming dedup: survivors land under
+    ``out_dir/epoch=N``, digests under ``state_dir/epoch=N``.
+    Returns the started query (caller processes/stops).
+
+    Replay safety: the state READ unions every epoch slice EXCEPT the
+    current one, and both writes are per-epoch overwrites — a batch
+    replayed after a crash between the two writes sees exactly the
+    state its first attempt saw, recomputes the same survivors, and
+    overwrites both directories idempotently (the flat-append shape
+    this replaced could anti-join a replay against its own digests
+    and wipe the epoch's real survivors with an empty write)."""
     spark = docs_stream.sparkSession
 
+    def _state_for(epoch_id: int) -> DataFrame:
+        dirs = []
+        if os.path.isdir(state_dir):
+            dirs = [
+                os.path.join(state_dir, d)
+                for d in os.listdir(state_dir)
+                if d.startswith("epoch=") and d != f"epoch={epoch_id}"
+            ]
+        if not dirs:
+            return spark.createDataFrame([], DIGEST_STATE_SCHEMA)
+        return spark.read.schema(DIGEST_STATE_SCHEMA).parquet(*dirs)
+
     def step(batch_df: DataFrame, epoch_id: int) -> None:
-        if os.path.isdir(state_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(state_dir)
-        ):
-            state = spark.read.schema(DIGEST_STATE_SCHEMA).parquet(state_dir)
-        else:
-            state = spark.createDataFrame([], DIGEST_STATE_SCHEMA)
         fresh = dedup_batch_against_state(
-            batch_df, state, id_col, text_col
+            batch_df, _state_for(epoch_id), id_col, text_col
         ).localCheckpoint()  # two consumers below; don't replay the join
         fresh.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
-        fresh.select("digest").write.mode("append").parquet(state_dir)
+        fresh.select("digest").write.mode("overwrite").parquet(
+            f"{state_dir}/epoch={epoch_id}"
+        )
 
     return docs_stream.writeStream.foreachBatch(step).start()

@@ -27,19 +27,62 @@ def test_sequence_pack_conserves_docs_and_tokens(spark, sf_dir):
     ).first()["t"]
     assert totals["docs"] == n_docs
     assert totals["toks"] == n_toks
-    # greedy pack-then-split: no bin (except possibly each shard's
-    # last) starts beyond the budget boundary it was cut at, so every
-    # bin's id is consistent with a monotone cumsum: ids per shard
-    # are dense from 0
-    per_shard = (
-        manifest.groupBy("shard")
-        .agg(F.min("bin_id").alias("mn"), F.max("bin_id").alias("mx"),
-             F.count(F.lit(1)).alias("n"))
-        .collect()
+    # first-token assignment invariant: per shard, in stream order,
+    # bins are non-decreasing and start at 0; a gap of g >= 2 appears
+    # only right after a doc with tok > (g-1)*budget (an over-budget
+    # doc swallows whole windows, so no doc STARTS there). Dense bins
+    # are pack_segments' contract, not this one's.
+    from pyspark.sql.window import Window
+
+    from citybikedatawarehouse_spark.plans.curation import pack_assignments
+
+    a = pack_assignments(docs.select("doc_id", "text"), 512, 8)
+    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    gaps = a.select(
+        "shard",
+        "bin_id",
+        "tok",
+        F.lag("bin_id").over(w).alias("prev_bin"),
+        F.lag("tok").over(w).alias("prev_tok"),
     )
-    for r in per_shard:
-        assert r["mn"] == 0
-        assert r["n"] == r["mx"] + 1  # dense bin ids: cumsum never skips a bin
+    assert (
+        gaps.filter(F.col("prev_bin").isNotNull())
+        .filter(
+            (F.col("bin_id") < F.col("prev_bin"))
+            | (
+                (F.col("bin_id") - F.col("prev_bin") >= 2)
+                & (
+                    F.col("prev_tok")
+                    <= (F.col("bin_id") - F.col("prev_bin") - 1) * 512
+                )
+            )
+        )
+        .count()
+        == 0
+    )
+    first = a.groupBy("shard").agg(F.min("bin_id").alias("mn")).collect()
+    assert all(r["mn"] == 0 for r in first)
+
+
+def test_pack_segments_manifest_dense_and_exact(spark, sf_dir):
+    """q110 (pack-then-split) manifest: per shard, bins dense from 0,
+    every non-final bin holds exactly 512 tokens, and segment token
+    totals match the corpus total."""
+    m = QUERIES["q110_pack_segments"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("t")
+    ).first()["t"]
+    assert sum(r["bin_tokens"] for r in m) == n_toks
+    shards = {}
+    for r in m:
+        shards.setdefault(r["shard"], {})[r["bin_id"]] = r["bin_tokens"]
+    for fill in shards.values():
+        bins = sorted(fill)
+        assert bins == list(range(len(bins)))
+        for b in bins[:-1]:
+            assert fill[b] == 512
+        assert 1 <= fill[bins[-1]] <= 512
 
 
 def test_dataset_split_is_exhaustive_and_disjoint(spark, sf_dir):

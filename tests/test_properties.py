@@ -52,6 +52,15 @@ def test_zorder_two_cols_codomain_and_equality(spark, pairs):
     assert all(len(ks) == 1 for ks in keys.values())
 
 
+def _toks(t):
+    """Whitespace-split token count, matching functions.textfns.words
+    (split of the trimmed text on \\s+ — empty text still yields [''],
+    i.e. one token, which is what word_count counts)."""
+    import re
+
+    return len(re.split(r"\s+", t.strip()))
+
+
 @PROP
 @given(
     st.lists(
@@ -64,26 +73,88 @@ def test_zorder_two_cols_codomain_and_equality(spark, pairs):
 )
 def test_pack_assignments_conserve_any_corpus(spark, texts):
     """Packing partitions ANY corpus: every doc appears exactly once,
-    token totals conserved, bin ids dense from 0 per shard."""
+    token totals conserved, and every doc's bin equals the Python
+    model's bin — (cumsum - tok) div budget over (ord_key, id) order
+    within the shard. Bins are NOT dense when a doc overruns the
+    budget (a 10-token doc under budget=7 swallows a whole window);
+    the dense/exact-fill invariant belongs to pack_segments, tested
+    below."""
     from citybikedatawarehouse_spark.plans.curation import pack_assignments
 
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    out = pack_assignments(docs, budget=7, n_shards=2).collect()
+    budget = 7
+    out = pack_assignments(docs, budget=budget, n_shards=2).collect()
     assert sorted(r["doc_id"] for r in out) == list(range(len(texts)))
-    # whitespace-split token count, matching functions.textfns.words
-    # (split of the trimmed text on \s+ — empty text still yields [''],
-    # i.e. one token, which is what word_count counts)
-    def toks(t):
-        import re
-
-        return len(re.split(r"\s+", t.strip()))
-
-    assert sum(r["tok"] for r in out) == sum(toks(t) for t in texts)
+    assert sum(r["tok"] for r in out) == sum(_toks(t) for t in texts)
     for shard in {r["shard"] for r in out}:
-        bins = sorted({r["bin_id"] for r in out if r["shard"] == shard})
-        assert bins[0] == 0 and bins == list(range(len(bins)))
+        rows = sorted(
+            (r for r in out if r["shard"] == shard),
+            key=lambda r: (r["ord_key"], r["doc_id"]),
+        )
+        cum = 0
+        prev_bin = None
+        for r in rows:
+            assert r["tok"] == _toks(texts[r["doc_id"]])
+            expect_bin = cum // budget  # bin of the doc's first token
+            cum += r["tok"]
+            assert r["cum"] == cum
+            assert r["bin_id"] == expect_bin
+            # non-decreasing; a gap of g>=2 only after an over-budget doc
+            if prev_bin is not None:
+                g = r["bin_id"] - prev_bin[0]
+                assert g >= 0
+                if g >= 2:
+                    assert prev_bin[1] > (g - 1) * budget
+            prev_bin = (r["bin_id"], r["tok"])
+        assert rows[0]["bin_id"] == 0
+
+
+@PROP
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab "), min_size=0, max_size=30
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_pack_segments_dense_exact_fill_any_corpus(spark, texts):
+    """Segment packing (pack-then-split) holds the invariants
+    pack_assignments deliberately lacks: per shard, bin ids dense
+    from 0, every non-final bin holds exactly budget tokens, token
+    totals conserved, and a doc appears once per budget window it
+    overlaps (ceil-bounded fan-out)."""
+    from citybikedatawarehouse_spark.plans.curation import pack_segments
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    budget = 7
+    out = pack_segments(docs, budget=budget, n_shards=2).collect()
+    assert sum(r["seg_tok"] for r in out) == sum(_toks(t) for t in texts)
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert sorted(per_doc) == list(range(len(texts)))
+    for doc_id, segs in per_doc.items():
+        tok = _toks(texts[doc_id])
+        assert sum(r["seg_tok"] for r in segs) == tok
+        assert len(segs) <= -(-tok // budget) + 1  # spans at most ceil+1 windows
+        bins = sorted(r["bin_id"] for r in segs)
+        assert bins == list(range(bins[0], bins[-1] + 1))  # contiguous
+    for shard in {r["shard"] for r in out}:
+        fill = {}
+        for r in out:
+            if r["shard"] == shard:
+                fill[r["bin_id"]] = fill.get(r["bin_id"], 0) + r["seg_tok"]
+        bins = sorted(fill)
+        assert bins == list(range(len(bins)))  # dense from 0
+        for b in bins[:-1]:
+            assert fill[b] == budget  # exact fill except the last
+        assert 1 <= fill[bins[-1]] <= budget
 
 
 @PROP

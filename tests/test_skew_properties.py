@@ -1,0 +1,120 @@
+"""Adversarial skew tests for the learned-blocking operators: the
+worst case for both semantic dedup (q88) and PQ codebooks is a corpus
+where every embedding is near-identical — k-means collapses to ONE
+cell holding everything, which is exactly the "quadratic within a
+skewed cell" scale-killer the anchor cap exists to bound, and the
+"k_codes > distinct vectors" degeneracy for codebook training (empty
+cells must drop out without poisoning the fit)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _collapsed_corpus(spark, n=60, dim=8):
+    """n near-identical unit-ish vectors (cosine ~1 pairwise): one
+    k-means cell captures the whole corpus."""
+    rows = [
+        (i, [1.0] + [1e-4 * ((i + j) % 3) for j in range(dim - 1)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, VEC_SCHEMA)
+
+
+def test_semantic_dedup_complete_under_one_giant_cell(spark):
+    """Planted giant cluster: every vector lands in one cell, and the
+    anchor cap (set far below the cell size) must still produce a
+    COMPLETE dedup — everything except the min id is dropped, because
+    every vector matches anchor #1. This is the guarantee that the
+    cap bounds the join without silently losing survivors in the
+    degenerate case."""
+    from citybikedatawarehouse_spark.plans.similarity import semantic_dedup
+
+    n = 60
+    emb = _collapsed_corpus(spark, n=n)
+    dropped = semantic_dedup(
+        emb, k=4, n_iter=1, threshold=0.9, anchor_cap=4
+    ).collect()
+    assert sorted(r["vec_id"] for r in dropped) == list(range(1, n))
+    assert {r["cluster_id"] for r in dropped} == {0}  # one giant cell
+
+
+def test_semantic_dedup_anchor_cap_bounds_pairs(spark):
+    """The cap is a real bound, not a heuristic: with anchor_cap=c,
+    the pre-filter pair count in one cell of size n is n*c - c*(c+1)/2
+    (anchors x later ids), never n*(n-1)/2. Verified by counting the
+    capped join's rows with the similarity threshold disabled."""
+    from pyspark.sql.window import Window
+
+    from citybikedatawarehouse_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    n, cap = 40, 3
+    emb = _collapsed_corpus(spark, n=n)
+    _, cents = kmeans_fit(emb, k=2, n_iter=1)
+    av = kmeans_assign(emb, cents, "vec_id", "embedding")
+    w = Window.partitionBy("cluster_id").orderBy("vec_id")
+    av = av.withColumn("__rank", F.row_number().over(w))
+    a = av.filter(F.col("__rank") <= cap).select(
+        F.col("vec_id").alias("id_1"), "cluster_id"
+    )
+    b = av.select(F.col("vec_id").alias("id_2"), "cluster_id")
+    pairs = (
+        a.join(b, "cluster_id").filter(F.col("id_1") < F.col("id_2")).count()
+    )
+    assert pairs == n * cap - cap * (cap + 1) // 2  # 114, not 780
+
+
+def test_pq_degenerate_more_codes_than_distinct_vectors(spark):
+    """k_codes > distinct vectors: the corpus holds 3 distinct
+    vectors (repeated), codebooks ask for 8 entries. Empty cells must
+    drop out of the Lloyd update without error, every vector must
+    still be encoded, and — since each distinct vector can own a
+    code — reconstruction must be exact (recon_err == 0)."""
+    from citybikedatawarehouse_spark.operators.clustering import pq_fit_encode
+
+    base = [
+        [1.0, 0.0, 0.0, 0.0, 2.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0, 0.0, 2.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 2.0, 0.0],
+    ]
+    rows = [(i, base[i % 3]) for i in range(24)]
+    emb = spark.createDataFrame(rows, VEC_SCHEMA)
+    codes = pq_fit_encode(emb, m=2, k=8, n_iter=2, dim=8).collect()
+    assert sorted(r["vec_id"] for r in codes) == list(range(24))
+    assert all(r["recon_err"] == 0.0 for r in codes)
+    # identical vectors must share identical codes
+    by_class = {}
+    for r in codes:
+        by_class.setdefault(r["vec_id"] % 3, set()).add(
+            (r["code_0"], r["code_1"])
+        )
+    assert all(len(s) == 1 for s in by_class.values())
+
+
+def test_pq_adc_search_survives_collapsed_corpus(spark):
+    """ADC search on the all-near-identical corpus: distance tables
+    still build (empty codebook cells dropped), every query gets k
+    ranked neighbors, and ranks are dense 1..k."""
+    from citybikedatawarehouse_spark.operators.clustering import pq_adc_topk
+
+    emb = _collapsed_corpus(spark, n=30, dim=8)
+    out = pq_adc_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=4, m=2, k_codes=8,
+        n_iter=1, dim=8,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(by_q) == {0, 1, 2}
+    assert all(sorted(v) == [1, 2, 3, 4] for v in by_q.values())
