@@ -63,7 +63,9 @@ _SWEEP_PRIORITY = [
     "q41_date_dim_build", "q44_speed_coercion", "q50_string_funcs",
     "q51_json_extract", "q65_winnow_fingerprint",
     # -- 2. new or changed in round 5 --
-    "q110_pack_segments",
+    "q110_pack_segments", "q111_bm25_topk", "q112_doc_chunks",
+    "q113_weighted_sample", "q114_ngram_novelty",
+    "q115_hard_negatives", "q116_dedup_rate_by_source",
     "q88_semantic_dedup", "q97_mixture_sample",
     "q83_sequence_pack", "q92_curation_e2e",
     "q75_kmeans", "q76_ivf_kmeans_topk",

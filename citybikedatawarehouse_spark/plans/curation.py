@@ -874,3 +874,90 @@ def q98_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) * F.max("tok") - F.sum("tok")).alias("padding_waste"),
         )
     )
+
+
+@register(
+    "q113_weighted_sample",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok,
+             ('0x' || substr(md5('wsamp:' || doc_id), 1, 8))::BIGINT % 1000000
+               AS tick
+      FROM documents
+    )
+    SELECT doc_id, tok,
+           round(ln(1000000.0 / (tick + 0.5)) / tok, 9) AS key
+    FROM t
+    ORDER BY key, doc_id LIMIT 100
+    """,
+)
+def q113_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement, weight =
+    token count (Efraimidis-Spirakis exponential sort keys): each doc
+    gets key = Exp(1)/weight with the uniform drawn from its md5 tick
+    — u = (tick+0.5)/1e6, key = ln(1/u)/tok — and the sample is the
+    100 smallest keys. Token-weighted selection is how curation
+    pipelines draw inspection/eval subsets whose TOKEN mass (not doc
+    count) is representative; the md5 tick makes membership a pure
+    function of the id — reproducible across reruns, engines, and
+    partitionings, the same contract as q67/q84.
+
+    Scale shape: a 2-column pruned scan, per-row key arithmetic in
+    codegen, and a TakeOrdered top-k — no global sort, no shuffle
+    beyond the k-row final. Determinism across engines: the key is
+    rounded to 9 decimals BEFORE ranking (ln drifts last-ulp between
+    libm implementations) with a doc_id tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        word_count("text").alias("tok"),
+        _md5_tick("wsamp:", "doc_id", 1_000_000).alias("__tick"),
+    )
+    key = F.round(
+        F.log(F.lit(1000000.0) / (F.col("__tick") + F.lit(0.5)))
+        / F.col("tok"),
+        9,
+    )
+    return (
+        t.select("doc_id", "tok", key.alias("key"))
+        .orderBy("key", "doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "q116_dedup_rate_by_source",
+    oracle="""
+    SELECT source, lang,
+           count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6)
+             AS dup_rate
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def q116_dedup_rate_by_source(spark, sf_dir):
+    """Per-(source, language) duplication audit: exact-duplicate rate
+    = 1 - distinct digests / docs. The triage report a curation run
+    produces BEFORE deduplicating — which feeds are copy-paste-heavy,
+    which languages a crawler double-fetched — so dedup effort and
+    mixture weights (q97) can be set per source instead of corpus-
+    wide.
+
+    Scale shape: digests (32 bytes) aggregate, never raw text (q60's
+    rule); one partial_count + distinct-digest aggregate keyed
+    (source, lang) — Spark plans count(DISTINCT) as a two-phase
+    expand/agg, both phases map-side combinable."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct(F.md5("text")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+    )

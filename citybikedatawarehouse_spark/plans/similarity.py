@@ -893,3 +893,77 @@ def q96_pq_adc_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "q115_hard_negatives",
+    oracle="""
+    WITH expl AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neg_label,
+             CAST(unnest(q.embedding) AS DOUBLE) AS qe,
+             CAST(unnest(c.embedding) AS DOUBLE) AS ce
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id < 10 AND q.label <> c.label
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, neg_label,
+             round(sum(qe * ce) / (sqrt(sum(qe * qe)) * sqrt(sum(ce * ce))), 6)
+               AS cos_sim
+      FROM expl GROUP BY 1, 2, 3
+    )
+    SELECT query_id, neighbor_id, neg_label, cos_sim,
+           CAST(rank AS INTEGER) AS rank FROM (
+      SELECT query_id, neighbor_id, neg_label, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q115_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each query
+    vector (vec_id < 10), the top-5 most-similar vectors with a
+    DIFFERENT label — the highest-cosine wrong-class examples that
+    make the strongest negatives for embedding-model training
+    (easy negatives teach nothing; false negatives are excluded by
+    the label inequality).
+
+    Scale shape: the 10-query side broadcasts into a
+    label-inequality join (BroadcastNestedLoop over 10 rows — the
+    non-equi twin of q70's brute-force scan), one hoisted-norm
+    cosine fold per pair, and a query-partitioned top-k window. At
+    corpus scale the exact scan swaps for the IVF/PQ candidate
+    paths (q74/q76/q96) with the label filter applied to candidates
+    — same output contract."""
+    from citybikedatawarehouse_spark.functions.vectors import cosine_hoisted, norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        norm("embedding").alias("__qn"),
+        F.col("label").alias("__ql"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        norm("embedding").alias("__cn"),
+        F.col("label").alias("neg_label"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("__ql") != F.col("neg_label"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neg_label",
+            F.round(
+                cosine_hoisted("__qv", "__cv", "__qn", "__cn"), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )

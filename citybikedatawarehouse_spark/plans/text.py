@@ -16,6 +16,7 @@ from citybikedatawarehouse_spark.functions.textfns import (
     marker_hits,
     token_count_bpe_ish,
     word_count,
+    words,
 )
 from citybikedatawarehouse_spark.plans.catalog import register
 from citybikedatawarehouse_spark.sources.readers import load_table as _t
@@ -435,4 +436,257 @@ def q68_tfidf_topterms(spark, sf_dir):
         .select("doc_id", "word", "tf", "df", tfidf.alias("tfidf"))
         .withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= 3)
+    )
+
+
+_BM25_TERMS = ("spark", "table", "hash")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle_sql(
+    terms: tuple[str, ...] = _BM25_TERMS,
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+    topk: int = 20,
+) -> str:
+    """q111 replay: per-doc term frequencies via list_filter, corpus
+    stats in one tiny aggregate, Robertson/Sparck-Jones idf with the
+    +1 floor (never negative), score summed in fixed term order."""
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter(arr, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"""CASE WHEN tf{i} > 0 THEN
+              ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1)
+              * tf{i} * {k1 + 1} / (tf{i} + {k1} * (1 - {b} + {b} * dl / avgdl))
+            ELSE 0 END"""
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH per AS (
+      SELECT doc_id,
+             CAST(len(arr) AS DOUBLE) AS dl,
+             {tf_cols}
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+            FROM documents)
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, {df_cols}
+      FROM per
+    )
+    SELECT doc_id, score FROM (
+      SELECT doc_id, round({score}, 6) AS score
+      FROM per CROSS JOIN stats
+    ) WHERE score > 0
+    ORDER BY score DESC, doc_id LIMIT {topk}
+    """
+
+
+@register("q111_bm25_topk", oracle=_bm25_oracle_sql())
+def q111_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (Robertson et al., TREC-3): top-20
+    documents for the fixed query {spark, table, hash} with k1=1.2,
+    b=0.75 and the +1-floored idf (never negative). The lexical
+    retrieval op of a curation stack — quality-scoring corpora
+    against seed queries, mining domain-relevant documents, or the
+    BM25 half of hybrid (lexical+vector) retrieval next to q70.
+
+    Scale shape: per-doc term frequencies are array-filter counts in
+    the SCAN projection (no explode — the query has a handful of
+    terms, so tf per term is a codegen HOF, not a words shuffle);
+    corpus stats (N, avgdl, per-term df) collapse to ONE tiny
+    aggregate row broadcast back; top-k is a TakeOrdered, not a
+    global sort. Determinism: dl/tf/df are integer-valued doubles
+    (exact under any summation order), one ln per term, score rounded
+    to 6 before ranking, doc_id tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    arr = words("text")
+
+    def _tf(term):
+        # one-arg lambda on purpose: a second (defaulted) parameter
+        # makes Spark bind the HOF's (element, index) form
+        return F.size(F.filter(arr, lambda x: x == F.lit(term)))
+
+    per = d.select(
+        "doc_id",
+        F.size(arr).cast("double").alias("dl"),
+        *[
+            _tf(t).cast("double").alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int"))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    k1, b = _BM25_K1, _BM25_B
+    contrib = [
+        F.when(
+            F.col(f"tf{i}") > 0,
+            F.log(
+                (F.col("n_docs") - F.col(f"df{i}") + 0.5)
+                / (F.col(f"df{i}") + 0.5)
+                + 1
+            )
+            * F.col(f"tf{i}")
+            * (k1 + 1)
+            / (
+                F.col(f"tf{i}")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        ).otherwise(F.lit(0.0))
+        for i in range(len(_BM25_TERMS))
+    ]
+    score = F.round(sum(contrib[1:], contrib[0]), 6)
+    return (
+        per.crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "q112_doc_chunks",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS dl
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w, dl,
+             unnest(generate_series(0, (dl - 1) // 32)) AS chunk_id
+      FROM s
+    )
+    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(least(64, dl - chunk_id * 32) AS BIGINT) AS n_tokens,
+           md5(array_to_string(
+             list_slice(w, chunk_id * 32 + 1,
+                        least(chunk_id * 32 + 64, dl)), ' ')) AS chunk_fp
+    FROM c
+    """,
+)
+def q112_doc_chunks(spark, sf_dir):
+    """Sliding-window document chunking (window=64 tokens, stride=32,
+    50% overlap) — the chunking step in front of an embedding model
+    for retrieval indexes: one row per chunk with its token count and
+    an md5 content fingerprint (the join key for chunk-level dedup
+    and for linking chunk embeddings back to text).
+
+    Scale shape: pure narrow fan-out — tokenize once in the scan
+    projection, explode a per-doc start sequence (bounded by
+    dl/stride rows per doc), slice + hash per chunk; zero shuffles,
+    zero UDFs. The token array is BOUND TO A COLUMN before the
+    explode/slice stage (lambdas do not subexpression-eliminate — the
+    winnow_fingerprint trap)."""
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select("doc_id", words("text").alias("__w")).select(
+        "doc_id", "__w", F.size("__w").alias("__dl")
+    )
+    chunked = staged.select(
+        "doc_id",
+        "__w",
+        "__dl",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.floor((F.col("__dl") - 1) / 32).cast("int")
+            )
+        ).alias("chunk_id"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.least(F.lit(64), F.col("__dl") - F.col("chunk_id") * 32)
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("__w"), F.col("chunk_id") * 32 + 1, 64)
+            )
+        ).alias("chunk_fp"),
+    )
+
+
+@register(
+    "q114_ngram_novelty",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+      FROM s, UNNEST(range(1, len(w) - 1)) t(i)
+      WHERE len(w) >= 3
+    ),
+    first AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS novelty
+    FROM sh JOIN first USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+def q114_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    word trigrams whose global FIRST occurrence (min doc_id) is this
+    doc. Low novelty = the doc is mostly recombined already-seen
+    text — the soft-dedup signal curation pipelines threshold where
+    exact/MinHash dedup (q60-q64) only catches whole-doc overlap,
+    and the corpus-level twin of q85's within-doc repetition gate.
+
+    Scale shape: one explode of distinct per-doc shingles (the same
+    single-corpus-scan discipline as q61), one shingle-keyed
+    aggregate for first-seen, one join back riding the same key, one
+    doc-keyed aggregate. min-doc-id first-seen is deterministic under
+    any partitioning; the ratio rounds to 6 on both engines. Docs
+    under 3 tokens have no trigrams and emit no row."""
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select("doc_id", words("text").alias("__w")).select(
+        "doc_id", "__w", F.size("__w").alias("__n")
+    )
+    sh = (
+        staged.filter(F.col("__n") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("__n") - 2),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.col("__w"), i, 3)
+                        ),
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("bigint")
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+            F.round(
+                F.sum(novel).cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty"),
+        )
     )
