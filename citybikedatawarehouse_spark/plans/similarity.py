@@ -967,3 +967,112 @@ def q115_hard_negatives(spark, sf_dir):
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= 5
     )
+
+
+def _semantic_dedup_hier_oracle_sql(
+    k_coarse: int = 8,
+    k_fine: int = 4,
+    n_iter: int = 2,
+    dim: int = 64,
+    threshold: float = 0.4,
+    anchor_cap: int = 128,
+) -> str:
+    """q117 replay: q93's full two-level fit CTE chain, then the
+    capped pair sweep of q88 applied within (coarse, fine) cells."""
+    hier = _hier_kmeans_oracle_sql(k_coarse, k_fine, n_iter, dim)
+    fit = hier.split("WITH", 1)[1].rsplit("SELECT vec_id, CAST(ccell", 1)[0]
+    ctes = [fit.rstrip().rstrip(",")]
+    ctes.append(f"""
+    hpairs AS (
+      SELECT a1.vec_id AS id_1, a2.vec_id AS id_2, a1.ccell, a1.fine
+      FROM (SELECT vec_id, ccell, fine,
+                   row_number() OVER (PARTITION BY ccell, fine
+                                      ORDER BY vec_id) AS rn
+            FROM fafinal) a1
+      JOIN fafinal a2
+        ON a1.ccell = a2.ccell AND a1.fine = a2.fine
+       AND a1.vec_id < a2.vec_id
+      WHERE a1.rn <= {anchor_cap}
+    )""")
+    ctes.append("""
+    hscored AS (
+      SELECT id_1, id_2, ccell, fine,
+             round(sum(ae * be) / (sqrt(sum(ae * ae)) * sqrt(sum(be * be))), 6)
+               AS cos_sim
+      FROM (
+        SELECT p.id_1, p.id_2, p.ccell, p.fine,
+               CAST(unnest(a.embedding) AS DOUBLE) AS ae,
+               CAST(unnest(b.embedding) AS DOUBLE) AS be
+        FROM hpairs p
+        JOIN embeddings a ON a.vec_id = p.id_1
+        JOIN embeddings b ON b.vec_id = p.id_2
+      ) GROUP BY 1, 2, 3, 4
+    )""")
+    return (
+        "WITH" + ",".join(ctes) + f"""
+    SELECT DISTINCT id_2 AS vec_id, CAST(ccell AS INTEGER) AS coarse_cell,
+           CAST(fine AS INTEGER) AS fine_id
+    FROM hscored WHERE cos_sim >= {threshold}
+    """
+    )
+
+
+@register("q117_semantic_dedup_hier", oracle=_semantic_dedup_hier_oracle_sql())
+def q117_semantic_dedup_hier(spark, sf_dir):
+    """SemDeDup with a HIERARCHICAL blocking key: the two-level
+    k-means fit (q93's hier_kmeans_fit, 8 coarse x 4 fine = 32
+    effective cells) blocks the pair sweep by (coarse_cell, fine_id),
+    with the same 128-anchor cap as q88 inside each fine cell. This
+    is the subdivide path for the skewed-cell problem: when a flat
+    fit lands a huge fraction of the corpus in one cell, the fine
+    level re-partitions exactly that cell's vectors among k_fine
+    sub-centroids — cell sizes shrink multiplicatively BEFORE the cap
+    has to sacrifice any pair, and per-vector assignment work stays
+    O(k_coarse)+O(k_fine) instead of the O(k_coarse*k_fine) a flat
+    fit of equal resolution would cost. The cap remains as the hard
+    bound for cells the hierarchy cannot split (identical vectors).
+
+    Oracle-paired end to end: DuckDB replays both fit levels (the
+    q93 CTE chain) plus the capped sweep, so the hash gate covers
+    training AND the dedup decision."""
+    from citybikedatawarehouse_spark.functions.vectors import cosine_hoisted, norm
+    from citybikedatawarehouse_spark.operators.clustering import hier_kmeans_fit
+
+    emb_p = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=False)  # Lloyd's re-scans; see semantic_dedup
+    )
+    assigned, _ = hier_kmeans_fit(emb_p, k_coarse=8, k_fine=4, n_iter=2)
+    av = assigned.select("vec_id", "coarse_cell", "fine_id").join(emb_p, "vec_id")
+    w_anchor = Window.partitionBy("coarse_cell", "fine_id").orderBy("vec_id")
+    av = av.select(
+        "vec_id",
+        "embedding",
+        "coarse_cell",
+        "fine_id",
+        F.row_number().over(w_anchor).alias("__rank"),
+    )
+    a = av.filter(F.col("__rank") <= 128).select(
+        F.col("vec_id").alias("id_1"),
+        F.col("embedding").alias("__v1"),
+        norm("embedding").alias("__n1"),
+        "coarse_cell",
+        "fine_id",
+    )
+    b = av.select(
+        F.col("vec_id").alias("id_2"),
+        F.col("embedding").alias("__v2"),
+        norm("embedding").alias("__n2"),
+        "coarse_cell",
+        "fine_id",
+    )
+    return (
+        a.join(b, ["coarse_cell", "fine_id"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .filter(
+            F.round(cosine_hoisted("__v1", "__v2", "__n1", "__n2"), 6) >= 0.4
+        )
+        .select(F.col("id_2").alias("vec_id"), "coarse_cell", "fine_id")
+        .distinct()
+    )

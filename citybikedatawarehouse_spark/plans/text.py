@@ -651,12 +651,17 @@ def q114_ngram_novelty(spark, sf_dir):
     exact/MinHash dedup (q60-q64) only catches whole-doc overlap,
     and the corpus-level twin of q85's within-doc repetition gate.
 
-    Scale shape: one explode of distinct per-doc shingles (the same
-    single-corpus-scan discipline as q61), one shingle-keyed
-    aggregate for first-seen, one join back riding the same key, one
-    doc-keyed aggregate. min-doc-id first-seen is deterministic under
-    any partitioning; the ratio rounds to 6 on both engines. Docs
-    under 3 tokens have no trigrams and emit no row."""
+    Scale shape: ONE explode of distinct per-doc shingles, explicitly
+    repartitioned by shingle so the first-seen aggregate and the
+    join-back both ride the SAME exchange (ReusedExchange — the q62
+    verify pattern; without it the shingle relation is recomputed
+    from a second corpus scan AND reshuffled, and the naive
+    broadcast of first-seen is impossible at scale since distinct
+    shingles grow with the corpus). Then one doc-keyed aggregate.
+    min-doc-id first-seen is deterministic under any partitioning;
+    the ratio rounds to 6 on both engines. Docs under 3 tokens have
+    no trigrams and emit no row. Plan pinned by
+    tests/test_plans.py::test_ngram_novelty_exchange_reuse."""
     d = _t(spark, sf_dir, "documents")
     staged = d.select("doc_id", words("text").alias("__w")).select(
         "doc_id", "__w", F.size("__w").alias("__n")
@@ -677,6 +682,7 @@ def q114_ngram_novelty(spark, sf_dir):
             ).alias("shingle"),
         )
     )
+    sh = sh.repartition("shingle")
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     novel = (F.col("first_doc") == F.col("doc_id")).cast("bigint")
     return (

@@ -160,6 +160,49 @@ def test_kmeans_assign_is_shuffle_free(spark, sf_dir):
     assert "hashpartitioning(embedding" not in plan
 
 
+def test_ngram_novelty_exchange_reuse(spark, sf_dir):
+    """q114's shingle relation feeds two consumers (first-seen agg +
+    join-back); it must be computed and shuffled ONCE — the final
+    adaptive plan reuses the shingle exchange and reads the documents
+    parquet once. Broadcast is disabled so the asserted shape is the
+    sort-merge one a 100 TB corpus takes (distinct shingles grow with
+    the corpus — first-seen can never broadcast at scale)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["q114_ngram_novelty"](spark, sf_dir)
+        df.collect()  # AQE: reuse is decided at runtime
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "isFinalPlan=true" in final
+        assert final.count("ReusedExchange") >= 1, final
+        assert final.count("Scan parquet") == 1, final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_new_topk_queries_use_take_ordered(spark, sf_dir):
+    """BM25 (q111) and weighted sampling (q113) rank with a
+    TakeOrdered, never a global sort; chunking (q112) is a pure
+    narrow fan-out with no exchange at all."""
+    for name in ["q111_bm25_topk", "q113_weighted_sample"]:
+        plan = _plan(spark, name, sf_dir, mode="simple")
+        assert "TakeOrderedAndProject" in plan, name
+    chunk_plan = _plan(spark, "q112_doc_chunks", sf_dir, mode="simple")
+    assert "Exchange" not in chunk_plan
+
+
+def test_hard_negatives_broadcasts_query_side(spark, sf_dir):
+    """q115's label-inequality join must broadcast the (tiny) query
+    side into a nested-loop over the corpus — never a cartesian
+    product or a corpus-side shuffle for the join itself (the only
+    hash exchange is the per-query ranking window's)."""
+    plan = _plan(spark, "q115_hard_negatives", sf_dir, mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_cosine_topk_single_corpus_scan_one_shuffle(spark, sf_dir):
     """Brute-force top-k: the corpus parquet is scanned once, and the
     only hash exchange is the window's (query_id) — the scoring join
