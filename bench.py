@@ -40,6 +40,9 @@ HEADLINE = [
     "q87_unigram_logprob",
     "q88_semantic_dedup",
     "q108_scd2_merge",
+    # round 5: the two heaviest new operators join the regression watch
+    "q114_ngram_novelty",
+    "q117_semantic_dedup_hier",
 ]
 
 # the round-1 baseline benched exactly these 13; rounds add queries

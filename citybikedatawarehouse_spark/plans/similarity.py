@@ -1076,3 +1076,209 @@ def q117_semantic_dedup_hier(spark, sf_dir):
         .select(F.col("id_2").alias("vec_id"), "coarse_cell", "fine_id")
         .distinct()
     )
+
+
+def _hybrid_rrf_oracle_sql(
+    rrf_k: int = 60, list_n: int = 50, topk: int = 10
+) -> str:
+    """q118 replay: the q111 BM25 list and a cosine list against the
+    vec_id=0 query vector, each cut to list_n and ranked on rounded
+    scores, fused with reciprocal-rank fusion."""
+    from citybikedatawarehouse_spark.plans.text import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter(arr, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    k1, b = _BM25_K1, _BM25_B
+    score = " + ".join(
+        f"""CASE WHEN tf{i} > 0 THEN
+              ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1)
+              * tf{i} * {k1 + 1} / (tf{i} + {k1} * (1 - {b} + {b} * dl / avgdl))
+            ELSE 0 END"""
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH per AS (
+      SELECT doc_id,
+             CAST(len(arr) AS DOUBLE) AS dl,
+             {tf_cols}
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+            FROM documents)
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, {df_cols}
+      FROM per
+    ),
+    lex AS (
+      SELECT doc_id, round({score}, 6) AS score
+      FROM per CROSS JOIN stats
+    ),
+    lexr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM lex WHERE score > 0
+      QUALIFY r <= {list_n}
+    ),
+    qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    sem AS (
+      SELECT vec_id,
+             round(sum(ce * qe) / (sqrt(sum(ce * ce)) * sqrt(sum(qe * qe))), 6)
+               AS score
+      FROM (
+        SELECT c.vec_id,
+               CAST(unnest(c.embedding) AS DOUBLE) AS ce,
+               CAST(unnest(q.embedding) AS DOUBLE) AS qe
+        FROM embeddings c CROSS JOIN qv q
+      ) GROUP BY vec_id
+    ),
+    semr AS (
+      SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS r
+      FROM sem
+      QUALIFY r <= {list_n}
+    )
+    SELECT coalesce(l.doc_id, s.vec_id) AS doc_id,
+           CAST(l.r AS INTEGER) AS lex_rank,
+           CAST(s.r AS INTEGER) AS sem_rank,
+           round(coalesce(1.0 / ({rrf_k} + l.r), 0.0)
+                 + coalesce(1.0 / ({rrf_k} + s.r), 0.0), 6) AS rrf_score
+    FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.vec_id
+    ORDER BY rrf_score DESC, doc_id LIMIT {topk}
+    """
+
+
+@register("q118_hybrid_rrf", oracle=_hybrid_rrf_oracle_sql())
+def q118_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.,
+    SIGIR'09): the q111 BM25 lexical list and a vector list (cosine
+    against the vec_id=0 query embedding; doc_id <-> vec_id is the
+    testdata's row correspondence) are each cut to their top-50,
+    ranked on ROUNDED scores with id tie-breaks, and fused as
+    sum(1/(60+rank)) over the lists a doc appears in. The standard
+    lexical+semantic search combiner of a RAG/retrieval stack —
+    robust to either list's score scale because only ranks fuse.
+
+    Scale shape: each list is a TakeOrdered top-50 (no global sort);
+    ranks are then a row_number over a CONSTANT partition of 50 rows
+    (bounded post-limit input — a real partition spec, so the
+    unpartitioned-window warning stays meaningful for data paths);
+    the fusion join is 50x50-row, trivially broadcast. BM25 stats
+    come from a one-row broadcast; the cosine list reuses the
+    hoisted-norm fold."""
+    from citybikedatawarehouse_spark.functions.vectors import cosine_hoisted, norm
+
+    # the lexical list is the q111 plan shape re-built at list_n=50
+    # (q111 itself cuts at 20, and fusion ranks on the wider list)
+    from citybikedatawarehouse_spark.plans.text import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+    from citybikedatawarehouse_spark.functions.textfns import words
+
+    d = _t(spark, sf_dir, "documents")
+    arr = words("text")
+
+    def _tf(term):
+        return F.size(F.filter(arr, lambda x: x == F.lit(term)))
+
+    per = d.select(
+        "doc_id",
+        F.size(arr).cast("double").alias("dl"),
+        *[
+            _tf(t).cast("double").alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int"))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    k1, b = _BM25_K1, _BM25_B
+    contrib = [
+        F.when(
+            F.col(f"tf{i}") > 0,
+            F.log(
+                (F.col("n_docs") - F.col(f"df{i}") + 0.5)
+                / (F.col(f"df{i}") + 0.5)
+                + 1
+            )
+            * F.col(f"tf{i}")
+            * (k1 + 1)
+            / (
+                F.col(f"tf{i}")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        ).otherwise(F.lit(0.0))
+        for i in range(len(_BM25_TERMS))
+    ]
+    lex = (
+        per.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(sum(contrib[1:], contrib[0]), 6).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(50)
+    )
+    w_lex = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    lexr = lex.select(
+        "doc_id", F.row_number().over(w_lex).alias("lex_rank")
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__qv"), norm("embedding").alias("__qn")
+    )
+    sem = (
+        emb.select(
+            "vec_id",
+            F.col("embedding").alias("__cv"),
+            norm("embedding").alias("__cn"),
+        )
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_hoisted("__qv", "__cv", "__qn", "__cn"), 6
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(50)
+    )
+    w_sem = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    semr = sem.select(
+        "vec_id", F.row_number().over(w_sem).alias("sem_rank")
+    )
+
+    fused = (
+        lexr.join(semr, lexr["doc_id"] == semr["vec_id"], "full_outer")
+        .select(
+            F.coalesce(lexr["doc_id"], semr["vec_id"]).alias("doc_id"),
+            "lex_rank",
+            "sem_rank",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("sem_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(10)
+    )
+    return fused

