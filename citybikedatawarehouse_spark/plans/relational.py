@@ -940,3 +940,78 @@ def q36b_large_order_customers(spark, sf_dir):
         .join(c, o.o_custkey == c.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
     )
+
+
+@register(
+    "q120_moving_avg_range",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day_num,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS day_cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           round(day_cents / 100.0, 2) AS day_revenue,
+           round(avg(day_cents) OVER (
+                   ORDER BY day_num
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+                 ) / 100.0, 6) AS ma7,
+           CAST(count(*) OVER (
+                   ORDER BY day_num
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS n_days
+    FROM daily
+    """,
+)
+def q120_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing moving average of daily order revenue — the
+    VALUE-BASED (RANGE) window frame the rows-frame suite (q18/q19)
+    does not cover: the frame is "all days within 6 calendar days
+    before mine", so gaps in the date axis shrink the window
+    (n_days < 7) instead of silently pulling older rows in, which is
+    the correctness difference between RANGE and ROWS on sparse time
+    axes.
+
+    Determinism across engines: revenue is summed in exact integer
+    CENTS (bigint) before the window — double summation order
+    differs between Spark's sequential frame accumulation and
+    DuckDB's segment-tree window aggregation, and at day-revenue
+    magnitudes that last-ulp drift would round differently at the
+    1e-6 boundary often enough to break the hash gate; integer sums
+    make avg = exact_sum/count, bit-identical.
+
+    Scale shape: the corpus-sized input collapses to one row per DAY
+    in a map-side-combinable aggregate BEFORE any window — the
+    window runs on O(years x 365) rows in a single bounded
+    partition (a constant partition spec, so unpartitioned-window
+    warnings stay meaningful for data paths). The same pattern at
+    100 TB: never window the fact table on a global order, window
+    the pre-aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.to_date("o_orderdate").alias("day"),
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).alias("day_num"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("day_cents")
+        )
+    )
+    w = (
+        W.partitionBy(F.lit(0))
+        .orderBy("day_num")
+        .rangeBetween(-6, W.currentRow)
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("day_cents") / 100.0, 2).alias("day_revenue"),
+        F.round(F.avg("day_cents").over(w) / 100.0, 6).alias("ma7"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_days"),
+    )

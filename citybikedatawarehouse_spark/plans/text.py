@@ -558,6 +558,54 @@ def q111_bm25_topk(spark, sf_dir):
     )
 
 
+def chunk_manifest(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking core (shared by q112 and the property
+    tests): one row per chunk with ``chunk_id`` (dense from 0),
+    ``n_tokens`` (= min(window, dl - chunk_id*stride)) and an md5
+    ``chunk_fp`` over the chunk's space-joined tokens. Chunk starts
+    are every ``stride`` tokens while a token remains, so every token
+    is covered and consecutive chunks overlap by window - stride.
+
+    Pure narrow fan-out — tokenize once in the scan projection,
+    explode a per-doc start sequence (bounded by dl/stride rows per
+    doc), slice + hash per chunk; zero shuffles, zero UDFs. The
+    token array is BOUND TO A COLUMN before the explode/slice stage
+    (lambdas do not subexpression-eliminate — the
+    winnow_fingerprint trap)."""
+    staged = docs.select(id_col, words(text_col).alias("__w")).select(
+        id_col, "__w", F.size("__w").alias("__dl")
+    )
+    chunked = staged.select(
+        id_col,
+        "__w",
+        "__dl",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.floor((F.col("__dl") - 1) / stride).cast("int")
+            )
+        ).alias("chunk_id"),
+    )
+    return chunked.select(
+        id_col,
+        "chunk_id",
+        F.least(F.lit(window), F.col("__dl") - F.col("chunk_id") * stride)
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(F.col("__w"), F.col("chunk_id") * stride + 1, window),
+            )
+        ).alias("chunk_fp"),
+    )
+
+
 @register(
     "q112_doc_chunks",
     oracle="""
@@ -584,39 +632,11 @@ def q112_doc_chunks(spark, sf_dir):
     50% overlap) — the chunking step in front of an embedding model
     for retrieval indexes: one row per chunk with its token count and
     an md5 content fingerprint (the join key for chunk-level dedup
-    and for linking chunk embeddings back to text).
-
-    Scale shape: pure narrow fan-out — tokenize once in the scan
-    projection, explode a per-doc start sequence (bounded by
-    dl/stride rows per doc), slice + hash per chunk; zero shuffles,
-    zero UDFs. The token array is BOUND TO A COLUMN before the
-    explode/slice stage (lambdas do not subexpression-eliminate — the
-    winnow_fingerprint trap)."""
-    d = _t(spark, sf_dir, "documents")
-    staged = d.select("doc_id", words("text").alias("__w")).select(
-        "doc_id", "__w", F.size("__w").alias("__dl")
-    )
-    chunked = staged.select(
-        "doc_id",
-        "__w",
-        "__dl",
-        F.explode(
-            F.sequence(
-                F.lit(0), F.floor((F.col("__dl") - 1) / 32).cast("int")
-            )
-        ).alias("chunk_id"),
-    )
-    return chunked.select(
-        "doc_id",
-        "chunk_id",
-        F.least(F.lit(64), F.col("__dl") - F.col("chunk_id") * 32)
-        .cast("bigint")
-        .alias("n_tokens"),
-        F.md5(
-            F.concat_ws(
-                " ", F.slice(F.col("__w"), F.col("chunk_id") * 32 + 1, 64)
-            )
-        ).alias("chunk_fp"),
+    and for linking chunk embeddings back to text). Core + scale
+    notes in ``chunk_manifest``; coverage law proven over arbitrary
+    corpora in tests/test_properties.py."""
+    return chunk_manifest(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
     )
 
 

@@ -201,3 +201,47 @@ def test_quantization_bound_any_vectors(spark, vecs):
         .count()
     )
     assert bad == 0
+
+
+@PROP
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab "), min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_chunk_manifest_covering_any_corpus(spark, texts):
+    """Chunking is a covering for ANY corpus: with window=5, stride=3
+    every doc yields exactly (dl-1)//3 + 1 chunks, chunk c holds
+    min(5, dl - 3c) tokens (so every token is covered and adjacent
+    chunks overlap by 2), and identical chunk token-slices hash to
+    identical fingerprints."""
+    from citybikedatawarehouse_spark.plans.text import chunk_manifest
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    window, stride = 5, 3
+    out = chunk_manifest(docs, window=window, stride=stride).collect()
+    import hashlib
+    import re
+
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    assert sorted(per_doc) == list(range(len(texts)))
+    for doc_id, chunks in per_doc.items():
+        w = re.split(r"\s+", texts[doc_id].strip())
+        dl = len(w)
+        ids = sorted(chunks)
+        assert ids == list(range((dl - 1) // stride + 1))
+        for c in ids:
+            r = chunks[c]
+            assert r["n_tokens"] == min(window, dl - c * stride)
+            expect_fp = hashlib.md5(
+                " ".join(w[c * stride : c * stride + window]).encode()
+            ).hexdigest()
+            assert r["chunk_fp"] == expect_fp
