@@ -283,6 +283,7 @@ def hier_kmeans_fit(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Two-level (hierarchical) k-means quantizer — the scale escape
     for flat IVF's O(N*k) assignment once k must grow with the
@@ -302,7 +303,10 @@ def hier_kmeans_fit(
     cluster-keyed table, not a recomputation of the coarse chain.
 
     Returns (assignments, fine_centroids): assignments carry
-    (id, coarse_cell, fine_id, sq_dist to the fine centroid)."""
+    (id, coarse_cell, fine_id, sq_dist to the fine centroid), plus
+    the vector column when ``keep_vec`` — consumers that need the
+    vectors (q117's pair sweep) take them from the assignment
+    directly instead of paying an id-keyed corpus re-join."""
     _, coarse = kmeans_fit(emb, k=k_coarse, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
     av = (
         kmeans_assign(emb, coarse, id_col, vec_col)
@@ -336,9 +340,10 @@ def hier_kmeans_fit(
                 lambda s: s["__m"],
             ).alias("centroid")
         )
-    final = hier_assign(av, fines, id_col, vec_col).select(
-        id_col, "coarse_cell", "fine_id", "sq_dist"
-    )
+    keep = [id_col] + ([vec_col] if keep_vec else []) + [
+        "coarse_cell", "fine_id", "sq_dist"
+    ]
+    final = hier_assign(av, fines, id_col, vec_col).select(*keep)
     return final, fines
 
 

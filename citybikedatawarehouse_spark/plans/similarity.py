@@ -456,6 +456,57 @@ def _semantic_dedup_oracle_sql(
     )
 
 
+def capped_pair_sweep(
+    av,
+    cell_cols: list[str],
+    threshold: float,
+    anchor_cap: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Anchor-capped within-cell near-dup sweep (shared by q88's flat
+    cells and q117's (coarse, fine) cells): drop every vector with a
+    smaller-id ANCHOR cell-mate at cosine >= threshold, where anchors
+    are the anchor_cap lowest-id members of the cell. The rank window
+    partitions by the cell columns, riding the exact exchange the
+    pair join needs — the bound costs no extra shuffle, and pair
+    volume per cell is O(|cell| * cap), never O(|cell|^2). Input
+    ``av`` must carry (id, vec, *cell_cols). Returns the dropped set
+    (id, *cell_cols), distinct. ONE definition so the cap semantics
+    can never diverge between the flat and hierarchical paths."""
+    from citybikedatawarehouse_spark.functions.vectors import cosine_hoisted, norm
+
+    w_anchor = Window.partitionBy(*cell_cols).orderBy(id_col)
+    av = av.select(
+        id_col,
+        vec_col,
+        *cell_cols,
+        F.row_number().over(w_anchor).alias("__rank"),
+    )
+    a = av.filter(F.col("__rank") <= anchor_cap).select(
+        F.col(id_col).alias("id_1"),
+        F.col(vec_col).alias("__v1"),
+        norm(vec_col).alias("__n1"),
+        *cell_cols,
+    )
+    b = av.select(
+        F.col(id_col).alias("id_2"),
+        F.col(vec_col).alias("__v2"),
+        norm(vec_col).alias("__n2"),
+        *cell_cols,
+    )
+    return (
+        a.join(b, cell_cols)
+        .filter(F.col("id_1") < F.col("id_2"))
+        .filter(
+            F.round(cosine_hoisted("__v1", "__v2", "__n1", "__n2"), 6)
+            >= threshold
+        )
+        .select(F.col("id_2").alias(id_col), *cell_cols)
+        .distinct()
+    )
+
+
 def semantic_dedup(
     emb,
     k: int = 16,
@@ -482,9 +533,9 @@ def semantic_dedup(
     #1 and the dedup is still complete (see
     tests/test_skew_properties.py); what is sacrificed is only
     far-tail pairs inside oversized MIXED cells, where callers should
-    raise k (or sub-cluster with hier_kmeans_fit) so cells stay under
-    the cap. The oracle applies the identical rank filter."""
-    from citybikedatawarehouse_spark.functions.vectors import cosine_hoisted, norm
+    raise k (or sub-cluster with hier_kmeans_fit — q117) so cells
+    stay under the cap. The oracle applies the identical rank
+    filter. Sweep core shared with q117 via ``capped_pair_sweep``."""
     from citybikedatawarehouse_spark.operators.clustering import (
         kmeans_assign,
         kmeans_fit,
@@ -500,34 +551,8 @@ def semantic_dedup(
     emb_p = emb.select(id_col, vec_col).localCheckpoint(eager=False)
     _, cents = kmeans_fit(emb_p, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
     av = kmeans_assign(emb_p, cents, id_col, vec_col)
-    w_anchor = Window.partitionBy("cluster_id").orderBy(id_col)
-    av = av.select(
-        id_col,
-        vec_col,
-        "cluster_id",
-        F.row_number().over(w_anchor).alias("__rank"),
-    )
-    a = av.filter(F.col("__rank") <= anchor_cap).select(
-        F.col(id_col).alias("id_1"),
-        F.col(vec_col).alias("__v1"),
-        norm(vec_col).alias("__n1"),
-        "cluster_id",
-    )
-    b = av.select(
-        F.col(id_col).alias("id_2"),
-        F.col(vec_col).alias("__v2"),
-        norm(vec_col).alias("__n2"),
-        "cluster_id",
-    )
-    return (
-        a.join(b, "cluster_id")
-        .filter(F.col("id_1") < F.col("id_2"))
-        .filter(
-            F.round(cosine_hoisted("__v1", "__v2", "__n1", "__n2"), 6)
-            >= threshold
-        )
-        .select(F.col("id_2").alias(id_col), "cluster_id")
-        .distinct()
+    return capped_pair_sweep(
+        av, ["cluster_id"], threshold, anchor_cap, id_col, vec_col
     )
 
 
@@ -1034,8 +1059,9 @@ def q117_semantic_dedup_hier(spark, sf_dir):
 
     Oracle-paired end to end: DuckDB replays both fit levels (the
     q93 CTE chain) plus the capped sweep, so the hash gate covers
-    training AND the dedup decision."""
-    from citybikedatawarehouse_spark.functions.vectors import cosine_hoisted, norm
+    training AND the dedup decision. Sweep core shared with q88 via
+    ``capped_pair_sweep``; the fit keeps the vector column
+    (keep_vec) so no id-keyed corpus re-join is needed."""
     from citybikedatawarehouse_spark.operators.clustering import hier_kmeans_fit
 
     emb_p = (
@@ -1043,85 +1069,26 @@ def q117_semantic_dedup_hier(spark, sf_dir):
         .select("vec_id", "embedding")
         .localCheckpoint(eager=False)  # Lloyd's re-scans; see semantic_dedup
     )
-    assigned, _ = hier_kmeans_fit(emb_p, k_coarse=8, k_fine=4, n_iter=2)
-    av = assigned.select("vec_id", "coarse_cell", "fine_id").join(emb_p, "vec_id")
-    w_anchor = Window.partitionBy("coarse_cell", "fine_id").orderBy("vec_id")
-    av = av.select(
-        "vec_id",
-        "embedding",
-        "coarse_cell",
-        "fine_id",
-        F.row_number().over(w_anchor).alias("__rank"),
+    assigned, _ = hier_kmeans_fit(
+        emb_p, k_coarse=8, k_fine=4, n_iter=2, keep_vec=True
     )
-    a = av.filter(F.col("__rank") <= 128).select(
-        F.col("vec_id").alias("id_1"),
-        F.col("embedding").alias("__v1"),
-        norm("embedding").alias("__n1"),
-        "coarse_cell",
-        "fine_id",
-    )
-    b = av.select(
-        F.col("vec_id").alias("id_2"),
-        F.col("embedding").alias("__v2"),
-        norm("embedding").alias("__n2"),
-        "coarse_cell",
-        "fine_id",
-    )
-    return (
-        a.join(b, ["coarse_cell", "fine_id"])
-        .filter(F.col("id_1") < F.col("id_2"))
-        .filter(
-            F.round(cosine_hoisted("__v1", "__v2", "__n1", "__n2"), 6) >= 0.4
-        )
-        .select(F.col("id_2").alias("vec_id"), "coarse_cell", "fine_id")
-        .distinct()
+    return capped_pair_sweep(
+        assigned, ["coarse_cell", "fine_id"], threshold=0.4, anchor_cap=128
     )
 
 
 def _hybrid_rrf_oracle_sql(
     rrf_k: int = 60, list_n: int = 50, topk: int = 10
 ) -> str:
-    """q118 replay: the q111 BM25 list and a cosine list against the
-    vec_id=0 query vector, each cut to list_n and ranked on rounded
-    scores, fused with reciprocal-rank fusion."""
-    from citybikedatawarehouse_spark.plans.text import (
-        _BM25_B,
-        _BM25_K1,
-        _BM25_TERMS,
-    )
+    """q118 replay: the q111 BM25 list (via the SHARED _bm25_ctes
+    fragment — one scorer definition, so q111 and q118 cannot drift)
+    and a cosine list against the vec_id=0 query vector, each cut to
+    list_n and ranked on rounded scores, fused with reciprocal-rank
+    fusion."""
+    from citybikedatawarehouse_spark.plans.text import _bm25_ctes
 
-    tf_cols = ",\n             ".join(
-        f"CAST(len(list_filter(arr, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
-        for i, t in enumerate(_BM25_TERMS)
-    )
-    df_cols = ", ".join(
-        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
-        for i in range(len(_BM25_TERMS))
-    )
-    k1, b = _BM25_K1, _BM25_B
-    score = " + ".join(
-        f"""CASE WHEN tf{i} > 0 THEN
-              ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1)
-              * tf{i} * {k1 + 1} / (tf{i} + {k1} * (1 - {b} + {b} * dl / avgdl))
-            ELSE 0 END"""
-        for i in range(len(_BM25_TERMS))
-    )
     return f"""
-    WITH per AS (
-      SELECT doc_id,
-             CAST(len(arr) AS DOUBLE) AS dl,
-             {tf_cols}
-      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
-            FROM documents)
-    ),
-    stats AS (
-      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, {df_cols}
-      FROM per
-    ),
-    lex AS (
-      SELECT doc_id, round({score}, 6) AS score
-      FROM per CROSS JOIN stats
-    ),
+    WITH {_bm25_ctes()},
     lexr AS (
       SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
       FROM lex WHERE score > 0
@@ -1174,61 +1141,13 @@ def q118_hybrid_rrf(spark, sf_dir):
     hoisted-norm fold."""
     from citybikedatawarehouse_spark.functions.vectors import cosine_hoisted, norm
 
-    # the lexical list is the q111 plan shape re-built at list_n=50
-    # (q111 itself cuts at 20, and fusion ranks on the wider list)
-    from citybikedatawarehouse_spark.plans.text import (
-        _BM25_B,
-        _BM25_K1,
-        _BM25_TERMS,
-    )
-    from citybikedatawarehouse_spark.functions.textfns import words
+    # the lexical list is the SAME bm25_scores core q111 ranks (one
+    # scorer definition — the two can never drift), cut at list_n=50
+    # here because fusion ranks on the wider list
+    from citybikedatawarehouse_spark.plans.text import bm25_scores
 
-    d = _t(spark, sf_dir, "documents")
-    arr = words("text")
-
-    def _tf(term):
-        return F.size(F.filter(arr, lambda x: x == F.lit(term)))
-
-    per = d.select(
-        "doc_id",
-        F.size(arr).cast("double").alias("dl"),
-        *[
-            _tf(t).cast("double").alias(f"tf{i}")
-            for i, t in enumerate(_BM25_TERMS)
-        ],
-    )
-    stats = per.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        *[
-            F.sum((F.col(f"tf{i}") > 0).cast("int"))
-            .cast("double")
-            .alias(f"df{i}")
-            for i in range(len(_BM25_TERMS))
-        ],
-    )
-    k1, b = _BM25_K1, _BM25_B
-    contrib = [
-        F.when(
-            F.col(f"tf{i}") > 0,
-            F.log(
-                (F.col("n_docs") - F.col(f"df{i}") + 0.5)
-                / (F.col(f"df{i}") + 0.5)
-                + 1
-            )
-            * F.col(f"tf{i}")
-            * (k1 + 1)
-            / (
-                F.col(f"tf{i}")
-                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-            ),
-        ).otherwise(F.lit(0.0))
-        for i in range(len(_BM25_TERMS))
-    ]
     lex = (
-        per.crossJoin(F.broadcast(stats))
-        .select("doc_id", F.round(sum(contrib[1:], contrib[0]), 6).alias("score"))
-        .filter(F.col("score") > 0)
+        bm25_scores(_t(spark, sf_dir, "documents").select("doc_id", "text"))
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(50)
     )

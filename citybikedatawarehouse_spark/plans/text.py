@@ -443,15 +443,17 @@ _BM25_TERMS = ("spark", "table", "hash")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-def _bm25_oracle_sql(
+def _bm25_ctes(
     terms: tuple[str, ...] = _BM25_TERMS,
     k1: float = _BM25_K1,
     b: float = _BM25_B,
-    topk: int = 20,
 ) -> str:
-    """q111 replay: per-doc term frequencies via list_filter, corpus
-    stats in one tiny aggregate, Robertson/Sparck-Jones idf with the
-    +1 floor (never negative), score summed in fixed term order."""
+    """Shared oracle fragment (q111 + q118): the ``per``/``stats``
+    CTEs plus a ``lex`` CTE holding every doc's rounded BM25 score —
+    per-doc term frequencies via list_filter, corpus stats in one
+    tiny aggregate, Robertson/Sparck-Jones idf with the +1 floor
+    (never negative), score summed in fixed term order. ONE builder
+    so the two scorers can never drift apart."""
     tf_cols = ",\n             ".join(
         f"CAST(len(list_filter(arr, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
         for i, t in enumerate(terms)
@@ -468,7 +470,7 @@ def _bm25_oracle_sql(
         for i in range(len(terms))
     )
     return f"""
-    WITH per AS (
+    per AS (
       SELECT doc_id,
              CAST(len(arr) AS DOUBLE) AS dl,
              {tf_cols}
@@ -478,47 +480,46 @@ def _bm25_oracle_sql(
     stats AS (
       SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, {df_cols}
       FROM per
-    )
-    SELECT doc_id, score FROM (
+    ),
+    lex AS (
       SELECT doc_id, round({score}, 6) AS score
       FROM per CROSS JOIN stats
-    ) WHERE score > 0
-    ORDER BY score DESC, doc_id LIMIT {topk}
-    """
+    )"""
 
 
-@register("q111_bm25_topk", oracle=_bm25_oracle_sql())
-def q111_bm25_topk(spark, sf_dir):
-    """BM25 ranked retrieval (Robertson et al., TREC-3): top-20
-    documents for the fixed query {spark, table, hash} with k1=1.2,
-    b=0.75 and the +1-floored idf (never negative). The lexical
-    retrieval op of a curation stack — quality-scoring corpora
-    against seed queries, mining domain-relevant documents, or the
-    BM25 half of hybrid (lexical+vector) retrieval next to q70.
+def bm25_scores(
+    docs: DataFrame,
+    terms: tuple[str, ...] = _BM25_TERMS,
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 scoring core (shared by q111 and q118's lexical branch):
+    every doc with a positive score for ``terms``, as
+    (id, rounded score). Ranking/cutting is the caller's business.
 
-    Scale shape: per-doc term frequencies are array-filter counts in
-    the SCAN projection (no explode — the query has a handful of
-    terms, so tf per term is a codegen HOF, not a words shuffle);
-    corpus stats (N, avgdl, per-term df) collapse to ONE tiny
-    aggregate row broadcast back; top-k is a TakeOrdered, not a
-    global sort. Determinism: dl/tf/df are integer-valued doubles
-    (exact under any summation order), one ln per term, score rounded
-    to 6 before ranking, doc_id tie-break."""
-    d = _t(spark, sf_dir, "documents")
-    arr = words("text")
+    Scale shape: the token array is STAGED to a column first (HOF
+    arguments are excluded from Catalyst subexpression elimination —
+    an unbound words() expression here re-tokenizes each row once
+    per tf filter plus once for dl, the winnow_fingerprint trap), so
+    the corpus is whitespace-tokenized exactly once; per-term tf is
+    then an array-filter count in the scan projection (no explode,
+    no shuffle); corpus stats (N, avgdl, per-term df) collapse to
+    ONE tiny aggregate row broadcast back. Determinism: dl/tf/df are
+    integer-valued doubles (exact under any summation order), one ln
+    per term, score rounded to 6, fixed term order."""
+    staged = docs.select(id_col, words(text_col).alias("__w"))
 
     def _tf(term):
         # one-arg lambda on purpose: a second (defaulted) parameter
         # makes Spark bind the HOF's (element, index) form
-        return F.size(F.filter(arr, lambda x: x == F.lit(term)))
+        return F.size(F.filter(F.col("__w"), lambda x: x == F.lit(term)))
 
-    per = d.select(
-        "doc_id",
-        F.size(arr).cast("double").alias("dl"),
-        *[
-            _tf(t).cast("double").alias(f"tf{i}")
-            for i, t in enumerate(_BM25_TERMS)
-        ],
+    per = staged.select(
+        id_col,
+        F.size("__w").cast("double").alias("dl"),
+        *[_tf(t).cast("double").alias(f"tf{i}") for i, t in enumerate(terms)],
     )
     stats = per.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -527,10 +528,9 @@ def q111_bm25_topk(spark, sf_dir):
             F.sum((F.col(f"tf{i}") > 0).cast("int"))
             .cast("double")
             .alias(f"df{i}")
-            for i in range(len(_BM25_TERMS))
+            for i in range(len(terms))
         ],
     )
-    k1, b = _BM25_K1, _BM25_B
     contrib = [
         F.when(
             F.col(f"tf{i}") > 0,
@@ -546,13 +546,35 @@ def q111_bm25_topk(spark, sf_dir):
                 + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
             ),
         ).otherwise(F.lit(0.0))
-        for i in range(len(_BM25_TERMS))
+        for i in range(len(terms))
     ]
     score = F.round(sum(contrib[1:], contrib[0]), 6)
     return (
         per.crossJoin(F.broadcast(stats))
-        .select("doc_id", score.alias("score"))
+        .select(id_col, score.alias("score"))
         .filter(F.col("score") > 0)
+    )
+
+
+@register(
+    "q111_bm25_topk",
+    oracle=f"""
+    WITH {_bm25_ctes()}
+    SELECT doc_id, score FROM lex
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def q111_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (Robertson et al., TREC-3): top-20
+    documents for the fixed query {spark, table, hash} with k1=1.2,
+    b=0.75 and the +1-floored idf (never negative). The lexical
+    retrieval op of a curation stack — quality-scoring corpora
+    against seed queries, mining domain-relevant documents, or the
+    BM25 half of hybrid (lexical+vector) retrieval (q118). Scoring
+    core + scale notes in ``bm25_scores``; the top-k here is a
+    TakeOrdered, not a global sort."""
+    return (
+        bm25_scores(_t(spark, sf_dir, "documents").select("doc_id", "text"))
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
@@ -640,10 +662,11 @@ def q112_doc_chunks(spark, sf_dir):
     )
 
 
-@register(
-    "q114_ngram_novelty",
-    oracle=r"""
-    WITH s AS (
+# shared oracle fragment (q114 + q119): the distinct per-doc word
+# trigram relation — ONE definition so the novelty signal and the
+# hot-list it feeds can never desynchronize on shingle semantics
+_SHINGLE_CTES = r"""
+    s AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
       FROM documents
     ),
@@ -651,7 +674,37 @@ def q112_doc_chunks(spark, sf_dir):
       SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
       FROM s, UNNEST(range(1, len(w) - 1)) t(i)
       WHERE len(w) >= 3
-    ),
+    )"""
+
+
+def doc_shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct per-doc word-trigram relation (shared by q114 and
+    q119, mirroring _SHINGLE_CTES): (id, shingle) with the shingle a
+    space-joined 3-token slice, distinct within a doc. Docs under 3
+    tokens emit nothing. The token array is staged to a column
+    before the transform/slice (the winnow_fingerprint trap)."""
+    staged = docs.select(id_col, words(text_col).alias("__w")).select(
+        id_col, "__w", F.size("__w").alias("__n")
+    )
+    return staged.filter(F.col("__n") >= 3).select(
+        id_col,
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__n") - 2),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i, 3)),
+                )
+            )
+        ).alias("shingle"),
+    )
+
+
+@register(
+    "q114_ngram_novelty",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
     first AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
     SELECT doc_id,
            count(*) AS n_shingles,
@@ -682,27 +735,9 @@ def q114_ngram_novelty(spark, sf_dir):
     the ratio rounds to 6 on both engines. Docs under 3 tokens have
     no trigrams and emit no row. Plan pinned by
     tests/test_plans.py::test_ngram_novelty_exchange_reuse."""
-    d = _t(spark, sf_dir, "documents")
-    staged = d.select("doc_id", words("text").alias("__w")).select(
-        "doc_id", "__w", F.size("__w").alias("__n")
-    )
-    sh = (
-        staged.filter(F.col("__n") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.col("__n") - 2),
-                        lambda i: F.concat_ws(
-                            " ", F.slice(F.col("__w"), i, 3)
-                        ),
-                    )
-                )
-            ).alias("shingle"),
-        )
-    )
-    sh = sh.repartition("shingle")
+    sh = doc_shingles(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).repartition("shingle")
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     novel = (F.col("first_doc") == F.col("doc_id")).cast("bigint")
     return (
@@ -720,16 +755,8 @@ def q114_ngram_novelty(spark, sf_dir):
 
 @register(
     "q119_hot_ngrams",
-    oracle=r"""
-    WITH s AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-      FROM documents
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
-      FROM s, UNNEST(range(1, len(w) - 1)) t(i)
-      WHERE len(w) >= 3
-    )
+    oracle=f"""
+    WITH {_SHINGLE_CTES}
     SELECT shingle, count(*) AS df
     FROM sh GROUP BY shingle
     ORDER BY df DESC, shingle LIMIT 20
@@ -745,29 +772,11 @@ def q119_hot_ngrams(spark, sf_dir):
     applies (q61/q62).
 
     Scale shape: one corpus scan -> distinct per-doc shingle explode
-    -> map-side-combinable (shingle, count) aggregate -> TakeOrdered
-    top-20. No global sort; the aggregate's combiner means only
-    distinct shingles cross the wire."""
-    d = _t(spark, sf_dir, "documents")
-    staged = d.select("doc_id", words("text").alias("__w")).select(
-        "doc_id", "__w", F.size("__w").alias("__n")
-    )
-    sh = (
-        staged.filter(F.col("__n") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.col("__n") - 2),
-                        lambda i: F.concat_ws(
-                            " ", F.slice(F.col("__w"), i, 3)
-                        ),
-                    )
-                )
-            ).alias("shingle"),
-        )
-    )
+    (shared ``doc_shingles`` relation) -> map-side-combinable
+    (shingle, count) aggregate -> TakeOrdered top-20. No global
+    sort; the aggregate's combiner means only distinct shingles
+    cross the wire."""
+    sh = doc_shingles(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))

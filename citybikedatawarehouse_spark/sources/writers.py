@@ -70,15 +70,19 @@ def export_packed_corpus(
     deterministically pre-shuffled token stream, cut every ``budget``
     tokens at the bin boundaries recorded in the rows.
 
-    Layout contract at scale: one task per shard — RANGE-partitioned
-    on the shard key (``repartitionByRange``), because hash
-    repartitioning n_shards distinct values into n_shards partitions
-    collides shards into shared tasks while other tasks sit empty;
-    range boundaries over the n_shards distinct values give each
-    shard its own writer, so every shard is one sorted run and files
-    stay trainer-sized. Readers of a shard subset get directory
-    partition pruning. Shard count = O(cluster cores) keeps tasks
-    parallel.
+    Layout contract at scale: RANGE-partitioned on the shard key
+    (``repartitionByRange``), because hash repartitioning n_shards
+    distinct values into n_shards partitions collides shards into
+    shared tasks while other tasks sit empty. Range bounds are
+    weight-balanced from a sample, so with NEAR-UNIFORM shard sizes
+    (md5-mod shards are) each shard gets its own writer task; a
+    heavily skewed shard distribution can still merge small shards
+    into one task — output stays correct (partitionBy splits the
+    directories and sortWithinPartitions leads with shard, so each
+    shard is still one contiguous sorted run), only task parallelism
+    degrades, and the fix there is more shards, not a different
+    partitioner. Readers of a shard subset get directory partition
+    pruning. Shard count = O(cluster cores) keeps tasks parallel.
     """
     from citybikedatawarehouse_spark.plans.curation import pack_assignments
 
