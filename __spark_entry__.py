@@ -67,7 +67,7 @@ _SWEEP_PRIORITY = [
     "q113_weighted_sample", "q114_ngram_novelty",
     "q115_hard_negatives", "q116_dedup_rate_by_source",
     "q117_semantic_dedup_hier", "q118_hybrid_rrf", "q119_hot_ngrams",
-    "q120_moving_avg_range",
+    "q120_moving_avg_range", "q121_gap_fill_locf",
     "q88_semantic_dedup", "q97_mixture_sample",
     "q83_sequence_pack", "q92_curation_e2e",
     "q75_kmeans", "q76_ivf_kmeans_topk",

@@ -1015,3 +1015,80 @@ def q120_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("day_cents").over(w) / 100.0, 6).alias("ma7"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_days"),
     )
+
+
+@register(
+    "q121_gap_fill_locf",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day_num,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS day_cents
+      FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT min(day_num) AS lo, max(day_num) AS hi FROM daily),
+    axis AS (SELECT unnest(generate_series(lo, hi)) AS day_num FROM bounds),
+    joined AS (
+      SELECT a.day_num, d.day_cents FROM axis a LEFT JOIN daily d USING (day_num)
+    )
+    SELECT strftime(DATE '1970-01-01' + to_days(CAST(day_num AS INTEGER)),
+                    '%Y-%m-%d') AS day,
+           round(day_cents / 100.0, 2) AS day_revenue,
+           round(last_value(day_cents IGNORE NULLS) OVER (
+                   ORDER BY day_num
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) / 100.0, 2) AS filled_revenue,
+           day_cents IS NULL AS is_gap
+    FROM joined
+    """,
+)
+def q121_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward:
+    materialize the FULL day axis between the series' min and max
+    day (generate_series twin), left-join the observed daily
+    revenue, and fill gaps with the latest preceding observation
+    (``last(..., ignorenulls)``). The resample/interpolate primitive
+    dashboards and feature pipelines need — a naive groupBy silently
+    drops empty days, and a downstream moving average (q120) over
+    the gappy series is biased.
+
+    Determinism: revenue in exact integer cents (q120's rule); LOCF
+    is a pure function of the ordered axis. Scale shape: the fact
+    table collapses to one row per day BEFORE the axis join; the
+    axis explode and the LOCF window run on O(days) rows in one
+    bounded partition (constant partition spec — never the fact
+    table)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).alias("day_num")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("day_cents")
+    )
+    bounds = daily.agg(
+        F.min("day_num").alias("__lo"), F.max("day_num").alias("__hi")
+    )
+    axis = bounds.select(
+        F.explode(F.sequence("__lo", "__hi")).alias("day_num")
+    )
+    joined = axis.join(daily, "day_num", "left")
+    w = (
+        W.partitionBy(F.lit(0))
+        .orderBy("day_num")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("day_num")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        F.round(F.col("day_cents") / 100.0, 2).alias("day_revenue"),
+        F.round(
+            F.last("day_cents", ignorenulls=True).over(w) / 100.0, 2
+        ).alias("filled_revenue"),
+        F.col("day_cents").isNull().alias("is_gap"),
+    )

@@ -44,6 +44,26 @@ DIGEST_STATE_SCHEMA = T.StructType(
     [T.StructField("digest", T.StringType(), False)]
 )
 
+SHINGLE_STATE_SCHEMA = T.StructType(
+    [T.StructField("shingle", T.StringType(), False)]
+)
+
+
+def _read_epoch_state(spark, state_dir, schema, epoch_id):
+    """Union every epoch slice EXCEPT the current one (a replayed
+    batch must never see state its own crashed attempt recorded) —
+    the shared replay-safe state read of this module's loops."""
+    dirs = []
+    if os.path.isdir(state_dir):
+        dirs = [
+            os.path.join(state_dir, d)
+            for d in os.listdir(state_dir)
+            if d.startswith("epoch=") and d != f"epoch={epoch_id}"
+        ]
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*dirs)
+
 
 def dedup_batch_against_state(
     batch: DataFrame, state_df: DataFrame, id_col: str, text_col: str
@@ -134,25 +154,98 @@ def start_incremental_dedup(
     and wipe the epoch's real survivors with an empty write)."""
     spark = docs_stream.sparkSession
 
-    def _state_for(epoch_id: int) -> DataFrame:
-        dirs = []
-        if os.path.isdir(state_dir):
-            dirs = [
-                os.path.join(state_dir, d)
-                for d in os.listdir(state_dir)
-                if d.startswith("epoch=") and d != f"epoch={epoch_id}"
-            ]
-        if not dirs:
-            return spark.createDataFrame([], DIGEST_STATE_SCHEMA)
-        return spark.read.schema(DIGEST_STATE_SCHEMA).parquet(*dirs)
-
     def step(batch_df: DataFrame, epoch_id: int) -> None:
+        state = _read_epoch_state(
+            spark, state_dir, DIGEST_STATE_SCHEMA, epoch_id
+        )
         fresh = dedup_batch_against_state(
-            batch_df, _state_for(epoch_id), id_col, text_col
+            batch_df, state, id_col, text_col
         ).localCheckpoint()  # two consumers below; don't replay the join
         fresh.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
         fresh.select("digest").write.mode("overwrite").parquet(
             f"{state_dir}/epoch={epoch_id}"
+        )
+
+    return docs_stream.writeStream.foreachBatch(step).start()
+
+
+def score_shingles_against_state(
+    batch: DataFrame, state_df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """One novelty batch step (pure function of (batch, state) — the
+    streaming counterpart of q114's corpus-wide trigram novelty):
+    the batch's distinct per-doc trigram relation, annotated with
+    ``__first`` (the min batch id holding the shingle — in-batch
+    first-seen, deterministic regardless of arrival order inside the
+    batch) and ``__known`` (true iff the shingle exists in the
+    accumulated state). A shingle is NOVEL for doc d iff it is not
+    known and d == __first — exactly q114's min-id rule applied
+    incrementally.
+
+    Plan: the shingle relation repartitions by shingle ONCE; the
+    first-seen window and the state join both ride that exchange
+    (q114's ReusedExchange discipline), and only shingles — never
+    text — cross the wire after the explode."""
+    from citybikedatawarehouse_spark.plans.text import doc_shingles
+
+    sh = doc_shingles(batch, id_col, text_col).repartition("shingle")
+    w = Window.partitionBy("shingle")
+    return (
+        sh.withColumn("__first", F.min(id_col).over(w))
+        .join(
+            state_df.withColumn("__known", F.lit(True)), "shingle", "left"
+        )
+    )
+
+
+def novelty_of_scored(scored: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc novelty aggregate over score_shingles_against_state's
+    output: (id, n_shingles, n_novel, novelty round 6)."""
+    novel = (
+        F.col("__known").isNull() & (F.col(id_col) == F.col("__first"))
+    ).cast("bigint")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(novel).alias("n_novel"),
+        F.round(F.sum(novel).cast("double") / F.count(F.lit(1)), 6).alias(
+            "novelty"
+        ),
+    )
+
+
+def start_incremental_novelty(
+    docs_stream: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming n-gram novelty: per-doc novelty scores land under
+    ``out_dir/epoch=N``, the accumulated shingle vocabulary under
+    ``state_dir/epoch=N``. Same replay-safety contract as
+    start_incremental_dedup: the state read excludes the current
+    epoch and both writes are per-epoch overwrites, so a replayed
+    batch recomputes identical scores idempotently. Converges to the
+    batch q114 semantics when batches arrive in id order
+    (tests/test_streaming_incremental.py)."""
+    spark = docs_stream.sparkSession
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        state = _read_epoch_state(
+            spark, state_dir, SHINGLE_STATE_SCHEMA, epoch_id
+        )
+        scored = score_shingles_against_state(
+            batch_df, state, id_col, text_col
+        ).localCheckpoint()  # two consumers; don't replay explode+join
+        novelty_of_scored(scored, id_col).write.mode("overwrite").parquet(
+            f"{out_dir}/epoch={epoch_id}"
+        )
+        (
+            scored.filter(F.col("__known").isNull())
+            .select("shingle")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(f"{state_dir}/epoch={epoch_id}")
         )
 
     return docs_stream.writeStream.foreachBatch(step).start()

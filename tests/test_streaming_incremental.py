@@ -176,3 +176,60 @@ def test_scd2_stream_equals_sequential_batch_merges(spark, tmp_path):
     # history survived: station 1 and 2 have a closed version each
     closed = got.filter(~F.col("is_current"))
     assert {r["station_id"] for r in closed.collect()} == {1, 2}
+
+
+def test_stream_novelty_equals_batch_q114_semantics(spark, tmp_path):
+    """Streaming novelty over ordered micro-batches must equal the
+    corpus-wide q114 rule (a trigram is novel for the min doc_id
+    holding it): state accumulation across epochs is exactly the
+    'docs seen so far' prefix."""
+    import re
+
+    from citybikedatawarehouse_spark.streaming.incremental import (
+        start_incremental_novelty,
+    )
+
+    day1 = [(1, "a b c d"), (2, "a b c")]          # doc2: all seen via doc1
+    day2 = [(3, "b c d e f"), (4, "x y z w")]      # doc3 mixes old+new
+    day3 = [(5, "x y z"), (6, "e f g h i")]
+    src = tmp_path / "nsrc"
+    for day in (day1, day2, day3):
+        spark.createDataFrame(day, DOCS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    out, state = str(tmp_path / "nout"), str(tmp_path / "nstate")
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = start_incremental_novelty(stream, out, state)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"])
+        for r in spark.read.parquet(f"{out}/epoch=*").collect()
+    }
+    # python ground truth: global min-doc-id first-seen over trigrams
+    corpus = dict(day1 + day2 + day3)
+    first = {}
+    for doc_id in sorted(corpus):
+        w = re.split(r"\s+", corpus[doc_id].strip())
+        for s in {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}:
+            first.setdefault(s, doc_id)
+    want = {}
+    for doc_id in corpus:
+        w = re.split(r"\s+", corpus[doc_id].strip())
+        sh = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+        if sh:
+            want[doc_id] = (
+                len(sh),
+                sum(1 for s in sh if first[s] == doc_id),
+            )
+    assert got == want
+    # state holds each shingle exactly once across epochs
+    st = spark.read.parquet(f"{state}/epoch=*").collect()
+    assert len(st) == len({r["shingle"] for r in st}) == len(first)
