@@ -1201,3 +1201,52 @@ def q118_hybrid_rrf(spark, sf_dir):
         .limit(10)
     )
     return fused
+
+
+@register(
+    "q123_embedding_dim_stats",
+    oracle="""
+    WITH e AS (
+      SELECT t.i - 1 AS dim, CAST(emb.embedding[t.i] AS DOUBLE) AS v
+      FROM embeddings emb, UNNEST(range(1, len(emb.embedding) + 1)) t(i)
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           count(*) AS n,
+           round(sum(v) / count(*), 6) AS mean,
+           round(sqrt((sum(v * v) - sum(v) * sum(v) / count(*))
+                      / (count(*) - 1)), 6) AS std,
+           round(min(v), 6) AS mn,
+           round(max(v), 6) AS mx
+    FROM e GROUP BY dim
+    """,
+)
+def q123_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension corpus statistics of the embedding column
+    (mean/std/min/max) — the FIT half of feature standardization: a
+    normalizer (or whitening/PCA preprocessing step) broadcasts this
+    64-row relation and applies (v - mean)/std per dimension. Also
+    the drift monitor for an embedding store: a dimension whose
+    std collapses or mean wanders signals a model/version skew in
+    the ingest path.
+
+    Scale shape: one posexplode keyed (dim) — the shuffle carries
+    per-partition partial sums (map-side combine), so wire volume is
+    64 rows per partition regardless of corpus size; the output is
+    always exactly dim rows. std is computed from raw sums with the
+    same explicit formula on both engines (engine-native stddev_samp
+    implementations disagree on the compensation algorithm)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("dim", "v")
+    )
+    cnt = F.count(F.lit(1))
+    sv, svv = F.sum("v"), F.sum(F.col("v") * F.col("v"))
+    return e.groupBy("dim").agg(
+        cnt.alias("n"),
+        F.round(sv / cnt, 6).alias("mean"),
+        F.round(F.sqrt((svv - sv * sv / cnt) / (cnt - 1)), 6).alias("std"),
+        F.round(F.min("v"), 6).alias("mn"),
+        F.round(F.max("v"), 6).alias("mx"),
+    )

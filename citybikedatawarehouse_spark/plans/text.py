@@ -5,7 +5,7 @@ fingerprinting. Populated incrementally."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from citybikedatawarehouse_spark.functions.textfns import (
@@ -580,6 +580,30 @@ def q111_bm25_topk(spark, sf_dir):
     )
 
 
+# shared oracle fragment (q112 + q124): the per-chunk relation of
+# the 64-token/stride-32 chunking — ONE definition so the manifest
+# and the chunk-dedup pipeline built on it can never drift
+_CHUNK_CTES = """
+    s AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS dl
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w, dl,
+             unnest(generate_series(0, (dl - 1) // 32)) AS chunk_id
+      FROM s
+    ),
+    cm AS (
+      SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+             CAST(least(64, dl - chunk_id * 32) AS BIGINT) AS n_tokens,
+             md5(array_to_string(
+               list_slice(w, chunk_id * 32 + 1,
+                          least(chunk_id * 32 + 64, dl)), ' ')) AS chunk_fp
+      FROM c
+    )"""
+
+
 def chunk_manifest(
     docs: DataFrame,
     window: int = 64,
@@ -630,23 +654,9 @@ def chunk_manifest(
 
 @register(
     "q112_doc_chunks",
-    oracle="""
-    WITH s AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w,
-             len(regexp_split_to_array(trim(text), '\\s+')) AS dl
-      FROM documents
-    ),
-    c AS (
-      SELECT doc_id, w, dl,
-             unnest(generate_series(0, (dl - 1) // 32)) AS chunk_id
-      FROM s
-    )
-    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
-           CAST(least(64, dl - chunk_id * 32) AS BIGINT) AS n_tokens,
-           md5(array_to_string(
-             list_slice(w, chunk_id * 32 + 1,
-                        least(chunk_id * 32 + 64, dl)), ' ')) AS chunk_fp
-    FROM c
+    oracle=f"""
+    WITH {_CHUNK_CTES}
+    SELECT doc_id, chunk_id, n_tokens, chunk_fp FROM cm
     """,
 )
 def q112_doc_chunks(spark, sf_dir):
@@ -782,4 +792,111 @@ def q119_hot_ngrams(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.col("df").desc(), "shingle")
         .limit(20)
+    )
+
+
+@register(
+    "q122_word_entropy",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, words[i] AS word
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+            FROM documents),
+           UNNEST(range(1, len(words) + 1)) t(i)
+      WHERE words[i] <> ''
+    ),
+    wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+    n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM wc GROUP BY 1)
+    SELECT doc_id, n AS n_words,
+           count(*) AS n_distinct,
+           round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS entropy
+    FROM wc JOIN n USING (doc_id)
+    GROUP BY doc_id, n
+    """,
+)
+def q122_word_entropy(spark, sf_dir):
+    """Per-document unigram (word) entropy in nats: -sum p ln p over
+    the doc's word distribution. The information-density quality
+    signal Gopher-class filters threshold from both ends — near-zero
+    entropy = a repeated-token degenerate doc (the q85 failure mode
+    seen distribution-wide), implausibly high entropy-per-length =
+    random noise. Complements q53's ratio features and q87's
+    corpus-LM logprob (this one needs no corpus vocabulary, so it
+    works on the first pass over unseen data).
+
+    Scale shape: one explode, one (doc, word)-keyed count (map-side
+    combinable), one doc-keyed entropy aggregate — the q68 tf shape
+    without the corpus-wide df join. Cross-engine: the entropy sum's
+    term order differs between engines, but per-doc terms are few
+    and O(1)-magnitude, so rounding to 6 absorbs last-ulp drift (the
+    q73 precedent)."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(words("text")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    wc = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    n = wc.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c") * 1.0 / F.col("n")
+    return (
+        wc.join(n, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").alias("n_words"),
+            "n_distinct",
+            "entropy",
+        )
+    )
+
+
+@register(
+    "q124_chunk_dedup_pipeline",
+    oracle=f"""
+    WITH {_CHUNK_CTES},
+    r AS (
+      SELECT doc_id, chunk_id,
+             row_number() OVER (PARTITION BY chunk_fp
+                                ORDER BY doc_id, chunk_id) AS rn
+      FROM cm
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_frac
+    FROM r GROUP BY doc_id
+    """,
+)
+def q124_chunk_dedup_pipeline(spark, sf_dir):
+    """Chunk-level dedup audit (chunking composed with exact dedup —
+    the retrieval-side e2e twin of q92's curation pipeline): chunk
+    every doc (q112's shared core), then mark each chunk a duplicate
+    iff an identical-fingerprint chunk exists at a smaller
+    (doc_id, chunk_id). Per-doc output (n_chunks, n_dup_chunks,
+    dup_frac) is exactly the skip-list an embedding stage consumes —
+    duplicate chunks are never re-embedded, which on boilerplate-
+    heavy corpora is the single biggest embedding-cost lever.
+
+    Plan shape: chunking's narrow fan-out -> one chunk_fp-keyed
+    exchange on which the canonical-rank window rides -> one
+    doc-keyed aggregate. Only 32-byte fingerprints shuffle, never
+    chunk text (q60's rule); two shuffles total for the composed
+    pipeline, no materialization barrier."""
+    cm = chunk_manifest(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    w = Window.partitionBy("chunk_fp").orderBy("doc_id", "chunk_id")
+    r = cm.select(
+        "doc_id", "chunk_id", F.row_number().over(w).alias("__rn")
+    )
+    dup = (F.col("__rn") > 1).cast("bigint")
+    return r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(dup).alias("n_dup_chunks"),
+        F.round(F.sum(dup).cast("double") / F.count(F.lit(1)), 6).alias(
+            "dup_frac"
+        ),
     )
