@@ -69,7 +69,7 @@ _SWEEP_PRIORITY = [
     "q117_semantic_dedup_hier", "q118_hybrid_rrf", "q119_hot_ngrams",
     "q120_moving_avg_range", "q121_gap_fill_locf",
     "q122_word_entropy", "q123_embedding_dim_stats",
-    "q124_chunk_dedup_pipeline",
+    "q124_chunk_dedup_pipeline", "q125_curriculum_buckets",
     "q88_semantic_dedup", "q97_mixture_sample",
     "q83_sequence_pack", "q92_curation_e2e",
     "q75_kmeans", "q76_ivf_kmeans_topk",

@@ -795,10 +795,9 @@ def q119_hot_ngrams(spark, sf_dir):
     )
 
 
-@register(
-    "q122_word_entropy",
-    oracle=r"""
-    WITH w AS (
+# shared oracle fragment (q122 + q125): the per-doc entropy relation
+_ENTROPY_CTES = r"""
+    w AS (
       SELECT doc_id, words[i] AS word
       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
             FROM documents),
@@ -806,12 +805,46 @@ def q119_hot_ngrams(spark, sf_dir):
       WHERE words[i] <> ''
     ),
     wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
-    n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM wc GROUP BY 1)
-    SELECT doc_id, n AS n_words,
-           count(*) AS n_distinct,
-           round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS entropy
-    FROM wc JOIN n USING (doc_id)
-    GROUP BY doc_id, n
+    n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM wc GROUP BY 1),
+    ent AS (
+      SELECT doc_id, n AS n_words,
+             count(*) AS n_distinct,
+             round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS entropy
+      FROM wc JOIN n USING (doc_id)
+      GROUP BY doc_id, n
+    )"""
+
+
+def word_entropy_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc unigram entropy core (shared by q122 and q125,
+    mirroring _ENTROPY_CTES): (id, n_words, n_distinct, entropy)
+    with entropy = -sum p ln p in nats, rounded to 6. One explode,
+    one (doc, word)-keyed count (map-side combinable), one doc-keyed
+    aggregate — the q68 tf shape without the corpus-wide df join."""
+    w = docs.select(id_col, F.explode(words(text_col)).alias("word")).filter(
+        F.col("word") != ""
+    )
+    wc = w.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("c"))
+    n = wc.groupBy(id_col).agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c") * 1.0 / F.col("n")
+    return (
+        wc.join(n, id_col)
+        .groupBy(id_col, "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+        .select(id_col, F.col("n").alias("n_words"), "n_distinct", "entropy")
+    )
+
+
+@register(
+    "q122_word_entropy",
+    oracle=f"""
+    WITH {_ENTROPY_CTES}
+    SELECT doc_id, n_words, n_distinct, entropy FROM ent
     """,
 )
 def q122_word_entropy(spark, sf_dir):
@@ -824,32 +857,12 @@ def q122_word_entropy(spark, sf_dir):
     corpus-LM logprob (this one needs no corpus vocabulary, so it
     works on the first pass over unseen data).
 
-    Scale shape: one explode, one (doc, word)-keyed count (map-side
-    combinable), one doc-keyed entropy aggregate — the q68 tf shape
-    without the corpus-wide df join. Cross-engine: the entropy sum's
-    term order differs between engines, but per-doc terms are few
-    and O(1)-magnitude, so rounding to 6 absorbs last-ulp drift (the
-    q73 precedent)."""
-    d = _t(spark, sf_dir, "documents")
-    w = d.select("doc_id", F.explode(words("text")).alias("word")).filter(
-        F.col("word") != ""
-    )
-    wc = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
-    n = wc.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
-    p = F.col("c") * 1.0 / F.col("n")
-    return (
-        wc.join(n, "doc_id")
-        .groupBy("doc_id", "n")
-        .agg(
-            F.count(F.lit(1)).alias("n_distinct"),
-            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
-        )
-        .select(
-            "doc_id",
-            F.col("n").alias("n_words"),
-            "n_distinct",
-            "entropy",
-        )
+    Core + scale notes in ``word_entropy_scores``. Cross-engine: the
+    entropy sum's term order differs between engines, but per-doc
+    terms are few and O(1)-magnitude, so rounding to 6 absorbs
+    last-ulp drift (the q73 precedent)."""
+    return word_entropy_scores(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
     )
 
 
@@ -899,4 +912,70 @@ def q124_chunk_dedup_pipeline(spark, sf_dir):
         F.round(F.sum(dup).cast("double") / F.count(F.lit(1)), 6).alias(
             "dup_frac"
         ),
+    )
+
+
+@register(
+    "q125_curriculum_buckets",
+    oracle=f"""
+    WITH {_ENTROPY_CTES},
+    th AS (
+      SELECT round(quantile_cont(CAST(entropy AS DOUBLE), 0.25), 6) AS t1,
+             round(quantile_cont(CAST(entropy AS DOUBLE), 0.5), 6) AS t2,
+             round(quantile_cont(CAST(entropy AS DOUBLE), 0.75), 6) AS t3
+      FROM ent
+    )
+    SELECT CASE WHEN entropy <= t1 THEN 1
+                WHEN entropy <= t2 THEN 2
+                WHEN entropy <= t3 THEN 3
+                ELSE 4 END AS phase,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS phase_tokens,
+           round(min(entropy), 6) AS min_entropy,
+           round(max(entropy), 6) AS max_entropy
+    FROM ent CROSS JOIN th
+    GROUP BY 1
+    """,
+)
+def q125_curriculum_buckets(spark, sf_dir):
+    """Curriculum phase assignment: docs bucketed into 4 phases by
+    entropy quartile — the curriculum-learning manifest (train on
+    low-entropy/simple text first, anneal toward the complex tail),
+    and equally the distribution audit behind entropy-based quality
+    cutoffs (q122's gate thresholds are usually set AS quantiles).
+    Emits per-phase (n_docs, token mass, entropy range).
+
+    Scale shape: the entropy relation computes once; exact
+    interpolated quartiles collapse to ONE 3-value row broadcast
+    back (Spark `percentile` and DuckDB `quantile_cont` share the
+    linear-interpolation definition; thresholds round to 6 before
+    the comparison so a last-ulp lerp difference cannot flip a
+    boundary doc); one final phase-keyed aggregate. Exact percentile
+    needs a sort of the SCORES only (8-byte doubles, not docs) — at
+    extreme scale swap in approx_percentile and accept the
+    documented error band."""
+    ent = word_entropy_scores(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    th = ent.agg(
+        F.transform(
+            F.percentile(F.col("entropy").cast("double"), F.lit([0.25, 0.5, 0.75])),
+            lambda x: F.round(x, 6),
+        ).alias("__th")
+    )
+    phase = (
+        F.when(F.col("entropy") <= F.col("__th")[0], 1)
+        .when(F.col("entropy") <= F.col("__th")[1], 2)
+        .when(F.col("entropy") <= F.col("__th")[2], 3)
+        .otherwise(4)
+    )
+    return (
+        ent.crossJoin(F.broadcast(th))
+        .groupBy(phase.alias("phase"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("phase_tokens"),
+            F.round(F.min("entropy"), 6).alias("min_entropy"),
+            F.round(F.max("entropy"), 6).alias("max_entropy"),
+        )
     )

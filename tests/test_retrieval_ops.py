@@ -140,3 +140,44 @@ def test_dedup_rate_consistent_with_exact_dedup(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r["dup_rate"] < 1.0
         assert r["n_unique"] <= r["n_docs"]
+
+
+def test_word_entropy_matches_python_model(spark, sf_dir):
+    """Re-derive every doc's entropy from raw text in Python
+    (-sum p ln p over word counts) and compare to 6 decimals."""
+    rows = QUERIES["q122_word_entropy"](spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: [w for w in _toks(r["text"]) if w]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert {r["doc_id"] for r in rows} == {
+        d for d, w in docs.items() if w
+    }
+    for r in rows:
+        w = docs[r["doc_id"]]
+        counts = {}
+        for t in w:
+            counts[t] = counts.get(t, 0) + 1
+        n = len(w)
+        ent = -sum((c / n) * math.log(c / n) for c in counts.values())
+        assert r["n_words"] == n
+        assert r["n_distinct"] == len(counts)
+        assert abs(r["entropy"] - round(ent, 6)) < 2e-6, r
+
+
+def test_curriculum_buckets_partition_the_corpus(spark, sf_dir):
+    """Phases 1-4 cover every entropy-scored doc exactly once, phase
+    sizes are quartile-balanced within rounding, and entropy ranges
+    are disjoint and ordered."""
+    rows = sorted(
+        QUERIES["q125_curriculum_buckets"](spark, sf_dir).collect(),
+        key=lambda r: r["phase"],
+    )
+    assert [r["phase"] for r in rows] == [1, 2, 3, 4]
+    total = sum(r["n_docs"] for r in rows)
+    scored = QUERIES["q122_word_entropy"](spark, sf_dir).count()
+    assert total == scored
+    for r in rows:
+        assert abs(r["n_docs"] - total / 4) <= total * 0.26  # quartile-ish
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_entropy"] <= b["min_entropy"]
