@@ -1213,7 +1213,7 @@ def q118_hybrid_rrf(spark, sf_dir):
     SELECT CAST(dim AS INTEGER) AS dim,
            count(*) AS n,
            round(sum(v) / count(*), 6) AS mean,
-           round(sqrt((sum(v * v) - sum(v) * sum(v) / count(*))
+           round(sqrt(greatest(sum(v * v) - sum(v) * sum(v) / count(*), 0.0)
                       / (count(*) - 1)), 6) AS std,
            round(min(v), 6) AS mn,
            round(max(v), 6) AS mx
@@ -1234,7 +1234,12 @@ def q123_embedding_dim_stats(spark, sf_dir):
     64 rows per partition regardless of corpus size; the output is
     always exactly dim rows. std is computed from raw sums with the
     same explicit formula on both engines (engine-native stddev_samp
-    implementations disagree on the compensation algorithm)."""
+    implementations disagree on the compensation algorithm), with
+    the sum-of-squares residue CLAMPED at zero — a constant
+    dimension makes sum(v^2) - sum(v)^2/n a tiny NEGATIVE float by
+    catastrophic cancellation, which is sqrt-domain-error on DuckDB
+    and NaN on Spark (tests/test_skew_properties.py pins the
+    constant-dimension case)."""
     emb = _t(spark, sf_dir, "embeddings")
     e = emb.select(
         F.posexplode(
@@ -1243,10 +1248,11 @@ def q123_embedding_dim_stats(spark, sf_dir):
     )
     cnt = F.count(F.lit(1))
     sv, svv = F.sum("v"), F.sum(F.col("v") * F.col("v"))
+    resid = F.greatest(svv - sv * sv / cnt, F.lit(0.0))
     return e.groupBy("dim").agg(
         cnt.alias("n"),
         F.round(sv / cnt, 6).alias("mean"),
-        F.round(F.sqrt((svv - sv * sv / cnt) / (cnt - 1)), 6).alias("std"),
+        F.round(F.sqrt(resid / (cnt - 1)), 6).alias("std"),
         F.round(F.min("v"), 6).alias("mn"),
         F.round(F.max("v"), 6).alias("mx"),
     )

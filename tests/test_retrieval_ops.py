@@ -1,9 +1,11 @@
 """Model-based invariants for the round-5 retrieval/curation
-operators (q111-q116): cross-engine value equality is proven by
-test_oracle_parity; these pin the semantic laws a matching oracle
-cannot see — coverage/conservation for chunking, a pure-Python BM25
-re-derivation, weighted-sampling bias direction, and novelty
-boundary conditions."""
+operators (q111-q116 chunking/BM25/sampling/novelty/negatives/audit,
+plus q122 entropy and q125 curriculum buckets): cross-engine value
+equality is proven by test_oracle_parity; these pin the semantic
+laws a matching oracle cannot see — coverage/conservation for
+chunking, pure-Python BM25 and entropy re-derivations,
+weighted-sampling bias direction, novelty boundary conditions, and
+curriculum-phase partition laws."""
 
 from __future__ import annotations
 

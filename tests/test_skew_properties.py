@@ -118,3 +118,42 @@ def test_pq_adc_search_survives_collapsed_corpus(spark):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     assert set(by_q) == {0, 1, 2}
     assert all(sorted(v) == [1, 2, 3, 4] for v in by_q.values())
+
+
+def test_dim_stats_constant_dimension_yields_zero_std(spark):
+    """Catastrophic-cancellation guard: a dimension constant across
+    the corpus makes sum(v^2) - sum(v)^2/n a tiny NEGATIVE float;
+    without the clamp this is a sqrt domain error on DuckDB and NaN
+    on Spark. The clamped formula must report std exactly 0.0 for
+    constant dims and a sane positive std for varying ones."""
+    import duckdb
+
+    rows = [(i, [0.7, 0.001, float(i % 5)] + [0.0] * 5) for i in range(40)]
+    emb = spark.createDataFrame(rows, VEC_SCHEMA)
+    from pyspark.sql import functions as F
+
+    e = emb.select(
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("dim", "v")
+    )
+    cnt = F.count(F.lit(1))
+    sv, svv = F.sum("v"), F.sum(F.col("v") * F.col("v"))
+    resid = F.greatest(svv - sv * sv / cnt, F.lit(0.0))
+    got = {
+        r["dim"]: r["std"]
+        for r in e.groupBy("dim")
+        .agg(F.round(F.sqrt(resid / (cnt - 1)), 6).alias("std"))
+        .collect()
+    }
+    assert got[0] == 0.0 and got[1] == 0.0  # constant dims: clamped, not NaN
+    assert got[2] > 0.0                     # varying dim: real std
+    assert all(got[d] == 0.0 for d in range(3, 8))
+    # and the DuckDB side of the same clamped formula runs clean
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t AS SELECT unnest([0.7, 0.7, 0.7]) AS v")
+    (std,) = con.sql(
+        "SELECT round(sqrt(greatest(sum(v*v) - sum(v)*sum(v)/count(*), 0.0)"
+        " / (count(*) - 1)), 6) FROM t"
+    ).fetchone()
+    assert std == 0.0

@@ -233,3 +233,42 @@ def test_stream_novelty_equals_batch_q114_semantics(spark, tmp_path):
     # state holds each shingle exactly once across epochs
     st = spark.read.parquet(f"{state}/epoch=*").collect()
     assert len(st) == len({r["shingle"] for r in st}) == len(first)
+
+
+def test_replayed_epoch_ignores_its_own_crashed_state(spark, tmp_path):
+    """The round-4 ADVICE failure window: a crash AFTER the state
+    write but BEFORE the epoch commits used to make the replayed
+    batch anti-join against its own digests and emit an empty
+    survivor set. With epoch-keyed state and the current-epoch
+    exclusion, the replay sees exactly the state its first attempt
+    saw and recomputes identical survivors."""
+    from citybikedatawarehouse_spark.streaming.incremental import (
+        _read_epoch_state,
+    )
+
+    state_dir = str(tmp_path / "state")
+    # epoch 0 committed normally: 'alpha' known
+    spark.createDataFrame([("alpha",)], ["digest"]).select(
+        F.md5("digest").alias("digest")
+    ).write.parquet(f"{state_dir}/epoch=0")
+    # epoch 1 CRASHED between writes: its digests are on disk
+    batch1 = spark.createDataFrame(
+        [(5, "alpha"), (6, "bravo"), (7, "bravo")], DOCS_SCHEMA
+    )
+    batch1.select(F.md5("text").alias("digest")).distinct().write.parquet(
+        f"{state_dir}/epoch=1"
+    )
+    # replay of epoch 1: state read must EXCLUDE epoch=1
+    state = _read_epoch_state(
+        spark, state_dir, DIGEST_STATE_SCHEMA, epoch_id=1
+    )
+    fresh = dedup_batch_against_state(batch1, state, "doc_id", "text")
+    rows = {(r["doc_id"], r["text"]) for r in fresh.collect()}
+    # 'alpha' deduped by epoch-0 state; 'bravo' survives via min id —
+    # NOT the empty set the flat-append shape produced here
+    assert rows == {(6, "bravo")}
+    # and a non-replay read (next epoch) sees everything
+    state2 = _read_epoch_state(
+        spark, state_dir, DIGEST_STATE_SCHEMA, epoch_id=2
+    )
+    assert state2.count() == 3  # alpha + alpha/bravo from epoch 1
