@@ -83,6 +83,34 @@ def _calibrate() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _calibrate_parallel(n_threads: int = 16) -> float:
+    """sha256 over a 4 MiB buffer x32 per thread, fanned across
+    ``n_threads`` OS threads — hashing a large buffer releases the
+    GIL for essentially the whole iteration, so this measures CPU
+    AVAILABILITY, not Python lock contention. Reported as
+    ``calib_par_sec``. Round 5 found single-core calib BLIND to
+    multi-core contention: four same-code full runs spanned
+    6.0-10.3 s on the r1 subset while calib_sec sat at 0.10
+    throughout — external load was eating the OTHER cores, which
+    only a parallel probe can see. On an idle >=n_threads-core host
+    this approximates the single-thread time for the same per-thread
+    work; the ratio calib_par_sec / (single-thread time of one
+    work()) is the effective multi-core contention factor."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    buf = b"x" * (4 * 1024 * 1024)
+
+    def work(_=None) -> None:
+        for _ in range(32):
+            hashlib.sha256(buf).digest()
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=n_threads) as ex:
+        list(ex.map(work, range(n_threads)))
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -119,6 +147,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "calib_sec": min(_calibrate() for _ in range(3)),
+                "calib_par_sec": min(
+                    _calibrate_parallel() for _ in range(2)
+                ),
             }
         )
     )
