@@ -41,14 +41,24 @@ def entry(spark: SparkSession) -> DataFrame:
 #      CORRECTNESS_r01 after round 4 — the head slots were promised
 #      to them; after this sweep no query's driver evidence is older
 #      than r04,
-#   2. queries NEW or CHANGED in round 5: q110 (new pack-then-split
-#      segments), q88 (anchor-capped pair sweep + checkpointed fit
-#      input), q97 (explicit floor on both engines), q83/q92
-#      (pack_assignments now carries `cum`), q75/q76/q93-q96
-#      (warning-free kmeans_init seed numbering; q96 also the pinned
-#      ADC broadcast) — changed code must re-face the official gate,
+#   2. queries NEW or CHANGED in round 5 — together with cohort 1
+#      this fills the 50 slots EXACTLY (slot 50 = q96):
+#      new: q110 pack-then-split segments, q111 BM25, q112 chunking,
+#      q113 weighted sampling, q114 trigram novelty, q115 hard
+#      negatives, q116 dedup-rate audit, q117 hierarchical semantic
+#      dedup, q118 hybrid RRF, q119 hot trigrams, q120 RANGE-frame
+#      moving average, q121 gap-fill LOCF, q122 word entropy, q123
+#      embedding dim stats (clamped-residue std), q124 chunk-dedup
+#      pipeline, q125 curriculum buckets;
+#      changed: q88 (anchor cap + checkpointed fit input), q97
+#      (explicit floor both engines), q83/q92 (pack_assignments
+#      carries `cum`), q75/q76/q93-q96 (warning-free seed numbering;
+#      q96 also the pinned ADC broadcast) — changed code must
+#      re-face the official gate,
 #   3. everything else, least-recently-verified first (r02/r03
-#      evidence, then the r04-verified block).
+#      evidence, then the r04-verified block). All 131 queries were
+#      re-proven locally at sf0.01 against DuckDB this round
+#      regardless of sweep position.
 # Every name is asserted against the registry at import time (see
 # the assert after the list).
 _SWEEP_PRIORITY = [
