@@ -14,11 +14,13 @@ Scale notes (100 TB): each iteration re-scans the corpus once —
 inherent to Lloyd's — so callers at scale should cache/checkpoint the
 input once up front; the per-iteration shuffle is k*dim rows (the
 per-dimension partial sums combine map-side), and the broadcast side
-is always exactly k rows. Determinism: init is the k lowest-id
-vectors (no RNG to ship), distances and means are rounded to 6
-decimals before every comparison, ties break to the lowest cluster
-id — which is what makes the whole fit replayable in ANSI SQL by the
-DuckDB oracle (plans/similarity.py q75).
+is always exactly k rows. Determinism: init is the first k vectors
+in (md5(id), id) order — deterministic pseudo-random, no RNG state
+to ship, and robust to id-correlated data layouts where lowest-id
+seeding collapses (see kmeans_init) — distances and means are
+rounded to 6 decimals before every comparison, ties break to the
+lowest cluster id — which is what makes the whole fit replayable in
+ANSI SQL by the DuckDB oracle (plans/similarity.py q75).
 """
 
 from __future__ import annotations
@@ -34,9 +36,17 @@ def _round6(arr):
 
 
 def kmeans_init(emb: DataFrame, k: int, id_col: str, vec_col: str) -> DataFrame:
-    """Deterministic seeding: the k lowest-id vectors, numbered
-    0..k-1 in id order. TakeOrdered collects nothing to the driver —
-    the limit stays in the plan (k rows cross the final exchange).
+    """Deterministic PSEUDO-RANDOM seeding: the first k vectors in
+    (md5(id), id) order, numbered 0..k-1 in that order. md5 ordering
+    (no RNG state to ship, replayable in ANSI SQL) fixes the
+    pathology of lowest-id seeding: when the smallest k ids are
+    near-identical — planted duplicate groups, sorted ingest, any
+    id-correlated layout — id-ordered seeds have zero diversity and
+    Lloyd's strands most clusters inside one tight blob
+    (tests/test_skew_properties.py's planted-group recall test
+    falsified the old seeding). TakeOrdered collects nothing to the
+    driver — the limit stays in the plan (k rows cross the final
+    exchange).
 
     Numbering is collect_list -> array_sort -> posexplode on the
     already-limited k rows rather than an unpartitioned row_number
@@ -44,11 +54,16 @@ def kmeans_init(emb: DataFrame, k: int, id_col: str, vec_col: str) -> DataFrame:
     `WindowExec: No Partition Defined` warnings, so a REAL
     unpartitioned window sneaking onto a data path is visible instead
     of drowned by k-row seeding noise."""
-    seed = emb.orderBy(id_col).limit(k).select(
-        F.col(id_col).alias("__sid"), _round6(_as_double(vec_col)).alias("centroid")
+    skey = F.md5(F.col(id_col).cast("string"))
+    seed = emb.orderBy(skey, id_col).limit(k).select(
+        skey.alias("__skey"),
+        F.col(id_col).alias("__sid"),
+        _round6(_as_double(vec_col)).alias("centroid"),
     )
     packed = seed.agg(
-        F.array_sort(F.collect_list(F.struct("__sid", "centroid"))).alias("__s")
+        F.array_sort(
+            F.collect_list(F.struct("__skey", "__sid", "centroid"))
+        ).alias("__s")
     )
     return packed.select(
         F.posexplode("__s").alias("cluster_id", "__e")
@@ -314,7 +329,12 @@ def hier_kmeans_fit(
         .drop("sq_dist")
         .localCheckpoint(eager=False)
     )
-    w = Window.partitionBy("coarse_cell").orderBy(id_col)
+    # fine seeds: first k_fine members per coarse cell in (md5(id),
+    # id) order — the same pseudo-random seeding rationale as
+    # kmeans_init, applied within each cell
+    w = Window.partitionBy("coarse_cell").orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
     fines = (
         av.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k_fine)

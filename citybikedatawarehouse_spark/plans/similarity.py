@@ -257,8 +257,9 @@ _KM_SQ = (
 
 def _kmeans_ctes(k: int, n_iter: int, dim: int) -> list[str]:
     """CTE chain replaying the deterministic fixed-iteration Lloyd's
-    fit (operators/clustering.py): same init (k lowest ids), same
-    round-6 distances/means, same low-cluster tie-break — one
+    fit (operators/clustering.py): same init (first k vectors in
+    md5(id) order — deterministic pseudo-random, see kmeans_init),
+    same round-6 distances/means, same low-cluster tie-break — one
     assign/update pair per iteration (c0 -> a0 -> c1 -> ... ->
     afinal). Shared by the q75 and q76 oracles."""
 
@@ -293,10 +294,12 @@ def _kmeans_ctes(k: int, n_iter: int, dim: int) -> list[str]:
     ctes = [
         f"""
     c0 AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+      SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
              list_transform(embedding,
                             x -> round(CAST(x AS DOUBLE), 6)) AS cvec
-      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+      FROM (SELECT * FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})
     )"""
     ]
     for it in range(n_iter):
@@ -564,6 +567,20 @@ def q88_semantic_dedup(spark, sf_dir):
     every vector with a smaller-id anchor cluster-mate at cosine >=
     0.4. Returns the dropped set (vec_id, cluster_id).
 
+    Recall characterization (measured honestly): cell blocking is
+    sound exactly in SemDeDup's design regime — tight true
+    duplicates at cosine ~1 co-locate, and on planted duplicate
+    groups the survivor count per group provably equals the number
+    of cells the group occupies (>=0.9 recall with the md5
+    pseudo-random seeding; tests/test_skew_properties.py). On
+    WEAKLY-similar pairs it is structurally lossy: this synthetic
+    corpus's qualifying pairs all sit at cosine 0.4-0.6, where
+    members straddle cell boundaries, and measured recall vs the
+    exact all-pairs rule is 0.40 at sf0.01 (0.30 before md5
+    seeding), precision 1.0. Production thresholds (0.9+) live in
+    the sound regime; raising k or using q117's hierarchy trades
+    recall for cost explicitly.
+
     Scale story: the pair scan is quadratic only WITHIN a cell, and
     since round 5 it is hard-bounded by the 128-anchor cap (see
     ``semantic_dedup``) — a skewed fit that lands 10% of a 100 TB
@@ -598,7 +615,8 @@ def _hier_kmeans_oracle_sql(
              list_transform(e.embedding,
                             x -> round(CAST(x AS DOUBLE), 6)) AS cvec
       FROM (SELECT vec_id, cell,
-                   row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+                   row_number() OVER (PARTITION BY cell
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
             FROM afinal) s
       JOIN embeddings e ON e.vec_id = s.vec_id
       WHERE s.rn <= {k_fine}
@@ -802,10 +820,12 @@ def _pq_ctes(s: int, off: int, sub: int, k: int, n_iter: int) -> list[str]:
     ctes = [
         f"""
     s{s}c0 AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+      SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
              list_transform(embedding[{off + 1}:{off + sub}],
                             x -> round(CAST(x AS DOUBLE), 6)) AS cvec
-      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+      FROM (SELECT * FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})
     )"""
     ]
     for it in range(n_iter):
