@@ -586,9 +586,11 @@ def q88_semantic_dedup(spark, sf_dir):
     ``semantic_dedup``) — a skewed fit that lands 10% of a 100 TB
     corpus in one cell produces O(|cell|*128) pairs, not O(|cell|^2).
     k=16 balances assignment O(N*k*dim) against the pair sweep
-    O(N^2/k) — measured at sf0.1: k=8 3.2s, k=16 2.5s, k=24 2.7s; at
-    scale k grows with the corpus to hold cell size constant, with
-    hier_kmeans_fit as the subdivide path once flat k saturates.
+    O(N^2/k) — re-measured at sf0.1 under the round-5 md5 seeding:
+    k=8 2.62s, k=16 2.39s, k=24 2.43s (the r4 lowest-id-seeding
+    sweep gave the same ordering); at scale k grows with the corpus
+    to hold cell size constant, with hier_kmeans_fit as the
+    subdivide path once flat k saturates.
     Versus q71's given-label blocking, the blocking key here is
     LEARNED, so the operator works on unlabeled corpora; the oracle
     replays the full fit + capped pair sweep in SQL."""
