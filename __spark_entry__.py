@@ -85,6 +85,11 @@ _SWEEP_PRIORITY = [
     "q75_kmeans", "q76_ivf_kmeans_topk",
     "q93_hier_kmeans", "q94_hier_ivf_topk",
     "q95_pq_encode", "q96_pq_adc_topk",
+    # -- late-round-5 additions, deliberately PAST slot 50: placing
+    # them in section 2 would push the changed q95/q96 out of the
+    # hard gate. Both are locally sf0.01-parity-proven; they take
+    # head slots in the ROUND-6 sweep as never-driver-verified --
+    "q126_positive_pairs", "q127_source_quota_filter",
     # -- 3. least-recently-verified (r02/r03 evidence) --
     "q77_zorder_key", "q48_array_agg",
     "q61_ngram_jaccard", "q38_asof_join", "q39_asof_join_bucketed",

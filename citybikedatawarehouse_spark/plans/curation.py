@@ -961,3 +961,57 @@ def q116_dedup_rate_by_source(spark, sf_dir):
             6,
         ).alias("dup_rate"),
     )
+
+
+@register(
+    "q127_source_quota_filter",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('quota:' || doc_id), doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN rn <= 40 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(min(CASE WHEN rn <= 40 THEN doc_id END) AS BIGINT)
+             AS sample_min_id
+    FROM ranked GROUP BY source
+    """,
+)
+def q127_source_quota_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota: cap every source at 40 docs,
+    selected by deterministic md5 rank — the "no single feed may
+    dominate" curation guard that complements q97's token-share
+    mixture (q97 rebalances proportions; this enforces a hard
+    ceiling). md5-ordering makes the kept subset a pure function of
+    the ids: reproducible across reruns and engines, and docs never
+    churn in/out of the quota when unrelated sources grow. Emits the
+    per-source audit (total, kept, min kept id as a spot-check
+    handle).
+
+    Scale shape: one source-keyed exchange carrying (doc_id, source)
+    only — the rank window and the final aggregate ride it together;
+    no text ever shuffles. Skewed sources cost one partition's sort,
+    bounded by the largest source's (id, hash) pairs — salt via
+    composite (source, md5 bucket) keys if one source is a large
+    corpus fraction."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    ranked = d.select("doc_id", "source").withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    kept = F.col("__rn") <= 40
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("bigint")).alias("n_kept"),
+        F.min(F.when(kept, F.col("doc_id"))).cast("bigint").alias(
+            "sample_min_id"
+        ),
+    )

@@ -1278,3 +1278,94 @@ def q123_embedding_dim_stats(spark, sf_dir):
         F.round(F.min("v"), 6).alias("mn"),
         F.round(F.max("v"), 6).alias("mx"),
     )
+
+
+@register(
+    "q126_positive_pairs",
+    oracle="""
+    WITH ranked AS (
+      SELECT vec_id, label,
+             row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS positive_id, a.label
+      FROM ranked a JOIN embeddings b ON a.label = b.label
+                                     AND a.vec_id < b.vec_id
+      WHERE a.rn <= 32
+    ),
+    scored AS (
+      SELECT anchor_id, positive_id, label,
+             round(sum(ae * be) / (sqrt(sum(ae * ae)) * sqrt(sum(be * be))), 6)
+               AS cos_sim
+      FROM (
+        SELECT p.anchor_id, p.positive_id, p.label,
+               CAST(unnest(a.embedding) AS DOUBLE) AS ae,
+               CAST(unnest(b.embedding) AS DOUBLE) AS be
+        FROM pairs p
+        JOIN embeddings a ON a.vec_id = p.anchor_id
+        JOIN embeddings b ON b.vec_id = p.positive_id
+      ) GROUP BY 1, 2, 3
+    )
+    SELECT anchor_id, positive_id, CAST(label AS INTEGER) AS label, cos_sim,
+           CAST(rank AS INTEGER) AS rank FROM (
+      SELECT anchor_id, positive_id, label, cos_sim,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY cos_sim DESC, positive_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q126_positive_pairs(spark, sf_dir):
+    """Contrastive POSITIVE mining — the counterpart of q115's hard
+    negatives: for each anchor, the top-3 highest-cosine SAME-label
+    vectors. Together the two queries emit training triplets
+    (anchor, positive, hard-negative) for embedding-model training.
+    Anchors are capped at the 32 lowest ids per label (the q88
+    anchor-cap pattern: the rank window rides the label-keyed
+    exchange the pair join needs), so a giant label class can never
+    go quadratic — pair volume per label is O(|class| * 32).
+
+    Scale shape: one label-keyed exchange shared by the rank window
+    and the join; hoisted-norm cosine per pair; anchor-partitioned
+    top-k window. At corpus scale the exact within-label scan swaps
+    for the ANN candidate paths with the label filter on candidates."""
+    from citybikedatawarehouse_spark.functions.vectors import cosine_hoisted, norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    w_anchor = Window.partitionBy("label").orderBy("vec_id")
+    a = (
+        emb.select("vec_id", "label", "embedding")
+        .withColumn("__rn", F.row_number().over(w_anchor))
+        .filter(F.col("__rn") <= 32)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            "label",
+            F.col("embedding").alias("__av"),
+            norm("embedding").alias("__an"),
+        )
+    )
+    b = emb.select(
+        F.col("vec_id").alias("positive_id"),
+        "label",
+        F.col("embedding").alias("__bv"),
+        norm("embedding").alias("__bn"),
+    )
+    scored = (
+        a.join(b, "label")
+        .filter(F.col("anchor_id") < F.col("positive_id"))
+        .select(
+            "anchor_id",
+            "positive_id",
+            "label",
+            F.round(
+                cosine_hoisted("__av", "__bv", "__an", "__bn"), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w_rank = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("positive_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w_rank)).filter(
+        F.col("rank") <= 3
+    )
