@@ -87,9 +87,15 @@ _SWEEP_PRIORITY = [
     "q95_pq_encode", "q96_pq_adc_topk",
     # -- late-round-5 additions, deliberately PAST slot 50: placing
     # them in section 2 would push the changed q95/q96 out of the
-    # hard gate. Both are locally sf0.01-parity-proven; they take
+    # hard gate. All are locally sf0.01-parity-proven; they take
     # head slots in the ROUND-6 sweep as never-driver-verified --
     "q126_positive_pairs", "q127_source_quota_filter",
+    # analytics suite (funnel/retention/interp/outliers/PII/
+    # pagerank/winsorize + JL projection and PCA power iteration)
+    "q128_funnel_conversion", "q129_retention_cohorts",
+    "q130_gap_fill_interp", "q131_outlier_mad", "q132_pii_scrub",
+    "q133_copurchase_pagerank", "q134_random_projection",
+    "q135_pca_power_iteration", "q136_winsorized_stats",
     # -- 3. least-recently-verified (r02/r03 evidence) --
     "q77_zorder_key", "q48_array_agg",
     "q61_ngram_jaccard", "q38_asof_join", "q39_asof_join_bucketed",

@@ -1,0 +1,620 @@
+"""Event/behavioral analytics and robust-statistics operators
+(SURVEY.md §2.4 north-star extensions): funnel conversion, retention
+cohorts, linear-interpolation gap fill, MAD outlier detection,
+PII pseudonymization + k-anonymity audit, winsorized aggregates, and
+PageRank over a fact-derived co-purchase graph.
+
+The reference (LauraIkic/CityBikeDataWarehouse) exposes none of
+these — its surface stops at dimensional ETL (`create_table.py`,
+`insert_data.py`) — but they are the queries its star schema exists
+to serve, so they complete the engine's analytics story the same way
+the curation suite completes its LLM-pipeline story.
+
+Every query is oracle-paired; cross-engine determinism rules follow
+the catalog conventions (integer cents before double division,
+explicit floor before integer casts, percentile == quantile_cont).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from citybikedatawarehouse_spark.plans.catalog import register
+from citybikedatawarehouse_spark.sources.readers import load_table as _t
+
+
+# ---------------------------------------------------------------------------
+# q128 — funnel conversion over the events stream
+# ---------------------------------------------------------------------------
+
+@register(
+    "q128_funnel_conversion",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    v AS (
+      SELECT e.user_id, min(e.ts) AS t_view
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type IN ('view', 'click') AND e.ts > s.t_signup
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    )
+    SELECT count(s.t_signup) AS n_signup,
+           count(v.t_view) AS n_engaged,
+           count(p.t_purchase) AS n_converted,
+           round(count(v.t_view) * 1.0 / nullif(count(s.t_signup), 0), 6)
+             AS engage_rate,
+           round(count(p.t_purchase) * 1.0 / nullif(count(v.t_view), 0), 6)
+             AS convert_rate
+    FROM s LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def q128_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (signup → first view/click AFTER
+    signup → first purchase AFTER that engagement): per-stage user
+    counts and stage-to-stage conversion rates. The ORDER constraint
+    is what separates a funnel from three filters — a purchase
+    before engagement does not convert.
+
+    Scale shape: three aggregates and two joins, all keyed on
+    ``user_id`` — one shuffle key throughout, so AQE coalesces the
+    chain onto a single exchange footprint, and each stage's input
+    shrinks (events → engaged users → converted users). No windows,
+    no per-user event collection (per-user arrays are the skew trap
+    a power user's million events would spring)."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    v = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    fun = s.join(v, "user_id", "left").join(p, "user_id", "left")
+    n_s = F.count("t_signup")
+    n_v = F.count("t_view")
+    n_p = F.count("t_purchase")
+    return fun.agg(
+        n_s.alias("n_signup"),
+        n_v.alias("n_engaged"),
+        n_p.alias("n_converted"),
+        F.round(n_v * 1.0 / F.nullif(n_s, F.lit(0)), 6).alias("engage_rate"),
+        F.round(n_p * 1.0 / F.nullif(n_v, F.lit(0)), 6).alias("convert_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q129 — weekly retention cohorts
+# ---------------------------------------------------------------------------
+
+@register(
+    "q129_retention_cohorts",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+      FROM events
+    ),
+    c AS (SELECT user_id, min(day_num) AS cohort_day FROM ud GROUP BY user_id),
+    j AS (
+      SELECT CAST(floor(c.cohort_day / 7.0) AS BIGINT) AS cohort_week,
+             CAST(floor((ud.day_num - c.cohort_day) / 7.0) AS BIGINT)
+               AS week_offset,
+             ud.user_id
+      FROM ud JOIN c USING (user_id)
+    ),
+    r AS (
+      SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_users
+      FROM j GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT cohort_week, n_users AS cohort_size FROM r WHERE week_offset = 0
+    )
+    SELECT r.cohort_week, r.week_offset, r.n_users,
+           round(r.n_users * 1.0 / base.cohort_size, 6) AS retention
+    FROM r JOIN base USING (cohort_week)
+    """,
+)
+def q129_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix: users grouped by the week of
+    their FIRST activity; each cell = how many of them were active
+    ``week_offset`` weeks later, as a fraction of the cohort. The
+    offset-0 cell is the cohort size by construction (every user is
+    active in their first week), so ``retention`` is normalized.
+
+    Determinism: day and week arithmetic is pure integer math with
+    an explicit floor before the bigint cast on BOTH engines (the
+    q97 ADVICE rule — Spark's bare cast truncates while DuckDB's
+    rounds). Scale shape: events collapse to distinct (user, day)
+    pairs first — the only corpus-sized shuffle; everything after
+    runs on O(users) and O(weeks²) rows."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("day_num"),
+    ).distinct()
+    c = ud.groupBy("user_id").agg(F.min("day_num").alias("cohort_day"))
+    j = ud.join(c, "user_id").select(
+        F.floor(F.col("cohort_day") / 7.0).cast("bigint").alias("cohort_week"),
+        F.floor((F.col("day_num") - F.col("cohort_day")) / 7.0)
+        .cast("bigint")
+        .alias("week_offset"),
+        "user_id",
+    )
+    r = j.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    base = r.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("cohort_size")
+    )
+    return r.join(F.broadcast(base), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        F.round(F.col("n_users") * 1.0 / F.col("cohort_size"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q130 — linear-interpolation gap fill (the interpolating sibling of
+# q121's LOCF)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q130_gap_fill_interp",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day_num,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS day_cents
+      FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT min(day_num) AS lo, max(day_num) AS hi FROM daily),
+    axis AS (SELECT unnest(generate_series(lo, hi)) AS day_num FROM bounds),
+    joined AS (
+      SELECT a.day_num, d.day_cents FROM axis a LEFT JOIN daily d USING (day_num)
+    ),
+    f AS (
+      SELECT day_num, day_cents,
+             last_value(day_cents IGNORE NULLS) OVER wp AS prev_cents,
+             last_value(CASE WHEN day_cents IS NOT NULL THEN day_num END
+                        IGNORE NULLS) OVER wp AS prev_day,
+             first_value(day_cents IGNORE NULLS) OVER wn AS next_cents,
+             first_value(CASE WHEN day_cents IS NOT NULL THEN day_num END
+                         IGNORE NULLS) OVER wn AS next_day
+      FROM joined
+      WINDOW
+        wp AS (ORDER BY day_num ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (ORDER BY day_num ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT strftime(DATE '1970-01-01' + to_days(CAST(day_num AS INTEGER)),
+                    '%Y-%m-%d') AS day,
+           day_cents IS NULL AS is_gap,
+           round(CASE
+             WHEN day_cents IS NOT NULL THEN day_cents
+             WHEN prev_cents IS NOT NULL AND next_cents IS NOT NULL THEN
+               prev_cents
+               + CAST(floor(CAST((next_cents - prev_cents)
+                                 * (day_num - prev_day) AS DOUBLE)
+                            / (next_day - prev_day)) AS BIGINT)
+             ELSE coalesce(prev_cents, next_cents)
+           END / 100.0, 2) AS interp_revenue
+    FROM f
+    """,
+)
+def q130_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling by LINEAR INTERPOLATION between the
+    nearest observed neighbors — the unbiased resample primitive for
+    downstream feature windows (LOCF, q121, biases trailing
+    averages toward the last observation; interpolation splits the
+    gap). Observed days pass through unchanged; leading/trailing
+    gaps (no neighbor on one side) fall back to the single available
+    neighbor.
+
+    Determinism: revenue in exact integer cents, and the
+    interpolated value is FLOORED to whole cents — the intermediate
+    ratio is one double division whose floor both engines agree on
+    (exact-integer ratios are exactly representable; non-integer
+    ratios sit ≥ 1/gap away from the floor boundary), so the output
+    never lands on a round-half decimal where Spark (shortest-repr
+    HALF_UP) and DuckDB (raw-bits) disagree. The numerator stays
+    integer (bigint, overflow-safe: cents × day gaps ≪ 2^63).
+    Scale shape: q121's — the fact
+    table pre-aggregates to one row per day, and the axis explode +
+    both windows run on O(days) rows in a single bounded partition."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).alias("day_num")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("day_cents")
+    )
+    bounds = daily.agg(
+        F.min("day_num").alias("__lo"), F.max("day_num").alias("__hi")
+    )
+    axis = bounds.select(F.explode(F.sequence("__lo", "__hi")).alias("day_num"))
+    joined = axis.join(daily, "day_num", "left")
+    wp = (
+        W.partitionBy(F.lit(0))
+        .orderBy("day_num")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy(F.lit(0))
+        .orderBy("day_num")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_cents").isNotNull(), F.col("day_num"))
+    f = joined.select(
+        "day_num",
+        "day_cents",
+        F.last("day_cents", ignorenulls=True).over(wp).alias("prev_cents"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("prev_day"),
+        F.first("day_cents", ignorenulls=True).over(wn).alias("next_cents"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("next_day"),
+    )
+    interp_cents = (
+        F.when(F.col("day_cents").isNotNull(), F.col("day_cents"))
+        .when(
+            F.col("prev_cents").isNotNull() & F.col("next_cents").isNotNull(),
+            F.col("prev_cents")
+            + F.floor(
+                (
+                    (F.col("next_cents") - F.col("prev_cents"))
+                    * (F.col("day_num") - F.col("prev_day"))
+                ).cast("double")
+                / (F.col("next_day") - F.col("prev_day"))
+            ).cast("bigint"),
+        )
+        .otherwise(F.coalesce("prev_cents", "next_cents"))
+    )
+    return f.select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("day_num")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        F.col("day_cents").isNull().alias("is_gap"),
+        F.round(interp_cents / 100.0, 2).alias("interp_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q131 — robust outlier detection (median / MAD z-score)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q131_outlier_mad",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    d AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS dev
+      FROM events e JOIN m USING (event_type)
+    ),
+    md AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY event_type
+    ),
+    z AS (
+      SELECT d.event_type, d.med, md.mad,
+             0.6745 * (d.value - d.med) / nullif(md.mad, 0) AS rz
+      FROM d JOIN md USING (event_type)
+    )
+    SELECT event_type, count(*) AS n,
+           round(min(med), 6) AS med,
+           round(min(mad), 6) AS mad,
+           CAST(sum(CASE WHEN abs(rz) > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           round(max(abs(rz)), 6) AS max_abs_z
+    FROM z GROUP BY event_type
+    """,
+)
+def q131_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: modified z-score
+    0.6745·(x − median)/MAD with the |z| > 3.5 rule (Iglewicz &
+    Hoaglin). Mean/stddev z-scores break down exactly when outliers
+    are present (the outliers inflate the stddev that is supposed to
+    expose them); median/MAD has a 50% breakdown point — this is the
+    screening gate a metrics pipeline runs before training on
+    `value`-like measures.
+
+    Determinism: exact interpolated medians (Spark `percentile` ==
+    DuckDB `quantile_cont`, both R-7 — the q28 rule); per-row z is
+    a fixed FP expression; group extremes (min/max) pick identical
+    values. Scale shape: two grouped percentile passes and two
+    broadcast joins of a groups-sized relation — the events table is
+    scanned twice but never shuffled by anything wider than
+    event_type; a zero MAD (>50% identical values) yields NULL z
+    via nullif, excluded from outlier counts rather than inf."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    d = ev.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    md = d.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    z = d.join(F.broadcast(md), "event_type").select(
+        "event_type",
+        "med",
+        "mad",
+        (
+            0.6745
+            * (F.col("value") - F.col("med"))
+            / F.nullif(F.col("mad"), F.lit(0))
+        ).alias("rz"),
+    )
+    return z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("med"), 6).alias("med"),
+        F.round(F.min("mad"), 6).alias("mad"),
+        F.sum(F.when(F.abs("rz") > 3.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.round(F.max(F.abs("rz")), 6).alias("max_abs_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q132 — PII pseudonymization + k-anonymity audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "q132_pii_scrub",
+    oracle="""
+    SELECT c_custkey,
+           substr(sha256(c_name), 1, 16) AS pseudonym,
+           regexp_replace(c_name, '[0-9]+', '[ID]', 'g') AS masked_name,
+           c_mktsegment,
+           CAST(count(*) OVER (PARTITION BY c_nationkey, c_mktsegment)
+                AS BIGINT) AS group_k,
+           count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) >= 5
+             AS k_anonymous
+    FROM customer
+    """,
+)
+def q132_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub for training-data / analytics export: (a)
+    deterministic pseudonymization — a sha256-derived token replaces
+    the direct identifier, stable across runs so joins on the
+    pseudonym still work, irreversible without the original; (b)
+    pattern masking — digit runs inside free text collapse to
+    ``[ID]`` (the curation-pipeline regex-scrub step); (c) a
+    k-anonymity audit over the quasi-identifier pair
+    (nation, market segment) — rows whose group has fewer than k=5
+    members are flagged as re-identifiable even after masking.
+
+    Determinism: sha256 hex and regexp semantics agree across
+    engines (DuckDB needs the explicit 'g' flag — its default
+    replaces only the first match, Spark's replaces all). Scale
+    shape: pure per-row expressions plus ONE window keyed by the
+    quasi-identifier — a single shuffle, no self-joins; at 100 TB
+    the window becomes a broadcast join of the pre-aggregated group
+    sizes."""
+    c = _t(spark, sf_dir, "customer")
+    wk = W.partitionBy("c_nationkey", "c_mktsegment")
+    group_k = F.count(F.lit(1)).over(wk).cast("bigint")
+    return c.select(
+        "c_custkey",
+        F.substring(F.sha2("c_name", 256), 1, 16).alias("pseudonym"),
+        F.regexp_replace("c_name", "[0-9]+", "[ID]").alias("masked_name"),
+        "c_mktsegment",
+        group_k.alias("group_k"),
+        (group_k >= 5).alias("k_anonymous"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q133 — PageRank over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_PAGERANK_ITER = 5
+_PAGERANK_DAMPING = 0.85
+_COPURCHASE_CAP = 20
+
+
+def _pagerank_oracle() -> str:
+    head = f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    capped AS (
+      SELECT ok, pk FROM (
+        SELECT ok, pk, row_number() OVER (PARTITION BY ok ORDER BY pk) AS rn
+        FROM li
+      ) WHERE rn <= {_COPURCHASE_CAP}
+    ),
+    pairs AS (
+      SELECT a.pk AS p1, b.pk AS p2
+      FROM capped a JOIN capped b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    edges AS (
+      SELECT DISTINCT p1 AS src, p2 AS dst FROM pairs
+      UNION SELECT DISTINCT p2, p1 FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"""
+    steps = []
+    d = _PAGERANK_DAMPING
+    for k in range(1, _PAGERANK_ITER + 1):
+        steps.append(f""",
+    r{k} AS (
+      SELECT n.node,
+             (1 - {d}) / (SELECT n FROM nn)
+               + {d} * coalesce(inf.inflow, 0) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.pr / d.deg) AS inflow
+        FROM edges e JOIN deg d ON e.src = d.src
+                     JOIN r{k - 1} r ON r.node = e.src
+        GROUP BY e.dst
+      ) inf USING (node)
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT node AS part_id, round(pr, 10) AS pr FROM r{_PAGERANK_ITER}
+    """
+    )
+
+
+@register("q133_copurchase_pagerank", oracle=_pagerank_oracle())
+def q133_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 5 fixed iterations) over the
+    co-purchase graph: parts are linked when they appear in the same
+    order — the classic "centrality of a catalog item" signal for
+    recommendations and for importance-weighted sampling of graph
+    neighborhoods. The graph DERIVES from the fact table at query
+    time; no graph store needed.
+
+    Edge generation caps items per order at 20 (row_number by
+    part id, deterministic) so one degenerate mega-order cannot go
+    quadratic — the same skew rule as the LSH bucket cap, applied
+    identically in the oracle. Isolated parts (never co-purchased)
+    are out of the node set by construction; with bidirectional
+    edges every node has out-degree ≥ 1, so no dangling-mass term.
+
+    Oracle: DuckDB replays the exact recurrence as a 5-step CTE
+    chain. Ranks are rounded at 1e-10 — summation-order drift on
+    O(degree) additions of O(1/|V|) doubles is below 1e-15.
+
+    Scale shape: see operators/graph.py — per iteration ONE join
+    pre-partitioned on src + one map-side-combinable aggregate;
+    edges/degrees materialized once."""
+    from citybikedatawarehouse_spark.operators.graph import pagerank
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    w = W.partitionBy("ok").orderBy("pk")
+    capped = (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _COPURCHASE_CAP)
+        .drop("rn")
+    )
+    a = capped.select(F.col("ok"), F.col("pk").alias("p1"))
+    b = capped.select(F.col("ok"), F.col("pk").alias("p2"))
+    pairs = a.join(b, "ok").filter(F.col("p1") < F.col("p2"))
+    edges = (
+        pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+        )
+    )
+    ranks = pagerank(
+        edges, damping=_PAGERANK_DAMPING, n_iter=_PAGERANK_ITER
+    )
+    return ranks.select(
+        F.col("node").alias("part_id"), F.round("rank", 10).alias("pr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q136 — winsorized aggregates
+# ---------------------------------------------------------------------------
+
+@register(
+    "q136_winsorized_stats",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.01) AS lo,
+             quantile_cont(l_extendedprice, 0.99) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    c AS (
+      SELECT l.l_returnflag,
+             CAST(round(least(greatest(l.l_extendedprice, b.lo), b.hi) * 100)
+                  AS BIGINT) AS cents,
+             CASE WHEN l.l_extendedprice < b.lo OR l.l_extendedprice > b.hi
+                  THEN 1 ELSE 0 END AS clipped
+      FROM lineitem l JOIN b USING (l_returnflag)
+    )
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(clipped) AS BIGINT) AS n_clipped,
+           round(sum(cents) / 100.0, 2) AS winsorized_sum,
+           round(sum(cents) / count(*) / 100.0, 6) AS winsorized_mean
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def q136_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized aggregates: clip the measure at its per-group
+    p01/p99 before summing — the robust-mean primitive for metrics
+    that must not be dragged by a few extreme rows (revenue
+    dashboards, reward normalization, per-source token budgeting).
+    Reports how many rows the clip actually touched.
+
+    Determinism: the clip bounds are exact interpolated percentiles
+    (identical across engines per the q28 rule); clipped values are
+    then rounded to integer CENTS so the sums are exact bigint
+    arithmetic — summation order cannot drift (the q120 rule).
+    Scale shape: one grouped percentile pass, one broadcast join of
+    the groups-sized bounds relation, one map-side-combinable final
+    aggregate — two scans, one narrow shuffle each."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("hi"),
+    )
+    c = li.join(F.broadcast(b), "l_returnflag").select(
+        "l_returnflag",
+        F.round(
+            F.least(F.greatest("l_extendedprice", F.col("lo")), F.col("hi"))
+            * 100
+        )
+        .cast("bigint")
+        .alias("cents"),
+        F.when(
+            (F.col("l_extendedprice") < F.col("lo"))
+            | (F.col("l_extendedprice") > F.col("hi")),
+            1,
+        )
+        .otherwise(0)
+        .alias("clipped"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("clipped").cast("bigint").alias("n_clipped"),
+        F.round(F.sum("cents") / 100.0, 2).alias("winsorized_sum"),
+        F.round(F.sum("cents") / F.count(F.lit(1)) / 100.0, 6).alias(
+            "winsorized_mean"
+        ),
+    )

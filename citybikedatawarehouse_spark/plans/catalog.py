@@ -56,6 +56,8 @@ def _load_all() -> None:
         scalar,
         sql_api,
         warehouse_ops,
+        analytics,
+        embedding_transform,
     )
 
 
