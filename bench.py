@@ -43,7 +43,22 @@ HEADLINE = [
     # round 5: the two heaviest new operators join the regression watch
     "q114_ngram_novelty",
     "q117_semantic_dedup_hier",
+    # round 5 (late): the iterative graph + PCA paths
+    "q133_copurchase_pagerank",
+    "q135_pca_power_iteration",
 ]
+
+# Queries whose iterative driver loop (convergence counts, d-row
+# collects, eager checkpoints) runs at PLAN-BUILD time: the returned
+# DataFrame is already materialized, so timing only the noop write
+# would measure a cached 20k-row scan (q64 recorded 0.013 s that way
+# through round 4 — restated in round 5). For these, each timed run
+# REBUILDS the query so the number covers fit + serve.
+EAGER_BUILD = {
+    "q64_dedup_clusters",
+    "q133_copurchase_pagerank",
+    "q135_pca_power_iteration",
+}
 
 # the round-1 baseline benched exactly these 13; rounds add queries
 # to HEADLINE for regression visibility, so the raw total is not
@@ -130,6 +145,8 @@ def main() -> None:
         # 20% per query
         for _ in range(3):
             t0 = time.perf_counter()
+            if name in EAGER_BUILD:
+                df = QUERIES[name](spark, sf_dir)  # fit happens here
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)

@@ -45,16 +45,26 @@ def pagerank(
 
     Returns (node, rank) with rank summing to ~1 over the node set.
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
-    # degree + edge relations are joined every iteration — materialize
-    # once so upstream edge generation (self-joins, caps) runs once
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    e_deg = e.join(deg, "src").localCheckpoint(eager=True)
+    from pyspark.sql import Window as W
+
+    # Partition the edge list by src ONCE and let everything ride
+    # that exchange: degree is a window count (no groupBy+join pair),
+    # and localCheckpoint preserves the physical partitioning, so the
+    # per-iteration ranks join needs no new edge-side shuffle — the
+    # bucketed-by-src layout a 100 TB graph would use at rest.
+    e_deg = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .distinct()
+        .repartition("src")
+        .withColumn("deg", F.count(F.lit(1)).over(W.partitionBy("src")))
+        .localCheckpoint(eager=True)
+    )
+    # with bidirectional edges the src set IS the node set, and it is
+    # already src-partitioned — the distinct is a partition-local dedup
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e_deg.select(F.col("src").alias("node"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -68,6 +78,9 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
         )
+        # nodes is node(=src)-partitioned and contrib is dst-partitioned
+        # out of its aggregate — the join aligns without new exchanges;
+        # per iteration the ONLY corpus-scale shuffle is the groupBy(dst)
         ranks = (
             nodes.join(contrib, nodes.node == contrib.dst, "left")
             .select(

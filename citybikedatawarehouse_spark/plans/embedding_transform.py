@@ -13,7 +13,7 @@ the fit arithmetic end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from citybikedatawarehouse_spark.operators.projection import (
@@ -152,4 +152,201 @@ def q135_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("loading", 6).alias("loading"),
         F.round(F.lit(eigval), 6).alias("eigval"),
         F.round(F.lit(eigval / total_var), 6).alias("explained_ratio"),
+    )
+
+
+@register(
+    "q138_knn_label_audit",
+    oracle="""
+    WITH expl AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             c.vec_id AS neighbor_id, c.label AS n_label,
+             CAST(unnest(q.embedding) AS DOUBLE) AS qe,
+             CAST(unnest(c.embedding) AS DOUBLE) AS ce
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id < 100 AND q.vec_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT query_id, true_label, neighbor_id, n_label,
+             round(sum(qe * ce)
+                   / (sqrt(sum(qe * qe)) * sqrt(sum(ce * ce))), 6)
+               AS cos_sim
+      FROM expl GROUP BY 1, 2, 3, 4
+    ),
+    knn AS (
+      SELECT query_id, true_label, n_label FROM (
+        SELECT query_id, true_label, n_label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM scored
+      ) WHERE rnk <= 5
+    ),
+    votes AS (
+      SELECT query_id, true_label, n_label, count(*) AS votes
+      FROM knn GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT query_id, true_label, n_label AS pred_label FROM (
+        SELECT query_id, true_label, n_label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY votes DESC, n_label) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT true_label AS label,
+           count(*) AS n_queries,
+           CAST(sum(CASE WHEN pred_label <> true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           round(sum(CASE WHEN pred_label <> true_label THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS flag_rate
+    FROM pred GROUP BY true_label
+    """,
+)
+def q138_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screening by k-NN consistency: for the audited
+    sample (vec_id < 100), predict each vector's label from the
+    majority vote of its 5 nearest cosine neighbors; a vector whose
+    neighborhood disagrees with its stored label is a relabel/drop
+    candidate (Confident-Learning-style, distance-based). Reports
+    the per-label disagreement rate — the label-quality dashboard a
+    curation pipeline watches per ingest batch.
+
+    Determinism: cosines rounded at 1e-6 BEFORE ranking with a
+    neighbor-id tiebreak (the q70 rule); majority ties break toward
+    the smaller label id, identically in the oracle. Scale shape:
+    reuses brute_force_topk (queries broadcast, ONE corpus scan, one
+    query_id-partitioned window); the vote + verdict stages run on
+    5·|audit| rows. At full-corpus audits the brute-force stage
+    swaps for the IVF/PQ ANN paths (q76/q96) unchanged."""
+    from citybikedatawarehouse_spark.operators.similarity_ops import (
+        brute_force_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    knn = brute_force_topk(emb, emb.filter(F.col("vec_id") < 100), k=5)
+    labels = emb.select("vec_id", "label")
+    knn_l = (
+        knn.join(
+            F.broadcast(
+                labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+                    "label", "true_label"
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+                "label", "n_label"
+            ),
+            "neighbor_id",
+        )
+    )
+    votes = knn_l.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("n_label").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "true_label", F.col("n_label").alias("pred_label"))
+    )
+    flagged = F.sum(
+        F.when(F.col("pred_label") != F.col("true_label"), 1).otherwise(0)
+    )
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        flagged.cast("bigint").alias("n_flagged"),
+        F.round(flagged * 1.0 / F.count(F.lit(1)), 6).alias("flag_rate"),
+    )
+
+
+@register(
+    "q139_label_prototype_margin",
+    oracle="""
+    WITH e AS (
+      SELECT emb.vec_id, emb.label, t.i - 1 AS pos,
+             CAST(emb.embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings emb, UNNEST(range(1, len(emb.embedding) + 1)) t(i)
+    ),
+    m AS (
+      SELECT label, pos, sum(x) / count(*) AS mu
+      FROM e GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT e.vec_id, e.label, m.label AS plabel,
+             sum((e.x - m.mu) * (e.x - m.mu)) AS d2
+      FROM e JOIN m ON e.pos = m.pos GROUP BY 1, 2, 3
+    ),
+    g AS (
+      SELECT vec_id, label,
+             min(CASE WHEN plabel = label THEN d2 END) AS own,
+             min(CASE WHEN plabel <> label THEN d2 END) AS other
+      FROM d GROUP BY 1, 2
+    )
+    SELECT label, count(*) AS n,
+           CAST(sum(CASE WHEN sqrt(other) - sqrt(own) < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_negative_margin,
+           round(sum(sqrt(other) - sqrt(own)) / count(*), 6) AS mean_margin
+    FROM g GROUP BY label
+    """,
+)
+def q139_label_prototype_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-mean margin audit: fit one prototype (per-dim
+    mean) per label, then score every vector by
+    margin = dist(nearest OTHER prototype) − dist(own prototype).
+    A negative margin means the vector sits closer to another
+    class's center than its own — the cheap geometric label-noise /
+    class-overlap signal that complements q138's k-NN vote (O(L)
+    per vector instead of O(N), so it runs on the FULL corpus).
+
+    Determinism: prototypes are explicit sum/count means; distances
+    are per-(vector, prototype) folds rounded only at the final
+    aggregate (margin sign flips would need a sub-1e-15 tie).
+    Scale shape: ONE posexplode keyed (label, pos) with map-side
+    combine fits all prototypes (L·d rows out); the audit joins a
+    broadcast L-row prototype relation and folds L distances per
+    row — no corpus shuffle at all after the fit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    staged = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("__xd"),
+    )
+    e = staged.select(
+        "vec_id", "label", F.posexplode("__xd").alias("pos", "v")
+    )
+    m = e.groupBy("label", "pos").agg(
+        (F.sum("v") / F.count(F.lit(1))).alias("mu")
+    )
+    protos = m.groupBy(F.col("label").alias("plabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+            lambda s: s.mu,
+        ).alias("proto")
+    )
+    d2 = F.aggregate(
+        F.zip_with("__xd", "proto", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, val: acc + val,
+    )
+    scored = staged.crossJoin(F.broadcast(protos)).select(
+        "vec_id", "label", "plabel", d2.alias("d2")
+    )
+    g = scored.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("plabel") == F.col("label"), F.col("d2"))).alias(
+            "own"
+        ),
+        F.min(F.when(F.col("plabel") != F.col("label"), F.col("d2"))).alias(
+            "other"
+        ),
+    )
+    margin = F.sqrt("other") - F.sqrt("own")
+    return g.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(margin < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_negative_margin"),
+        F.round(F.sum(margin) / F.count(F.lit(1)), 6).alias("mean_margin"),
     )

@@ -292,3 +292,86 @@ def test_winsorized_stats_match_numpy(spark, sf_dir):
         # winsorized mean is pulled toward the center vs raw mean
         # only when clipping is asymmetric; bounds always hold:
         assert lo - 1e-9 <= r["winsorized_mean"] * 1.0 <= hi + 1e-9
+
+
+# ------------------------------------------------------------ transitions
+
+def test_event_transitions_probabilities_normalize(spark, sf_dir):
+    rows = QUERIES["q137_event_transitions"](spark, sf_dir).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r)
+    ev = load_table(spark, sf_dir, "events").count()
+    users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    # every user's sequence yields len-1 transitions
+    assert sum(r["n"] for r in rows) == ev - users
+    for frm, cells in by_from.items():
+        total = sum(r["p"] for r in cells)
+        assert abs(total - 1.0) < 1e-4  # rounded cells still sum to ~1
+        n_tot = sum(r["n"] for r in cells)
+        for r in cells:
+            assert abs(r["p"] - round(r["n"] / n_tot, 6)) < 1e-12
+
+
+def test_event_transitions_model_replay(spark, sf_dir):
+    """Pure-Python replay of the lead() over (ts, event_id) order."""
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    from collections import Counter
+
+    c = Counter()
+    for a, b in zip(ev, ev[1:]):
+        if a["user_id"] == b["user_id"]:
+            c[(a["event_type"], b["event_type"])] += 1
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in QUERIES["q137_event_transitions"](spark, sf_dir).collect()
+    }
+    assert got == dict(c)
+
+
+# ---------------------------------------------------------- label audits
+
+def test_knn_label_audit_counts_consistent(spark, sf_dir):
+    rows = QUERIES["q138_knn_label_audit"](spark, sf_dir).collect()
+    n_total = sum(r["n_queries"] for r in rows)
+    n_audit = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter("vec_id < 100")
+        .count()
+    )
+    assert n_total == n_audit  # every audited vector got a verdict
+    for r in rows:
+        assert 0 <= r["n_flagged"] <= r["n_queries"]
+        assert abs(r["flag_rate"] - round(r["n_flagged"] / r["n_queries"], 6)) < 1e-12
+
+
+def test_prototype_margin_matches_numpy(spark, sf_dir):
+    rows = {
+        r["label"]: r
+        for r in QUERIES["q139_label_prototype_margin"](spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    y = np.array([r["label"] for r in emb])
+    labels = sorted(set(y))
+    protos = {l: X[y == l].mean(axis=0) for l in labels}
+    margins = {l: [] for l in labels}
+    for x, l in zip(X, y):
+        own = float(np.linalg.norm(x - protos[l]))
+        other = min(
+            float(np.linalg.norm(x - protos[o])) for o in labels if o != l
+        )
+        margins[l].append(other - own)
+    for l in labels:
+        r = rows[l]
+        ms = margins[l]
+        assert r["n"] == len(ms)
+        assert r["n_negative_margin"] == sum(1 for m in ms if m < 0)
+        assert abs(r["mean_margin"] - round(sum(ms) / len(ms), 6)) < 1e-6
