@@ -104,6 +104,71 @@ def q128_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q140 — conversion latency distribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "q140_conversion_latency",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id,
+             epoch_us(min(e.ts)) - epoch_us(s.t_signup) AS lat_us
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s.t_signup
+      GROUP BY e.user_id, s.t_signup
+    )
+    SELECT count(*) AS n_converted,
+           round(quantile_cont(lat_us, 0.5) / 1e6, 6) AS p50_sec,
+           round(quantile_cont(lat_us, 0.9) / 1e6, 6) AS p90_sec,
+           round(max(lat_us) / 1e6, 6) AS max_sec
+    FROM p
+    """,
+)
+def q140_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, latency from first
+    signup to first subsequent purchase; reported as exact
+    interpolated p50/p90/max seconds — the SLA-style companion to
+    q128's conversion rates (rates say HOW MANY convert, latency
+    says how long the window must stay attributed).
+
+    Determinism: latencies are exact integer MICROSECONDS
+    (``unix_micros`` == ``epoch_us``; Spark's second-granularity
+    ``unix_timestamp`` would truncate differently than DuckDB's
+    epoch) and the percentile rule is q28's. Scale shape: two
+    aggregates on user_id + one percentile pass over the
+    converted-users relation."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("ts").alias("t_purchase"))
+        .select(
+            (
+                F.unix_micros(F.col("t_purchase").cast("timestamp"))
+                - F.unix_micros(F.col("t_signup").cast("timestamp"))
+            ).alias("lat_us")
+        )
+    )
+    return p.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(lat_us, 0.5)") / 1e6, 6).alias("p50_sec"),
+        F.round(F.expr("percentile(lat_us, 0.9)") / 1e6, 6).alias("p90_sec"),
+        F.round(F.max("lat_us") / 1e6, 6).alias("max_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q129 — weekly retention cohorts
 # ---------------------------------------------------------------------------
 

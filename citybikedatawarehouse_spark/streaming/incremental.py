@@ -249,3 +249,100 @@ def start_incremental_novelty(
         )
 
     return docs_stream.writeStream.foreachBatch(step).start()
+
+
+LAST_EVENT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampNTZType(), False),
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+    ]
+)
+
+
+def resolve_last_events(state_df: DataFrame) -> DataFrame:
+    """Collapse accumulated per-epoch last-event slices to ONE row
+    per user (latest by (ts, event_id) — the q137 total order). Each
+    epoch writes only the users it saw, so the accumulated union
+    holds one candidate per (user, epoch); resolution is a per-user
+    window on a users-sized relation, not the event stream."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        state_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def transitions_batch_with_state(
+    batch: DataFrame, last_events: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """One transition-matrix batch step (pure function of
+    (batch, resolved state) — the streaming counterpart of q137):
+    prepend each user's persisted LAST event to their batch slice,
+    count adjacent (from_type, to_type) pairs in (ts, event_id)
+    order, and emit (counts, new_state_slice). The prepended row
+    contributes exactly the one cross-batch boundary transition its
+    prior epoch could not see; everything before it was already
+    counted. Assumes per-user event-time monotone batches (same
+    contract as the SCD2 stream; an out-of-order source needs a
+    watermark/reorder stage first — this is the foreachBatch twin of
+    applyInPandasWithState sequence tracking, with the state in
+    plain parquet instead of the state store).
+
+    New state slice: the batch's latest event per user — users
+    absent from the batch keep their older slices, resolved at read
+    time by resolve_last_events."""
+    cols = ["user_id", "ts", "event_id", "event_type"]
+    ev = batch.select(*cols).unionByName(last_events.select(*cols))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = t.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_last = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    new_state = (
+        batch.select(*cols)
+        .withColumn("__rn", F.row_number().over(w_last))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return counts, new_state
+
+
+def start_incremental_transitions(
+    events_stream: DataFrame, out_dir: str, state_dir: str
+):
+    """Streaming first-order transition matrix: per-epoch
+    (from_type, to_type, n) counts land under ``out_dir/epoch=N``
+    (the full matrix is their groupBy-sum — counts are mergeable, so
+    the aggregate is exact with no rescan), per-user last-event
+    state under ``state_dir/epoch=N``. Same replay-safety contract
+    as the dedup/novelty streams: the state read excludes the
+    current epoch and both writes are per-epoch overwrites."""
+    spark = events_stream.sparkSession
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        state = _read_epoch_state(
+            spark, state_dir, LAST_EVENT_STATE_SCHEMA, epoch_id
+        )
+        counts, new_state = transitions_batch_with_state(
+            batch_df, resolve_last_events(state)
+        )
+        counts.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+        new_state.write.mode("overwrite").parquet(
+            f"{state_dir}/epoch={epoch_id}"
+        )
+
+    return events_stream.writeStream.foreachBatch(step).start()

@@ -375,3 +375,28 @@ def test_prototype_margin_matches_numpy(spark, sf_dir):
         assert r["n"] == len(ms)
         assert r["n_negative_margin"] == sum(1 for m in ms if m < 0)
         assert abs(r["mean_margin"] - round(sum(ms) / len(ms), 6)) < 1e-6
+
+
+def test_conversion_latency_model(spark, sf_dir):
+    """Pure-Python replay: first signup -> first later purchase."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    signup, purch = {}, {}
+    for r in ev:
+        if r["event_type"] == "signup":
+            if r["user_id"] not in signup or r["ts"] < signup[r["user_id"]]:
+                signup[r["user_id"]] = r["ts"]
+    for r in ev:
+        if r["event_type"] == "purchase" and r["user_id"] in signup:
+            if r["ts"] > signup[r["user_id"]]:
+                if r["user_id"] not in purch or r["ts"] < purch[r["user_id"]]:
+                    purch[r["user_id"]] = r["ts"]
+    lats = sorted(
+        (purch[u] - signup[u]).total_seconds() for u in purch
+    )
+    got = QUERIES["q140_conversion_latency"](spark, sf_dir).collect()[0]
+    assert got["n_converted"] == len(lats)
+    if lats:
+        assert abs(got["p50_sec"] - round(float(np.percentile(lats, 50, method="linear")), 6)) < 1e-5
+        assert abs(got["max_sec"] - round(max(lats), 6)) < 1e-5

@@ -272,3 +272,79 @@ def test_replayed_epoch_ignores_its_own_crashed_state(spark, tmp_path):
         spark, state_dir, DIGEST_STATE_SCHEMA, epoch_id=2
     )
     assert state2.count() == 3  # alpha + alpha/bravo from epoch 1
+
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampNTZType(), True),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+    ]
+)
+
+
+def test_stream_transitions_equal_batch_q137_semantics(spark, tmp_path):
+    """Streaming transition counts over time-ordered micro-batches
+    must equal the batch matrix over the union — the cross-batch
+    boundary pair (last event of epoch k, first of epoch k+1) is
+    contributed exactly once, by the later epoch via its persisted
+    last-event state."""
+    from datetime import datetime
+
+    from citybikedatawarehouse_spark.streaming.incremental import (
+        start_incremental_transitions,
+    )
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    # u1 spans all three batches (two boundary transitions);
+    # u2 spans batches 1+3 (state must survive an absent epoch);
+    # u3 lives in one batch only; same-ts pair tiebroken by event_id
+    day1 = [(1, t(1), 1, "view"), (1, t(2), 2, "click"), (2, t(3), 3, "signup")]
+    day2 = [(1, t(4), 4, "purchase"), (3, t(5), 5, "view"), (3, t(5), 6, "error")]
+    day3 = [(1, t(7), 7, "view"), (2, t(8), 8, "purchase")]
+    src = tmp_path / "tsrc"
+    for day in (day1, day2, day3):
+        spark.createDataFrame(day, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    out, state = str(tmp_path / "tout"), str(tmp_path / "tstate")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = start_incremental_transitions(stream, out, state)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {}
+    for r in spark.read.parquet(f"{out}/epoch=*").collect():
+        key = (r["from_type"], r["to_type"])
+        got[key] = got.get(key, 0) + r["n"]
+
+    # pure-python batch ground truth over the union
+    ev = sorted(day1 + day2 + day3, key=lambda e: (e[0], e[1], e[2]))
+    want = {}
+    for a, b in zip(ev, ev[1:]):
+        if a[0] == b[0]:
+            want[(a[3], b[3])] = want.get((a[3], b[3]), 0) + 1
+    assert got == want
+    # state resolution: exactly one (latest) row per user
+    from citybikedatawarehouse_spark.streaming.incremental import (
+        LAST_EVENT_STATE_SCHEMA,
+        resolve_last_events,
+    )
+
+    st = spark.read.schema(LAST_EVENT_STATE_SCHEMA).parquet(
+        f"{state}/epoch=*"
+    )
+    last = {
+        r["user_id"]: r["event_id"]
+        for r in resolve_last_events(st).collect()
+    }
+    assert last == {1: 7, 2: 8, 3: 6}
