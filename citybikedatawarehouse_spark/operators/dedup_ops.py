@@ -698,6 +698,14 @@ def dedup_clusters(
     relation; intermediate results are localCheckpointed to cut the
     growing lineage. Deterministic.
 
+    The propagation loop runs over TOUCHED nodes only (endpoints of
+    at least one pair): an isolated document is trivially its own
+    cluster, and the dup graph is orders of magnitude smaller than
+    the corpus, so carrying every id through every round (the
+    pre-round-5 shape) made each iteration O(corpus) instead of
+    O(dup graph). The corpus-sized relation is joined exactly once,
+    at the end, to attach the computed labels.
+
     Raises RuntimeError if the fixpoint is not reached within
     ``max_iterations`` (a silent early exit would return split
     clusters — duplicate documents surviving dedup).
@@ -713,7 +721,8 @@ def dedup_clusters(
         # would re-execute per round
         .localCheckpoint(eager=True)
     )
-    labels = ids.select(F.col(id_col).alias("a"), F.col(id_col).alias("label"))
+    # bidirectional edges: the src set IS the touched-node set
+    labels = edges.select("a").distinct().withColumn("label", F.col("a"))
     converged = False
     for _ in range(max_iterations):
         neighbor_min = (
@@ -766,10 +775,18 @@ def dedup_clusters(
             "iterations — raise max_iterations (rounds needed is "
             "~log2 of the largest cluster's diameter)"
         )
-    return labels.select(
-        F.col("a").alias(id_col),
-        F.col("label").alias("cluster_id"),
-        (F.col("a") == F.col("label")).alias("is_canonical"),
+    # single corpus-scale pass: attach labels; untouched ids are their
+    # own (canonical) cluster
+    return (
+        ids.select(F.col(id_col).alias("a"))
+        .join(labels, "a", "left")
+        .select(
+            F.col("a").alias(id_col),
+            F.coalesce("label", F.col("a")).alias("cluster_id"),
+            (F.col("a") == F.coalesce("label", F.col("a"))).alias(
+                "is_canonical"
+            ),
+        )
     )
 
 

@@ -52,12 +52,15 @@ def pagerank(
     # and localCheckpoint preserves the physical partitioning, so the
     # per-iteration ranks join needs no new edge-side shuffle — the
     # bucketed-by-src layout a 100 TB graph would use at rest.
+    # one exchange serves all three steps: HashPartitioning(src)
+    # satisfies the (src, dst) dedup's clustering requirement (equal
+    # pairs share a src), and the degree window partitions by src too
     e_deg = (
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         )
-        .distinct()
         .repartition("src")
+        .dropDuplicates(["src", "dst"])
         .withColumn("deg", F.count(F.lit(1)).over(W.partitionBy("src")))
         .localCheckpoint(eager=True)
     )
