@@ -216,3 +216,72 @@ def test_cosine_topk_single_corpus_scan_one_shuffle(spark, sf_dir):
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
     assert len(hash_exchanges) == 1 and "query_id" in hash_exchanges[0]
+
+
+def test_pagerank_edge_prep_single_exchange(spark):
+    """The (dedup + degree) edge preparation must ride ONE src
+    exchange: HashPartitioning(src) satisfies the (src, dst) dedup's
+    clustering requirement, and the degree window partitions by src
+    — a second shuffle here would double the heaviest stage of every
+    graph query at corpus scale."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (3, 1)], "src int, dst int"
+    )
+    prep = (
+        edges.repartition("src")
+        .dropDuplicates(["src", "dst"])
+        .withColumn("deg", F.count(F.lit(1)).over(W.partitionBy("src")))
+    )
+    plan = prep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_prototype_margin_broadcasts_prototypes(spark, sf_dir):
+    """q139's audit join must broadcast the L-row prototype relation
+    (corpus side never shuffles after the fit) and scan the
+    embeddings parquet at most twice (fit + audit)."""
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    df = QUERIES["q139_label_prototype_margin"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_copurchase_cap_bounds_mega_order(spark):
+    """A degenerate order holding 100 parts must contribute only
+    C(20,2) pairs (the cap keeps the per-order fan-out from going
+    quadratic), and the capped part set is the 20 SMALLEST part ids
+    (deterministic, matching the oracle's row_number formulation)."""
+    from pyspark.sql import functions as F
+
+    rows = [(1, p) for p in range(100)] + [(2, 200), (2, 201)]
+    li = spark.createDataFrame(rows, "ok long, pk long")
+    per_order = li.groupBy("ok").agg(
+        F.slice(F.array_sort(F.collect_set("pk")), 1, 20).alias("ps")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ps",
+            lambda x, i: F.transform(
+                F.slice(
+                    "ps",
+                    i + F.lit(2),
+                    F.greatest(F.size("ps") - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+    pairs = per_order.select(
+        "ok", F.explode(pair_structs).alias("pp")
+    ).select("ok", F.col("pp.p1").alias("p1"), F.col("pp.p2").alias("p2"))
+    got = pairs.filter(F.col("ok") == 1).collect()
+    assert len(got) == 20 * 19 // 2  # C(20,2), not C(100,2)
+    assert max(max(r["p1"], r["p2"]) for r in got) == 19  # smallest ids kept
+    assert all(r["p1"] < r["p2"] for r in got)
+    small = pairs.filter(F.col("ok") == 2).collect()
+    assert [(r["p1"], r["p2"]) for r in small] == [(200, 201)]
