@@ -83,6 +83,50 @@ def random_projection(
     ).select(id_col, F.col("j").cast("int").alias("j"), F.round("__yy", 6).alias("y"))
 
 
+def random_projection_numpy(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Arrow-batched numpy variant of :func:`random_projection` —
+    identical output (tests assert value equality at 1e-6 with the
+    HOF path), ~order-of-magnitude faster per row because the
+    16×64 multiply-add runs as ONE BLAS matmul per Arrow batch
+    instead of 1024 interpreted HOF lambda evaluations per row.
+
+    The HOF path stays the registered catalog default (zero Python
+    workers, exact sequential-fold summation the DuckDB oracle
+    replays); this is the documented escape hatch when projection
+    dominates a real workload. numpy's pairwise/SIMD summation can
+    differ from the sequential fold in the last ulp, which is why
+    the parity contract is 1e-6-rounded values, not bit equality.
+    """
+    import pandas as pd
+
+    R = None  # built lazily inside workers; matrix is tiny
+
+    def project(batches):
+        nonlocal R
+        import numpy as np  # noqa: F811 — worker-side import
+
+        Rm = np.array(RP_MATRIX, dtype=np.float64)
+        for pdf in batches:
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Y = X @ Rm.T / _RP_SCALE  # (batch, 16)
+            n, d_out = Y.shape
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(d_out),
+                    "j": np.tile(np.arange(d_out, dtype=np.int32), n),
+                    "y": np.round(Y.reshape(-1), 6),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        project, schema=f"{id_col} long, j int, y double"
+    )
+
+
 def power_iteration_top_pc(
     emb: DataFrame,
     vec_col: str = "embedding",

@@ -400,3 +400,25 @@ def test_conversion_latency_model(spark, sf_dir):
     if lats:
         assert abs(got["p50_sec"] - round(float(np.percentile(lats, 50, method="linear")), 6)) < 1e-5
         assert abs(got["max_sec"] - round(max(lats), 6)) < 1e-5
+
+
+def test_random_projection_numpy_variant_matches_hof(spark, sf_dir):
+    """The Arrow/numpy escape hatch must produce the same rounded
+    values as the registered HOF path (numpy rounds with half-even
+    vs Spark's half-up, so compare at 1e-6 tolerance rather than
+    exact string equality)."""
+    from citybikedatawarehouse_spark.operators.projection import (
+        random_projection_numpy,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(80)
+    hof = {
+        (r["vec_id"], r["j"]): r["y"] for r in random_projection(emb).collect()
+    }
+    fast = {
+        (r["vec_id"], r["j"]): r["y"]
+        for r in random_projection_numpy(emb).collect()
+    }
+    assert set(hof) == set(fast)
+    for k in hof:
+        assert abs(hof[k] - fast[k]) <= 2e-6, k
