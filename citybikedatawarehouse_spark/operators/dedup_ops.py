@@ -712,13 +712,27 @@ def dedup_clusters(
 
     Returns (id, cluster_id, is_canonical).
     """
+    # both directions from ONE pass over pairs: a unionByName of two
+    # selects re-executes the whole upstream pair pipeline (LSH,
+    # verify) once per branch — the inline explode mirrors each pair
+    # in the same scan
     edges = (
-        pairs.select(F.col("id_1").alias("a"), F.col("id_2").alias("b"))
-        .unionByName(pairs.select(F.col("id_2").alias("a"), F.col("id_1").alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_1").alias("a"), F.col("id_2").alias("b")
+                    ),
+                    F.struct(
+                        F.col("id_2").alias("a"), F.col("id_1").alias("b")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
         # materialize once: every round joins edges, and without this
-        # the whole upstream pair-generation pipeline (LSH, verify)
-        # would re-execute per round
+        # the pair generation would re-execute per round
         .localCheckpoint(eager=True)
     )
     # bidirectional edges: the src set IS the touched-node set

@@ -611,15 +611,21 @@ def q133_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    pairs = per_order.select(F.explode(pair_structs).alias("pp")).select(
-        F.col("pp.p1").alias("p1"), F.col("pp.p2").alias("p2")
-    )
-    edges = (
-        pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
-        )
-    )
+    # both directions emitted by the SAME explode (a union of two
+    # selects would run the groupBy + pair fan-out once per branch)
+    pairs = per_order.select(F.explode(pair_structs).alias("pp"))
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pp.p1").alias("src"), F.col("pp.p2").alias("dst")
+                ),
+                F.struct(
+                    F.col("pp.p2").alias("src"), F.col("pp.p1").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     ranks = pagerank(
         edges, damping=_PAGERANK_DAMPING, n_iter=_PAGERANK_ITER
     )
