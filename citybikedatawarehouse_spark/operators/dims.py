@@ -56,17 +56,24 @@ def build_station_dim(rides: DataFrame, key_mode: str = "sha2") -> DataFrame:
     dropped from the dimension (they produce null FK in the fact,
     matching the reference's left-join misses).
     """
-    start = rides.select(
-        F.col("start_station_name").alias("name"),
-        F.col("start_lat").alias("latitude"),
-        F.col("start_lng").alias("longitude"),
-    )
-    end = rides.select(
-        F.col("end_station_name").alias("name"),
-        F.col("end_lat").alias("latitude"),
-        F.col("end_lng").alias("longitude"),
-    )
-    stations = start.unionByName(end).distinct()
+    # both endpoints from ONE ride scan (a union of two selects would
+    # read the source twice — the round-5 single-pass-mirror rule)
+    stations = rides.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("start_station_name").alias("name"),
+                    F.col("start_lat").alias("latitude"),
+                    F.col("start_lng").alias("longitude"),
+                ),
+                F.struct(
+                    F.col("end_station_name").alias("name"),
+                    F.col("end_lat").alias("latitude"),
+                    F.col("end_lng").alias("longitude"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.name", "s.latitude", "s.longitude").distinct()
     stations = stations.filter(
         F.col("name").isNotNull()
         | F.col("latitude").isNotNull()
@@ -86,8 +93,9 @@ def build_date_dim(rides: DataFrame, key_mode: str = "sha2") -> DataFrame:
     (year..second + ISO week — pandas isocalendar ≡ Spark weekofyear).
     """
     ts = (
-        rides.select(F.col("started_at").alias("date"))
-        .unionByName(rides.select(F.col("ended_at").alias("date")))
+        rides.select(
+            F.explode(F.array("started_at", "ended_at")).alias("date")
+        )
         .filter(F.col("date").isNotNull())
         .distinct()
     )

@@ -5,7 +5,7 @@ The reference replaces dimensions wholesale on every run
 history is lost. This operator gives the warehouse an upsert-with-
 history story using only batch primitives (MERGE INTO needs a
 transactional table format; the jars aren't in this environment, so
-the emulation is the documented pattern: anti-join + union):
+the emulation is one full-outer join + conditional version explode):
 
   current dimension (id, attrs..., valid_from, valid_to, is_current)
   + updates (id, attrs..., effective_ts)
@@ -48,7 +48,16 @@ def scd2_merge(
     """Apply an update batch to an SCD2 dimension.
 
     ``updates`` must carry one row per key (pre-deduplicate upstream
-    with a max_by on the effective timestamp)."""
+    with a max_by on the effective timestamp).
+
+    Single-pass plan: ONE full-outer join on the key, then each row
+    emits its 1-2 output versions through a conditional explode —
+    cur-only / unchanged rows pass through, changed rows emit
+    [closed, opened], update-only keys emit their first open
+    version. The textbook four-branch formulation (untouched ∪
+    closed ∪ opened ∪ new via a left join + an anti join) executes
+    the join once per branch — 3-4 scans of both inputs for the
+    same rows this plan produces in one."""
     cur = dim.filter(F.col("is_current"))
     hist = dim.filter(~F.col("is_current"))
 
@@ -57,47 +66,43 @@ def scd2_merge(
         *[F.col(a).alias(f"__u_{a}") for a in attrs],
         F.col(effective_ts).alias("__eff"),
     )
-    joined = cur.join(u, key, "left")
+    joined = cur.join(u, key, "full")
     changed_pred = F.coalesce(
         ~F.struct(*[F.col(a) for a in attrs]).eqNullSafe(
             F.struct(*[F.col(f"__u_{a}").alias(a) for a in attrs])
         ),
         F.lit(False),
     )
+    has_update = F.col("__eff").isNotNull()
+    # is_current is non-null on every cur-side row (all true) and
+    # null exactly on update-only keys — the full-outer side marker
+    has_current = F.col("is_current").isNotNull()
 
-    # current rows with no update or identical attrs: pass through
-    untouched = joined.filter(F.col("__eff").isNull() | ~changed_pred).select(
-        dim.columns
-    )
-    # changed: close the old version ...
-    closed = (
-        joined.filter(F.col("__eff").isNotNull() & changed_pred)
-        .withColumn("valid_to", F.col("__eff"))
-        .withColumn("is_current", F.lit(False))
-        .select(dim.columns)
-    )
-    # ... and open the new one
-    opened = (
-        joined.filter(F.col("__eff").isNotNull() & changed_pred)
-        .select(
-            F.col(key),
-            *[F.col(f"__u_{a}").alias(a) for a in attrs],
-            F.col("__eff").alias("valid_from"),
-            F.lit(OPEN_END).cast("timestamp_ntz").alias("valid_to"),
-            F.lit(True).alias("is_current"),
+    def _as_struct(cols: dict) -> F.Column:
+        return F.struct(
+            *[cols.get(c, F.col(c)).alias(c) for c in dim.columns]
         )
-        .select(dim.columns)
+
+    passthrough = _as_struct({})
+    closed = _as_struct(
+        {
+            "valid_to": F.col("__eff"),
+            "is_current": F.lit(False),
+        }
     )
-    # ids never seen before
-    new_ids = (
-        u.join(cur, key, "left_anti")
-        .select(
-            F.col(key),
-            *[F.col(f"__u_{a}").alias(a) for a in attrs],
-            F.col("__eff").alias("valid_from"),
-            F.lit(OPEN_END).cast("timestamp_ntz").alias("valid_to"),
-            F.lit(True).alias("is_current"),
-        )
-        .select(dim.columns)
+    opened = _as_struct(
+        {
+            **{a: F.col(f"__u_{a}") for a in attrs},
+            "valid_from": F.col("__eff"),
+            "valid_to": F.lit(OPEN_END).cast("timestamp_ntz"),
+            "is_current": F.lit(True),
+        }
     )
-    return hist.unionByName(untouched).unionByName(closed).unionByName(opened).unionByName(new_ids)
+    versions = (
+        F.when(~has_update, F.array(passthrough))
+        .when(~has_current, F.array(opened))  # brand-new key
+        .when(changed_pred, F.array(closed, opened))
+        .otherwise(F.array(passthrough))  # identical attrs: idempotent
+    )
+    merged = joined.select(F.explode(versions).alias("__v")).select("__v.*")
+    return hist.unionByName(merged)
