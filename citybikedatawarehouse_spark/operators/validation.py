@@ -115,6 +115,79 @@ def validation_report(checks: list[DataFrame]) -> DataFrame:
     return out
 
 
+def check_fact_constraints(
+    fact: DataFrame,
+    fks: list[tuple[str, DataFrame, str]] = (),
+    not_nulls: list[str] = (),
+    non_negative: list[str] = (),
+) -> DataFrame:
+    """ALL fact-side constraints in ONE scan: every FK orphan count
+    (left join against the broadcast distinct parent keys — parent
+    dimensions are small by star-schema construction), every NOT
+    NULL, and every non-negative range check aggregate in the same
+    pass, then one report row per constraint via a literal-array
+    explode. The per-check functions above stay for composability;
+    at 100 TB the fact table is the only corpus-scale relation, and
+    a report that scans it once per constraint (the naive
+    validation_report composition — 8 scans for the reference's
+    declared constraints) pays 8× the dominant cost for the same
+    answer."""
+    j = fact
+    fk_flags = []
+    for i, (col, parent, key) in enumerate(fks):
+        dk = parent.select(F.col(key).alias(f"__k{i}")).distinct()
+        j = j.join(
+            F.broadcast(dk), F.col(col) == F.col(f"__k{i}"), "left"
+        )
+        fk_flags.append(
+            (
+                f"fk({col}->{key})",
+                "foreign_key",
+                F.sum(
+                    (
+                        F.col(col).isNotNull() & F.col(f"__k{i}").isNull()
+                    ).cast("int")
+                ),
+            )
+        )
+    checks = fk_flags
+    checks += [
+        (
+            f"not_null({c})",
+            "not_null",
+            F.sum(F.col(c).isNull().cast("int")),
+        )
+        for c in not_nulls
+    ]
+    checks += [
+        (
+            f"{c}_non_negative",
+            "value_range",
+            F.sum((F.col(c) < 0).cast("int")),
+        )
+        for c in non_negative
+    ]
+    agg = j.agg(
+        *[
+            F.coalesce(v, F.lit(0)).cast("bigint").alias(f"__v{i}")
+            for i, (_, _, v) in enumerate(checks)
+        ]
+    )
+    report = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(label).alias("constraint_name"),
+                    F.lit(kind).alias("kind"),
+                    F.col(f"__v{i}").alias("violations"),
+                )
+                for i, (label, kind, _) in enumerate(checks)
+            ]
+        )
+    )
+    return agg.select(report.alias("__r")).select("__r.*")
+
+
 def citibike_star_checks(tables: dict[str, DataFrame]) -> DataFrame:
     """The reference's declared constraints, as a validation report
     over the built star schema (v4 DDL: PKs on every dimension, six
@@ -125,13 +198,21 @@ def citibike_star_checks(tables: dict[str, DataFrame]) -> DataFrame:
         check_primary_key(tables["rideable_dimension"], "id", name="rideable_dimension.pk"),
         check_primary_key(tables["station_dimension"], "id", name="station_dimension.pk"),
         check_primary_key(tables["date_dimension"], "id", name="date_dimension.pk"),
-        check_foreign_key(fact, "member_type_id", tables["member_dimension"], "id"),
-        check_foreign_key(fact, "rideable_type_id", tables["rideable_dimension"], "id"),
-        check_foreign_key(fact, "start_station_id", tables["station_dimension"], "id"),
-        check_foreign_key(fact, "end_station_id", tables["station_dimension"], "id"),
-        check_foreign_key(fact, "start_date_id", tables["date_dimension"], "id"),
-        check_foreign_key(fact, "end_date_id", tables["date_dimension"], "id"),
-        check_not_null(fact, "trip_duration"),
-        check_value_range(fact, "speed", min_val=0.0, name="speed_non_negative"),
+        # every fact-side constraint (6 FKs + NOT NULL + range) in
+        # ONE fact scan — same labels/rows as the per-check
+        # composition this replaced
+        check_fact_constraints(
+            fact,
+            fks=[
+                ("member_type_id", tables["member_dimension"], "id"),
+                ("rideable_type_id", tables["rideable_dimension"], "id"),
+                ("start_station_id", tables["station_dimension"], "id"),
+                ("end_station_id", tables["station_dimension"], "id"),
+                ("start_date_id", tables["date_dimension"], "id"),
+                ("end_date_id", tables["date_dimension"], "id"),
+            ],
+            not_nulls=["trip_duration"],
+            non_negative=["speed"],
+        ),
     ]
     return validation_report(checks)

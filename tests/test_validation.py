@@ -89,3 +89,49 @@ def test_citibike_star_passes_own_constraints(spark, tmp_path):
     # which FK semantics ignore; everything else must be 0
     bad = {r["constraint_name"]: r["violations"] for r in report if r["violations"]}
     assert bad == {}, f"unexpected violations: {bad}"
+
+
+def test_fused_fact_constraints_match_individual_checks(spark):
+    """check_fact_constraints must emit exactly the rows the
+    per-check composition produced (same labels, kinds, counts) —
+    it is a plan fusion, not a semantic change."""
+    from citybikedatawarehouse_spark.operators.validation import (
+        check_fact_constraints,
+        check_foreign_key,
+        check_not_null,
+        check_value_range,
+        validation_report,
+    )
+
+    fact = spark.createDataFrame(
+        [
+            (10, 1, 5.0),
+            (99, 2, None),     # orphan FK + null speed
+            (None, 3, -1.0),   # null FK is NOT an orphan; negative value
+        ],
+        "fk_col int, other int, speed double",
+    )
+    dim = spark.createDataFrame([(10,), (11,)], "id int")
+    fused = {
+        (r["constraint_name"], r["kind"]): r["violations"]
+        for r in check_fact_constraints(
+            fact,
+            fks=[("fk_col", dim, "id")],
+            not_nulls=["speed"],
+            non_negative=["speed"],
+        ).collect()
+    }
+    individual = {
+        (r["constraint_name"], r["kind"]): r["violations"]
+        for r in validation_report(
+            [
+                check_foreign_key(fact, "fk_col", dim, "id"),
+                check_not_null(fact, "speed"),
+                check_value_range(fact, "speed", min_val=0.0, name="speed_non_negative"),
+            ]
+        ).collect()
+    }
+    assert fused == individual
+    assert fused[("fk(fk_col->id)", "foreign_key")] == 1
+    assert fused[("not_null(speed)", "not_null")] == 1
+    assert fused[("speed_non_negative", "value_range")] == 1
