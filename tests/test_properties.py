@@ -245,3 +245,76 @@ def test_chunk_manifest_covering_any_corpus(spark, texts):
                 " ".join(w[c * stride : c * stride + window]).encode()
             ).hexdigest()
             assert r["chunk_fp"] == expect_fp
+
+
+# --------------------------------------------------------------- SCD2 merge
+
+_SCD_KEYS = st.integers(min_value=0, max_value=4)
+_SCD_VALS = st.integers(min_value=0, max_value=2)
+
+
+@PROP
+@given(
+    init=st.dictionaries(_SCD_KEYS, _SCD_VALS, min_size=1, max_size=5),
+    batches=st.lists(
+        st.dictionaries(_SCD_KEYS, _SCD_VALS, min_size=0, max_size=5),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_scd2_merge_matches_python_model(spark, init, batches):
+    """The single-pass full-outer+explode merge must behave exactly
+    like the obvious sequential SCD2 model under arbitrary update
+    sequences: per key, version history = the deduplicated change
+    sequence; exactly one open row per ever-seen key; closed rows
+    chain (valid_to == next valid_from); unchanged updates are
+    no-ops (idempotence)."""
+    from citybikedatawarehouse_spark.operators.scd import (
+        OPEN_END,
+        scd2_init,
+        scd2_merge,
+    )
+
+    t0 = "2000-01-01 00:00:00"
+    snap = spark.createDataFrame(
+        [(k, v, t0) for k, v in sorted(init.items())],
+        "id int, attr int, eff string",
+    ).withColumn("eff", F.col("eff").cast("timestamp_ntz"))
+    dim = scd2_init(snap, key="id", effective_ts="eff")
+
+    # python model: per-key list of (value, valid_from)
+    model = {k: [(v, t0)] for k, v in init.items()}
+    for i, batch in enumerate(batches):
+        ts = f"2000-01-0{i + 2} 00:00:00"
+        up = spark.createDataFrame(
+            [(k, v, ts) for k, v in sorted(batch.items())] or [(None, None, None)],
+            "id int, attr int, eff string",
+        ).filter(F.col("id").isNotNull()).withColumn(
+            "eff", F.col("eff").cast("timestamp_ntz")
+        )
+        dim = scd2_merge(dim, up, key="id", attrs=["attr"], effective_ts="eff")
+        for k, v in batch.items():
+            if k not in model:
+                model[k] = [(v, ts)]
+            elif model[k][-1][0] != v:
+                model[k].append((v, ts))
+
+    rows = dim.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["id"], []).append(r)
+    assert set(got) == set(model)
+    for k, versions in model.items():
+        g = sorted(got[k], key=lambda r: str(r["valid_from"]))
+        assert len(g) == len(versions)
+        # values and starts match the model sequence
+        for gr, (v, ts) in zip(g, versions):
+            assert gr["attr"] == v
+            assert str(gr["valid_from"]).startswith(ts[:10])
+        # exactly one open row, and it is the last version
+        opens = [r for r in g if r["is_current"]]
+        assert len(opens) == 1 and opens[0] is g[-1]
+        assert str(g[-1]["valid_to"]).startswith(OPEN_END[:10])
+        # closed versions chain tightly
+        for a, b in zip(g, g[1:]):
+            assert a["valid_to"] == b["valid_from"]
