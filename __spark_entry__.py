@@ -98,6 +98,7 @@ _SWEEP_PRIORITY = [
     "q135_pca_power_iteration", "q136_winsorized_stats",
     "q137_event_transitions", "q138_knn_label_audit",
     "q139_label_prototype_margin", "q140_conversion_latency",
+    "q141_snapshot_diff", "q142_incremental_agg_merge",
     # -- 3. least-recently-verified (r02/r03 evidence) --
     "q77_zorder_key", "q48_array_agg",
     "q61_ngram_jaccard", "q38_asof_join", "q39_asof_join_bucketed",

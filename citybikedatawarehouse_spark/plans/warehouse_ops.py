@@ -208,3 +208,133 @@ def q77_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_key(o, ["o_custkey", "__epoch_day"], bits=16).select(
         "o_orderkey", "z_key"
     )
+
+
+@register(
+    "q141_snapshot_diff",
+    oracle="""
+    WITH t1 AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      WHERE c_custkey % 10 <> 0
+    ),
+    t2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN 'AUTOMOBILE'
+                  ELSE c_mktsegment END AS c_mktsegment,
+             c_acctbal
+      FROM customer WHERE c_custkey % 11 <> 0
+    ),
+    d AS (
+      SELECT coalesce(t1.c_custkey, t2.c_custkey) AS c_custkey,
+             CASE
+               WHEN t1.c_custkey IS NULL THEN 'added'
+               WHEN t2.c_custkey IS NULL THEN 'removed'
+               WHEN t1.c_mktsegment IS DISTINCT FROM t2.c_mktsegment
+                 OR t1.c_acctbal IS DISTINCT FROM t2.c_acctbal
+                 THEN 'changed'
+               ELSE 'unchanged'
+             END AS change
+      FROM t1 FULL JOIN t2 ON t1.c_custkey = t2.c_custkey
+    )
+    SELECT change, count(*) AS n,
+           CAST(min(c_custkey) AS BIGINT) AS min_key,
+           CAST(max(c_custkey) AS BIGINT) AS max_key
+    FROM d GROUP BY change
+    """,
+)
+def q141_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-snapshot diff (the CDC primitive a plain-parquet
+    warehouse lacks vs Delta's change data feed): classify every key
+    across two snapshots as added / removed / changed / unchanged via
+    ONE full-outer join with null-safe attribute comparison, and
+    report per-class counts + key ranges. The two snapshots are
+    deterministic filters/mutations of `customer` so the whole diff
+    carries a DuckDB oracle.
+
+    Scale shape: one key-partitioned full-outer join (both sides
+    shuffle once on the key — co-partitioned or bucketed snapshots
+    make it shuffle-free); the class is a per-row expression, the
+    report a 4-row aggregate. eqNullSafe mirrors IS DISTINCT FROM."""
+    c = _t(spark, sf_dir, "customer")
+    t1 = c.filter(F.col("c_custkey") % 10 != 0).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    t2 = c.filter(F.col("c_custkey") % 11 != 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("AUTOMOBILE"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        "c_acctbal",
+    )
+    a = t1.select(
+        F.col("c_custkey"),
+        F.struct("c_mktsegment", "c_acctbal").alias("__a"),
+    )
+    b = t2.select(
+        F.col("c_custkey"),
+        F.struct("c_mktsegment", "c_acctbal").alias("__b"),
+    )
+    d = a.join(b, "c_custkey", "full").select(
+        "c_custkey",
+        F.when(F.col("__a").isNull(), F.lit("added"))
+        .when(F.col("__b").isNull(), F.lit("removed"))
+        .when(~F.col("__a").eqNullSafe(F.col("__b")), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+    )
+    return d.groupBy("change").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c_custkey").cast("bigint").alias("min_key"),
+        F.max("c_custkey").cast("bigint").alias("max_key"),
+    )
+
+
+@register(
+    "q142_incremental_agg_merge",
+    oracle="""
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders GROUP BY 1
+    """,
+)
+def q142_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-view maintenance: the daily revenue
+    rollup is maintained as (old materialized aggregate) MERGED with
+    (the late-arriving delta batch's aggregate) — a full-outer
+    coalesce-sum on the group key, never a rescan of the base data.
+    Counts and integer-cent sums are algebraic (commutative
+    monoids), so merged == recomputed-from-scratch, and the ORACLE
+    IS THE FULL RECOMPUTATION — the hash gate literally proves the
+    incremental path equals the batch path.
+
+    The base/delta split (orders before/after the median date) is
+    deterministic. Scale shape: the delta aggregate touches only
+    delta rows; the merge shuffles two day-grained relations —
+    O(days), not O(orders). This is the manual twin of what a
+    streaming aggregation's state store does per epoch."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.sum(
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+    ).cast("bigint")
+    split = "1997-01-01"
+    base = o.filter(F.col("o_orderdate") < split)
+    delta = o.filter(F.col("o_orderdate") >= split)
+    day = F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd")
+    old = base.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("__n1"), cents.alias("__c1")
+    )
+    dagg = delta.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("__n2"), cents.alias("__c2")
+    )
+    merged = old.join(dagg, "day", "full").select(
+        "day",
+        (
+            F.coalesce("__n1", F.lit(0)) + F.coalesce("__n2", F.lit(0))
+        ).alias("n_orders"),
+        (
+            F.coalesce("__c1", F.lit(0)) + F.coalesce("__c2", F.lit(0))
+        ).cast("bigint").alias("cents"),
+    )
+    return merged
