@@ -318,3 +318,98 @@ def test_scd2_merge_matches_python_model(spark, init, batches):
         # closed versions chain tightly
         for a, b in zip(g, g[1:]):
             assert a["valid_to"] == b["valid_from"]
+
+
+# ---------------------------------------------------------------- pagerank
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_pagerank_random_graphs_match_numpy(spark, pairs):
+    """PageRank over arbitrary small undirected graphs equals the
+    numpy replay of the same recurrence, and total mass is 1."""
+    import numpy as np
+
+    from citybikedatawarehouse_spark.operators.graph import pagerank
+
+    bi = sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+    e = spark.createDataFrame(bi, "src int, dst int")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, damping=0.85, n_iter=3).collect()
+    }
+    nodes = sorted({x for p in bi for x in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    deg = np.zeros(len(nodes))
+    for a, _ in bi:
+        deg[idx[a]] += 1
+    r = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(3):
+        nxt = np.full(len(nodes), 0.15 / len(nodes))
+        for a, b in bi:
+            nxt[idx[b]] += 0.85 * r[idx[a]] / deg[idx[a]]
+        r = nxt
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert abs(got[n] - r[idx[n]]) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+# ------------------------------------------------------------ snapshot diff
+
+@PROP
+@given(
+    t1=st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=3),
+        max_size=8,
+    ),
+    t2=st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=3),
+        max_size=8,
+    ),
+)
+def test_snapshot_diff_classification_model(spark, t1, t2):
+    """The full-outer diff classification must match the dict model
+    for arbitrary snapshot pairs."""
+    a = spark.createDataFrame(
+        [(k, v) for k, v in sorted(t1.items())] or [(None, None)],
+        "k int, v int",
+    ).filter(F.col("k").isNotNull())
+    b = spark.createDataFrame(
+        [(k, v) for k, v in sorted(t2.items())] or [(None, None)],
+        "k int, v int",
+    ).filter(F.col("k").isNotNull())
+    d = (
+        a.select("k", F.struct("v").alias("__a"))
+        .join(b.select("k", F.struct("v").alias("__b")), "k", "full")
+        .select(
+            "k",
+            F.when(F.col("__a").isNull(), F.lit("added"))
+            .when(F.col("__b").isNull(), F.lit("removed"))
+            .when(~F.col("__a").eqNullSafe(F.col("__b")), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change"),
+        )
+    )
+    got = {r["k"]: r["change"] for r in d.collect()}
+    want = {}
+    for k in set(t1) | set(t2):
+        if k not in t1:
+            want[k] = "added"
+        elif k not in t2:
+            want[k] = "removed"
+        elif t1[k] != t2[k]:
+            want[k] = "changed"
+        else:
+            want[k] = "unchanged"
+    assert got == want

@@ -96,3 +96,47 @@ def test_catalog_database_ddl(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS cbdw_test_db.t1")
         spark.sql("DROP DATABASE IF EXISTS cbdw_test_db")
+
+
+def test_pagerank_iteration_on_bucketed_edges_is_edge_shuffle_free(spark):
+    """The at-rest layout for iterative graph queries: edges bucketed
+    by src join the ranks relation without re-shuffling the edge side
+    — at 100 TB the edge relation is the corpus-scale one, so every
+    avoided edge exchange is the dominant per-iteration cost."""
+    from pyspark.sql import functions as F
+
+    edges = spark.range(0, 5_000).select(
+        (F.col("id") % 500).alias("src"),
+        ((F.col("id") * 7) % 500).alias("dst"),
+        F.lit(10).alias("deg"),
+    )
+    spark.sql("DROP TABLE IF EXISTS pr_edges")
+    edges.write.bucketBy(8, "src").sortBy("src").saveAsTable("pr_edges")
+    ranks = spark.range(0, 500).select(
+        F.col("id").alias("node"), F.lit(1.0 / 500).alias("rank")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        e = spark.table("pr_edges")
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
+        )
+        plan = contrib._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        # the edge side must NOT re-shuffle on src: the only
+        # hash exchanges are the ranks side (shuffled to meet the
+        # bucketed layout) and the dst aggregate
+        import re
+
+        exchanges = re.findall(r"Exchange hashpartitioning\(([a-z_]+)", plan)
+        assert "src" not in exchanges, plan
+        assert contrib.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS pr_edges")
