@@ -979,3 +979,165 @@ def q125_curriculum_buckets(spark, sf_dir):
             F.round(F.max("entropy"), 6).alias("max_entropy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q143 — distributed BPE merge training (fixed rounds, oracle-replayed)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_apply_merge(col, left: str, right: str):
+    """Greedy left-to-right application of ONE merge (left,right) →
+    left||right over a symbol array, as a JVM-side HOF fold: scan
+    symbols, merging whenever the accumulator's last element is
+    `left` and the incoming symbol is `right` (after a merge the new
+    token becomes the last element, so 'aaaa' under (a,a) yields
+    [aa, aa] — standard BPE greedy semantics)."""
+    return F.aggregate(
+        col,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), s)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _bpe_pairs(syms_col):
+    """Adjacent symbol pairs of one array (empty when < 2 symbols —
+    guarded because Spark's sequence(1, 0) counts DOWN)."""
+    return F.when(
+        F.size(syms_col) >= 2,
+        F.expr(
+            "transform(sequence(1, size(__syms) - 1),"
+            " i -> struct(element_at(__syms, i) AS l,"
+            "             element_at(__syms, i + 1) AS r))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<struct<l:string,r:string>>)"))
+
+
+def _bpe_oracle(n_rounds: int = _BPE_ROUNDS) -> str:
+    """Replay the merge trainer in DuckDB: pair counts per round +
+    leftmost-first iterated replacement (a recursive CTE per round —
+    equivalent to the Spark fold; a single `replace()` call is NOT,
+    because adjacent occurrences share their delimiter space and
+    non-overlapping replace skips the second one)."""
+    parts = [r"""
+    WITH RECURSIVE wt AS (
+      SELECT w, count(*) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents WHERE trim(text) <> ''
+      ) GROUP BY w
+    ),
+    s0 AS (
+      SELECT w, freq,
+             ' ' || array_to_string(
+               list_transform(range(1, length(w) + 1),
+                              i -> substr(w, i, 1)), ' ') || ' ' AS seq
+      FROM wt
+    )"""]
+    for k in range(1, n_rounds + 1):
+        prev = f"s{k - 1}"
+        parts.append(f""",
+    p{k} AS (
+      SELECT ls[i] AS l, ls[i + 1] AS r, sum(freq) AS cnt
+      FROM (SELECT freq, string_split(trim(seq), ' ') AS ls FROM {prev}),
+           UNNEST(range(1, len(ls))) t(i)
+      GROUP BY 1, 2
+    ),
+    m{k} AS (
+      SELECT l, r, cnt FROM p{k}
+      ORDER BY cnt DESC, l, r LIMIT 1
+    ),
+    a{k} AS (
+      SELECT w, freq, seq FROM {prev}
+      UNION ALL
+      SELECT w, freq,
+             substr(seq, 1, position((SELECT ' ' || l || ' ' || r || ' ' FROM m{k}) IN seq) - 1)
+             || ' ' || (SELECT l || r FROM m{k}) || ' '
+             || substr(seq, position((SELECT ' ' || l || ' ' || r || ' ' FROM m{k}) IN seq)
+                            + length((SELECT ' ' || l || ' ' || r || ' ' FROM m{k})))
+      FROM a{k}
+      WHERE position((SELECT ' ' || l || ' ' || r || ' ' FROM m{k}) IN seq) > 0
+    ),
+    s{k} AS (
+      SELECT w, freq, seq FROM a{k}
+      WHERE position((SELECT ' ' || l || ' ' || r || ' ' FROM m{k}) IN seq) = 0
+    )""")
+    finals = "\n      UNION ALL\n".join(
+        f"      SELECT {k} AS merge_rank, l AS left_sym, r AS right_sym,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(1, n_rounds + 1)
+    )
+    return "".join(parts) + f"""
+    SELECT * FROM (
+{finals}
+    )
+    """
+
+
+@register("q143_bpe_merges", oracle=_bpe_oracle())
+def q143_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training, first 3 merge rounds: the
+    corpus collapses to WORD TYPES with frequencies (the classic BPE
+    preprocessing — pair statistics are per type × freq, so the
+    iteration cost is O(vocabulary), not O(corpus)), then each round
+    counts adjacent symbol pairs, picks the most frequent
+    (deterministic tie-break: count desc, left, right), and applies
+    the merge greedily left-to-right as a JVM-side HOF fold.
+    Returns one row per learned merge (rank, pair, count) — the
+    merges table a tokenizer ships.
+
+    Scale shape: ONE corpus-scale shuffle (the word-type groupBy) no
+    matter how many rounds; each round then shuffles only the pair
+    relation (bounded by vocabulary × word length) and collects ONE
+    row to the driver (the k-row pattern of kmeans/power-iteration).
+    The oracle replays every round — counts, tie-breaks, and the
+    greedy application (leftmost-first recursive replacement, which
+    equals the fold) — so the hash gate proves the whole training
+    loop, not just the final table."""
+    d = _t(spark, sf_dir, "documents")
+    wt = (
+        d.filter(F.trim("text") != "")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = wt.select(
+        "w",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("__syms"),
+    ).localCheckpoint(eager=True)  # rescanned once per round
+
+    merges = []
+    for rank in range(1, _BPE_ROUNDS + 1):
+        pair_rows = (
+            syms.select("freq", F.explode(_bpe_pairs(F.col("__syms"))).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        top = pair_rows[0]
+        merges.append((rank, top["l"], top["r"], int(top["cnt"])))
+        syms = syms.select(
+            "w",
+            "freq",
+            _bpe_apply_merge(F.col("__syms"), top["l"], top["r"]).alias(
+                "__syms"
+            ),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, pair_count long",
+    )

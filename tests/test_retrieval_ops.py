@@ -183,3 +183,43 @@ def test_curriculum_buckets_partition_the_corpus(spark, sf_dir):
         assert abs(r["n_docs"] - total / 4) <= total * 0.26  # quartile-ish
     for a, b in zip(rows, rows[1:]):
         assert a["max_entropy"] <= b["min_entropy"]
+
+
+def test_bpe_merges_match_python_model(spark, sf_dir):
+    """Pure-Python replay of the 3-round BPE trainer: word-type
+    frequencies, pair counts, (count desc, l, r) tie-break, greedy
+    left-to-right merge application."""
+    docs = load_table(spark, sf_dir, "documents").collect()
+    from collections import Counter
+
+    wt = Counter()
+    for r in docs:
+        t = r["text"].strip()
+        if t:
+            wt.update(re.split(r"\s+", t))
+    syms = {w: list(w) for w in wt}
+    expect = []
+    for rank in range(1, 4):
+        pc = Counter()
+        for w, ss in syms.items():
+            for a, b in zip(ss, ss[1:]):
+                pc[(a, b)] += wt[w]
+        (l, r_), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expect.append((rank, l, r_, cnt))
+        for w, ss in syms.items():
+            out = []
+            for s in ss:
+                if out and out[-1] == l and s == r_:
+                    out[-1] = l + r_
+                else:
+                    out.append(s)
+            syms[w] = out
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in QUERIES["q143_bpe_merges"](spark, sf_dir)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == expect
