@@ -99,7 +99,8 @@ _SWEEP_PRIORITY = [
     "q137_event_transitions", "q138_knn_label_audit",
     "q139_label_prototype_margin", "q140_conversion_latency",
     "q141_snapshot_diff", "q142_incremental_agg_merge",
-    "q143_bpe_merges",
+    "q143_bpe_merges", "q144_ab_test", "q145_ewma_revenue",
+    "q146_corr_suite",
     # -- 3. least-recently-verified (r02/r03 evidence) --
     "q77_zorder_key", "q48_array_agg",
     "q61_ngram_jaccard", "q38_asof_join", "q39_asof_join_bucketed",

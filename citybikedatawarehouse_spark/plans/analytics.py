@@ -756,3 +756,252 @@ def q136_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winsorized_mean"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q144 — A/B conversion test (two-proportion z)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q144_ab_test",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+             min(ts) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+    ),
+    conv AS (
+      SELECT s.user_id, s.variant,
+             CAST(max(CASE WHEN e.event_type = 'purchase'
+                            AND e.ts > s.t_signup
+                            AND e.ts <= s.t_signup + INTERVAL 12 HOUR
+                       THEN 1 ELSE 0 END)
+                  AS INTEGER) AS converted
+      FROM s LEFT JOIN events e USING (user_id)
+      GROUP BY s.user_id, s.variant
+    ),
+    v AS (
+      SELECT variant, count(*) AS n, CAST(sum(converted) AS BIGINT) AS conv
+      FROM conv GROUP BY variant
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN variant = 0 THEN n END) AS n_a,
+        max(CASE WHEN variant = 1 THEN n END) AS n_b,
+        max(CASE WHEN variant = 0 THEN conv END) AS conv_a,
+        max(CASE WHEN variant = 1 THEN conv END) AS conv_b
+      FROM v
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           round(conv_a * 1.0 / n_a, 6) AS rate_a,
+           round(conv_b * 1.0 / n_b, 6) AS rate_b,
+           round(
+             (conv_b * 1.0 / n_b - conv_a * 1.0 / n_a)
+             / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                    * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z,
+           abs((conv_b * 1.0 / n_b - conv_a * 1.0 / n_a)
+               / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                      * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant
+    FROM w
+    """,
+)
+def q144_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on conversion (signup → later purchase)
+    (attributed within a 12-hour window — unbounded attribution is
+    degenerate on this data: every user eventually purchases)
+    between variants assigned by user_id parity — the experiment
+    readout a product warehouse serves daily. Emits per-variant
+    exposure/conversion counts, rates, the pooled z statistic, and
+    the |z| > 1.96 (95%) significance flag.
+
+    Determinism: the statistic is a fixed arithmetic expression of
+    four INTEGER counts — both engines evaluate the identical IEEE
+    expression tree, so even the boolean flag cannot flip.
+    Scale shape: two user-keyed aggregates (one exchange each), then
+    a 2-row pivot; events join s on user_id with the signup relation
+    shrinking to exposed users."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", (F.col("user_id") % 2).cast("int").alias("variant"))
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    conv = (
+        s.join(ev, "user_id", "left")
+        .groupBy(s.user_id, "variant")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_signup"))
+                    & (
+                        F.col("ts")
+                        <= F.col("t_signup") + F.expr("INTERVAL 12 HOURS")
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("int")
+            .alias("converted")
+        )
+    )
+    v = conv.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    rate_a = F.col("conv_a") * 1.0 / F.col("n_a")
+    rate_b = F.col("conv_b") * 1.0 / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")) * 1.0 / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (rate_b - rate_a) / F.sqrt(
+        pooled * (1.0 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return w.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q145 — EWMA smoothing with exact binary weights
+# ---------------------------------------------------------------------------
+
+@register(
+    "q145_ewma_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day_num,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS day_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(DATE '1970-01-01' + to_days(CAST(a.day_num AS INTEGER)),
+                    '%Y-%m-%d') AS day,
+           round(sum(b.day_cents / CAST(1 << (a.day_num - b.day_num) AS DOUBLE))
+                 / sum(1.0 / CAST(1 << (a.day_num - b.day_num) AS DOUBLE))
+                 / 100.0, 4) AS ewma_revenue
+    FROM daily a JOIN daily b
+      ON b.day_num BETWEEN a.day_num - 29 AND a.day_num
+    GROUP BY a.day_num
+    """,
+)
+def q145_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue
+    (α = 0.5, 30-day horizon, normalized weights) — the smoothing
+    primitive between q120's flat moving average and a forecast
+    model. Weights are EXACT negative powers of two (1 >> shifted
+    division), so the weighted terms are exact double scalings of
+    integer cents — no pow() libm variance between engines, only
+    summation-order drift well under the 1e-4 rounding.
+
+    Scale shape: the fact table pre-aggregates to one row per day
+    (q120's rule) BEFORE the 30-day band self-join, so the join is
+    O(days × 30) however large the fact table is."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).alias("day_num")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("day_cents")
+    )
+    a = daily.select(F.col("day_num").alias("d"))
+    b = daily.select(
+        F.col("day_num").alias("bd"), F.col("day_cents").alias("bc")
+    )
+    band = a.join(
+        b, (F.col("bd") >= F.col("d") - 29) & (F.col("bd") <= F.col("d"))
+    )
+    # SQL shiftleft accepts a column bit count; the Python helper
+    # requires a literal
+    w = F.expr("1.0 / CAST(shiftleft(1, CAST(d - bd AS INT)) AS DOUBLE)")
+    return band.groupBy("d").agg(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("d")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        F.round(
+            F.sum(F.col("bc") * w) / F.sum(w) / 100.0, 4
+        ).alias("ewma_revenue"),
+    ).drop("d")
+
+
+# ---------------------------------------------------------------------------
+# q146 — correlation / covariance with explicit raw-sum formulas
+# ---------------------------------------------------------------------------
+
+@register(
+    "q146_corr_suite",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+             sum(l_quantity * l_quantity) AS sxx,
+             sum(l_extendedprice * l_extendedprice) AS syy,
+             sum(l_quantity * l_extendedprice) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((sxy - sx * sy / n) / (n - 1), 4) AS covar,
+           round((n * sxy - sx * sy)
+                 / sqrt(greatest((n * sxx - sx * sx), 0.0)
+                        * greatest((n * syy - sy * sy), 0.0)), 6) AS corr
+    FROM s
+    """,
+)
+def q146_corr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation + sample covariance of
+    (quantity, price) from EXPLICIT raw sums — engine-native
+    corr()/covar_samp() use different compensation algorithms
+    (Spark a streaming co-moment, DuckDB another) whose results
+    diverge in late decimals, so the catalog computes the textbook
+    raw-sum formulas identically on both sides (the q123 std rule,
+    with the same greatest(...,0) cancellation clamp).
+
+    Scale shape: ONE map-side-combinable aggregate — 7 partial sums
+    per group, no second pass, no window."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("sx"),
+        F.sum("l_extendedprice").alias("sy"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        F.sum(F.col("l_extendedprice") * F.col("l_extendedprice")).alias("syy"),
+        F.sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+    )
+    covar = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        F.greatest(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+        )
+        * F.greatest(
+            F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"), F.lit(0.0)
+        )
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(covar, 4).alias("covar"),
+        F.round(corr, 6).alias("corr"),
+    )

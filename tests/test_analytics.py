@@ -422,3 +422,59 @@ def test_random_projection_numpy_variant_matches_hof(spark, sf_dir):
     assert set(hof) == set(fast)
     for k in hof:
         assert abs(hof[k] - fast[k]) <= 2e-6, k
+
+
+def test_ab_test_matches_python(spark, sf_dir):
+    import math
+
+    got = QUERIES["q144_ab_test"](spark, sf_dir).collect()[0]
+    assert got["n_a"] + got["n_b"] > 0
+    ra = got["conv_a"] / got["n_a"]
+    rb = got["conv_b"] / got["n_b"]
+    pooled = (got["conv_a"] + got["conv_b"]) / (got["n_a"] + got["n_b"])
+    z = (rb - ra) / math.sqrt(
+        pooled * (1 - pooled) * (1 / got["n_a"] + 1 / got["n_b"])
+    )
+    assert abs(got["z"] - round(z, 6)) < 1e-9
+    assert got["significant"] == (abs(z) > 1.96)
+
+
+def test_ewma_tracks_level_and_bounds(spark, sf_dir):
+    """EWMA lies within [min, max] of its 30-day window and equals
+    the raw value on the first day of the series."""
+    rows = {
+        r["day"]: r["ewma_revenue"]
+        for r in QUERIES["q145_ewma_revenue"](spark, sf_dir).collect()
+    }
+    raw = {
+        r["day"]: r["day_revenue"]
+        for r in QUERIES["q121_gap_fill_locf"](spark, sf_dir).collect()
+        if r["day_revenue"] is not None
+    }
+    days = sorted(raw)
+    assert abs(rows[days[0]] - raw[days[0]]) < 0.01
+    for i, d in enumerate(days):
+        window = [raw[x] for x in days[max(0, i - 40) : i + 1] if x in raw]
+        lo, hi = min(window), max(window)
+        assert lo - 0.01 <= rows[d] <= hi + 0.01
+
+
+def test_corr_suite_matches_numpy(spark, sf_dir):
+    got = {
+        r["l_returnflag"]: r
+        for r in QUERIES["q146_corr_suite"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    by = {}
+    for r in li:
+        by.setdefault(r["l_returnflag"], []).append(
+            (r["l_quantity"], r["l_extendedprice"])
+        )
+    for flag, xs in by.items():
+        x = np.array([a for a, _ in xs])
+        y = np.array([b for _, b in xs])
+        r = got[flag]
+        assert abs(r["covar"] - round(float(np.cov(x, y, ddof=1)[0, 1]), 4)) < 0.01
+        assert abs(r["corr"] - round(float(np.corrcoef(x, y)[0, 1]), 6)) < 1e-6
