@@ -1005,3 +1005,105 @@ def q146_corr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(covar, 4).alias("covar"),
         F.round(corr, 6).alias("corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q147 — Kaplan-Meier survival (user churn)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q147_kaplan_meier",
+    oracle="""
+    WITH lt AS (
+      SELECT user_id,
+             date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+               AS dur,
+             CAST(max(ts) <= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+                  AS INTEGER) AS churned
+      FROM events GROUP BY user_id
+    ),
+    at_risk AS (
+      SELECT dur,
+             CAST(sum(count(*)) OVER (
+               ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS n_risk,
+             CAST(sum(churned) AS BIGINT) AS d
+      FROM lt GROUP BY dur
+    ),
+    ev AS (SELECT dur, n_risk, d FROM at_risk WHERE d > 0)
+    SELECT dur AS day, n_risk, d AS n_churned,
+           round(exp(sum(ln(1.0 - d * 1.0 / n_risk)) OVER (
+             ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )), 6) AS survival
+    FROM ev
+    """,
+)
+def q147_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of user lifetime (days between
+    first and last activity), with users still active in the final
+    7 days treated as CENSORED — they contribute to the risk set at
+    every time they survive through, but not to the churn counts.
+    The retention-curve estimator product analytics ships next to
+    q129's cohort matrix (cohorts show WHO returns, the KM curve
+    shows the survival function with censoring handled correctly
+    instead of biasing churn upward).
+
+    S(t) = Π_{s≤t} (1 − d_s/n_s), computed as exp(Σ ln(·)) under an
+    ordered window — both engines evaluate the identical expression;
+    libm log/exp agree well below the 1e-6 rounding. The at-risk
+    count n_t is a descending-ordered cumulative sum over the
+    duration histogram — no per-user self-join.
+
+    Scale shape: one user-keyed aggregate over the corpus, then
+    everything runs on O(distinct durations) rows in bounded
+    constant-partition windows."""
+    ev = _t(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("m"))
+    lt = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .join(F.broadcast(max_ts))
+        .select(
+            F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias(
+                "dur"
+            ),
+            (
+                F.col("last_ts") <= F.col("m") - F.expr("INTERVAL 7 DAYS")
+            )
+            .cast("int")
+            .alias("churned"),
+        )
+    )
+    w_desc = (
+        W.partitionBy(F.lit(0))
+        .orderBy(F.col("dur").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    at_risk = lt.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum("churned").cast("bigint").alias("d"),
+    ).select(
+        "dur",
+        F.sum("__c").over(w_desc).cast("bigint").alias("n_risk"),
+        "d",
+    )
+    evd = at_risk.filter(F.col("d") > 0)
+    w_asc = (
+        W.partitionBy(F.lit(0))
+        .orderBy("dur")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return evd.select(
+        F.col("dur").alias("day"),
+        "n_risk",
+        F.col("d").alias("n_churned"),
+        F.round(
+            F.exp(
+                F.sum(
+                    F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk"))
+                ).over(w_asc)
+            ),
+            6,
+        ).alias("survival"),
+    )

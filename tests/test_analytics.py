@@ -478,3 +478,44 @@ def test_corr_suite_matches_numpy(spark, sf_dir):
         r = got[flag]
         assert abs(r["covar"] - round(float(np.cov(x, y, ddof=1)[0, 1]), 4)) < 0.01
         assert abs(r["corr"] - round(float(np.corrcoef(x, y)[0, 1]), 6)) < 1e-6
+
+
+def test_kaplan_meier_matches_python_model(spark, sf_dir):
+    """Pure-Python KM estimator with right-censoring (active in the
+    final 7 days of data)."""
+    from datetime import timedelta
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts").collect()
+    span = {}
+    for r in ev:
+        lo, hi = span.get(r["user_id"], (r["ts"], r["ts"]))
+        span[r["user_id"]] = (min(lo, r["ts"]), max(hi, r["ts"]))
+    max_ts = max(h for _, h in span.values())
+    lt = [
+        (
+            (h.date() - lo.date()).days,
+            1 if h <= max_ts - timedelta(days=7) else 0,
+        )
+        for lo, h in span.values()
+    ]
+    durs = sorted({d for d, c in lt if c == 1})
+    s = 1.0
+    want = {}
+    for t in durs:
+        n = sum(1 for d, _ in lt if d >= t)
+        dd = sum(1 for d, c in lt if d == t and c == 1)
+        s *= 1.0 - dd / n
+        want[t] = (n, dd, s)
+    got = {
+        r["day"]: (r["n_risk"], r["n_churned"], r["survival"])
+        for r in QUERIES["q147_kaplan_meier"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for t, (n, dd, s) in want.items():
+        gn, gd, gs = got[t]
+        assert (gn, gd) == (n, dd)
+        assert abs(gs - round(s, 6)) < 1e-6
+    # survival is monotone non-increasing in [0, 1]
+    vals = [got[t][2] for t in sorted(got)]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))
