@@ -100,7 +100,8 @@ _SWEEP_PRIORITY = [
     "q139_label_prototype_margin", "q140_conversion_latency",
     "q141_snapshot_diff", "q142_incremental_agg_merge",
     "q143_bpe_merges", "q144_ab_test", "q145_ewma_revenue",
-    "q146_corr_suite", "q147_kaplan_meier",
+    "q146_corr_suite", "q147_kaplan_meier", "q148_trend_forecast",
+    "q149_cusum_changepoint",
     # -- 3. least-recently-verified (r02/r03 evidence) --
     "q77_zorder_key", "q48_array_agg",
     "q61_ngram_jaccard", "q38_asof_join", "q39_asof_join_bucketed",

@@ -1107,3 +1107,183 @@ def q147_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q148 — OLS revenue trend + 7-day forecast
+# ---------------------------------------------------------------------------
+
+@register(
+    "q148_trend_forecast",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS x,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      -- double sums on BOTH engines: n*sxy overflows int64 at scale
+      -- (DuckDB would silently survive in HUGEINT and diverge)
+      SELECT count(*) AS n,
+             sum(CAST(x AS DOUBLE)) AS sx,
+             sum(CAST(cents AS DOUBLE)) AS sy,
+             sum(CAST(x AS DOUBLE) * x) AS sxx,
+             sum(CAST(x AS DOUBLE) * cents) AS sxy, max(x) AS mx
+      FROM daily
+    ),
+    fit AS (
+      SELECT n, mx,
+             (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) AS slope,
+             (sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx)
+               / n AS intercept
+      FROM s
+    )
+    SELECT CAST(k AS INTEGER) AS horizon_days,
+           strftime(DATE '1970-01-01' + to_days(CAST(mx + k AS INTEGER)),
+                    '%Y-%m-%d') AS day,
+           round(slope / 100.0, 6) AS slope_per_day,
+           round((intercept + slope * (mx + k)) / 100.0, 2) AS forecast
+    FROM fit, UNNEST(range(1, 8)) t(k)
+    """,
+)
+def q148_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (OLS) trend of daily revenue + a 7-day extrapolated
+    forecast — the baseline every fancier forecaster is judged
+    against, fit in closed form from FIVE raw sums (normal
+    equations) over the daily pre-aggregate: no iteration, no
+    solver, one map-side-combinable pass. Integer-cent sums make
+    the sums exact; the slope/intercept arithmetic is the identical
+    expression tree on both engines.
+
+    Scale shape: fact table → daily rollup (one shuffle) → 1-row
+    fit → 7-row forecast fan-out. At 100 TB nothing after the
+    rollup touches more than one row."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).alias("x")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    xd = F.col("x").cast("double")
+    s = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(F.col("cents").cast("double")).alias("sy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(xd * F.col("cents")).alias("sxy"),
+        F.max("x").alias("mx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0 / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = s.select(
+        "n", "mx", slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )
+    return fit.select(
+        "mx", "slope", "intercept",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("k"),
+    ).select(
+        F.col("k").cast("int").alias("horizon_days"),
+        F.date_format(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                (F.col("mx") + F.col("k")).cast("int"),
+            ),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        F.round(F.col("slope") / 100.0, 6).alias("slope_per_day"),
+        F.round(
+            (F.col("intercept") + F.col("slope") * (F.col("mx") + F.col("k")))
+            / 100.0,
+            2,
+        ).alias("forecast"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q149 — CUSUM changepoint detection
+# ---------------------------------------------------------------------------
+
+@register(
+    "q149_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day_num,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM daily_src GROUP BY 1
+    ),
+    m AS (SELECT sum(cents) * 1.0 / count(*) AS mu, count(*) AS n FROM daily),
+    c AS (
+      SELECT day_num,
+             sum(cents - (SELECT mu FROM m)) OVER (
+               ORDER BY day_num
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cusum
+      FROM daily
+    )
+    SELECT strftime(DATE '1970-01-01' + to_days(CAST(day_num AS INTEGER)),
+                    '%Y-%m-%d') AS changepoint_day,
+           round(abs(cusum) / 100.0, 2) AS max_abs_cusum,
+           round(cusum / 100.0, 2) AS cusum_value
+    FROM c
+    ORDER BY abs(cusum) DESC, day_num LIMIT 1
+    """.replace("daily_src", "orders"),
+)
+def q149_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily revenue: the day where
+    the cumulative sum of deviations from the global mean attains
+    its maximum magnitude is the most likely single level-shift
+    point (the classic offline CUSUM estimator). Deterministic
+    tie-break by earlier day.
+
+    Determinism: deviations are integer cents minus an exact
+    rational mean (sum/count of integers — identical double on both
+    engines); the running sum is ordered, so no partial-agg order
+    variance. Scale shape: daily pre-aggregate, one bounded
+    constant-partition window, TakeOrdered(1)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).alias("day_num")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    m = daily.agg(
+        (F.sum("cents") * 1.0 / F.count(F.lit(1))).alias("mu")
+    )
+    w = (
+        W.partitionBy(F.lit(0))
+        .orderBy("day_num")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = daily.join(F.broadcast(m)).select(
+        "day_num",
+        F.sum(F.col("cents") - F.col("mu")).over(w).alias("cusum"),
+    )
+    return (
+        c.orderBy(F.abs("cusum").desc(), "day_num")
+        .limit(1)
+        .select(
+            F.date_format(
+                F.date_add(
+                    F.lit("1970-01-01").cast("date"),
+                    F.col("day_num").cast("int"),
+                ),
+                "yyyy-MM-dd",
+            ).alias("changepoint_day"),
+            F.round(F.abs("cusum") / 100.0, 2).alias("max_abs_cusum"),
+            F.round(F.col("cusum") / 100.0, 2).alias("cusum_value"),
+        )
+    )

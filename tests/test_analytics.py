@@ -519,3 +519,51 @@ def test_kaplan_meier_matches_python_model(spark, sf_dir):
     vals = [got[t][2] for t in sorted(got)]
     assert all(0.0 <= v <= 1.0 for v in vals)
     assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))
+
+
+def test_trend_forecast_matches_numpy(spark, sf_dir):
+    rows = (
+        QUERIES["q148_trend_forecast"](spark, sf_dir)
+        .orderBy("horizon_days")
+        .collect()
+    )
+    assert [r["horizon_days"] for r in rows] == list(range(1, 8))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).collect()
+    from collections import defaultdict
+    from datetime import date
+
+    daily = defaultdict(int)
+    for r in o:
+        d = r["o_orderdate"].date() if hasattr(r["o_orderdate"], "date") else r["o_orderdate"]
+        daily[(d - date(1970, 1, 1)).days] += round(r["o_totalprice"] * 100)
+    xs = np.array(sorted(daily))
+    ys = np.array([daily[x] for x in xs], dtype=np.float64)
+    slope, intercept = np.polyfit(xs.astype(np.float64), ys, 1)
+    for r in rows:
+        k = r["horizon_days"]
+        want = (intercept + slope * (xs.max() + k)) / 100.0
+        assert abs(r["forecast"] - want) < max(1.0, abs(want) * 1e-6)
+        assert abs(r["slope_per_day"] - slope / 100.0) < abs(slope / 100.0) * 1e-4 + 1e-6
+
+
+def test_cusum_changepoint_matches_numpy(spark, sf_dir):
+    got = QUERIES["q149_cusum_changepoint"](spark, sf_dir).collect()[0]
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).collect()
+    from collections import defaultdict
+    from datetime import date
+
+    daily = defaultdict(int)
+    for r in o:
+        d = r["o_orderdate"].date() if hasattr(r["o_orderdate"], "date") else r["o_orderdate"]
+        daily[(d - date(1970, 1, 1)).days] += round(r["o_totalprice"] * 100)
+    xs = sorted(daily)
+    vals = np.array([daily[x] for x in xs], dtype=np.float64)
+    cusum = np.cumsum(vals - vals.mean())
+    i = int(np.argmax(np.abs(cusum)))
+    want_day = date(1970, 1, 1).fromordinal(date(1970, 1, 1).toordinal() + xs[i])
+    assert got["changepoint_day"] == want_day.isoformat()
+    assert abs(got["max_abs_cusum"] - abs(cusum[i]) / 100.0) < 0.5
