@@ -274,3 +274,40 @@ def q69_decontaminate(spark, sf_dir):
     return decontaminate(
         d.filter(F.col("doc_id") >= 20), d.filter(F.col("doc_id") < 20), n=5
     )
+
+
+@register(
+    "q150_cross_source_overlap",
+    oracle="""
+    WITH ds AS (
+      SELECT DISTINCT md5(text) AS digest, source FROM documents
+    )
+    SELECT a.source AS source_1, b.source AS source_2,
+           count(DISTINCT a.digest) AS n_shared
+    FROM ds a JOIN ds b
+      ON a.digest = b.digest AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def q150_cross_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct document texts appear in BOTH feeds — the overlap
+    audit that decides dedup ORDER (dedup the pair with the largest
+    overlap first) and exposes mirror/re-crawl relationships between
+    feeds. Complements q116 (within-source dup rate) and q89
+    (train/eval split leakage).
+
+    Scale shape: one distinct over (digest, source) — 32-byte
+    digests, never text (q60's rule) — then a digest-keyed self-join
+    whose per-digest fan-out is bounded by the source count, not the
+    corpus."""
+    d = _t(spark, sf_dir, "documents")
+    ds = d.select(F.md5("text").alias("digest"), "source").distinct()
+    a = ds.select(F.col("digest"), F.col("source").alias("source_1"))
+    b = ds.select(F.col("digest"), F.col("source").alias("source_2"))
+    return (
+        a.join(b, "digest")
+        .filter(F.col("source_1") < F.col("source_2"))
+        .groupBy("source_1", "source_2")
+        .agg(F.count_distinct("digest").alias("n_shared"))
+    )
