@@ -346,3 +346,121 @@ def start_incremental_transitions(
         )
 
     return events_stream.writeStream.foreachBatch(step).start()
+
+
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("t_signup", T.TimestampNTZType(), True),
+        T.StructField("t_view", T.TimestampNTZType(), True),
+        T.StructField("t_purchase", T.TimestampNTZType(), True),
+    ]
+)
+
+
+def resolve_funnel_state(state_df: DataFrame) -> DataFrame:
+    """Collapse per-epoch funnel slices to one row per user: stage
+    timestamps only ever move EARLIER-or-set (each is the min over
+    epochs, nulls ignored), so the resolution is a plain min
+    aggregate — funnel state is a semilattice, which is what makes
+    the epoch slices mergeable without ordering metadata."""
+    return state_df.groupBy("user_id").agg(
+        F.min("t_signup").alias("t_signup"),
+        F.min("t_view").alias("t_view"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+
+
+def funnel_batch_with_state(
+    batch: DataFrame, state: DataFrame
+) -> DataFrame:
+    """One funnel batch step (pure function of (batch, resolved
+    state) — the streaming counterpart of q128's ordered
+    signup → view/click → purchase): merge the batch's events into
+    each user's stage timestamps, honoring the ORDER constraints
+    (a view only counts after the signup on record; a purchase only
+    after the view on record). Returns the user's new state slice.
+
+    Stage advancement uses the POST-MERGE earlier stage (a signup
+    and a qualifying view arriving in the same batch both advance),
+    so batch boundaries never change the outcome — the
+    stream-equals-batch test pins this. Within the q128 semantics
+    this is exact for in-order and same-batch arrivals; a view
+    arriving in an EARLIER batch than its preceding signup is the
+    same out-of-order case the other incremental loops exclude
+    (watermark/reorder upstream)."""
+    st = resolve_funnel_state(state)
+    b = batch.select("user_id", "event_type", "ts")
+    j = b.join(st, "user_id", "full")
+    # stage 1 first: the post-merge signup gates which batch views
+    # qualify, so it must resolve before the view scan
+    agg = j.groupBy("user_id").agg(
+        F.least(
+            F.min("t_signup"),
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ),
+        ).alias("s_new"),
+        F.min("t_view").alias("v_old"),
+        F.min("t_purchase").alias("p_old"),
+    )
+    # qualifying view: first view/click AFTER the (post-merge) signup
+    b2 = b.join(agg.select("user_id", "s_new"), "user_id", "left")
+    v_new = (
+        b2.filter(
+            F.col("event_type").isin("view", "click")
+            & F.col("s_new").isNotNull()
+            & (F.col("ts") > F.col("s_new"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_batch"))
+    )
+    mid = (
+        agg.join(v_new, "user_id", "left")
+        .select(
+            "user_id",
+            "s_new",
+            F.least("v_old", "v_batch").alias("v_new2"),
+            "p_old",
+        )
+    )
+    b3 = b.join(mid.select("user_id", "v_new2"), "user_id", "left")
+    p_new = (
+        b3.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("v_new2").isNotNull()
+            & (F.col("ts") > F.col("v_new2"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_batch"))
+    )
+    return (
+        mid.join(p_new, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("s_new").alias("t_signup"),
+            F.col("v_new2").alias("t_view"),
+            F.least("p_old", "p_batch").alias("t_purchase"),
+        )
+    )
+
+
+def start_incremental_funnel(
+    events_stream: DataFrame, state_dir: str
+):
+    """Streaming funnel: per-user stage timestamps accumulate under
+    ``state_dir/epoch=N`` (semilattice slices — resolve with
+    resolve_funnel_state, which is also how the final counts are
+    read). Same replay-safety contract as the sibling loops."""
+    spark = events_stream.sparkSession
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        state = _read_epoch_state(
+            spark, state_dir, FUNNEL_STATE_SCHEMA, epoch_id
+        )
+        new_state = funnel_batch_with_state(batch_df, state)
+        new_state.write.mode("overwrite").parquet(
+            f"{state_dir}/epoch={epoch_id}"
+        )
+
+    return events_stream.writeStream.foreachBatch(step).start()

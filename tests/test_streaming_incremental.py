@@ -348,3 +348,88 @@ def test_stream_transitions_equal_batch_q137_semantics(spark, tmp_path):
         for r in resolve_last_events(st).collect()
     }
     assert last == {1: 7, 2: 8, 3: 6}
+
+
+def test_stream_funnel_equals_batch_q128_semantics(spark, tmp_path):
+    """Streaming funnel state over time-ordered micro-batches must
+    reproduce q128's ordered-stage semantics: per user, t_signup =
+    first signup, t_view = first view/click AFTER it, t_purchase =
+    first purchase AFTER that — including stages completed across
+    different epochs and several stages inside ONE epoch."""
+    from datetime import datetime
+
+    from citybikedatawarehouse_spark.streaming.incremental import (
+        FUNNEL_STATE_SCHEMA,
+        resolve_funnel_state,
+        start_incremental_funnel,
+    )
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    # u1: all three stages in one epoch; u2: stages across epochs;
+    # u3: purchase BEFORE view (must not convert); u4: view before
+    # signup (not engaged)
+    day1 = [
+        (1, t(1), "signup"), (1, t(2), "view"), (1, t(3), "purchase"),
+        (2, t(4), "signup"), (3, t(1), "signup"), (3, t(2), "purchase"),
+        (4, t(1), "view"),
+    ]
+    day2 = [(2, t(10), "click"), (3, t(11), "view"), (4, t(12), "signup")]
+    day3 = [(2, t(20), "purchase"), (4, t(21), "click"), (4, t(22), "purchase")]
+    schema = "user_id long, ts timestamp_ntz, event_type string"
+    src = tmp_path / "fsrc"
+    for day in (day1, day2, day3):
+        spark.createDataFrame(day, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    state = str(tmp_path / "fstate")
+    stream = (
+        spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = start_incremental_funnel(stream, state)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {
+        r["user_id"]: (r["t_signup"], r["t_view"], r["t_purchase"])
+        for r in resolve_funnel_state(
+            spark.read.schema(FUNNEL_STATE_SCHEMA).parquet(f"{state}/epoch=*")
+        ).collect()
+    }
+    # batch ground truth (q128 semantics) in pure python
+    ev = day1 + day2 + day3
+    want = {}
+    for u in {e[0] for e in ev}:
+        mine = sorted(e for e in ev if e[0] == u)
+        s = min((e[1] for e in mine if e[2] == "signup"), default=None)
+        v = (
+            min(
+                (e[1] for e in mine if e[2] in ("view", "click") and e[1] > s),
+                default=None,
+            )
+            if s
+            else None
+        )
+        p = (
+            min(
+                (e[1] for e in mine if e[2] == "purchase" and e[1] > v),
+                default=None,
+            )
+            if v
+            else None
+        )
+        want[u] = (s, v, p)
+    assert final == want
+    # the batch q128 aggregate over the same facts agrees
+    n_signup = sum(1 for s, _, _ in want.values() if s)
+    n_engaged = sum(1 for _, v, _ in want.values() if v)
+    n_converted = sum(1 for _, _, p in want.values() if p)
+    # u1 converts in-epoch, u2 across epochs, u4 across epochs after
+    # an unqualified early view; u3's purchase precedes its view
+    assert (n_signup, n_engaged, n_converted) == (4, 4, 3)
