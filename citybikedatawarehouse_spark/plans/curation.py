@@ -1015,3 +1015,93 @@ def q127_source_quota_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_min_id"
         ),
     )
+
+
+@register(
+    "q151_length_drift_psi",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source,
+             CAST(floor(log2(greatest(
+               len(regexp_split_to_array(trim(text), '\s+')), 1)))
+               AS BIGINT) AS bucket
+      FROM documents WHERE trim(text) <> ''
+    ),
+    per_src AS (
+      SELECT source, bucket, count(*) AS n FROM tok GROUP BY 1, 2
+    ),
+    src_tot AS (
+      SELECT source, sum(n) AS tot FROM per_src GROUP BY source
+    ),
+    ref AS (
+      SELECT bucket, sum(n) AS n_ref FROM per_src GROUP BY bucket
+    ),
+    ref_tot AS (SELECT sum(n_ref) AS tot_ref FROM ref),
+    cells AS (
+      SELECT s.source,
+             r.bucket,
+             coalesce(p.n, 0) * 1.0 / s.tot AS p,
+             r.n_ref * 1.0 / (SELECT tot_ref FROM ref_tot) AS q
+      FROM src_tot s CROSS JOIN ref r
+      LEFT JOIN per_src p ON p.source = s.source AND p.bucket = r.bucket
+    )
+    SELECT source,
+           round(sum((greatest(p, 0.0005) - q)
+                     * ln(greatest(p, 0.0005) / q)), 6) AS psi,
+           CAST(count(*) AS BIGINT) AS n_buckets
+    FROM cells GROUP BY source
+    """,
+)
+def q151_length_drift_psi(spark, sf_dir):
+    """Population-stability-index drift audit: per source, how far
+    its document-length distribution (log2 word-count buckets, the
+    q98 axis) sits from the corpus-wide reference —
+    PSI = Σ (p−q)·ln(p/q) with the standard 0.0005 floor on empty
+    source cells (reference cells are never empty by construction:
+    every bucket in the grid comes from the corpus itself). The
+    ingest-monitoring gate: PSI > 0.25 on a feed flags a
+    distribution shift (crawler change, truncation bug, new
+    template) before it skews training mixtures.
+
+    Determinism: p and q are exact integer-count ratios; ln/round at
+    1e-6 is far above libm ulp variance. Scale shape: one token-count
+    scan → (source, bucket) counts; the PSI grid is
+    sources × buckets rows — everything after the first aggregate is
+    metadata-sized."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.filter(F.trim("text") != "").select(
+        "source",
+        F.floor(
+            F.log2(
+                F.greatest(
+                    F.size(F.split(F.trim("text"), r"\s+")), F.lit(1)
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    per_src = tok.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    src_tot = per_src.groupBy("source").agg(F.sum("n").alias("tot"))
+    ref = per_src.groupBy("bucket").agg(F.sum("n").alias("n_ref"))
+    ref_tot = ref.agg(F.sum("n_ref").alias("tot_ref"))
+    cells = (
+        src_tot.crossJoin(F.broadcast(ref))
+        .crossJoin(F.broadcast(ref_tot))
+        .join(per_src, ["source", "bucket"], "left")
+        .select(
+            "source",
+            "bucket",
+            (F.coalesce("n", F.lit(0)) * 1.0 / F.col("tot")).alias("p"),
+            (F.col("n_ref") * 1.0 / F.col("tot_ref")).alias("q"),
+        )
+    )
+    p_f = F.greatest(F.col("p"), F.lit(0.0005))
+    return cells.groupBy("source").agg(
+        F.round(F.sum((p_f - F.col("q")) * F.log(p_f / F.col("q"))), 6).alias(
+            "psi"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+    )
