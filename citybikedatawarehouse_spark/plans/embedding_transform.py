@@ -224,41 +224,8 @@ def q138_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     knn = brute_force_topk(emb, emb.filter(F.col("vec_id") < 100), k=5)
-    labels = emb.select("vec_id", "label")
-    knn_l = (
-        knn.join(
-            F.broadcast(
-                labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
-                    "label", "true_label"
-                )
-            ),
-            "query_id",
-        )
-        .join(
-            labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
-                "label", "n_label"
-            ),
-            "neighbor_id",
-        )
-    )
-    votes = knn_l.groupBy("query_id", "true_label", "n_label").agg(
-        F.count(F.lit(1)).alias("votes")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("votes").desc(), F.col("n_label").asc()
-    )
-    pred = (
-        votes.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("query_id", "true_label", F.col("n_label").alias("pred_label"))
-    )
-    flagged = F.sum(
-        F.when(F.col("pred_label") != F.col("true_label"), 1).otherwise(0)
-    )
-    return pred.groupBy(F.col("true_label").alias("label")).agg(
-        F.count(F.lit(1)).alias("n_queries"),
-        flagged.cast("bigint").alias("n_flagged"),
-        F.round(flagged * 1.0 / F.count(F.lit(1)), 6).alias("flag_rate"),
+    return _label_audit_report(
+        knn.select("query_id", "neighbor_id"), emb.select("vec_id", "label")
     )
 
 
@@ -349,4 +316,122 @@ def q139_label_prototype_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_negative_margin"),
         F.round(F.sum(margin) / F.count(F.lit(1)), 6).alias("mean_margin"),
+    )
+
+
+def _label_audit_report(knn: DataFrame, labels: DataFrame) -> DataFrame:
+    """Shared verdict stage of the k-NN label audits (q138 exact,
+    q152 ANN): join neighbor labels, majority-vote per query
+    (count desc, label asc tie-break), aggregate per-label
+    disagreement rates."""
+    knn_l = (
+        knn.join(
+            F.broadcast(
+                labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+                    "label", "true_label"
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+                "label", "n_label"
+            ),
+            "neighbor_id",
+        )
+    )
+    votes = knn_l.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("n_label").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "true_label", F.col("n_label").alias("pred_label"))
+    )
+    flagged = F.sum(
+        F.when(F.col("pred_label") != F.col("true_label"), 1).otherwise(0)
+    )
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        flagged.cast("bigint").alias("n_flagged"),
+        F.round(flagged * 1.0 / F.count(F.lit(1)), 6).alias("flag_rate"),
+    )
+
+
+_ANN_AUDIT_VOTE_SQL = """
+    lab AS (SELECT vec_id, label FROM embeddings),
+    votes AS (
+      SELECT k.query_id, ql.label AS true_label, nl.label AS n_label,
+             count(*) AS votes
+      FROM knn k
+      JOIN lab ql ON ql.vec_id = k.query_id
+      JOIN lab nl ON nl.vec_id = k.neighbor_id
+      GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT query_id, true_label, n_label AS pred_label FROM (
+        SELECT query_id, true_label, n_label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY votes DESC, n_label) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT true_label AS label,
+           count(*) AS n_queries,
+           CAST(sum(CASE WHEN pred_label <> true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           round(sum(CASE WHEN pred_label <> true_label THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS flag_rate
+    FROM pred GROUP BY true_label
+"""
+
+
+def _ann_audit_oracle() -> str:
+    """q152 replay: the FULL hierarchical-IVF chain (fit, both probe
+    levels, exact re-rank — q94's oracle with the audit's query set)
+    with its top-k turned into a CTE, then q138's vote/verdict
+    stage."""
+    from citybikedatawarehouse_spark.plans.similarity import (
+        _hier_ivf_oracle_sql,
+    )
+
+    base = _hier_ivf_oracle_sql(query_pred="e.vec_id < 100")
+    # cut at the OUTER final select (the inner ranked subquery also
+    # starts with "SELECT query_id, ..." — split on the unique CAST)
+    marker = "SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER)"
+    head = base[: base.index(marker)]
+    knn_cte = """
+    knn AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM hscored
+      ) WHERE rank <= 5
+    ),"""
+    return head.rstrip() + "," + knn_cte + _ANN_AUDIT_VOTE_SQL
+
+
+@register("q152_knn_label_audit_ann", oracle=_ann_audit_oracle())
+def q152_knn_label_audit_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q138's label-noise screen with the brute-force neighbor stage
+    SWAPPED for the hierarchical-IVF ANN path (q94) — the swap the
+    q138 docstring promises for full-corpus audits, demonstrated and
+    oracle-gated rather than just documented. Verdicts may differ
+    from q138 where ANN recall misses a true neighbor; the ORACLE
+    replays the same ANN index, so the gate proves the audit is
+    exactly what the index returns.
+
+    Scale shape: probe work per audited vector is
+    O(k_coarse) + O(n_probe · k_fine) instead of O(corpus); the
+    vote/verdict stage is unchanged (5·|audit| rows)."""
+    from citybikedatawarehouse_spark.operators.clustering import hier_ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    knn = hier_ivf_topk(emb, emb.filter(F.col("vec_id") < 100), k=5)
+    return _label_audit_report(
+        knn.select("query_id", "neighbor_id"), emb.select("vec_id", "label")
     )

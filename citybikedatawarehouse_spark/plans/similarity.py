@@ -697,6 +697,7 @@ def _hier_ivf_oracle_sql(
     n_probe_coarse: int = 2,
     n_probe_fine: int = 2,
     topk: int = 5,
+    query_pred: str = "e.vec_id < 10",
 ) -> str:
     """q94 replay: q93's two-level fit, then the hierarchical probe —
     coarse cells ranked by their nearest fine centroid, fine cells
@@ -712,7 +713,7 @@ def _hier_ivf_oracle_sql(
       SELECT e.vec_id AS query_id, c.ccell, c.fine, {_HKM_SQ} AS sq
       FROM embeddings e CROSS JOIN f{n_iter} c,
            range(1, {dim} + 1) t(i)
-      WHERE e.vec_id < 10
+      WHERE {query_pred}
       GROUP BY e.vec_id, c.ccell, c.fine
     )""")
     ctes.append(f"""
