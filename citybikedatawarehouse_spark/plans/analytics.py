@@ -1287,3 +1287,234 @@ def q149_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cusum") / 100.0, 2).alias("cusum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q153 — association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q153_association_rules",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    capped AS (
+      SELECT ok, pk FROM (
+        SELECT ok, pk, row_number() OVER (PARTITION BY ok ORDER BY pk) AS rn
+        FROM li
+      ) WHERE rn <= 20
+    ),
+    tot AS (SELECT count(DISTINCT ok) AS n_orders FROM capped),
+    items AS (SELECT pk, count(*) AS n FROM capped GROUP BY pk),
+    pairs AS (
+      SELECT a.pk AS p1, b.pk AS p2, count(*) AS n_both
+      FROM capped a JOIN capped b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+    ),
+    rules AS (
+      SELECT p1 AS antecedent, p2 AS consequent, n_both,
+             ia.n AS n_ante, ic.n AS n_cons
+      FROM pairs JOIN items ia ON ia.pk = pairs.p1
+                 JOIN items ic ON ic.pk = pairs.p2
+      UNION ALL
+      SELECT p2, p1, n_both, ic.n, ia.n
+      FROM pairs JOIN items ia ON ia.pk = pairs.p1
+                 JOIN items ic ON ic.pk = pairs.p2
+    )
+    SELECT antecedent, consequent, n_both,
+           round(n_both * 1.0 / (SELECT n_orders FROM tot), 6) AS support,
+           round(n_both * 1.0 / n_ante, 6) AS confidence,
+           round((n_both * 1.0 * (SELECT n_orders FROM tot))
+                 / (n_ante * 1.0 * n_cons), 6) AS lift
+    FROM rules
+    WHERE n_both >= 3
+    ORDER BY (n_both * 1.0 * (SELECT n_orders FROM tot))
+               / (n_ante * 1.0 * n_cons) DESC,
+             antecedent, consequent
+    LIMIT 20
+    """,
+)
+def q153_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over the co-purchase pairs
+    (q133's capped edge base): support, confidence, and lift for
+    both rule directions of every part pair bought together in ≥3
+    orders; top-20 by lift. Lift > 1 = the pair co-occurs more than
+    independence predicts — the shelf/recommendation signal.
+
+    Determinism: all three measures are fixed arithmetic on integer
+    counts; the ranking key is the same double expression on both
+    engines with (antecedent, consequent) tie-breaks. Scale shape:
+    the q133 edge discipline (per-order cap, one groupBy) plus two
+    broadcast-sized joins against the item-count relation;
+    TakeOrdered(20)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    w = W.partitionBy("ok").orderBy("pk")
+    capped = (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+        .localCheckpoint(eager=True)  # three consumers below
+    )
+    n_orders = capped.select("ok").distinct().count()
+    items = capped.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
+    a = capped.select("ok", F.col("pk").alias("p1"))
+    b = capped.select("ok", F.col("pk").alias("p2"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ij = pairs.join(
+        F.broadcast(items.select(F.col("pk").alias("p1"), F.col("n").alias("n1"))),
+        "p1",
+    ).join(
+        F.broadcast(items.select(F.col("pk").alias("p2"), F.col("n").alias("n2"))),
+        "p2",
+    )
+    rules = ij.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("p1").alias("antecedent"),
+                    F.col("p2").alias("consequent"),
+                    F.col("n_both"),
+                    F.col("n1").alias("n_ante"),
+                    F.col("n2").alias("n_cons"),
+                ),
+                F.struct(
+                    F.col("p2").alias("antecedent"),
+                    F.col("p1").alias("consequent"),
+                    F.col("n_both"),
+                    F.col("n2").alias("n_ante"),
+                    F.col("n1").alias("n_cons"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    lift = (F.col("n_both") * 1.0 * F.lit(n_orders)) / (
+        F.col("n_ante") * 1.0 * F.col("n_cons")
+    )
+    return (
+        rules.filter(F.col("n_both") >= 3)
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            F.round(F.col("n_both") * 1.0 / F.lit(n_orders), 6).alias(
+                "support"
+            ),
+            F.round(F.col("n_both") * 1.0 / F.col("n_ante"), 6).alias(
+                "confidence"
+            ),
+            F.round(lift, 6).alias("lift"),
+            lift.alias("__lift"),
+        )
+        .orderBy(F.col("__lift").desc(), "antecedent", "consequent")
+        .limit(20)
+        .drop("__lift")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q154 — top session paths
+# ---------------------------------------------------------------------------
+
+@register(
+    "q154_session_paths",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_seq
+      FROM flagged
+    ),
+    headed AS (
+      SELECT user_id, session_seq, ts, event_id, event_type FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+                                     ORDER BY ts, event_id) AS rn
+        FROM numbered
+      ) WHERE rn <= 8
+    ),
+    paths AS (
+      SELECT user_id, session_seq,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM headed GROUP BY 1, 2
+    ),
+    tot AS (SELECT count(*) AS n_sessions FROM paths)
+    SELECT path, count(*) AS n,
+           round(count(*) * 1.0 / (SELECT n_sessions FROM tot), 6) AS share
+    FROM paths GROUP BY path
+    ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def q154_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common session paths: q37's gap sessionization
+    (30 min), each session rendered as its first-8-event type
+    sequence ("view>click>purchase"), ranked by frequency — the
+    behavioral-pattern mining view (what do sessions LOOK like)
+    that complements q137's one-step transition matrix. The 8-event
+    head cap bounds path-string cardinality the same way the LSH
+    bucket cap bounds candidate blowup.
+
+    Determinism: the in-session order tiebreaks by event_id
+    (Spark's collect is made order-safe by sorting (ts, event_id,
+    type) structs — DuckDB's ORDER BY inside string_agg is the same
+    total order); ranking tiebreaks by path. Scale shape: two
+    user-partitioned windows + one groupBy on (user, session) —
+    the q37 shuffles — then path counting on sessions-sized data."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("double") - F.lag(
+        F.col("ts").cast("timestamp").cast("double")
+    ).over(w)
+    numbered = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint"),
+    )
+    w_s = W.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    headed = numbered.withColumn("rn", F.row_number().over(w_s)).filter(
+        F.col("rn") <= 8
+    )
+    paths = headed.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    n_sessions = paths.count()
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "path",
+            "n",
+            F.round(F.col("n") * 1.0 / F.lit(n_sessions), 6).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )
