@@ -311,3 +311,135 @@ def q150_cross_source_overlap(spark, sf_dir):
         .groupBy("source_1", "source_2")
         .agg(F.count_distinct("digest").alias("n_shared"))
     )
+
+
+@register(
+    "q155_multisignal_dedup_audit",
+    oracle=_JACCARD_08_PAIRS_SQL + """,
+    planes AS (
+      SELECT p, d,
+             CASE WHEN ('0x' || substr(sha256('plane:' || p || ':dim:' || d), 1, 2))::INT % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS sgn
+      FROM range(0, 32) t1(p) CROSS JOIN range(0, 64) t2(d)
+    ),
+    dots AS (
+      SELECT e.vec_id, pl.p,
+             round(sum(CAST(e.embedding[pl.d + 1] AS DOUBLE) * pl.sgn), 6) AS dot
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY 1, 2
+    ),
+    sigs AS (
+      SELECT vec_id, p // 8 AS tbl,
+             CAST(sum(CASE WHEN dot > 0 THEN power(2, p % 8) ELSE 0 END) AS BIGINT) AS sig
+      FROM dots GROUP BY 1, 2
+    ),
+    scand AS (
+      SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
+      FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig
+      WHERE a.vec_id < b.vec_id
+    ),
+    sem AS (
+      SELECT id_1, id_2 FROM (
+        SELECT sc.id_1, sc.id_2,
+               round(sum(ae * be) / (sqrt(sum(ae * ae)) * sqrt(sum(be * be))), 6) AS cos_sim
+        FROM (
+          SELECT sc.id_1, sc.id_2,
+                 CAST(unnest(a.embedding) AS DOUBLE) AS ae,
+                 CAST(unnest(b.embedding) AS DOUBLE) AS be
+          FROM scand sc
+          JOIN embeddings a ON a.vec_id = sc.id_1
+          JOIN embeddings b ON b.vec_id = sc.id_2
+        ) sc GROUP BY 1, 2
+      ) WHERE cos_sim >= 0.95
+    ),
+    cls AS (
+      SELECT CASE
+               WHEN l.id_1 IS NOT NULL AND s.id_1 IS NOT NULL THEN 'both'
+               WHEN l.id_1 IS NOT NULL THEN 'lexical_only'
+               ELSE 'semantic_only'
+             END AS signal
+      FROM (SELECT id_1, id_2 FROM pairs) l
+      FULL JOIN sem s ON l.id_1 = s.id_1 AND l.id_2 = s.id_2
+    )
+    SELECT signal, count(*) AS n_pairs FROM cls GROUP BY signal
+    """,
+)
+def q155_multisignal_dedup_audit(spark, sf_dir):
+    """Multi-signal dedup agreement audit: the LEXICAL near-dup pair
+    set (MinHash-LSH, exact-verified Jaccard ≥ 0.8 — q62's complete
+    pairs) against the SEMANTIC pair set (hyperplane-LSH bucket
+    candidates, exact-verified cosine ≥ 0.95 — q72's deterministic
+    planes over the row-aligned embeddings), classified
+    both / lexical_only / semantic_only. The calibration view that
+    decides whether a corpus needs BOTH dedup passes: lexical_only =
+    paraphrase-resistant copies the embedding missed; semantic_only
+    = near-paraphrases string methods cannot see.
+
+    Oracle: both candidate generators replay end-to-end (exact
+    all-pairs Jaccard; sha256 planes + buckets + cosine re-verify),
+    then the same full-outer classification. Scale shape: each side
+    keeps its own discipline (shingle/bucket caps, digest-only
+    shuffles); the audit join runs on pair relations, not corpora."""
+    from citybikedatawarehouse_spark.operators.dedup_ops import minhash_lsh_dedup
+    from citybikedatawarehouse_spark.functions.vectors import cosine_hoisted, norm
+    from citybikedatawarehouse_spark.operators.similarity_ops import (
+        with_lsh_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = minhash_lsh_dedup(d, threshold=0.8, verify="exact").select(
+        "id_1", "id_2"
+    )
+    banded = with_lsh_signatures(emb).select(
+        "vec_id",
+        F.col("embedding").alias("__v"),
+        norm("embedding").alias("__n"),
+        F.posexplode("lsh_sigs").alias("tbl", "sig"),
+    )
+    a = banded.select(
+        F.col("vec_id").alias("id_1"),
+        F.col("__v").alias("__av"),
+        F.col("__n").alias("__an"),
+        "tbl",
+        "sig",
+    )
+    b = banded.select(
+        F.col("vec_id").alias("id_2"),
+        F.col("__v").alias("__bv"),
+        F.col("__n").alias("__bn"),
+        "tbl",
+        "sig",
+    )
+    sem = (
+        a.join(b, ["tbl", "sig"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .dropDuplicates(["id_1", "id_2"])
+        .select(
+            "id_1",
+            "id_2",
+            F.round(
+                cosine_hoisted("__av", "__bv", "__an", "__bn"), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.95)
+        .select("id_1", "id_2")
+    )
+    l = lex.select("id_1", "id_2", F.lit(True).alias("__lex"))
+    s = sem.select(
+        F.col("id_1").alias("sid_1"),
+        F.col("id_2").alias("sid_2"),
+        F.lit(True).alias("__sem"),
+    )
+    cls = l.join(
+        s, (l.id_1 == s.sid_1) & (l.id_2 == s.sid_2), "full"
+    ).select(
+        F.when(
+            F.col("__lex").isNotNull() & F.col("__sem").isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col("__lex").isNotNull(), F.lit("lexical_only"))
+        .otherwise(F.lit("semantic_only"))
+        .alias("signal")
+    )
+    return cls.groupBy("signal").agg(F.count(F.lit(1)).alias("n_pairs"))
