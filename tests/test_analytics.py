@@ -567,3 +567,86 @@ def test_cusum_changepoint_matches_numpy(spark, sf_dir):
     want_day = date(1970, 1, 1).fromordinal(date(1970, 1, 1).toordinal() + xs[i])
     assert got["changepoint_day"] == want_day.isoformat()
     assert abs(got["max_abs_cusum"] - abs(cusum[i]) / 100.0) < 0.5
+
+
+def test_association_rules_model(spark, sf_dir):
+    """Pure-Python replay: capped per-order part sets -> pair/item
+    counts -> support/confidence/lift, top-20 by lift."""
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    per_order = defaultdict(set)
+    for r in li:
+        per_order[r["l_orderkey"]].add(r["l_partkey"])
+    capped = {ok: sorted(ps)[:20] for ok, ps in per_order.items()}
+    n_orders = len(capped)
+    items = Counter()
+    pair_c = Counter()
+    for ps in capped.values():
+        items.update(ps)
+        pair_c.update(combinations(ps, 2))
+    rules = []
+    for (p1, p2), nb in pair_c.items():
+        if nb >= 3:
+            for a, c, na, nc in ((p1, p2, items[p1], items[p2]),
+                                 (p2, p1, items[p2], items[p1])):
+                lift = (nb * 1.0 * n_orders) / (na * 1.0 * nc)
+                rules.append((-lift, a, c, nb, na))
+    rules.sort()
+    want = [(a, c, nb) for _, a, c, nb, _ in rules[:20]]
+    got = [
+        (r["antecedent"], r["consequent"], r["n_both"])
+        for r in QUERIES["q153_association_rules"](spark, sf_dir).collect()
+    ]
+    assert got == want
+    for r in QUERIES["q153_association_rules"](spark, sf_dir).collect():
+        assert 0 < r["support"] <= 1 and 0 < r["confidence"] <= 1
+        assert r["lift"] > 0
+
+
+def test_session_paths_model(spark, sf_dir):
+    """Pure-Python replay of sessionization (30-min gap) + first-8
+    path strings + top-10."""
+    from collections import Counter, defaultdict
+
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    sessions = defaultdict(list)
+    last = {}
+    seq = {}
+    for r in ev:
+        u = r["user_id"]
+        if u not in last or (r["ts"] - last[u]).total_seconds() > 1800:
+            seq[u] = seq.get(u, 0) + 1
+        last[u] = r["ts"]
+        sessions[(u, seq[u])].append(r["event_type"])
+    paths = Counter(">".join(s[:8]) for s in sessions.values())
+    want = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["path"], r["n"])
+        for r in QUERIES["q154_session_paths"](spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_multisignal_audit_consistent_with_components(spark, sf_dir):
+    """Class counts must reconcile with the two component pair sets:
+    both + lexical_only = |lexical|, both + semantic_only = |semantic|."""
+    from citybikedatawarehouse_spark.operators.dedup_ops import minhash_lsh_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    n_lex = minhash_lsh_dedup(d, threshold=0.8, verify="exact").count()
+    rows = {
+        r["signal"]: r["n_pairs"]
+        for r in QUERIES["q155_multisignal_dedup_audit"](spark, sf_dir).collect()
+    }
+    both = rows.get("both", 0)
+    assert both + rows.get("lexical_only", 0) == n_lex
+    assert all(v > 0 for v in rows.values())
