@@ -1518,3 +1518,160 @@ def q154_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q156 — product-health e2e report (capstone)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q156_product_health_e2e",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    v AS (
+      SELECT e.user_id, min(e.ts) AS t_view
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type IN ('view', 'click') AND e.ts > s.t_signup
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    lt AS (
+      SELECT user_id,
+             date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+               AS dur
+      FROM events GROUP BY user_id
+    ),
+    ud AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+      FROM events
+    ),
+    c AS (SELECT user_id, min(day_num) AS cohort_day FROM ud GROUP BY user_id),
+    w1 AS (
+      SELECT count(DISTINCT ud.user_id) AS n_week1
+      FROM ud JOIN c USING (user_id)
+      WHERE CAST(floor((ud.day_num - c.cohort_day) / 7.0) AS BIGINT) = 1
+    )
+    SELECT metric, round(value, 6) AS value FROM (
+      SELECT 'n_signup' AS metric, (SELECT count(*) FROM s) * 1.0 AS value
+      UNION ALL
+      SELECT 'n_engaged', (SELECT count(*) FROM v) * 1.0
+      UNION ALL
+      SELECT 'n_converted', (SELECT count(*) FROM p) * 1.0
+      UNION ALL
+      SELECT 'engage_rate',
+             (SELECT count(*) FROM v) * 1.0
+               / nullif((SELECT count(*) FROM s), 0)
+      UNION ALL
+      SELECT 'week1_retention',
+             (SELECT n_week1 FROM w1) * 1.0
+               / nullif((SELECT count(*) FROM c), 0)
+      UNION ALL
+      SELECT 'median_lifetime_days',
+             (SELECT quantile_cont(dur, 0.5) FROM lt)
+    )
+    """,
+)
+def q156_product_health_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-health report as ONE composed plan (the analytics
+    capstone, q92's role for the behavioral suite): funnel stage
+    counts and engage rate, overall week-1 retention, and median
+    user lifetime, emitted long-format (metric, value). The point is
+    COMPOSITION: the signup relation feeds the funnel chain, the
+    distinct (user, day) relation feeds retention, and each
+    downstream metric is a 1-row aggregate — one report, not six
+    jobs re-scanning events.
+
+    Scale shape: events is scanned a bounded number of times (each
+    pass map-side-filtered); every relation after the first
+    aggregates is user-sized or smaller, and the report union runs
+    on 1-row branches. At 100 TB the shared relations would be
+    cached/checkpointed once (documented in the module pattern)."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+        .localCheckpoint(eager=False)
+    )
+    v = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=False)
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    lt = ev.groupBy("user_id").agg(
+        F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))).alias(
+            "dur"
+        )
+    )
+    ud = ev.select(
+        "user_id",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("day_num"),
+    ).distinct().localCheckpoint(eager=False)
+    c = ud.groupBy("user_id").agg(F.min("day_num").alias("cohort_day"))
+    w1 = (
+        ud.join(c, "user_id")
+        .filter(
+            F.floor((F.col("day_num") - F.col("cohort_day")) / 7.0).cast(
+                "bigint"
+            )
+            == 1
+        )
+        .agg(F.count_distinct("user_id").alias("n_week1"))
+    )
+
+    def one(metric: str, col: F.Column, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(metric).alias("metric"), col.alias("value"))
+
+    n_s = s.agg(F.count(F.lit(1)).alias("n"))
+    n_v = v.agg(F.count(F.lit(1)).alias("n"))
+    n_p = p.agg(F.count(F.lit(1)).alias("n"))
+    n_c = c.agg(F.count(F.lit(1)).alias("n"))
+    report = (
+        one("n_signup", F.col("n") * 1.0, n_s)
+        .unionByName(one("n_engaged", F.col("n") * 1.0, n_v))
+        .unionByName(one("n_converted", F.col("n") * 1.0, n_p))
+        .unionByName(
+            n_v.crossJoin(n_s.select(F.col("n").alias("ns"))).select(
+                F.lit("engage_rate").alias("metric"),
+                (F.col("n") * 1.0 / F.nullif(F.col("ns"), F.lit(0))).alias(
+                    "value"
+                ),
+            )
+        )
+        .unionByName(
+            w1.crossJoin(n_c.select(F.col("n").alias("nc"))).select(
+                F.lit("week1_retention").alias("metric"),
+                (
+                    F.col("n_week1") * 1.0 / F.nullif(F.col("nc"), F.lit(0))
+                ).alias("value"),
+            )
+        )
+        .unionByName(
+            lt.agg(F.expr("percentile(dur, 0.5)").alias("m")).select(
+                F.lit("median_lifetime_days").alias("metric"),
+                F.col("m").alias("value"),
+            )
+        )
+    )
+    return report.select("metric", F.round("value", 6).alias("value"))
