@@ -46,6 +46,8 @@ HEADLINE = [
     # round 5 (late): the iterative graph + PCA paths
     "q133_copurchase_pagerank",
     "q135_pca_power_iteration",
+    # round 5 (late): the BPE trainer watches the HOF-fold text path
+    "q143_bpe_merges",
 ]
 
 # Queries whose iterative driver loop (convergence counts, d-row
@@ -58,6 +60,7 @@ EAGER_BUILD = {
     "q64_dedup_clusters",
     "q133_copurchase_pagerank",
     "q135_pca_power_iteration",
+    "q143_bpe_merges",
 }
 
 # the round-1 baseline benched exactly these 13; rounds add queries

@@ -333,9 +333,18 @@ def q150_cross_source_overlap(spark, sf_dir):
              CAST(sum(CASE WHEN dot > 0 THEN power(2, p % 8) ELSE 0 END) AS BIGINT) AS sig
       FROM dots GROUP BY 1, 2
     ),
+    capped_sigs AS (
+      SELECT vec_id, tbl, sig FROM (
+        SELECT vec_id, tbl, sig,
+               row_number() OVER (PARTITION BY tbl, sig
+                                  ORDER BY vec_id) AS rn
+        FROM sigs
+      ) WHERE rn <= 64
+    ),
     scand AS (
       SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
-      FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig
+      FROM capped_sigs a JOIN capped_sigs b
+        ON a.tbl = b.tbl AND a.sig = b.sig
       WHERE a.vec_id < b.vec_id
     ),
     sem AS (
@@ -373,7 +382,9 @@ def q155_multisignal_dedup_audit(spark, sf_dir):
     both / lexical_only / semantic_only. The calibration view that
     decides whether a corpus needs BOTH dedup passes: lexical_only =
     paraphrase-resistant copies the embedding missed; semantic_only
-    = near-paraphrases string methods cannot see.
+    = near-paraphrases string methods cannot see. Both sides carry
+    their bucket caps (64 per semantic (table, signature) bucket —
+    deterministic lowest-id survivors, replayed in the oracle).
 
     Oracle: both candidate generators replay end-to-end (exact
     all-pairs Jaccard; sha256 planes + buckets + cosine re-verify),
@@ -391,11 +402,22 @@ def q155_multisignal_dedup_audit(spark, sf_dir):
     lex = minhash_lsh_dedup(d, threshold=0.8, verify="exact").select(
         "id_1", "id_2"
     )
+    from pyspark.sql import Window as _W
+
     banded = with_lsh_signatures(emb).select(
         "vec_id",
         F.col("embedding").alias("__v"),
         norm("embedding").alias("__n"),
         F.posexplode("lsh_sigs").alias("tbl", "sig"),
+    )
+    # bucket-size cap (the LSH discipline, q62's rule): one hot
+    # bucket must not go quadratic; deterministic lowest-id members
+    # survive, identically in the oracle
+    w_cap = _W.partitionBy("tbl", "sig").orderBy("vec_id")
+    banded = (
+        banded.withColumn("__rn", F.row_number().over(w_cap))
+        .filter(F.col("__rn") <= 64)
+        .drop("__rn")
     )
     a = banded.select(
         F.col("vec_id").alias("id_1"),
