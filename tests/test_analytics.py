@@ -650,3 +650,21 @@ def test_multisignal_audit_consistent_with_components(spark, sf_dir):
     both = rows.get("both", 0)
     assert both + rows.get("lexical_only", 0) == n_lex
     assert all(v > 0 for v in rows.values())
+
+
+def test_product_health_consistent_with_component_queries(spark, sf_dir):
+    """The capstone's metrics must equal the standalone queries'
+    values — composition changes the plan, not the answers."""
+    health = {
+        r["metric"]: r["value"]
+        for r in QUERIES["q156_product_health_e2e"](spark, sf_dir).collect()
+    }
+    fun = QUERIES["q128_funnel_conversion"](spark, sf_dir).collect()[0]
+    assert health["n_signup"] == float(fun["n_signup"])
+    assert health["n_engaged"] == float(fun["n_engaged"])
+    assert health["n_converted"] == float(fun["n_converted"])
+    assert abs(health["engage_rate"] - fun["engage_rate"]) < 1e-9
+    ret = QUERIES["q129_retention_cohorts"](spark, sf_dir).collect()
+    n_w1 = sum(r["n_users"] for r in ret if r["week_offset"] == 1)
+    n_users = sum(r["n_users"] for r in ret if r["week_offset"] == 0)
+    assert abs(health["week1_retention"] - round(n_w1 / n_users, 6)) < 1e-6

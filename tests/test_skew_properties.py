@@ -211,3 +211,44 @@ def test_semantic_dedup_recall_on_planted_dup_groups(spark):
         per_group[s // per] = per_group.get(s // per, 0) + 1
     for g in range(groups):
         assert per_group[g] == len(cells_of_group[g]), (g, per_group)
+
+
+def test_multisignal_semantic_bucket_cap_bounds_giant_bucket(spark):
+    """All-identical embeddings collapse every vector into ONE
+    (table, signature) bucket per table — the worst case for the
+    audit's semantic pair sweep. The 64-member cap must bound the
+    candidate count at C(64,2) per table (deduped across tables)
+    instead of C(n,2), and the capped members are the lowest ids."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from citybikedatawarehouse_spark.functions.vectors import norm
+    from citybikedatawarehouse_spark.operators.similarity_ops import (
+        with_lsh_signatures,
+    )
+
+    n = 200
+    vec = [0.1] * 64
+    emb = spark.createDataFrame(
+        [(i, vec) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    banded = with_lsh_signatures(emb).select(
+        "vec_id", F.posexplode("lsh_sigs").alias("tbl", "sig")
+    )
+    w_cap = W.partitionBy("tbl", "sig").orderBy("vec_id")
+    capped = (
+        banded.withColumn("__rn", F.row_number().over(w_cap))
+        .filter(F.col("__rn") <= 64)
+        .drop("__rn")
+    )
+    a = capped.select(F.col("vec_id").alias("id_1"), "tbl", "sig")
+    b = capped.select(F.col("vec_id").alias("id_2"), "tbl", "sig")
+    pairs = (
+        a.join(b, ["tbl", "sig"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    got = pairs.collect()
+    assert len(got) == 64 * 63 // 2  # C(64,2), NOT C(200,2)=19900
+    assert max(max(r["id_1"], r["id_2"]) for r in got) == 63  # lowest ids
