@@ -206,3 +206,69 @@ def power_iteration_top_pc(
         v = [x / nrm for x in w]
     eigval = nrm / (n - 1)
     return v, eigval, total_var, n
+
+
+def power_iteration_second_pc(
+    emb: DataFrame,
+    v1: list[float],
+    n_iter: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[float], float]:
+    """Second principal component by power iteration WITH DEFLATION
+    against the (estimated) first component: each iterate w = C·u is
+    orthogonalized, w' = w − (v1·w)·v1, before normalizing — so the
+    recurrence converges toward the top of the orthogonal
+    complement. The contract is the RECURRENCE against the passed v1
+    estimate (what the oracle replays), not the exact eigenvector.
+
+    Same scale shape as the first component: per iteration one HOF
+    fold per row + a d-row map-side-combined aggregate; the
+    orthogonalization is O(d) driver arithmetic on the collected
+    iterate. Returns (loadings u, eigenvalue estimate ‖w'‖/(n−1)).
+    """
+    staged = emb.select(
+        id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("x")
+    )
+    stats = (
+        staged.select(F.posexplode("x").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("sx"), F.count(F.lit(1)).alias("n"))
+        .orderBy("pos")
+        .collect()
+    )
+    n = int(stats[0]["n"])
+    mu = [r["sx"] / r["n"] for r in stats]
+    mu_lit = F.array(*[F.lit(m) for m in mu])
+    xc = staged.select(
+        F.zip_with("x", mu_lit, lambda a, b: a - b).alias("xc")
+    ).localCheckpoint(eager=True)
+
+    dim = len(mu)
+    u = [1.0 / 8.0] * dim
+    nrm = 0.0
+    for _ in range(n_iter):
+        u_lit = F.array(*[F.lit(c) for c in u])
+        dot = F.aggregate(
+            F.zip_with("xc", u_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+        w_rows = (
+            xc.select("xc", dot.alias("__dot"))
+            .select(
+                F.posexplode(
+                    F.transform("xc", lambda c: c * F.col("__dot"))
+                ).alias("pos", "wv")
+            )
+            .groupBy("pos")
+            .agg(F.sum("wv").alias("w"))
+            .orderBy("pos")
+            .collect()
+        )
+        w = [r["w"] for r in w_rows]
+        proj = sum(a * b for a, b in zip(v1, w))
+        w = [x - proj * a for x, a in zip(w, v1)]
+        nrm = math.sqrt(sum(x * x for x in w))
+        u = [x / nrm for x in w]
+    return u, nrm / (n - 1)

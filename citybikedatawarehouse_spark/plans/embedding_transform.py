@@ -78,38 +78,38 @@ _PCA_ITER = 4
 
 def _pca_oracle(n_iter: int = _PCA_ITER) -> str:
     head = """
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT emb.vec_id, t.i - 1 AS pos,
              CAST(emb.embedding[t.i] AS DOUBLE) AS x
       FROM embeddings emb, UNNEST(range(1, len(emb.embedding) + 1)) t(i)
     ),
-    st AS (
+    st AS MATERIALIZED (
       SELECT pos, sum(x) AS sx, sum(x * x) AS sxx, count(*) AS n
       FROM e GROUP BY pos
     ),
-    tv AS (
+    tv AS MATERIALIZED (
       SELECT sum(sxx - sx * sx / n) / (min(n) - 1) AS total_var,
              min(n) AS n
       FROM st
     ),
-    c AS (
+    c AS MATERIALIZED (
       SELECT e.vec_id, e.pos, e.x - st.sx / st.n AS xc
       FROM e JOIN st USING (pos)
     ),
-    v0 AS (SELECT pos, 0.125 AS v FROM st)"""
+    v0 AS MATERIALIZED (SELECT pos, 0.125 AS v FROM st)"""
     steps = []
     for k in range(1, n_iter + 1):
         steps.append(f""",
-    d{k} AS (
+    d{k} AS MATERIALIZED (
       SELECT c.vec_id, sum(c.xc * v.v) AS dot
       FROM c JOIN v{k - 1} v USING (pos) GROUP BY c.vec_id
     ),
-    w{k} AS (
+    w{k} AS MATERIALIZED (
       SELECT c.pos, sum(c.xc * d.dot) AS w
       FROM c JOIN d{k} d USING (vec_id) GROUP BY c.pos
     ),
-    n{k} AS (SELECT sqrt(sum(w * w)) AS nrm FROM w{k}),
-    v{k} AS (SELECT pos, w / (SELECT nrm FROM n{k}) AS v FROM w{k})""")
+    n{k} AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nrm FROM w{k}),
+    v{k} AS MATERIALIZED (SELECT pos, w / (SELECT nrm FROM n{k}) AS v FROM w{k})""")
     return (
         head
         + "".join(steps)
@@ -434,4 +434,84 @@ def q152_knn_label_audit_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn = hier_ivf_topk(emb, emb.filter(F.col("vec_id") < 100), k=5)
     return _label_audit_report(
         knn.select("query_id", "neighbor_id"), emb.select("vec_id", "label")
+    )
+
+
+def _pca2_oracle(n_iter: int = _PCA_ITER) -> str:
+    """q157 replay: q135's chain (first PC) extended with the
+    DEFLATED second-component recurrence — each iterate w = C·u is
+    orthogonalized against the first-PC estimate v{n} before
+    normalizing."""
+    base = _pca_oracle(n_iter)
+    head = base[: base.index("SELECT CAST(pos AS INTEGER) AS dim")]
+    steps = [",\n    ub0 AS MATERIALIZED (SELECT pos, 0.125 AS v FROM st)"]
+    for k in range(1, n_iter + 1):
+        steps.append(f""",
+    db{k} AS MATERIALIZED (
+      SELECT c.vec_id, sum(c.xc * u.v) AS dot
+      FROM c JOIN ub{k - 1} u USING (pos) GROUP BY c.vec_id
+    ),
+    wb{k} AS MATERIALIZED (
+      SELECT c.pos, sum(c.xc * d.dot) AS w
+      FROM c JOIN db{k} d USING (vec_id) GROUP BY c.pos
+    ),
+    pb{k} AS MATERIALIZED (
+      SELECT sum(w.w * v.v) AS pr
+      FROM wb{k} w JOIN v{n_iter} v USING (pos)
+    ),
+    wtb{k} AS MATERIALIZED (
+      SELECT w.pos, w.w - (SELECT pr FROM pb{k}) * v.v AS w
+      FROM wb{k} w JOIN v{n_iter} v USING (pos)
+    ),
+    nb{k} AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nrm FROM wtb{k}),
+    ub{k} AS MATERIALIZED (SELECT pos, w / (SELECT nrm FROM nb{k}) AS v FROM wtb{k})""")
+    return (
+        head.rstrip()
+        + "".join(steps)
+        + f"""
+    SELECT 1 AS component, CAST(pos AS INTEGER) AS dim,
+           round(v, 6) AS loading,
+           round((SELECT nrm FROM n{n_iter}) / ((SELECT n FROM tv) - 1), 6)
+             AS eigval
+    FROM v{n_iter}
+    UNION ALL
+    SELECT 2, CAST(pos AS INTEGER),
+           round(v, 6),
+           round((SELECT nrm FROM nb{n_iter}) / ((SELECT n FROM tv) - 1), 6)
+    FROM ub{n_iter}
+    """
+    )
+
+
+@register("q157_pca_two_components", oracle=_pca2_oracle())
+def q157_pca_two_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TWO principal components: q135's power iteration for the
+    first, then the same recurrence DEFLATED against that estimate
+    (w′ = w − (v₁·w)·v₁ each iteration) for the second — the
+    2-D projection basis for embedding-space visualization and the
+    two-direction drift monitor. The contract (and the oracle
+    replay) is the deflated recurrence against the ESTIMATED first
+    component; convergence quality is the numpy-replay test's job.
+
+    Scale shape identical to q135 per component: HOF folds per row,
+    d-row aggregates, O(d) driver state; the deflation itself is
+    O(d) driver arithmetic per iteration."""
+    from citybikedatawarehouse_spark.operators.projection import (
+        power_iteration_second_pc,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v1, eig1, total_var, _n = power_iteration_top_pc(emb, n_iter=_PCA_ITER)
+    v2, eig2 = power_iteration_second_pc(emb, v1, n_iter=_PCA_ITER)
+    rows = [(1, i, float(x), eig1) for i, x in enumerate(v1)] + [
+        (2, i, float(x), eig2) for i, x in enumerate(v2)
+    ]
+    out = spark.createDataFrame(
+        rows, "component int, dim int, loading double, eigval double"
+    )
+    return out.select(
+        "component",
+        "dim",
+        F.round("loading", 6).alias("loading"),
+        F.round("eigval", 6).alias("eigval"),
     )

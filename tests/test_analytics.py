@@ -668,3 +668,77 @@ def test_product_health_consistent_with_component_queries(spark, sf_dir):
     n_w1 = sum(r["n_users"] for r in ret if r["week_offset"] == 1)
     n_users = sum(r["n_users"] for r in ret if r["week_offset"] == 0)
     assert abs(health["week1_retention"] - round(n_w1 / n_users, 6)) < 1e-6
+
+
+def test_session_path_head_cap(spark):
+    """A 100-event session renders as its first-8 types only — the
+    cardinality cap that keeps path strings bounded."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, base + timedelta(seconds=i), i, "view" if i % 2 else "click")
+        for i in range(100)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, event_type string"
+    )
+    from pyspark.sql import Window as W
+
+    ww = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("double") - F.lag(
+        F.col("ts").cast("timestamp").cast("double")
+    ).over(ww)
+    numbered = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            ww.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    w_s = W.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    headed = numbered.withColumn("rn", F.row_number().over(w_s)).filter(
+        F.col("rn") <= 8
+    )
+    paths = headed.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    ).collect()
+    assert len(paths) == 1
+    assert paths[0]["path"] == ">".join(
+        "view" if i % 2 else "click" for i in range(8)
+    )
+
+
+def test_second_pc_matches_numpy_replay_and_orthogonal(spark, sf_dir):
+    """The deflated recurrence must match its numpy replay exactly,
+    and the second component must be (near-)orthogonal to the first
+    estimate by construction."""
+    from citybikedatawarehouse_spark.operators.projection import (
+        power_iteration_second_pc,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v1, _, _, _ = power_iteration_top_pc(emb, n_iter=4)
+    v2, eig2 = power_iteration_second_pc(emb, v1, n_iter=4)
+    X = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+    Xc = X - X.mean(axis=0)
+    va = np.array(v1)
+    u = np.full(X.shape[1], 1.0 / 8.0)
+    nrm = 0.0
+    for _ in range(4):
+        w = Xc.T @ (Xc @ u)
+        w = w - (va @ w) * va
+        nrm = float(np.linalg.norm(w))
+        u = w / nrm
+    assert np.allclose(np.array(v2), u, atol=1e-9)
+    assert abs(eig2 - nrm / (X.shape[0] - 1)) < 1e-9
+    assert abs(float(np.dot(np.array(v2), va))) < 1e-9  # orthogonal
