@@ -56,7 +56,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #      q96 also the pinned ADC broadcast) — changed code must
 #      re-face the official gate,
 #   3. everything else, least-recently-verified first (r02/r03
-#      evidence, then the r04-verified block). All 163 queries were
+#      evidence, then the r04-verified block). All 164 queries were
 #      re-proven locally at sf0.01 against DuckDB this round
 #      regardless of sweep position (driver-style full sweeps, 0
 #      fails — see PERFORMANCE.md round-5 end-state).
@@ -106,7 +106,7 @@ _SWEEP_PRIORITY = [
     "q151_length_drift_psi", "q152_knn_label_audit_ann",
     "q153_association_rules", "q154_session_paths",
     "q155_multisignal_dedup_audit", "q156_product_health_e2e",
-    "q157_pca_two_components",
+    "q157_pca_two_components", "q158_bigram_logprob",
     # -- 3. least-recently-verified (r02/r03 evidence) --
     "q77_zorder_key", "q48_array_agg",
     "q61_ngram_jaccard", "q38_asof_join", "q39_asof_join_bucketed",

@@ -1141,3 +1141,82 @@ def q143_bpe_merges(spark, sf_dir):
         merges,
         "merge_rank int, left_sym string, right_sym string, pair_count long",
     )
+
+
+@register(
+    "q158_bigram_logprob",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents WHERE trim(text) <> ''
+    ),
+    uni AS (
+      SELECT u AS w1, count(*) AS c1 FROM (
+        SELECT unnest(ws) AS u FROM w
+      ) GROUP BY u
+    ),
+    vocab AS (SELECT count(*) AS v FROM uni),
+    bi AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM w, UNNEST(range(1, len(ws))) t(i)
+    ),
+    bic AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2)
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           round(sum(ln((bic.c2 + 0.5)
+                        / (uni.c1 + 0.5 * (SELECT v FROM vocab))))
+                 / count(*), 6) AS avg_logprob
+    FROM bi b
+    JOIN bic ON bic.w1 = b.w1 AND bic.w2 = b.w2
+    JOIN uni ON uni.w1 = b.w1
+    GROUP BY b.doc_id
+    """,
+)
+def q158_bigram_logprob(spark, sf_dir):
+    """Per-document average bigram log-probability under the
+    corpus's own add-0.5-smoothed bigram LM — the second-order
+    fluency gate above q87's unigram scorer: a document of common
+    words in IMPROBABLE order (shuffled text, keyword stuffing)
+    scores high on unigrams but low here. ln P(w2|w1) =
+    ln((c(w1,w2)+0.5)/(c(w1)+0.5·V)).
+
+    Determinism: counts are integers, V is one scalar, and the only
+    FP is the per-bigram ln + a rounded mean (the q87 rule). Scale
+    shape: ONE corpus tokenization staged per row feeds both the
+    count fit and the scoring explode; the bigram/unigram count
+    relations are Zipf-bounded and joined to the exploded bigrams
+    by key (broadcast at realistic vocabulary sizes)."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.filter(F.trim("text") != "").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("ws")
+    )
+    uni = (
+        w.select(F.explode("ws").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    v = uni.count()
+    bi = w.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) AS w1,"
+                    "             element_at(ws, i + 1) AS w2))"
+                ),
+            ).otherwise(
+                F.expr("CAST(array() AS array<struct<w1:string,w2:string>>)")
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = bi.join(bic, ["w1", "w2"]).join(uni, "w1")
+    logp = F.log(
+        (F.col("c2") + 0.5) / (F.col("c1") + 0.5 * F.lit(float(v)))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum(logp) / F.count(F.lit(1)), 6).alias("avg_logprob"),
+    )

