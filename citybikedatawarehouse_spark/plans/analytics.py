@@ -5,8 +5,8 @@ PII pseudonymization + k-anonymity audit, winsorized aggregates, and
 PageRank over a fact-derived co-purchase graph.
 
 The reference (LauraIkic/CityBikeDataWarehouse) exposes none of
-these — its surface stops at dimensional ETL (`create_table.py`,
-`insert_data.py`) — but they are the queries its star schema exists
+these — its surface stops at dimensional ETL (`check_and_create_db.py`,
+`create_db_from_csv.py`) — but they are the queries its star schema exists
 to serve, so they complete the engine's analytics story the same way
 the curation suite completes its LLM-pipeline story.
 
@@ -1018,7 +1018,7 @@ def q146_corr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
                AS dur,
-             CAST(max(ts) <= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+             CAST(max(ts) <= (SELECT max(ts) FROM events) - INTERVAL 24 HOUR
                   AS INTEGER) AS churned
       FROM events GROUP BY user_id
     ),
@@ -1033,7 +1033,13 @@ def q146_corr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ev AS (SELECT dur, n_risk, d FROM at_risk WHERE d > 0)
     SELECT dur AS day, n_risk, d AS n_churned,
-           round(exp(sum(ln(1.0 - d * 1.0 / n_risk)) OVER (
+           -- d == n_risk exhausts the risk set: ln(0) errors here and
+           -- Spark's log(0) returns NULL (silently SKIPPED by the sum)
+           -- — both wrong. Emit -inf so the cumulative sum pins every
+           -- step at/after the terminal event to survival = 0.
+           round(exp(sum(CASE WHEN d < n_risk
+                              THEN ln(1.0 - d * 1.0 / n_risk)
+                              ELSE CAST('-infinity' AS DOUBLE) END) OVER (
              ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            )), 6) AS survival
     FROM ev
@@ -1042,18 +1048,27 @@ def q146_corr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q147_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival estimate of user lifetime (days between
     first and last activity), with users still active in the final
-    7 days treated as CENSORED — they contribute to the risk set at
+    24 hours treated as CENSORED — they contribute to the risk set at
     every time they survive through, but not to the churn counts.
-    The retention-curve estimator product analytics ships next to
-    q129's cohort matrix (cohorts show WHO returns, the KM curve
-    shows the survival function with censoring handled correctly
-    instead of biasing churn upward).
+    (A production run would censor on a 7-to-30-day inactivity
+    horizon; the shipped synthetic window is 30 days of uniformly
+    active users, where a 7-day horizon censors EVERYONE and the
+    estimator never executes — the 24-hour cutoff keeps the math
+    exercised at every shipped scale.) The retention-curve estimator
+    product analytics ships next to q129's cohort matrix (cohorts
+    show WHO returns, the KM curve shows the survival function with
+    censoring handled correctly instead of biasing churn upward).
 
     S(t) = Π_{s≤t} (1 − d_s/n_s), computed as exp(Σ ln(·)) under an
     ordered window — both engines evaluate the identical expression;
-    libm log/exp agree well below the 1e-6 rounding. The at-risk
-    count n_t is a descending-ordered cumulative sum over the
-    duration histogram — no per-user self-join.
+    libm log/exp agree well below the 1e-6 rounding. When the final
+    churn event exhausts the risk set (d == n_risk) the factor is 0:
+    ln(0) hard-errors in DuckDB and Spark's F.log(0) returns NULL —
+    which a window SUM silently skips, freezing survival at its
+    previous level. Both engines therefore emit -inf for that step
+    explicitly, so exp(Σ) pins the terminal survival to exactly 0.
+    The at-risk count n_t is a descending-ordered cumulative sum over
+    the duration histogram — no per-user self-join.
 
     Scale shape: one user-keyed aggregate over the corpus, then
     everything runs on O(distinct durations) rows in bounded
@@ -1069,12 +1084,20 @@ def q147_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dur"
             ),
             (
-                F.col("last_ts") <= F.col("m") - F.expr("INTERVAL 7 DAYS")
+                F.col("last_ts") <= F.col("m") - F.expr("INTERVAL 24 HOURS")
             )
             .cast("int")
             .alias("churned"),
         )
     )
+    return kaplan_meier(lt)
+
+
+def kaplan_meier(lt: DataFrame) -> DataFrame:
+    """KM curve over a (dur, churned) lifetime relation — factored
+    out of q147 so synthetic-data tests can drive edge cases (the
+    risk-set-exhausting terminal event) the shipped fixtures never
+    hit. Returns (day, n_risk, n_churned, survival)."""
     w_desc = (
         W.partitionBy(F.lit(0))
         .orderBy(F.col("dur").desc())
@@ -1101,7 +1124,14 @@ def q147_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.exp(
                 F.sum(
-                    F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk"))
+                    # d == n_risk → factor 0 → log(0) is NULL in Spark
+                    # and a window sum SKIPS nulls; emit -inf instead
+                    # so the cumulative sum (and every later step)
+                    # yields survival exactly 0 (see docstring)
+                    F.when(
+                        F.col("d") < F.col("n_risk"),
+                        F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk")),
+                    ).otherwise(F.lit(float("-inf")))
                 ).over(w_asc)
             ),
             6,
@@ -1652,7 +1682,7 @@ def q156_product_health_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("n_engaged", F.col("n") * 1.0, n_v))
         .unionByName(one("n_converted", F.col("n") * 1.0, n_p))
         .unionByName(
-            n_v.crossJoin(n_s.select(F.col("n").alias("ns"))).select(
+            n_v.crossJoin(F.broadcast(n_s.select(F.col("n").alias("ns")))).select(
                 F.lit("engage_rate").alias("metric"),
                 (F.col("n") * 1.0 / F.nullif(F.col("ns"), F.lit(0))).alias(
                     "value"
@@ -1660,7 +1690,7 @@ def q156_product_health_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionByName(
-            w1.crossJoin(n_c.select(F.col("n").alias("nc"))).select(
+            w1.crossJoin(F.broadcast(n_c.select(F.col("n").alias("nc")))).select(
                 F.lit("week1_retention").alias("metric"),
                 (
                     F.col("n_week1") * 1.0 / F.nullif(F.col("nc"), F.lit(0))

@@ -480,9 +480,24 @@ def test_corr_suite_matches_numpy(spark, sf_dir):
         assert abs(r["corr"] - round(float(np.corrcoef(x, y)[0, 1]), 6)) < 1e-6
 
 
+def _km_python(lt):
+    """Pure-Python KM reference over (dur, churned) pairs, with the
+    d == n_risk terminal event yielding survival exactly 0."""
+    durs = sorted({d for d, c in lt if c == 1})
+    s = 1.0
+    want = {}
+    for t in durs:
+        n = sum(1 for d, _ in lt if d >= t)
+        dd = sum(1 for d, c in lt if d == t and c == 1)
+        s *= 1.0 - dd / n
+        want[t] = (n, dd, s)
+    return want
+
+
 def test_kaplan_meier_matches_python_model(spark, sf_dir):
     """Pure-Python KM estimator with right-censoring (active in the
-    final 7 days of data)."""
+    final 24 hours of data). Non-vacuous on the shipped fixtures:
+    the churn cutoff guarantees >= 1 churned user at every scale."""
     from datetime import timedelta
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts").collect()
@@ -494,18 +509,12 @@ def test_kaplan_meier_matches_python_model(spark, sf_dir):
     lt = [
         (
             (h.date() - lo.date()).days,
-            1 if h <= max_ts - timedelta(days=7) else 0,
+            1 if h <= max_ts - timedelta(hours=24) else 0,
         )
         for lo, h in span.values()
     ]
-    durs = sorted({d for d, c in lt if c == 1})
-    s = 1.0
-    want = {}
-    for t in durs:
-        n = sum(1 for d, _ in lt if d >= t)
-        dd = sum(1 for d, c in lt if d == t and c == 1)
-        s *= 1.0 - dd / n
-        want[t] = (n, dd, s)
+    assert any(c == 1 for _, c in lt), "fixture churn must be non-vacuous"
+    want = _km_python(lt)
     got = {
         r["day"]: (r["n_risk"], r["n_churned"], r["survival"])
         for r in QUERIES["q147_kaplan_meier"](spark, sf_dir).collect()
@@ -519,6 +528,40 @@ def test_kaplan_meier_matches_python_model(spark, sf_dir):
     vals = [got[t][2] for t in sorted(got)]
     assert all(0.0 <= v <= 1.0 for v in vals)
     assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))
+
+
+def test_kaplan_meier_terminal_event_survival_zero(spark):
+    """The final churn event exhausting the risk set (d == n_risk)
+    must pin survival to exactly 0 — Spark's log(0) is NULL and a
+    window sum silently skips NULLs, which would freeze survival at
+    its previous level (the round-5 ADVICE bug). Synthetic lifetimes:
+    3 users churn at dur=2 (of 5 at risk), 2 churn at dur=5 with
+    nobody censored past them → terminal d == n_risk."""
+    from citybikedatawarehouse_spark.plans.analytics import kaplan_meier
+
+    lt = spark.createDataFrame(
+        [(2, 1), (2, 1), (2, 1), (5, 1), (5, 1)], "dur int, churned int"
+    )
+    got = {
+        r["day"]: (r["n_risk"], r["n_churned"], r["survival"])
+        for r in kaplan_meier(lt).collect()
+    }
+    want = _km_python([(2, 1), (2, 1), (2, 1), (5, 1), (5, 1)])
+    assert set(got) == set(want)
+    for t, (n, dd, s) in want.items():
+        assert got[t][0] == n and got[t][1] == dd
+        assert abs(got[t][2] - round(s, 6)) < 1e-9
+    assert got[5] == (2, 2, 0.0), "terminal survival must be exactly 0"
+    # mixed censoring variant: a censored user OUTLIVING the last
+    # churn keeps d < n_risk and survival > 0
+    lt2 = spark.createDataFrame(
+        [(2, 1), (2, 0), (5, 1), (6, 0)], "dur int, churned int"
+    )
+    got2 = {r["day"]: r["survival"] for r in kaplan_meier(lt2).collect()}
+    want2 = _km_python([(2, 1), (2, 0), (5, 1), (6, 0)])
+    for t, (_, _, s) in want2.items():
+        assert abs(got2[t] - round(s, 6)) < 1e-9
+    assert got2[5] > 0.0
 
 
 def test_trend_forecast_matches_numpy(spark, sf_dir):
