@@ -278,38 +278,98 @@ def q69_decontaminate(spark, sf_dir):
 
 @register(
     "q150_cross_source_overlap",
-    oracle="""
-    WITH ds AS (
-      SELECT DISTINCT md5(text) AS digest, source FROM documents
+    oracle=r"""
+    WITH sh AS (
+      SELECT DISTINCT source,
+             md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                 || ' ' || words[i+3] || ' ' || words[i+4]) AS digest
+      FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS words
+            FROM documents),
+           UNNEST(range(1, len(words) - 3)) t(i)
+    ),
+    shp AS (
+      SELECT a.source AS source_1, b.source AS source_2,
+             CAST(count(DISTINCT a.digest) AS BIGINT) AS n_shared_shingles
+      FROM sh a JOIN sh b ON a.digest = b.digest AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    dt AS (SELECT DISTINCT source, md5(text) AS digest FROM documents),
+    dtp AS (
+      SELECT a.source AS source_1, b.source AS source_2,
+             CAST(count(DISTINCT a.digest) AS BIGINT) AS n_shared_texts
+      FROM dt a JOIN dt b ON a.digest = b.digest AND a.source < b.source
+      GROUP BY 1, 2
     )
-    SELECT a.source AS source_1, b.source AS source_2,
-           count(DISTINCT a.digest) AS n_shared
-    FROM ds a JOIN ds b
-      ON a.digest = b.digest AND a.source < b.source
-    GROUP BY 1, 2
+    SELECT coalesce(s.source_1, t.source_1) AS source_1,
+           coalesce(s.source_2, t.source_2) AS source_2,
+           coalesce(s.n_shared_shingles, CAST(0 AS BIGINT))
+             AS n_shared_shingles,
+           coalesce(t.n_shared_texts, CAST(0 AS BIGINT)) AS n_shared_texts
+    FROM shp s FULL JOIN dtp t
+      ON s.source_1 = t.source_1 AND s.source_2 = t.source_2
     """,
 )
 def q150_cross_source_overlap(spark, sf_dir):
-    """Cross-source contamination matrix: for every source pair, how
-    many distinct document texts appear in BOTH feeds — the overlap
-    audit that decides dedup ORDER (dedup the pair with the largest
-    overlap first) and exposes mirror/re-crawl relationships between
-    feeds. Complements q116 (within-source dup rate) and q89
+    """Cross-source contamination matrix at TWO granularities: for
+    every source pair, how many distinct word-5-gram shingles the two
+    feeds share (the n-gram-level contamination signal q69's
+    decontaminator keys on) and how many distinct full document texts
+    appear verbatim in both (mirror / re-crawl detection). The audit
+    decides dedup ORDER (dedup the pair with the largest overlap
+    first). Complements q116 (within-source dup rate) and q89
     (train/eval split leakage).
 
-    Scale shape: one distinct over (digest, source) — 32-byte
-    digests, never text (q60's rule) — then a digest-keyed self-join
-    whose per-digest fan-out is bounded by the source count, not the
-    corpus."""
+    The shingle level is what makes the audit NON-VACUOUS on real
+    feeds: distinct crawls rarely share byte-identical documents but
+    always share boilerplate n-grams (round-5 ADVICE: the exact-text-
+    only variant returned zero rows at every shipped scale, so the
+    overlap join had never executed — the planted-duplicate model
+    test in tests/test_dedup.py now covers the exact-text path).
+
+    Scale shape: one corpus scan builds distinct (source, digest)
+    shingle pairs — 32-byte digests, never text (q60's rule) — then
+    digest-keyed self-joins whose per-digest fan-out is bounded by
+    the source count, not the corpus; the final matrix is
+    O(sources^2) rows."""
+    from citybikedatawarehouse_spark.operators.dedup_ops import shingles
+
     d = _t(spark, sf_dir, "documents")
-    ds = d.select(F.md5("text").alias("digest"), "source").distinct()
-    a = ds.select(F.col("digest"), F.col("source").alias("source_1"))
-    b = ds.select(F.col("digest"), F.col("source").alias("source_2"))
+    sh = (
+        shingles(
+            d.select(F.col("source").alias("sid"), "text"),
+            n=5,
+            id_col="sid",
+            text_col="text",
+        )
+        .select(F.col("sid").alias("source"), F.md5("shingle").alias("digest"))
+        .distinct()
+    )
+
+    def pair_matrix(ds, out_col):
+        a = ds.select("digest", F.col("source").alias("source_1"))
+        b = ds.select("digest", F.col("source").alias("source_2"))
+        return (
+            a.join(b, "digest")
+            .filter(F.col("source_1") < F.col("source_2"))
+            .groupBy("source_1", "source_2")
+            .agg(F.count_distinct("digest").alias(out_col))
+        )
+
+    shp = pair_matrix(sh, "n_shared_shingles")
+    dt = d.select("source", F.md5("text").alias("digest")).distinct()
+    dtp = pair_matrix(dt, "n_shared_texts")
     return (
-        a.join(b, "digest")
-        .filter(F.col("source_1") < F.col("source_2"))
-        .groupBy("source_1", "source_2")
-        .agg(F.count_distinct("digest").alias("n_shared"))
+        shp.join(dtp, ["source_1", "source_2"], "full_outer")
+        .select(
+            "source_1",
+            "source_2",
+            F.coalesce("n_shared_shingles", F.lit(0).cast("bigint")).alias(
+                "n_shared_shingles"
+            ),
+            F.coalesce("n_shared_texts", F.lit(0).cast("bigint")).alias(
+                "n_shared_texts"
+            ),
+        )
     )
 
 

@@ -285,3 +285,57 @@ def test_decontaminate_testdata(spark, sf_dir):
     assert all(i >= 20 for i in ids)
     assert all(r["n_shared_shingles"] >= 1 for r in flagged)
     assert len(ids) >= 1
+
+
+# ---------------------------------------------------------- q150 model test
+def test_cross_source_overlap_planted(spark, tmp_path):
+    """q150 on a synthetic corpus with PLANTED cross-source overlap:
+    exact duplicate texts across srcA/srcB (exercising the exact-text
+    join the shipped fixtures never hit — round-5 ADVICE) and a
+    shared 6-word passage across srcA/srcC (shingle-level only)."""
+    import duckdb
+    from citybikedatawarehouse_spark.plans.catalog import ORACLES, QUERIES
+
+    passage = "the quick brown fox jumps high"
+    rows = [
+        # two byte-identical docs in different sources (5-gram count:
+        # a k-word text has k-4 shingles; this one has 3)
+        (0, "alpha beta gamma delta epsilon zeta eta", "en", "srcA", 1),
+        (1, "alpha beta gamma delta epsilon zeta eta", "en", "srcB", 1),
+        # same 6-word passage embedded in different surroundings
+        (2, f"intro {passage} outro one", "en", "srcA", 1),
+        (3, f"prefix words here {passage} tail", "en", "srcC", 1),
+        # noise docs with no overlap
+        (4, "u v w x y z zz yy xx ww", "en", "srcB", 1),
+        (5, "m n o p q r s t uu vv", "en", "srcC", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["source_1"], r["source_2"]): (
+            r["n_shared_shingles"],
+            r["n_shared_texts"],
+        )
+        for r in QUERIES["q150_cross_source_overlap"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # srcA/srcB share the exact doc: 3 shingles + 1 text
+    assert got[("srcA", "srcB")] == (3, 1)
+    # srcA/srcC share only the 6-word passage -> 2 five-gram shingles
+    assert got[("srcA", "srcC")] == (2, 0)
+    assert ("srcB", "srcC") not in got
+    # oracle agrees on the planted corpus
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.sql(ORACLES["q150_cross_source_overlap"]).fetchall()
+    }
+    con.close()
+    assert got == want
