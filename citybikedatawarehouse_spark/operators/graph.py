@@ -35,13 +35,19 @@ def pagerank(
     """PageRank over a DIRECTED edge list (pass both directions for
     an undirected graph) with a fixed iteration count.
 
-    The node set is the distinct endpoints of ``edges``; because
-    every node therefore has out-degree >= 1 when the graph is
-    undirected, there is no dangling-mass redistribution term — the
-    caller restricts to the reachable subgraph (documented in the
-    q133 plan). Deterministic: fixed iterations, no RNG, pure
-    fixpoint arithmetic — the DuckDB oracle replays the identical
-    recurrence as a CTE chain.
+    The node set is the distinct UNION of src and dst endpoints, so
+    pure-sink nodes (dst-only) keep their rank and their inflow. The
+    rank mass of dangling nodes (out-degree 0) is redistributed
+    uniformly each iteration — the standard formulation — so ranks
+    sum to ~1 for arbitrary directed input. When the input is
+    bidirectional (the q133 co-purchase graph) the dangling set is
+    empty and the recurrence reduces exactly to the no-dangling form
+    the DuckDB oracle replays: the dangling term is detected ONCE at
+    fit time and skipped entirely, keeping the per-iteration plan
+    identical (and float results bit-identical) for such graphs.
+    Deterministic: fixed iterations, no RNG, pure fixpoint
+    arithmetic. Raises ValueError on an empty edge list (PageRank of
+    an empty graph is undefined — previously a ZeroDivisionError).
 
     Returns (node, rank) with rank summing to ~1 over the node set.
     """
@@ -64,15 +70,32 @@ def pagerank(
         .withColumn("deg", F.count(F.lit(1)).over(W.partitionBy("src")))
         .localCheckpoint(eager=True)
     )
-    # with bidirectional edges the src set IS the node set, and it is
-    # already src-partitioned — the distinct is a partition-local dedup
+    # node set = src ∪ dst endpoints: with bidirectional edges the
+    # src set already IS the node set (the union dedups partition-
+    # locally after one exchange); with general directed input this
+    # is what keeps pure-sink nodes in the output
     nodes = (
         e_deg.select(F.col("src").alias("node"))
+        .union(e_deg.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank: empty edge list (no nodes)")
     base = (1.0 - damping) / n_nodes
+
+    # dangling nodes (out-degree 0) detected ONCE: their mass is
+    # redistributed uniformly each iteration. For bidirectional
+    # graphs the set is empty and the term is skipped, so the
+    # per-iteration plan (and the floats) match the no-dangling
+    # recurrence the q133 oracle replays.
+    dangling = nodes.join(
+        e_deg.select(F.col("src").alias("node")).distinct(),
+        "node",
+        "left_anti",
+    ).localCheckpoint(eager=True)
+    has_dangling = dangling.limit(1).count() > 0
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(n_iter):
@@ -81,21 +104,38 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
         )
-        # nodes is node(=src)-partitioned and contrib is dst-partitioned
+        # nodes is node-partitioned and contrib is dst-partitioned
         # out of its aggregate — the join aligns without new exchanges;
         # per iteration the ONLY corpus-scale shuffle is the groupBy(dst)
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
+        new_ranks = nodes.join(contrib, nodes.node == contrib.dst, "left")
+        if has_dangling:
+            # 1-row aggregate of the dangling nodes' current rank,
+            # broadcast into every partition — O(|dangling|) rows
+            # summed, never a corpus shuffle
+            dm = ranks.join(dangling, "node").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+            )
+            new_ranks = new_ranks.crossJoin(F.broadcast(dm)).select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.col("__dm") / F.lit(float(n_nodes))
+                    )
+                ).alias("rank"),
+            )
+        else:
+            new_ranks = new_ranks.select(
                 "node",
                 (
                     F.lit(base)
                     + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
                 ).alias("rank"),
             )
-            # cut the per-iteration lineage growth (same rationale as
-            # dedup_clusters): without this the final plan re-executes
-            # every earlier iteration per action
-            .localCheckpoint(eager=True)
-        )
+        # cut the per-iteration lineage growth (same rationale as
+        # dedup_clusters): without this the final plan re-executes
+        # every earlier iteration per action
+        ranks = new_ranks.localCheckpoint(eager=True)
     return ranks

@@ -363,6 +363,61 @@ def test_pagerank_random_graphs_match_numpy(spark, pairs):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+@PROP
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_pagerank_directed_with_sinks_matches_numpy(spark, pairs):
+    """General DIRECTED graphs: pure-sink nodes stay in the node set
+    and dangling mass is redistributed uniformly, so the numpy replay
+    of the standard recurrence matches and mass stays ~1 (round-5
+    ADVICE: the src-only node set silently dropped sinks)."""
+    import numpy as np
+
+    from citybikedatawarehouse_spark.operators.graph import pagerank
+
+    ed = sorted(set(pairs))
+    e = spark.createDataFrame(ed, "src int, dst int")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, damping=0.85, n_iter=3).collect()
+    }
+    nodes = sorted({x for p in ed for x in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    deg = np.zeros(len(nodes))
+    for a, _ in ed:
+        deg[idx[a]] += 1
+    n = len(nodes)
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        dm = sum(r[i] for i in range(n) if deg[i] == 0)
+        nxt = np.full(n, 0.15 / n) + 0.85 * dm / n
+        for a, b in ed:
+            nxt[idx[b]] += 0.85 * r[idx[a]] / deg[idx[a]]
+        r = nxt
+    assert set(got) == set(nodes)
+    for nd in nodes:
+        assert abs(got[nd] - r[idx[nd]]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_empty_edges_raises(spark):
+    import pytest as _pytest
+
+    from citybikedatawarehouse_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([], "src int, dst int")
+    with _pytest.raises(ValueError, match="empty edge list"):
+        pagerank(e)
+
+
 # ------------------------------------------------------------ snapshot diff
 
 @PROP
