@@ -393,16 +393,16 @@ def _ann_audit_oracle() -> str:
     """q152 replay: the FULL hierarchical-IVF chain (fit, both probe
     levels, exact re-rank — q94's oracle with the audit's query set)
     with its top-k turned into a CTE, then q138's vote/verdict
-    stage."""
+    stage. Splices the structurally-exposed CTE prefix (the final
+    select is dropped in favor of the knn CTE) — no string surgery
+    on rendered SQL (round-5 ADVICE: the old marker-slicing broke
+    the whole catalog import on any cosmetic reformat of the q94
+    oracle)."""
     from citybikedatawarehouse_spark.plans.similarity import (
-        _hier_ivf_oracle_sql,
+        _hier_ivf_oracle_parts,
     )
 
-    base = _hier_ivf_oracle_sql(query_pred="e.vec_id < 100")
-    # cut at the OUTER final select (the inner ranked subquery also
-    # starts with "SELECT query_id, ..." — split on the unique CAST)
-    marker = "SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER)"
-    head = base[: base.index(marker)]
+    prefix, _final = _hier_ivf_oracle_parts(query_pred="e.vec_id < 100")
     knn_cte = """
     knn AS (
       SELECT query_id, neighbor_id FROM (
@@ -412,7 +412,7 @@ def _ann_audit_oracle() -> str:
         FROM hscored
       ) WHERE rank <= 5
     ),"""
-    return head.rstrip() + "," + knn_cte + _ANN_AUDIT_VOTE_SQL
+    return prefix.rstrip() + "," + knn_cte + _ANN_AUDIT_VOTE_SQL
 
 
 @register("q152_knn_label_audit_ann", oracle=_ann_audit_oracle())

@@ -689,7 +689,7 @@ def q93_hier_kmeans(spark, sf_dir):
     return assigned
 
 
-def _hier_ivf_oracle_sql(
+def _hier_ivf_oracle_parts(
     k_coarse: int = 8,
     k_fine: int = 4,
     n_iter: int = 2,
@@ -698,11 +698,18 @@ def _hier_ivf_oracle_sql(
     n_probe_fine: int = 2,
     topk: int = 5,
     query_pred: str = "e.vec_id < 10",
-) -> str:
-    """q94 replay: q93's two-level fit, then the hierarchical probe —
+) -> tuple[str, str]:
+    """q94 replay, returned as (cte_prefix, final_select) so callers
+    composing LONGER chains (q152 appends the label-audit stages)
+    splice structurally instead of string-slicing the rendered SQL —
+    a cosmetic reformat here must never break another module's import
+    (round-5 ADVICE). ``_hier_ivf_oracle_sql`` joins the parts.
+
+    The chain: q93's two-level fit, then the hierarchical probe —
     coarse cells ranked by their nearest fine centroid, fine cells
     ranked within each probed coarse cell, candidates re-ranked by
-    exact cosine (the q76 pattern)."""
+    exact cosine (the q76 pattern); the final select takes top-k per
+    query from the ``hscored`` CTE."""
     # reuse q93's full CTE chain (coarse + fine levels) verbatim:
     # take everything between its WITH and its final SELECT
     hier = _hier_kmeans_oracle_sql(k_coarse, k_fine, n_iter, dim)
@@ -754,8 +761,8 @@ def _hier_ivf_oracle_sql(
         JOIN embeddings c ON c.vec_id = cd.neighbor_id
       ) GROUP BY 1, 2
     )""")
-    return (
-        "WITH" + ",".join(ctes) + f"""
+    prefix = "WITH" + ",".join(ctes)
+    final = f"""
     SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
       SELECT query_id, neighbor_id, cos_sim,
              row_number() OVER (PARTITION BY query_id
@@ -763,7 +770,13 @@ def _hier_ivf_oracle_sql(
       FROM hscored
     ) WHERE rank <= {topk}
     """
-    )
+    return prefix, final
+
+
+def _hier_ivf_oracle_sql(**kwargs) -> str:
+    """The rendered q94 oracle: CTE prefix + final top-k select."""
+    prefix, final = _hier_ivf_oracle_parts(**kwargs)
+    return prefix + final
 
 
 @register("q94_hier_ivf_topk", oracle=_hier_ivf_oracle_sql())

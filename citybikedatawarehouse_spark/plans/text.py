@@ -1012,13 +1012,19 @@ def _bpe_apply_merge(col, left: str, right: str):
 
 def _bpe_pairs(syms_col):
     """Adjacent symbol pairs of one array (empty when < 2 symbols —
-    guarded because Spark's sequence(1, 0) counts DOWN)."""
+    guarded because Spark's sequence(1, 0) counts DOWN). Built from
+    the passed Column, so any symbol column binds correctly (the
+    earlier F.expr body hard-coded the '__syms' name: a caller
+    passing a differently-named column would silently bind whatever
+    '__syms' resolved to, or fail analysis)."""
     return F.when(
         F.size(syms_col) >= 2,
-        F.expr(
-            "transform(sequence(1, size(__syms) - 1),"
-            " i -> struct(element_at(__syms, i) AS l,"
-            "             element_at(__syms, i + 1) AS r))"
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms_col) - 1),
+            lambda i: F.struct(
+                F.element_at(syms_col, i.cast("int")).alias("l"),
+                F.element_at(syms_col, (i + 1).cast("int")).alias("r"),
+            ),
         ),
     ).otherwise(F.expr("CAST(array() AS array<struct<l:string,r:string>>)"))
 
