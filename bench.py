@@ -48,6 +48,10 @@ HEADLINE = [
     "q135_pca_power_iteration",
     # round 5 (late): the BPE trainer watches the HOF-fold text path
     "q143_bpe_merges",
+    # round 6: projection switched to the Arrow/BLAS path (0.26 s at
+    # sf0.1 vs the HOF fold's 1.19 s) — benched to keep the swap's
+    # before/after on the record and watch the mapInPandas overhead
+    "q134_random_projection",
 ]
 
 # Queries whose iterative driver loop (convergence counts, d-row
@@ -83,6 +87,8 @@ _missing = [q for q in HEADLINE if q not in QUERIES]
 assert not _missing, f"HEADLINE names not in registry: {_missing}"
 _drifted = [q for q in R1_SUBSET if q not in HEADLINE]
 assert not _drifted, f"R1_SUBSET names not in HEADLINE: {_drifted}"
+_eager_stray = [q for q in EAGER_BUILD if q not in HEADLINE]
+assert not _eager_stray, f"EAGER_BUILD names not in HEADLINE: {_eager_stray}"
 
 
 def _calibrate() -> float:
@@ -165,6 +171,12 @@ def main() -> None:
                     sum(timings[q] for q in R1_SUBSET), 4
                 ),
                 "queries": timings,
+                # timed-section semantics differ for these: each run
+                # REBUILDS the query (fit + serve), so their numbers
+                # are not comparable to any pre-restatement round
+                # (q64's r1-r4 0.013 s was a cached-scan artifact) —
+                # cross-round tooling must not diff them blindly
+                "eager_build": sorted(EAGER_BUILD),
                 "sf": sf,
                 "calib_sec": min(_calibrate() for _ in range(3)),
                 "calib_par_sec": min(

