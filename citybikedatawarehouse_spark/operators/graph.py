@@ -25,12 +25,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _edge_prep(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    assume_partitioned_by_src: bool = False,
+) -> DataFrame:
+    """The (dedup + degree) edge preparation, exposed pre-checkpoint
+    so plan tests can pin its exchange count. With
+    ``assume_partitioned_by_src`` the explicit repartition is skipped
+    — the caller guarantees a src-clustered layout (a bucketed-by-src
+    table), and HashPartitioning(src) from the bucketed scan
+    satisfies both the (src, dst) dedup's clustering requirement and
+    the degree window, so the whole prep runs with ZERO edge-side
+    exchanges (tests/test_skew_and_bucketing.py asserts this against
+    a saveAsTable-bucketed edge list)."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not assume_partitioned_by_src:
+        e = e.repartition("src")
+    from pyspark.sql import Window as W
+
+    return e.dropDuplicates(["src", "dst"]).withColumn(
+        "deg", F.count(F.lit(1)).over(W.partitionBy("src"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     n_iter: int = 5,
     src_col: str = "src",
     dst_col: str = "dst",
+    assume_partitioned_by_src: bool = False,
 ) -> DataFrame:
     """PageRank over a DIRECTED edge list (pass both directions for
     an undirected graph) with a fixed iteration count.
@@ -51,25 +77,18 @@ def pagerank(
 
     Returns (node, rank) with rank summing to ~1 over the node set.
     """
-    from pyspark.sql import Window as W
-
-    # Partition the edge list by src ONCE and let everything ride
-    # that exchange: degree is a window count (no groupBy+join pair),
-    # and localCheckpoint preserves the physical partitioning, so the
-    # per-iteration ranks join needs no new edge-side shuffle — the
-    # bucketed-by-src layout a 100 TB graph would use at rest.
-    # one exchange serves all three steps: HashPartitioning(src)
-    # satisfies the (src, dst) dedup's clustering requirement (equal
-    # pairs share a src), and the degree window partitions by src too
-    e_deg = (
-        edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-        )
-        .repartition("src")
-        .dropDuplicates(["src", "dst"])
-        .withColumn("deg", F.count(F.lit(1)).over(W.partitionBy("src")))
-        .localCheckpoint(eager=True)
-    )
+    # Partition the edge list by src ONCE (or ride a bucketed-by-src
+    # at-rest layout with assume_partitioned_by_src — zero edge-side
+    # exchanges) and let everything ride it: degree is a window count
+    # (no groupBy+join pair), and localCheckpoint preserves the
+    # physical partitioning, so the per-iteration ranks join needs no
+    # new edge-side shuffle. One exchange at most serves all three
+    # steps: HashPartitioning(src) satisfies the (src, dst) dedup's
+    # clustering requirement (equal pairs share a src), and the
+    # degree window partitions by src too.
+    e_deg = _edge_prep(
+        edges, src_col, dst_col, assume_partitioned_by_src
+    ).localCheckpoint(eager=True)
     # node set = src ∪ dst endpoints: with bidirectional edges the
     # src set already IS the node set (the union dedups partition-
     # locally after one exchange); with general directed input this

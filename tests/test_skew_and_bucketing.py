@@ -140,3 +140,56 @@ def test_pagerank_iteration_on_bucketed_edges_is_edge_shuffle_free(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS pr_edges")
+
+
+def test_pagerank_end_to_end_on_bucketed_edges(spark):
+    """The full pagerank() over a saveAsTable-bucketed edge list with
+    assume_partitioned_by_src=True: (a) the production edge-prep
+    expression compiles to ZERO edge-side src exchanges (the bucketed
+    scan's HashPartitioning(src) satisfies the dedup clustering and
+    the degree window), and (b) ranks are identical to the default
+    repartition path — the module docstring's at-rest claim as a
+    pinned fact, not prose."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.operators.graph import (
+        _edge_prep,
+        pagerank,
+    )
+
+    pairs = [(i % 37, (i * 11) % 37) for i in range(300) if i % 37 != (i * 11) % 37]
+    bi = sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+    edges = spark.createDataFrame(bi, "src int, dst int")
+    spark.sql("DROP TABLE IF EXISTS pr_edges_e2e")
+    edges.write.bucketBy(8, "src").sortBy("src").saveAsTable("pr_edges_e2e")
+    try:
+        bucketed = spark.table("pr_edges_e2e")
+        prep_plan = (
+            _edge_prep(bucketed, assume_partitioned_by_src=True)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert not re.findall(r"Exchange hashpartitioning\(src", prep_plan), prep_plan
+        # the default path (no layout guarantee) pays exactly one
+        prep_default = (
+            _edge_prep(edges)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert len(re.findall(r"Exchange hashpartitioning\(src", prep_default)) == 1
+        got_b = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                bucketed, n_iter=3, assume_partitioned_by_src=True
+            ).collect()
+        }
+        got_d = {
+            r["node"]: r["rank"] for r in pagerank(edges, n_iter=3).collect()
+        }
+        assert set(got_b) == set(got_d)
+        for n in got_b:
+            assert abs(got_b[n] - got_d[n]) < 1e-12
+        assert abs(sum(got_b.values()) - 1.0) < 1e-9
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pr_edges_e2e")
