@@ -152,21 +152,36 @@ def start_incremental_dedup(
     overwrites both directories idempotently (the flat-append shape
     this replaced could anti-join a replay against its own digests
     and wipe the epoch's real survivors with an empty write)."""
-    spark = docs_stream.sparkSession
-
     def step(batch_df: DataFrame, epoch_id: int) -> None:
-        state = _read_epoch_state(
-            spark, state_dir, DIGEST_STATE_SCHEMA, epoch_id
-        )
-        fresh = dedup_batch_against_state(
-            batch_df, state, id_col, text_col
-        ).localCheckpoint()  # two consumers below; don't replay the join
-        fresh.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
-        fresh.select("digest").write.mode("overwrite").parquet(
-            f"{state_dir}/epoch={epoch_id}"
+        dedup_epoch_step(
+            batch_df, epoch_id, out_dir, state_dir, id_col, text_col
         )
 
     return docs_stream.writeStream.foreachBatch(step).start()
+
+
+def dedup_epoch_step(
+    batch_df: DataFrame,
+    epoch_id: int,
+    out_dir: str,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One dedup epoch, module-level so crash-replay tests drive the
+    EXACT production step: running the same (batch, epoch_id) twice —
+    even with the first attempt's state slice already on disk — must
+    produce identical survivors and state (asserted in
+    tests/test_streaming_incremental.py)."""
+    spark = batch_df.sparkSession
+    state = _read_epoch_state(spark, state_dir, DIGEST_STATE_SCHEMA, epoch_id)
+    fresh = dedup_batch_against_state(
+        batch_df, state, id_col, text_col
+    ).localCheckpoint()  # two consumers below; don't replay the join
+    fresh.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+    fresh.select("digest").write.mode("overwrite").parquet(
+        f"{state_dir}/epoch={epoch_id}"
+    )
 
 
 def score_shingles_against_state(
@@ -228,27 +243,38 @@ def start_incremental_novelty(
     batch recomputes identical scores idempotently. Converges to the
     batch q114 semantics when batches arrive in id order
     (tests/test_streaming_incremental.py)."""
-    spark = docs_stream.sparkSession
-
     def step(batch_df: DataFrame, epoch_id: int) -> None:
-        state = _read_epoch_state(
-            spark, state_dir, SHINGLE_STATE_SCHEMA, epoch_id
-        )
-        scored = score_shingles_against_state(
-            batch_df, state, id_col, text_col
-        ).localCheckpoint()  # two consumers; don't replay explode+join
-        novelty_of_scored(scored, id_col).write.mode("overwrite").parquet(
-            f"{out_dir}/epoch={epoch_id}"
-        )
-        (
-            scored.filter(F.col("__known").isNull())
-            .select("shingle")
-            .distinct()
-            .write.mode("overwrite")
-            .parquet(f"{state_dir}/epoch={epoch_id}")
+        novelty_epoch_step(
+            batch_df, epoch_id, out_dir, state_dir, id_col, text_col
         )
 
     return docs_stream.writeStream.foreachBatch(step).start()
+
+
+def novelty_epoch_step(
+    batch_df: DataFrame,
+    epoch_id: int,
+    out_dir: str,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One novelty epoch (module-level; see dedup_epoch_step)."""
+    spark = batch_df.sparkSession
+    state = _read_epoch_state(spark, state_dir, SHINGLE_STATE_SCHEMA, epoch_id)
+    scored = score_shingles_against_state(
+        batch_df, state, id_col, text_col
+    ).localCheckpoint()  # two consumers; don't replay explode+join
+    novelty_of_scored(scored, id_col).write.mode("overwrite").parquet(
+        f"{out_dir}/epoch={epoch_id}"
+    )
+    (
+        scored.filter(F.col("__known").isNull())
+        .select("shingle")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(f"{state_dir}/epoch={epoch_id}")
+    )
 
 
 LAST_EVENT_STATE_SCHEMA = T.StructType(
@@ -331,21 +357,27 @@ def start_incremental_transitions(
     state under ``state_dir/epoch=N``. Same replay-safety contract
     as the dedup/novelty streams: the state read excludes the
     current epoch and both writes are per-epoch overwrites."""
-    spark = events_stream.sparkSession
-
     def step(batch_df: DataFrame, epoch_id: int) -> None:
-        state = _read_epoch_state(
-            spark, state_dir, LAST_EVENT_STATE_SCHEMA, epoch_id
-        )
-        counts, new_state = transitions_batch_with_state(
-            batch_df, resolve_last_events(state)
-        )
-        counts.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
-        new_state.write.mode("overwrite").parquet(
-            f"{state_dir}/epoch={epoch_id}"
-        )
+        transitions_epoch_step(batch_df, epoch_id, out_dir, state_dir)
 
     return events_stream.writeStream.foreachBatch(step).start()
+
+
+def transitions_epoch_step(
+    batch_df: DataFrame, epoch_id: int, out_dir: str, state_dir: str
+) -> None:
+    """One transitions epoch (module-level; see dedup_epoch_step)."""
+    spark = batch_df.sparkSession
+    state = _read_epoch_state(
+        spark, state_dir, LAST_EVENT_STATE_SCHEMA, epoch_id
+    )
+    counts, new_state = transitions_batch_with_state(
+        batch_df, resolve_last_events(state)
+    )
+    counts.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+    new_state.write.mode("overwrite").parquet(
+        f"{state_dir}/epoch={epoch_id}"
+    )
 
 
 FUNNEL_STATE_SCHEMA = T.StructType(
@@ -452,15 +484,19 @@ def start_incremental_funnel(
     ``state_dir/epoch=N`` (semilattice slices — resolve with
     resolve_funnel_state, which is also how the final counts are
     read). Same replay-safety contract as the sibling loops."""
-    spark = events_stream.sparkSession
-
     def step(batch_df: DataFrame, epoch_id: int) -> None:
-        state = _read_epoch_state(
-            spark, state_dir, FUNNEL_STATE_SCHEMA, epoch_id
-        )
-        new_state = funnel_batch_with_state(batch_df, state)
-        new_state.write.mode("overwrite").parquet(
-            f"{state_dir}/epoch={epoch_id}"
-        )
+        funnel_epoch_step(batch_df, epoch_id, state_dir)
 
     return events_stream.writeStream.foreachBatch(step).start()
+
+
+def funnel_epoch_step(
+    batch_df: DataFrame, epoch_id: int, state_dir: str
+) -> None:
+    """One funnel epoch (module-level; see dedup_epoch_step)."""
+    spark = batch_df.sparkSession
+    state = _read_epoch_state(spark, state_dir, FUNNEL_STATE_SCHEMA, epoch_id)
+    new_state = funnel_batch_with_state(batch_df, state)
+    new_state.write.mode("overwrite").parquet(
+        f"{state_dir}/epoch={epoch_id}"
+    )

@@ -433,3 +433,117 @@ def test_stream_funnel_equals_batch_q128_semantics(spark, tmp_path):
     # u1 converts in-epoch, u2 across epochs, u4 across epochs after
     # an unqualified early view; u3's purchase precedes its view
     assert (n_signup, n_engaged, n_converted) == (4, 4, 3)
+
+
+def test_epoch_replay_is_idempotent_for_all_state_loops(spark, tmp_path):
+    """Crash-replay property over the PRODUCTION epoch steps: run
+    epochs 0 and 1, snapshot every output/state slice, then re-run
+    epoch 1 with its own first-attempt slices still on disk (the
+    crashed-between-writes scenario) and assert byte-level-equal
+    results for dedup, novelty, transitions, and funnel state. This
+    is the failure the epoch-keyed state read exists to prevent: a
+    replay anti-joining its own digests would wipe the epoch's
+    survivors with an empty overwrite."""
+    from citybikedatawarehouse_spark.streaming.incremental import (
+        dedup_epoch_step,
+        funnel_epoch_step,
+        novelty_epoch_step,
+        resolve_funnel_state,
+        resolve_last_events,
+        transitions_epoch_step,
+        _read_epoch_state,
+        DIGEST_STATE_SCHEMA,
+        FUNNEL_STATE_SCHEMA,
+        LAST_EVENT_STATE_SCHEMA,
+    )
+
+    def snap(path):
+        try:
+            return sorted(
+                tuple(r) for r in spark.read.parquet(path).collect()
+            )
+        except Exception:
+            return None
+
+    # --- dedup ---
+    d_out, d_state = str(tmp_path / "d_out"), str(tmp_path / "d_state")
+    b0 = spark.createDataFrame(
+        [(0, "alpha"), (1, "bravo")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(2, "alpha"), (3, "charlie"), (4, "charlie")],
+        "doc_id long, text string",
+    )
+    dedup_epoch_step(b0, 0, d_out, d_state)
+    dedup_epoch_step(b1, 1, d_out, d_state)
+    first = snap(f"{d_out}/epoch=1")
+    # row shape is (digest, doc_id, text): the digest join key leads
+    assert [t[2] for t in first] == ["charlie"]  # alpha known, 4 in-batch dup
+    dedup_epoch_step(b1, 1, d_out, d_state)  # REPLAY with own state on disk
+    assert snap(f"{d_out}/epoch=1") == first
+    assert (
+        _read_epoch_state(spark, d_state, DIGEST_STATE_SCHEMA, 2).count() == 3
+    )
+
+    # --- novelty ---
+    n_out, n_state = str(tmp_path / "n_out"), str(tmp_path / "n_state")
+    t0 = spark.createDataFrame(
+        [(0, "a b c d")], "doc_id long, text string"
+    )
+    t1 = spark.createDataFrame(
+        [(1, "a b c e"), (2, "f g h i")], "doc_id long, text string"
+    )
+    novelty_epoch_step(t0, 0, n_out, n_state)
+    novelty_epoch_step(t1, 1, n_out, n_state)
+    first = snap(f"{n_out}/epoch=1")
+    first_state = snap(f"{n_state}/epoch=1")
+    novelty_epoch_step(t1, 1, n_out, n_state)
+    assert snap(f"{n_out}/epoch=1") == first
+    assert snap(f"{n_state}/epoch=1") == first_state
+
+    # --- transitions ---
+    from datetime import datetime
+
+    tr_out, tr_state = str(tmp_path / "t_out"), str(tmp_path / "t_state")
+    e0 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0), 10, "view"),
+         (1, datetime(2024, 1, 1, 1), 11, "cart")],
+        "user_id long, ts timestamp_ntz, event_id long, event_type string",
+    )
+    e1 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 2), 12, "purchase"),
+         (2, datetime(2024, 1, 1, 3), 13, "view")],
+        "user_id long, ts timestamp_ntz, event_id long, event_type string",
+    )
+    transitions_epoch_step(e0, 0, tr_out, tr_state)
+    transitions_epoch_step(e1, 1, tr_out, tr_state)
+    first = snap(f"{tr_out}/epoch=1")
+    assert ("cart", "purchase", 1) in first  # boundary pair via state
+    transitions_epoch_step(e1, 1, tr_out, tr_state)
+    assert snap(f"{tr_out}/epoch=1") == first
+    resolved = {
+        r["user_id"]: r["event_type"]
+        for r in resolve_last_events(
+            _read_epoch_state(spark, tr_state, LAST_EVENT_STATE_SCHEMA, 2)
+        ).collect()
+    }
+    assert resolved == {1: "purchase", 2: "view"}
+
+    # --- funnel ---
+    f_state = str(tmp_path / "f_state")
+    funnel_epoch_step(e0, 0, f_state)
+    funnel_epoch_step(e1, 1, f_state)
+    first_resolved = sorted(
+        tuple(r)
+        for r in resolve_funnel_state(
+            _read_epoch_state(spark, f_state, FUNNEL_STATE_SCHEMA, 99)
+        ).collect()
+    )
+    funnel_epoch_step(e1, 1, f_state)
+    again = sorted(
+        tuple(r)
+        for r in resolve_funnel_state(
+            _read_epoch_state(spark, f_state, FUNNEL_STATE_SCHEMA, 99)
+        ).collect()
+    )
+    assert again == first_resolved
