@@ -1029,12 +1029,15 @@ def _bpe_pairs(syms_col):
     ).otherwise(F.expr("CAST(array() AS array<struct<l:string,r:string>>)"))
 
 
-def _bpe_oracle(n_rounds: int = _BPE_ROUNDS) -> str:
-    """Replay the merge trainer in DuckDB: pair counts per round +
-    leftmost-first iterated replacement (a recursive CTE per round —
-    equivalent to the Spark fold; a single `replace()` call is NOT,
-    because adjacent occurrences share their delimiter space and
-    non-overlapping replace skips the second one)."""
+def _bpe_rounds_sql(n_rounds: int = _BPE_ROUNDS) -> str:
+    """The shared WITH-body replaying the merge trainer in DuckDB:
+    word types (wt), space-delimited char sequences (s0), then one
+    (pair-count p{k}, argmax m{k}, leftmost-first iterated
+    replacement a{k} -> s{k}) block per round — equivalent to the
+    Spark fold; a single `replace()` call is NOT, because adjacent
+    occurrences share their delimiter space and non-overlapping
+    replace skips the second one. q143 appends the merges select,
+    q159 appends the per-doc encode join."""
     parts = [r"""
     WITH RECURSIVE wt AS (
       SELECT w, count(*) AS freq FROM (
@@ -1077,15 +1080,39 @@ def _bpe_oracle(n_rounds: int = _BPE_ROUNDS) -> str:
       SELECT w, freq, seq FROM a{k}
       WHERE position((SELECT ' ' || l || ' ' || r || ' ' FROM m{k}) IN seq) = 0
     )""")
+    return "".join(parts)
+
+
+def _bpe_oracle(n_rounds: int = _BPE_ROUNDS) -> str:
     finals = "\n      UNION ALL\n".join(
         f"      SELECT {k} AS merge_rank, l AS left_sym, r AS right_sym,"
         f" CAST(cnt AS BIGINT) AS pair_count FROM m{k}"
         for k in range(1, n_rounds + 1)
     )
-    return "".join(parts) + f"""
+    return _bpe_rounds_sql(n_rounds) + f"""
     SELECT * FROM (
 {finals}
     )
+    """
+
+
+def _bpe_encode_oracle(n_rounds: int = _BPE_ROUNDS) -> str:
+    """q159 replay: the trained s{n} symbol table joined back onto
+    the per-doc word relation — token counts per doc under the
+    learned merges."""
+    return _bpe_rounds_sql(n_rounds) + f"""
+    SELECT dw.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(e.n_tok) AS BIGINT) AS n_tokens,
+           round(sum(e.n_tok) * 1.0 / count(*), 6) AS tokens_per_word
+    FROM (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents WHERE trim(text) <> ''
+    ) dw
+    JOIN (
+      SELECT w, len(string_split(trim(seq), ' ')) AS n_tok FROM s{n_rounds}
+    ) e USING (w)
+    GROUP BY dw.doc_id
     """
 
 
@@ -1116,6 +1143,21 @@ def q143_bpe_merges(spark, sf_dir):
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    merges, _ = _bpe_train(wt)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, pair_count long",
+    )
+
+
+def _bpe_train(wt: DataFrame, n_rounds: int = _BPE_ROUNDS):
+    """Run the merge-training loop over a (w, freq) word-type
+    relation. Returns (merges, final_syms): the learned merge list
+    [(rank, l, r, count)] and the post-merge symbol table
+    (w, freq, __syms) — q143 ships the former, q159 encodes the
+    corpus with the latter. One corpus-scale shuffle total (the
+    caller's word-type groupBy); each round shuffles only the
+    vocabulary-bounded pair relation and collects ONE row."""
     syms = wt.select(
         "w",
         "freq",
@@ -1125,7 +1167,7 @@ def q143_bpe_merges(spark, sf_dir):
     ).localCheckpoint(eager=True)  # rescanned once per round
 
     merges = []
-    for rank in range(1, _BPE_ROUNDS + 1):
+    for rank in range(1, n_rounds + 1):
         pair_rows = (
             syms.select("freq", F.explode(_bpe_pairs(F.col("__syms"))).alias("p"))
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
@@ -1143,9 +1185,45 @@ def q143_bpe_merges(spark, sf_dir):
                 "__syms"
             ),
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, left_sym string, right_sym string, pair_count long",
+    return merges, syms
+
+
+@register("q159_bpe_encode", oracle=_bpe_encode_oracle())
+def q159_bpe_encode(spark, sf_dir):
+    """Tokenizer INFERENCE under the q143-trained merges: per-doc
+    token counts after applying all learned merges — the budgeting
+    number an LLM-data pipeline actually bills by (q52's BPE-ish
+    regex approximates it; this is the real learned-merge count).
+    Returns (doc_id, n_words, n_tokens, tokens_per_word).
+
+    Scale shape: training is vocabulary-bound (see _bpe_train); the
+    encode side never re-runs the fold per document — token counts
+    are computed once per WORD TYPE (size of the post-merge symbol
+    array) and joined back onto the per-doc word relation, where the
+    type table is vocabulary-sized and broadcastable. One
+    corpus-scale shuffle for the type build, one for the per-doc
+    aggregate; the join side is broadcast.
+
+    Oracle: the shared round-replay CTE chain (_bpe_rounds_sql)
+    proves the same merges, then the same type-level token counts
+    joined on the per-doc word relation."""
+    d = _t(spark, sf_dir, "documents")
+    dw = d.filter(F.trim("text") != "").select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    wt = dw.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    _, syms = _bpe_train(wt)
+    n_tok = syms.select("w", F.size("__syms").alias("n_tok"))
+    return (
+        dw.join(F.broadcast(n_tok), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("n_tok") * 1.0 / F.count(F.lit(1)), 6
+            ).alias("tokens_per_word"),
+        )
     )
 
 

@@ -223,6 +223,25 @@ def test_bpe_merges_match_python_model(spark, sf_dir):
         .collect()
     ]
     assert got == expect
+    # the encode side (q159) must agree with the same Python replay:
+    # per-doc token count = sum over words of the post-merge symbol
+    # count, words = count of word occurrences
+    expect_enc = {}
+    for r in docs:
+        t = r["text"].strip()
+        if not t:
+            continue
+        ws = re.split(r"\s+", t)
+        expect_enc[r["doc_id"]] = (len(ws), sum(len(syms[w]) for w in ws))
+    got_enc = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in QUERIES["q159_bpe_encode"](spark, sf_dir).collect()
+    }
+    assert got_enc == expect_enc
+    # merges only ever SHRINK the token stream: n_tokens <= chars,
+    # >= n_words
+    for r in QUERIES["q159_bpe_encode"](spark, sf_dir).collect():
+        assert r["n_words"] <= r["n_tokens"]
 
 
 def test_bigram_logprob_model(spark, sf_dir):
