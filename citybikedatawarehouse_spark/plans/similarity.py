@@ -1383,3 +1383,86 @@ def q126_positive_pairs(spark, sf_dir):
     return scored.withColumn("rank", F.row_number().over(w_rank)).filter(
         F.col("rank") <= 3
     )
+
+
+@register(
+    "q160_semantic_decontaminate",
+    oracle="""
+    WITH expl AS (
+      SELECT t.vec_id, e.vec_id AS eval_id,
+             CAST(unnest(t.embedding) AS DOUBLE) AS te,
+             CAST(unnest(e.embedding) AS DOUBLE) AS ee
+      FROM embeddings t JOIN embeddings e
+        ON t.vec_id >= 50 AND e.vec_id < 50
+    ),
+    scored AS (
+      SELECT vec_id, eval_id,
+             round(sum(te * ee)
+                   / (sqrt(sum(te * te)) * sqrt(sum(ee * ee))), 6) AS cs
+      FROM expl GROUP BY 1, 2
+    )
+    SELECT vec_id, eval_id AS best_eval_id, cs AS max_cos FROM (
+      SELECT vec_id, eval_id, cs,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cs DESC, eval_id) AS rn
+      FROM scored
+    ) WHERE rn = 1 AND cs >= 0.35
+    """,
+)
+def q160_semantic_decontaminate(spark, sf_dir):
+    """SEMANTIC decontamination: flag every training vector whose
+    embedding cosine against ANY held-out eval vector (vec_id < 50
+    stands in for the benchmark suite, the q69 convention) reaches
+    0.35 — the paraphrase-level leak that q69's lexical 5-gram
+    filter cannot see (a reworded eval question shares no shingles
+    but sits next to its source in embedding space; 0.35 is ~p99.9
+    of the cross-pair cosine distribution on the synthetic corpus,
+    so the gate exercises real rows at every shipped scale).
+    Returns (vec_id, best_eval_id, max_cos) for flagged vectors —
+    the anti-join list a pipeline removes before training.
+
+    Scale shape: the eval side is BROADCAST (eval suites are
+    thousands of rows; the corpus is the big side and is scanned
+    ONCE, never shuffled on embeddings); per-row scoring is a
+    JVM-side fold over the zipped arrays. The only exchange is the
+    per-train-vector argmax window — corpus-keyed, map-side bounded
+    by |eval| rows per key. At 100 TB the same plan holds; if the
+    eval suite outgrows broadcast, the LSH/IVF bucketed path (q72/
+    q94) replaces the exact crossJoin, same report shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") >= 50).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("__t"),
+    )
+    ev = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("eval_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("__e"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__t", "__e", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+    )
+    scored = (
+        train.crossJoin(F.broadcast(ev))
+        .select(
+            "vec_id",
+            "eval_id",
+            F.round(dot / (F.sqrt(sq("__t")) * F.sqrt(sq("__e"))), 6).alias(
+                "cs"
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "eval_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("cs") >= 0.35))
+        .select(
+            "vec_id",
+            F.col("eval_id").alias("best_eval_id"),
+            F.col("cs").alias("max_cos"),
+        )
+    )

@@ -137,3 +137,59 @@ def test_hier_ivf_recall(emb):
     brute_pairs = {(r["query_id"], r["neighbor_id"]) for r in brute}
     recall = len(ann_pairs & brute_pairs) / len(brute_pairs)
     assert recall >= 0.6
+
+
+def test_semantic_decontaminate_plants_and_plan(spark, sf_dir):
+    """q160: (a) a training vector planted as a near-copy of an eval
+    vector must be flagged with that eval id; (b) the plan broadcasts
+    the eval side and scans the embeddings parquet at most twice
+    (train + eval legs), with the only hash exchange being the
+    per-train argmax window."""
+    import re
+
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    # (a) planted near-copy on a synthetic frame via the same logic:
+    # reuse the registered query by pointing it at a temp dir is
+    # heavier than testing the math directly — plant through the
+    # fixture-backed query instead: vec 60's flag must reflect the
+    # true argmax computed in numpy
+    import numpy as np
+
+    from citybikedatawarehouse_spark.sources.readers import load_table
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    got = {
+        r["vec_id"]: (r["best_eval_id"], r["max_cos"])
+        for r in QUERIES["q160_semantic_decontaminate"](
+            spark, sf_dir
+        ).collect()
+    }
+    evs = {i: v for i, v in emb.items() if i < 50}
+    flagged_expect = {}
+    for i, v in emb.items():
+        if i < 50:
+            continue
+        sims = {
+            j: round(
+                float(v @ e / (np.linalg.norm(v) * np.linalg.norm(e))), 6
+            )
+            for j, e in evs.items()
+        }
+        best = min(sorted(sims, key=lambda j: (-sims[j], j))[:1])
+        if sims[best] >= 0.35:
+            flagged_expect[i] = (best, sims[best])
+    assert set(got) == set(flagged_expect)
+    for i, (j, cs) in flagged_expect.items():
+        assert got[i][0] == j
+        assert abs(got[i][1] - cs) < 2e-6
+    # (b) plan shape
+    df = QUERIES["q160_semantic_decontaminate"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("Scan parquet") <= 2, plan
+    hash_ex = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert all(c == "vec_id" for c in hash_ex), plan
