@@ -525,3 +525,62 @@ def q155_multisignal_dedup_audit(spark, sf_dir):
         .alias("signal")
     )
     return cls.groupBy("signal").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register(
+    "q161_cluster_safe_split",
+    oracle=(_JACCARD_08_PAIRS_SQL + """,
+    edges AS (
+      SELECT id_1 AS a, id_2 AS b FROM pairs
+      UNION SELECT id_2, id_1 FROM pairs
+    ),
+    reach AS (  -- recursive transitive closure (tiny: dup clusters only)
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    clusters AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN tick < 90 THEN 'train'
+                WHEN tick < 95 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, cluster_id,
+             ('0x' || substr(md5('csplit:' || cluster_id), 1, 8))::BIGINT
+               % 100 AS tick
+      FROM clusters
+    )
+    """).replace("WITH sh AS", "WITH RECURSIVE sh AS", 1),
+)
+def q161_cluster_safe_split(spark, sf_dir):
+    """LEAKAGE-SAFE train/valid/test split: the 90/5/5 md5 rule of
+    q84, keyed on the DUP-CLUSTER canonical id instead of the doc id
+    — every document inherits its near-dup cluster's split, so two
+    near-duplicates can never straddle a split boundary (the failure
+    q89's leakage AUDIT detects after the fact, prevented by
+    construction). The q64 component chain supplies the clusters;
+    singleton docs are their own cluster and split exactly as q84
+    would.
+
+    Scale shape: q64's cost profile (LSH + pointer-jumping over the
+    dup graph, corpus joined once) plus a pure per-row md5 map — the
+    split assignment itself adds ZERO shuffles."""
+    from citybikedatawarehouse_spark.operators.dedup_ops import (
+        dedup_clusters,
+        minhash_lsh_dedup,
+    )
+    from citybikedatawarehouse_spark.plans.curation import _md5_tick
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(d, threshold=0.8, verify="exact")
+    clusters = dedup_clusters(d.select("doc_id"), pairs)
+    tick = _md5_tick("csplit:", "cluster_id", 100)
+    split = (
+        F.when(tick < 90, "train").when(tick < 95, "valid").otherwise("test")
+    )
+    return clusters.select("doc_id", "cluster_id", split.alias("split"))

@@ -339,3 +339,34 @@ def test_cross_source_overlap_planted(spark, tmp_path):
     }
     con.close()
     assert got == want
+
+
+def test_cluster_safe_split_no_leakage(spark, sf_dir):
+    """q161's whole point, asserted: (a) every member of a dup
+    cluster carries the same split; (b) no >=0.8-Jaccard near-dup
+    pair straddles a split boundary; (c) the split is the 90/5/5
+    md5 rule on the cluster canonical (replayed in Python)."""
+    import hashlib
+
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["q161_cluster_safe_split"](spark, sf_dir).collect()
+    split_of = {r["doc_id"]: r["split"] for r in rows}
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    pairs = QUERIES["q62_minhash_lsh"](spark, sf_dir).collect()
+    assert all(split_of[p["id_1"]] == split_of[p["id_2"]] for p in pairs)
+    for r in rows:
+        tick = (
+            int(
+                hashlib.md5(
+                    f"csplit:{r['cluster_id']}".encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            % 100
+        )
+        want = "train" if tick < 90 else ("valid" if tick < 95 else "test")
+        assert r["split"] == want
