@@ -1105,3 +1105,83 @@ def q151_length_drift_psi(spark, sf_dir):
         ),
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
     )
+
+
+@register(
+    "q162_temperature_mixture",
+    oracle="""
+    WITH cnt AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS iw
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(iw) AS s FROM cnt),
+    quota AS (
+      SELECT source, n_docs,
+             CAST((200 * iw) // (SELECT s FROM tot) AS BIGINT) AS quota
+      FROM cnt
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('tmix:' || doc_id), doc_id
+             ) AS BIGINT) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, r.rn AS rank_in_source, q.quota
+    FROM ranked r JOIN quota q USING (source)
+    WHERE r.rn <= q.quota
+    """,
+)
+def q162_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (the T5/Pile data-mixing
+    rule): per-source sampling weight proportional to n^alpha with
+    alpha = 0.5, so small sources are UP-weighted relative to their
+    raw share and giant crawls stop drowning everything — the
+    statistics-driven sibling of q97's fixed-ratio mixture. A 200-doc
+    budget is allocated as integer quotas and filled per source by
+    deterministic md5 rank.
+
+    Cross-engine determinism: sqrt is IEEE-correctly-rounded in both
+    engines, but a SUM of doubles is order-dependent — so weights
+    are quantized to integers FIRST (floor(sqrt(n)*1e6)) and the
+    normalizing total and quotas are pure bigint arithmetic
+    (the 'integer cents' rule from the catalog conventions).
+
+    Scale shape: one count aggregate (map-side combined), a 1-row
+    total broadcast, per-source rank windows bounded by source
+    cardinality, and a broadcast join of the source-sized quota
+    relation. The corpus shuffles once (the rank window)."""
+    d = _t(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.floor(F.sqrt(F.count(F.lit(1))) * 1_000_000)
+        .cast("bigint")
+        .alias("iw"),
+    )
+    tot = cnt.agg(F.sum("iw").alias("s"))
+    quota = (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            ((F.lit(200) * F.col("iw")) / F.col("s"))
+            .cast("bigint")  # bigint floor-div: both sides integer
+            .alias("quota"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("tmix:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("bigint").alias("rank_in_source"),
+    )
+    return (
+        ranked.join(F.broadcast(quota.drop("n_docs")), "source")
+        .filter(F.col("rank_in_source") <= F.col("quota"))
+        .select("doc_id", "source", "rank_in_source", "quota")
+    )

@@ -253,3 +253,53 @@ def test_unigram_logprob_positive_and_covers_corpus(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     assert q.count() == docs.count()
     assert q.filter(F.col("avg_neg_logprob") <= 0).count() == 0
+
+
+def test_temperature_mixture_upweights_small_sources(spark, tmp_path):
+    """q162 on a SKEWED synthetic corpus (the shipped fixture is
+    uniform across sources, which hides the temperature effect):
+    alpha=0.5 must give the small source a larger-than-proportional
+    share, quotas must match the integer-arithmetic Python replay,
+    and the selection must be the md5 rank prefix."""
+    import hashlib
+    import math
+
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    rows = []
+    did = 0
+    for src, n in (("big", 900), ("mid", 90), ("small", 10)):
+        for _ in range(n):
+            rows.append((did, f"text {did}", "en", src, 10))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = QUERIES["q162_temperature_mixture"](spark, str(tmp_path)).collect()
+    # python replay of the integer quota rule
+    iw = {s: math.floor(math.sqrt(n) * 1_000_000) for s, n in
+          (("big", 900), ("mid", 90), ("small", 10))}
+    tot = sum(iw.values())
+    quota = {s: (200 * w) // tot for s, w in iw.items()}
+    got_quota = {}
+    for r in got:
+        got_quota[r["source"]] = r["quota"]
+    assert got_quota == quota
+    # temperature effect: small's share of the sample exceeds its
+    # corpus share; big's is below
+    n_by = {s: sum(1 for r in got if r["source"] == s) for s in iw}
+    # a quota larger than the source (small: 14 > 10) fills to n_docs
+    # — sampling is without replacement, so the cap is the source size
+    assert n_by == {s: min(q, dict(big=900, mid=90, small=10)[s])
+                    for s, q in quota.items()}
+    assert quota["small"] / 200 > 10 / 1000
+    assert quota["big"] / 200 < 900 / 1000
+    # md5-rank prefix selection per source
+    for src, n0, n in (("big", 0, 900), ("mid", 900, 90), ("small", 990, 10)):
+        ids = list(range(n0, n0 + n))
+        order = sorted(
+            ids, key=lambda i: (hashlib.md5(f"tmix:{i}".encode()).hexdigest(), i)
+        )
+        want = set(order[: min(quota[src], n)])
+        assert {r["doc_id"] for r in got if r["source"] == src} == want
