@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from citybikedatawarehouse_spark.plans.catalog import register
 from citybikedatawarehouse_spark.sources.readers import load_table as _t
@@ -584,3 +585,104 @@ def q161_cluster_safe_split(spark, sf_dir):
         F.when(tick < 90, "train").when(tick < 95, "valid").otherwise("test")
     )
     return clusters.select("doc_id", "cluster_id", split.alias("split"))
+
+
+@register(
+    "q163_cdc_chunk_dedup",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, i, words[i] AS word,
+             CASE WHEN ('0x' || substr(md5(words[i]), 1, 8))::BIGINT % 16 = 0
+                  THEN 1 ELSE 0 END AS cut
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+            FROM documents WHERE trim(text) <> ''),
+           UNNEST(range(1, len(words) + 1)) t(i)
+    ),
+    ch AS (
+      SELECT doc_id, word, i,
+             sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS chunk_no
+      FROM w
+    ),
+    chunks AS (
+      SELECT doc_id, coalesce(chunk_no, 0) AS chunk_no,
+             md5(string_agg(word, ' ' ORDER BY i)) AS chunk_digest,
+             count(*) AS n_words
+      FROM ch GROUP BY 1, 2
+    )
+    SELECT chunk_digest,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           min(doc_id) AS canonical_doc_id,
+           CAST(min(n_words) AS BIGINT) AS n_words
+    FROM chunks
+    GROUP BY chunk_digest
+    HAVING count(DISTINCT doc_id) > 1
+    """,
+)
+def q163_cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined chunking (CDC) dedup: chunk boundaries are cut
+    AFTER any word whose md5 lands in 1/16 of hash space, so
+    boundaries are a pure function of local CONTENT — inserting or
+    deleting words early in a document shifts no distant boundary
+    (the property fixed-size chunking (q112/q124) lacks, and the
+    reason backup systems and SlimPajama-style pipelines chunk this
+    way). Chunks repeated across documents are reported with their
+    spread — the partial-overlap dedup signal exact (q60) and
+    near-dup (q62) document-level passes both miss when two docs
+    share a long passage at different offsets.
+
+    Expected chunk length is the 16-word geometric mean under the
+    1/16 cut rate. Scale shape: one corpus scan; the boundary flag
+    and running chunk number are narrow per-doc window work riding a
+    single doc-keyed exchange; the cross-doc aggregate shuffles
+    32-byte chunk digests only (q60's rule), never chunk text."""
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        d.filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("i", "word"),
+        )
+        .withColumn(
+            "cut",
+            (
+                F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+                % 16
+                == 0
+            ).cast("int"),
+        )
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ch = w.withColumn(
+        "chunk_no", F.coalesce(F.sum("cut").over(win), F.lit(0))
+    )
+    chunks = (
+        ch.groupBy("doc_id", "chunk_no")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(F.struct("i", "word"))
+                    ).getField("word"),
+                    " ",
+                )
+            ).alias("chunk_digest"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )
+    return (
+        chunks.groupBy("chunk_digest")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.min("n_words").cast("bigint").alias("n_words"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

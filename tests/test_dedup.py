@@ -370,3 +370,58 @@ def test_cluster_safe_split_no_leakage(spark, sf_dir):
         )
         want = "train" if tick < 90 else ("valid" if tick < 95 else "test")
         assert r["split"] == want
+
+
+def test_cdc_chunk_dedup_shift_robust(spark, tmp_path):
+    """The property CDC buys over fixed-size chunking: a long shared
+    passage is detected even when it sits at DIFFERENT word offsets
+    in the two documents, because boundaries depend only on local
+    content. Build a passage long enough to contain interior cut
+    words, embed it at offset 0 in doc A and offset 7 in doc B, and
+    assert at least one shared chunk digest spans both docs — then
+    verify against the oracle."""
+    import hashlib
+
+    import duckdb
+
+    from citybikedatawarehouse_spark.plans.catalog import ORACLES, QUERIES
+
+    def is_cut(word: str) -> bool:
+        return int(hashlib.md5(word.encode()).hexdigest()[:8], 16) % 16 == 0
+
+    # find words that cut (1/16 of hash space — scan a small range)
+    cuts = [f"w{i}" for i in range(400) if is_cut(f"w{i}")]
+    plain = [f"w{i}" for i in range(400) if not is_cut(f"w{i}")][:40]
+    assert len(cuts) >= 3
+    # passage: plain run | cut | plain run | cut | plain run — the
+    # middle chunk (between the two cuts) is fully content-defined
+    passage = (
+        plain[0:5] + [cuts[0]] + plain[5:12] + [cuts[1]] + plain[12:17]
+    )
+    prefix_b = [w for w in plain[20:27]]  # 7-word offset, no cuts needed
+    doc_a = " ".join(passage + plain[30:34])
+    doc_b = " ".join(prefix_b + passage + plain[34:38])
+    rows = [
+        (0, doc_a, "en", "srcA", len(doc_a)),
+        (1, doc_b, "en", "srcB", len(doc_b)),
+        (2, " ".join(plain[17:20]), "en", "srcC", 10),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = QUERIES["q163_cdc_chunk_dedup"](spark, str(tmp_path)).collect()
+    shared = [r for r in got if r["n_docs"] == 2]
+    assert shared, "shifted shared passage must yield a shared chunk"
+    # exact chunk set (incl. the passage's interior cut-to-cut span)
+    # is checked digest-for-digest against the oracle
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = sorted(
+        (r[0], r[1], r[2], r[3], r[4])
+        for r in con.sql(ORACLES["q163_cdc_chunk_dedup"]).fetchall()
+    )
+    con.close()
+    assert sorted(tuple(r) for r in got) == want
