@@ -133,6 +133,12 @@ _SWEEP_PRIORITY = [
     "q75_kmeans", "q76_ivf_kmeans_topk",
     "q93_hier_kmeans", "q94_hier_ivf_topk",
     "q95_pq_encode", "q96_pq_adc_topk",
+    # -- NEW in round 6, deliberately LAST: the never-swept round-5
+    # cohort owns the head slots this round (VERDICT r5 item 1);
+    # these six take their driver turn in round 7 --
+    "q159_bpe_encode", "q160_semantic_decontaminate",
+    "q161_cluster_safe_split", "q162_temperature_mixture",
+    "q163_cdc_chunk_dedup", "q164_dsir_resample",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

@@ -1185,3 +1185,116 @@ def q162_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank_in_source") <= F.col("quota"))
         .select("doc_id", "source", "rank_in_source", "quota")
     )
+
+
+@register(
+    "q164_dsir_resample",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, source, words[i] AS word
+      FROM (SELECT doc_id, source,
+                   regexp_split_to_array(trim(text), '\s+') AS words
+            FROM documents),
+           UNNEST(range(1, len(words) + 1)) t(i)
+      WHERE words[i] <> ''
+    ),
+    vocab AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM w),
+    tgt AS (
+      SELECT word, count(*) AS cnt FROM w WHERE source = 'src0'
+      GROUP BY word
+    ),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM w WHERE source = 'src0'),
+    crp AS (
+      SELECT word, count(*) AS cnt FROM w WHERE source <> 'src0'
+      GROUP BY word
+    ),
+    ct AS (SELECT CAST(count(*) AS BIGINT) AS t FROM w WHERE source <> 'src0'),
+    scored AS (
+      SELECT w.doc_id, w.source,
+             count(*) AS n_words,
+             round(avg(
+               ln((coalesce(tgt.cnt, 0) + 1) * 1.0 / (tt.t + vocab.v))
+               - ln((coalesce(crp.cnt, 0) + 1) * 1.0 / (ct.t + vocab.v))
+             ), 6) AS avg_logratio
+      FROM w
+      LEFT JOIN tgt USING (word)
+      LEFT JOIN crp USING (word)
+      CROSS JOIN tt CROSS JOIN ct CROSS JOIN vocab
+      WHERE w.source <> 'src0'
+      GROUP BY w.doc_id, w.source
+    )
+    SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words,
+           avg_logratio, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY avg_logratio DESC, doc_id
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 100
+    """,
+)
+def q164_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Data Selection via
+    Importance Resampling, Xie et al. 2023, simplified to unigrams):
+    score every candidate document by the average log-ratio of
+    target-domain vs general-corpus unigram probability (add-1
+    smoothed over the joint vocabulary) and keep the top-100 — the
+    principled replacement for hand-tuned quality filters when a
+    trusted target sample exists. 'src0' documents stand in for the
+    target domain; everything else is the candidate pool.
+
+    Determinism: scores are rounded to 6 decimals BEFORE ranking and
+    tie-broken by doc_id, so engine-level float-order drift cannot
+    reorder the cut.
+
+    Scale shape: one corpus explode; both LM tables are
+    Zipf-bounded word-keyed aggregates (map-side combined) that
+    broadcast back onto the exploded words; totals and vocabulary
+    size are 1-row broadcasts; the only corpus-scale exchanges are
+    the per-doc aggregate and the global top-100
+    (TakeOrderedAndProject, never a full sort)."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", "source", F.explode(words("text")).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = w.agg(F.count_distinct("word").alias("v"))
+    is_t = F.col("source") == "src0"
+    tgt = w.filter(is_t).groupBy("word").agg(F.count(F.lit(1)).alias("tcnt"))
+    tt = w.filter(is_t).agg(F.count(F.lit(1)).alias("tt"))
+    crp = (
+        w.filter(~is_t).groupBy("word").agg(F.count(F.lit(1)).alias("ccnt"))
+    )
+    ct = w.filter(~is_t).agg(F.count(F.lit(1)).alias("ct"))
+    scored = (
+        w.filter(~is_t)
+        .join(tgt, "word", "left")
+        .join(crp, "word", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.coalesce("tcnt", F.lit(0)) + 1)
+                        * 1.0
+                        / (F.col("tt") + F.col("v"))
+                    )
+                    - F.log(
+                        (F.coalesce("ccnt", F.lit(0)) + 1)
+                        * 1.0
+                        / (F.col("ct") + F.col("v"))
+                    )
+                ),
+                6,
+            ).alias("avg_logratio"),
+        )
+    )
+    # TakeOrderedAndProject first (never a global sort / unpartitioned
+    # corpus-scale window), then rank the surviving 100 rows — the
+    # post-limit window touches 100 rows, not the candidate pool
+    top = scored.orderBy(F.col("avg_logratio").desc(), "doc_id").limit(100)
+    win = Window.orderBy(F.col("avg_logratio").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(win).cast("int"))

@@ -303,3 +303,42 @@ def test_temperature_mixture_upweights_small_sources(spark, tmp_path):
         )
         want = set(order[: min(quota[src], n)])
         assert {r["doc_id"] for r in got if r["source"] == src} == want
+
+
+def test_dsir_resample_prefers_target_like_docs(spark, tmp_path):
+    """q164 on a planted corpus: candidate docs written in the
+    target domain's vocabulary must outrank candidates written in an
+    unrelated vocabulary — the whole point of importance
+    resampling."""
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    rows = []
+    did = 0
+    tgt_words = [f"t{i}" for i in range(30)]
+    other_words = [f"o{i}" for i in range(30)]
+    # target sample (src0): pure target vocabulary
+    for _ in range(20):
+        rows.append((did, " ".join(tgt_words[did % 10:(did % 10) + 12]),
+                     "en", "src0", 50)); did += 1
+    # candidates: 10 target-like, 10 unrelated
+    target_like, unrelated = [], []
+    for k in range(10):
+        rows.append((did, " ".join(tgt_words[k:k + 12]), "en", "srcA", 50))
+        target_like.append(did); did += 1
+    for k in range(10):
+        rows.append((did, " ".join(other_words[k:k + 12]), "en", "srcB", 50))
+        unrelated.append(did); did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = QUERIES["q164_dsir_resample"](spark, str(tmp_path)).collect()
+    rank_of = {r["doc_id"]: r["rank"] for r in got}
+    # every target-like candidate ranks above every unrelated one
+    assert max(rank_of[i] for i in target_like) < min(
+        rank_of[i] for i in unrelated
+    )
+    # scores of target-like docs are positive (more likely under the
+    # target LM), unrelated negative
+    score_of = {r["doc_id"]: r["avg_logratio"] for r in got}
+    assert all(score_of[i] > 0 for i in target_like)
+    assert all(score_of[i] < 0 for i in unrelated)
