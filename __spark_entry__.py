@@ -135,10 +135,11 @@ _SWEEP_PRIORITY = [
     "q95_pq_encode", "q96_pq_adc_topk",
     # -- NEW in round 6, deliberately LAST: the never-swept round-5
     # cohort owns the head slots this round (VERDICT r5 item 1);
-    # these six take their driver turn in round 7 --
+    # these take their driver turn in round 7 --
     "q159_bpe_encode", "q160_semantic_decontaminate",
     "q161_cluster_safe_split", "q162_temperature_mixture",
     "q163_cdc_chunk_dedup", "q164_dsir_resample",
+    "q165_ivfpq_topk",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

@@ -641,3 +641,119 @@ def pq_adc_topk(
     return approx.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_iter_ivf: int = 2,
+    m: int = 4,
+    k_codes: int = 8,
+    n_iter_pq: int = 1,
+    dim: int = 64,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the composed FAISS-style index: a Lloyd-trained
+    coarse quantizer restricts each query to its ``n_probe`` nearest
+    cells (q76's probe), and candidates inside those cells are scored
+    by PQ asymmetric distance over their stored codes (q96's ADC) —
+    query-time work is O(n_probe/n_cells · corpus) table LOOKUPS,
+    touching neither raw corpus vectors nor unprobed cells. This is
+    the index layout a 100 TB embedding store runs: the coarse cell
+    is the at-rest partition key (probe = partition pruning), the
+    code table is the 64×-compressed hot set, raw vectors page in
+    only for a final exact re-rank when recall demands it.
+
+    Returns (query_id, neighbor_id, approx_dist, rank) — rank by
+    ascending ADC distance, deterministic neighbor_id tie-break.
+    """
+    from pyspark.sql import Window
+
+    # coarse quantizer + corpus assignment (the q76 fit)
+    cents = kmeans_init(corpus, n_cells, id_col, vec_col)
+    for _ in range(n_iter_ivf):
+        cents = kmeans_update(
+            kmeans_assign(corpus, cents, id_col, vec_col), vec_col
+        )
+    cents = cents.localCheckpoint(eager=False)  # k rows, two consumers
+    assigned = kmeans_assign(corpus, cents, id_col, vec_col).select(
+        id_col, "cluster_id"
+    )
+
+    sq = F.aggregate(
+        F.zip_with(
+            _as_double(vec_col),
+            F.col("centroid"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__sq").asc(), F.col("cluster_id").asc()
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col).alias("query_id"),
+            "cluster_id",
+            F.round(sq, 6).alias("__sq"),
+        )
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "cluster_id")
+    )
+
+    # PQ model + per-query distance tables (the q96 ADC side)
+    sub = dim // m
+    codes, books = pq_fit(corpus, m, k_codes, n_iter_pq, dim, id_col, vec_col)
+    qd_dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                _as_double(
+                    F.slice(
+                        F.col(vec_col), F.col("subspace") * sub + 1, sub
+                    )
+                ),
+                F.col("centroid"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    qd = (
+        queries.select(F.col(id_col).alias("query_id"), vec_col)
+        .crossJoin(F.broadcast(books))
+        .select("query_id", "subspace", "cell", qd_dist.alias("__d"))
+    )
+
+    # candidates: codes of vectors in the query's probed cells only
+    cc = (
+        codes.join(assigned, id_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            "cluster_id",
+            F.posexplode(
+                F.array(*[f"code_{s}" for s in range(m)])
+            ).alias("subspace", "cell"),
+        )
+        .join(F.broadcast(probes), "cluster_id")
+    )
+    approx = (
+        cc.join(F.broadcast(qd), ["query_id", "subspace", "cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("__d"), 6).alias("approx_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return approx.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

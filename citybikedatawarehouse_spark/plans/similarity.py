@@ -1466,3 +1466,99 @@ def q160_semantic_decontaminate(spark, sf_dir):
             F.col("cs").alias("max_cos"),
         )
     )
+
+
+def _ivfpq_oracle_sql(
+    n_cells: int = 8,
+    n_iter_ivf: int = 2,
+    m: int = 4,
+    k_codes: int = 8,
+    n_iter_pq: int = 1,
+    dim: int = 64,
+    n_probe: int = 2,
+    topk: int = 5,
+) -> str:
+    """q165 replay: the shared Lloyd chain trains the coarse
+    quantizer (c0..afinal), the probe CTE picks each query's cells,
+    the per-subspace PQ chains train the codebooks, and ADC distance
+    is summed ONLY for candidates in probed cells."""
+    sub = dim // m
+    ctes = _kmeans_ctes(n_cells, n_iter_ivf, dim)
+    ctes.append(f"""
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT query_id, cell,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sq, cell) AS rn
+        FROM (
+          SELECT e.vec_id AS query_id, c.cell, {_KM_SQ} AS sq
+          FROM embeddings e CROSS JOIN c{n_iter_ivf} c,
+               range(1, {dim} + 1) t(i)
+          WHERE e.vec_id < 10
+          GROUP BY e.vec_id, c.cell
+        )
+      ) WHERE rn <= {n_probe}
+    )""")
+    for s in range(m):
+        ctes.extend(_pq_ctes(s, s * sub, sub, k_codes, n_iter_pq))
+    books = " UNION ALL ".join(
+        f"SELECT {s} AS subspace, cell, cvec FROM s{s}c{n_iter_pq}"
+        for s in range(m)
+    )
+    qcodes = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS subspace, cell FROM s{s}afinal"
+        for s in range(m)
+    )
+    ctes.append(f"""
+    books AS ({books})""")
+    ctes.append(f"""
+    qcodes AS ({qcodes})""")
+    ctes.append(f"""
+    qd AS (
+      SELECT q.vec_id AS query_id, b.subspace, b.cell,
+             round(sum((CAST(q.embedding[t.i + b.subspace * {sub}] AS DOUBLE) - b.cvec[t.i])
+                       * (CAST(q.embedding[t.i + b.subspace * {sub}] AS DOUBLE) - b.cvec[t.i])), 6) AS d
+      FROM embeddings q CROSS JOIN books b,
+           range(1, {sub} + 1) t(i)
+      WHERE q.vec_id < 10
+      GROUP BY 1, 2, 3
+    )""")
+    ctes.append("""
+    approx AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             round(sum(qd.d), 6) AS approx_dist
+      FROM qcodes c
+      JOIN afinal a ON a.vec_id = c.vec_id
+      JOIN probes p ON p.cell = a.cell
+      JOIN qd ON qd.query_id = p.query_id
+             AND qd.subspace = c.subspace AND qd.cell = c.cell
+      WHERE c.vec_id <> p.query_id
+      GROUP BY 1, 2
+    )""")
+    return (
+        "WITH" + ",".join(ctes) + f"""
+    SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT query_id, neighbor_id, approx_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_dist, neighbor_id) AS rank
+      FROM approx
+    ) WHERE rank <= {topk}
+    """
+    )
+
+
+@register("q165_ivfpq_topk", oracle=_ivfpq_oracle_sql())
+def q165_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN top-5 — the COMPOSED index (q76's trained coarse
+    probe × q96's ADC code scoring), i.e. the standard FAISS IVFPQ
+    layout: probe 2 of 8 Lloyd cells, score only those cells'
+    vectors by summed code-table lookups. Query-time work is
+    O(n_probe/n_cells) of the corpus in table lookups with no raw
+    vector access; at rest the cell is the partition key (probe =
+    partition pruning) and the code table is the hot set. The oracle
+    replays coarse training, probing, all four subspace codebook
+    trainings, encoding, and the restricted ADC sum end-to-end."""
+    from citybikedatawarehouse_spark.operators.clustering import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)

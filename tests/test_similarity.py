@@ -193,3 +193,47 @@ def test_semantic_decontaminate_plants_and_plan(spark, sf_dir):
     assert plan.count("Scan parquet") <= 2, plan
     hash_ex = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert all(c == "vec_id" for c in hash_ex), plan
+
+
+def test_ivfpq_candidates_respect_probes(spark, sf_dir):
+    """q165 structural invariants: exactly <=5 ranked rows per query,
+    every reported neighbor lives in one of the query's 2 probed
+    cells, and a rerun is bit-identical (deterministic fit)."""
+    from citybikedatawarehouse_spark.operators.clustering import (
+        ivf_pq_topk,
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+    from citybikedatawarehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = QUERIES["q165_ivfpq_topk"](spark, sf_dir).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) <= 5 for v in per_q.values())
+    for v in per_q.values():
+        assert [r["rank"] for r in sorted(v, key=lambda r: r["rank"])] == list(
+            range(1, len(v) + 1)
+        )
+    # replicate the coarse fit and check cell membership of neighbors
+    assigned, cents = kmeans_fit(emb, k=8, n_iter=2)
+    cell_of = {r["vec_id"]: r["cluster_id"] for r in assigned.collect()}
+    import numpy as np
+
+    C = {r["cluster_id"]: np.array(r["centroid"]) for r in cents.collect()}
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.filter(F.col("vec_id") < 10).collect()
+    }
+    for qid, rows in per_q.items():
+        d = {
+            c: round(float(((vecs[qid] - v) ** 2).sum()), 6)
+            for c, v in C.items()
+        }
+        probed = set(sorted(d, key=lambda c: (d[c], c))[:2])
+        for r in rows:
+            assert cell_of[r["neighbor_id"]] in probed
+    again = QUERIES["q165_ivfpq_topk"](spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
