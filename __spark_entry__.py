@@ -139,7 +139,7 @@ _SWEEP_PRIORITY = [
     "q159_bpe_encode", "q160_semantic_decontaminate",
     "q161_cluster_safe_split", "q162_temperature_mixture",
     "q163_cdc_chunk_dedup", "q164_dsir_resample",
-    "q165_ivfpq_topk",
+    "q165_ivfpq_topk", "q166_lexical_diversity",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

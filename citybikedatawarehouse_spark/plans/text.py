@@ -1304,3 +1304,100 @@ def q158_bigram_logprob(spark, sf_dir):
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.sum(logp) / F.count(F.lit(1)), 6).alias("avg_logprob"),
     )
+
+
+@register(
+    "q166_lexical_diversity",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, source, words[i] AS word, i
+      FROM (SELECT doc_id, source,
+                   regexp_split_to_array(trim(text), '\s+') AS words
+            FROM documents WHERE trim(text) <> ''),
+           UNNEST(range(1, len(words) + 1)) t(i)
+    ),
+    tri AS (
+      SELECT source, word || ' ' || lead(word) OVER w2
+             || ' ' || lead(word, 2) OVER w2 AS gram
+      FROM w
+      WINDOW w2 AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    tstat AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_trigrams,
+             CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct_trigrams,
+             CAST(max(cnt) AS BIGINT) AS top_gram_n
+      FROM (SELECT source, gram, count(*) OVER (PARTITION BY source, gram)
+                   AS cnt
+            FROM tri WHERE gram IS NOT NULL)
+      GROUP BY source
+    ),
+    wstat AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT word) AS BIGINT) AS n_types
+      FROM w GROUP BY source
+    )
+    SELECT source,
+           n_tokens, n_types,
+           round(n_types * 1.0 / n_tokens, 6) AS type_token_ratio,
+           round(n_distinct_trigrams * 1.0 / n_trigrams, 6)
+             AS trigram_diversity,
+           round(top_gram_n * 1.0 / n_trigrams, 6) AS top_gram_share
+    FROM wstat JOIN tstat USING (source)
+    """,
+)
+def q166_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity audit: type-token ratio, distinct-
+    trigram ratio, and the hottest trigram's share — the corpus-level
+    repetition fingerprint that catches template farms and boilerplate
+    feeds BEFORE per-document gates (a source can pass every per-doc
+    filter (q85) while being 500 near-identical templates; only the
+    source-level distinct ratios see that).
+
+    Scale shape: one corpus explode; trigrams via per-doc lead windows
+    riding a single doc-keyed exchange; all three ratios come from
+    source-keyed aggregates (map-side combined for counts; the
+    distinct counts shuffle (source, gram) pairs — Zipf-bounded far
+    below corpus size)."""
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        d.filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("i", "word"),
+        )
+    )
+    w2 = Window.partitionBy("doc_id").orderBy("i")
+    tri = w.select(
+        "source",
+        F.concat_ws(
+            " ", "word", F.lead("word").over(w2), F.lead("word", 2).over(w2)
+        ).alias("gram"),
+        F.lead("word", 2).over(w2).alias("__ok"),
+    ).filter(F.col("__ok").isNotNull())
+    gcnt = tri.groupBy("source", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    tstat = gcnt.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_trigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_trigrams"),
+        F.max("cnt").cast("bigint").alias("top_gram_n"),
+    )
+    wstat = w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.count_distinct("word").cast("bigint").alias("n_types"),
+    )
+    return wstat.join(tstat, "source").select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types") * 1.0 / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(
+            F.col("n_distinct_trigrams") * 1.0 / F.col("n_trigrams"), 6
+        ).alias("trigram_diversity"),
+        F.round(F.col("top_gram_n") * 1.0 / F.col("n_trigrams"), 6).alias(
+            "top_gram_share"
+        ),
+    )

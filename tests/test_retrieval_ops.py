@@ -276,3 +276,37 @@ def test_bigram_logprob_model(spark, sf_dir):
         n, g = got[doc_id]
         assert n == len(pairs)
         assert abs(g - round(lp, 6)) < 1e-6
+
+
+def test_lexical_diversity_flags_template_farm(spark, tmp_path):
+    """q166's point: a source of 50 near-identical template docs must
+    show drastically lower trigram diversity and higher top-gram
+    share than a source of 50 distinct docs of the same size."""
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    rows = []
+    did = 0
+    for k in range(50):  # template farm: same 10 words, one slot varies
+        rows.append(
+            (did, f"the quick brown fox jumps over the lazy dog v{k}",
+             "en", "farm", 50)
+        )
+        did += 1
+    for k in range(50):  # diverse source
+        ws = " ".join(f"u{k}w{j}" for j in range(10))
+        rows.append((did, ws, "en", "varied", 50))
+        did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["source"]: r
+        for r in QUERIES["q166_lexical_diversity"](spark, str(tmp_path)).collect()
+    }
+    # farm: 7 shared trigrams + 1 unique (the varying slot) per doc
+    # over 400 total = 0.1425
+    assert got["farm"]["trigram_diversity"] < 0.2
+    assert got["varied"]["trigram_diversity"] == 1.0
+    assert got["farm"]["top_gram_share"] > 0.1
+    assert got["varied"]["top_gram_share"] < 0.01
+    assert got["farm"]["type_token_ratio"] < got["varied"]["type_token_ratio"]
