@@ -255,13 +255,17 @@ _KM_SQ = (
 )
 
 
-def _kmeans_ctes(k: int, n_iter: int, dim: int) -> list[str]:
+def _kmeans_ctes(
+    k: int, n_iter: int, dim: int, table: str = "embeddings"
+) -> list[str]:
     """CTE chain replaying the deterministic fixed-iteration Lloyd's
     fit (operators/clustering.py): same init (first k vectors in
     md5(id) order — deterministic pseudo-random, see kmeans_init),
     same round-6 distances/means, same low-cluster tie-break — one
     assign/update pair per iteration (c0 -> a0 -> c1 -> ... ->
-    afinal). Shared by the q75 and q76 oracles."""
+    afinal). Shared by the q75 and q76 oracles. ``table`` lets a
+    caller train on a CTE-defined SLICE (q167's frozen historical
+    fit); the default renders byte-identical SQL to the original."""
 
     def assign(name: str, cents: str) -> str:
         return f"""
@@ -272,7 +276,7 @@ def _kmeans_ctes(k: int, n_iter: int, dim: int) -> list[str]:
                                   ORDER BY sq, cell) AS rn
         FROM (
           SELECT e.vec_id, c.cell, {_KM_SQ} AS sq
-          FROM embeddings e CROSS JOIN {cents} c,
+          FROM {table} e CROSS JOIN {cents} c,
                range(1, {dim} + 1) t(i)
           GROUP BY e.vec_id, c.cell
         )
@@ -285,7 +289,7 @@ def _kmeans_ctes(k: int, n_iter: int, dim: int) -> list[str]:
       SELECT cell, list(m ORDER BY i) AS cvec FROM (
         SELECT a.cell, t.i,
                round(avg(CAST(e.embedding[t.i] AS DOUBLE)), 6) AS m
-        FROM {assigned} a JOIN embeddings e USING (vec_id),
+        FROM {assigned} a JOIN {table} e USING (vec_id),
              range(1, {dim} + 1) t(i)
         GROUP BY a.cell, t.i
       ) GROUP BY cell
@@ -298,7 +302,7 @@ def _kmeans_ctes(k: int, n_iter: int, dim: int) -> list[str]:
                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
              list_transform(embedding,
                             x -> round(CAST(x AS DOUBLE), 6)) AS cvec
-      FROM (SELECT * FROM embeddings
+      FROM (SELECT * FROM {table}
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})
     )"""
     ]
@@ -1562,3 +1566,82 @@ def q165_ivfpq_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _index_drift_oracle_sql(
+    k: int = 8, n_iter: int = 2, dim: int = 64
+) -> str:
+    """q167 replay: the shared Lloyd chain trains on the CTE-shadowed
+    historical slice (even vec_ids), then the FULL corpus assigns
+    against the frozen c{n_iter} centroids and per-cell occupancy /
+    quantization-error stats split by slice."""
+    ctes = ['''
+    hist AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0)''']
+    ctes.extend(_kmeans_ctes(k, n_iter, dim, table="hist"))
+    ctes.append(f"""
+    allassign AS (
+      SELECT vec_id, cell, sq FROM (
+        SELECT vec_id, cell, sq,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sq, cell) AS rn
+        FROM (
+          SELECT e.vec_id, c.cell, {_KM_SQ} AS sq
+          FROM embeddings e CROSS JOIN c{n_iter} c,
+               range(1, {dim} + 1) t(i)
+          GROUP BY e.vec_id, c.cell
+        )
+      ) WHERE rn = 1
+    )""")
+    return (
+        "WITH" + ",".join(ctes) + """
+    SELECT CAST(cell AS INTEGER) AS cell,
+           CAST(count(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS n_hist,
+           CAST(count(*) FILTER (WHERE vec_id % 2 = 1) AS BIGINT) AS n_new,
+           round(avg(sq) FILTER (WHERE vec_id % 2 = 0), 6) AS mean_sq_hist,
+           round(avg(sq) FILTER (WHERE vec_id % 2 = 1), 6) AS mean_sq_new,
+           round(avg(sq) FILTER (WHERE vec_id % 2 = 1)
+                 / avg(sq) FILTER (WHERE vec_id % 2 = 0), 6) AS drift_ratio
+    FROM allassign GROUP BY cell
+    """
+    )
+
+
+@register("q167_index_drift", oracle=_index_drift_oracle_sql())
+def q167_index_drift(spark, sf_dir):
+    """ANN index-staleness audit: train the coarse quantizer on a
+    FROZEN historical slice (even vec_ids stand in for "the corpus
+    at index-build time"), assign everything — old and new — against
+    those frozen centroids, and report per-cell occupancy and mean
+    quantization error split by slice, plus the drift ratio
+    (new/hist mean sq). This is the refit trigger every production
+    ANN index needs: drift_ratio creeping above ~1 and occupancy
+    skewing toward a few cells mean the quantizer no longer matches
+    the distribution and recall is silently decaying (IVF probes
+    miss shifted mass). Complements q76/q94/q165 (the indices) the
+    way q151's PSI complements the text pipeline.
+
+    Scale shape: the fit is the shuffle-free Lloyd on half the
+    corpus; the audit pass is ONE broadcast-array argmin scan of the
+    full corpus (zero corpus shuffle) and a k-row aggregate. The
+    oracle replays fit, frozen assignment, and both stat columns."""
+    from citybikedatawarehouse_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    hist = emb.filter(F.col("vec_id") % 2 == 0)
+    _, cents = kmeans_fit(hist, k=8, n_iter=2)
+    allassign = kmeans_assign(emb, cents, "vec_id", "embedding")
+    is_hist = F.col("vec_id") % 2 == 0
+    mean_h = F.avg(F.when(is_hist, F.col("sq_dist")))
+    mean_n = F.avg(F.when(~is_hist, F.col("sq_dist")))
+    return allassign.groupBy(
+        F.col("cluster_id").cast("int").alias("cell")
+    ).agg(
+        F.count(F.when(is_hist, 1)).cast("bigint").alias("n_hist"),
+        F.count(F.when(~is_hist, 1)).cast("bigint").alias("n_new"),
+        F.round(mean_h, 6).alias("mean_sq_hist"),
+        F.round(mean_n, 6).alias("mean_sq_new"),
+        F.round(mean_n / mean_h, 6).alias("drift_ratio"),
+    )

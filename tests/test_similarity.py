@@ -237,3 +237,37 @@ def test_ivfpq_candidates_respect_probes(spark, sf_dir):
             assert cell_of[r["neighbor_id"]] in probed
     again = QUERIES["q165_ivfpq_topk"](spark, sf_dir).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_index_drift_detects_distribution_shift(spark, tmp_path):
+    """q167 on a planted shift: 'historical' (even-id) vectors sit in
+    tight clusters; 'new' (odd-id) vectors are the same clusters plus
+    a large offset on half the dims — mean quantization error for the
+    new slice must exceed the historical slice in every occupied
+    cell (drift_ratio > 1), which is exactly the refit signal."""
+    import numpy as np
+
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    rng = np.random.RandomState(7)
+    rows = []
+    centers = rng.randn(4, 64) * 2
+    vid = 0
+    for i in range(200):
+        c = centers[i % 4]
+        v = c + rng.randn(64) * 0.05
+        rows.append((vid, [float(x) for x in v], int(i % 4)))  # even: hist
+        vid += 1
+        v2 = c + rng.randn(64) * 0.05
+        v2[:32] += 3.0  # the shift
+        rows.append((vid, [float(x) for x in v2], int(i % 4)))  # odd: new
+        vid += 1
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = QUERIES["q167_index_drift"](spark, str(tmp_path)).collect()
+    occupied = [r for r in got if r["n_hist"] > 0 and r["n_new"] > 0]
+    assert occupied
+    assert all(r["drift_ratio"] > 1.5 for r in occupied)
+    # conservation: every vector assigned exactly once
+    assert sum(r["n_hist"] + r["n_new"] for r in got) == 400
