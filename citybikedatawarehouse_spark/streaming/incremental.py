@@ -500,3 +500,75 @@ def funnel_epoch_step(
     new_state.write.mode("overwrite").parquet(
         f"{state_dir}/epoch={epoch_id}"
     )
+
+
+CELL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cell", T.IntegerType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("sum_sq", T.DoubleType(), False),
+    ]
+)
+
+
+def assign_batch_against_centroids(
+    batch: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """One ingest step of a FROZEN ANN index (q167's streaming twin):
+    assign the batch's vectors to the trained centroids with the
+    zero-shuffle broadcast-argmin scan and emit per-cell mergeable
+    stats (count, sum of squared quantization error). Counts and
+    sums form a commutative monoid, so per-epoch slices resolve by
+    plain groupBy-sum — the same semilattice trick as the funnel
+    state — and drift monitoring reads sum_sq/n per cell at any
+    time without rescanning history."""
+    from citybikedatawarehouse_spark.operators.clustering import kmeans_assign
+
+    assigned = kmeans_assign(batch, centroids, "vec_id", "embedding")
+    return assigned.groupBy(
+        F.col("cluster_id").cast("int").alias("cell")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("sq_dist").alias("sum_sq"),
+    )
+
+
+def resolve_cell_state(state_df: DataFrame) -> DataFrame:
+    """Collapse per-epoch cell slices: (cell, n, sum_sq, mean_sq)."""
+    return state_df.groupBy("cell").agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_sq").alias("sum_sq"),
+    ).select(
+        "cell", "n", "sum_sq",
+        F.round(F.col("sum_sq") / F.col("n"), 6).alias("mean_sq"),
+    )
+
+
+def start_incremental_assign(
+    vec_stream: DataFrame, centroids: DataFrame, state_dir: str
+):
+    """Streaming ANN ingest against a frozen quantizer: each epoch's
+    per-cell (count, sum_sq) slice lands under ``state_dir/epoch=N``.
+    Same replay-safety contract as the sibling loops — per-epoch
+    overwrites are idempotent, and since the emitted stats are a
+    pure function of the batch alone (the state is never READ by the
+    step), replays cannot corrupt anything. resolve_cell_state reads
+    the drift picture at any time."""
+    cents = centroids.localCheckpoint(eager=True)  # k rows, every epoch
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        assign_epoch_step(batch_df, epoch_id, state_dir, cents)
+
+    return vec_stream.writeStream.foreachBatch(step).start()
+
+
+def assign_epoch_step(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    centroids: DataFrame,
+) -> None:
+    """One assign epoch (module-level; see dedup_epoch_step)."""
+    assign_batch_against_centroids(batch_df, centroids).write.mode(
+        "overwrite"
+    ).parquet(f"{state_dir}/epoch={epoch_id}")

@@ -547,3 +547,53 @@ def test_epoch_replay_is_idempotent_for_all_state_loops(spark, tmp_path):
         ).collect()
     )
     assert again == first_resolved
+
+
+def test_stream_assign_equals_batch_q167_stats(spark, tmp_path):
+    """Streaming ANN ingest against frozen centroids: the resolved
+    per-cell (n, mean_sq) state after N epochs equals the one-shot
+    batch assignment of the concatenated stream, and an epoch replay
+    is idempotent."""
+    from citybikedatawarehouse_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from citybikedatawarehouse_spark.sources.readers import load_table
+    from citybikedatawarehouse_spark.streaming.incremental import (
+        assign_epoch_step,
+        resolve_cell_state,
+        CELL_STATE_SCHEMA,
+        _read_epoch_state,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    hist = emb.filter(F.col("vec_id") % 2 == 0)
+    _, cents = kmeans_fit(hist, k=4, n_iter=2)
+    state = str(tmp_path / "cells")
+    batches = [
+        emb.filter((F.col("vec_id") % 3) == i) for i in range(3)
+    ]
+    for i, b in enumerate(batches):
+        assign_epoch_step(b, i, state, cents)
+    assign_epoch_step(batches[1], 1, state, cents)  # replay epoch 1
+    got = {
+        r["cell"]: (r["n"], r["mean_sq"])
+        for r in resolve_cell_state(
+            _read_epoch_state(spark, state, CELL_STATE_SCHEMA, 99)
+        ).collect()
+    }
+    batch = (
+        kmeans_assign(emb, cents, "vec_id", "embedding")
+        .groupBy(F.col("cluster_id").cast("int").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("sq_dist") / F.count(F.lit(1)), 6).alias("m"),
+        )
+        .collect()
+    )
+    want = {r["cell"]: (r["n"], r["m"]) for r in batch}
+    assert set(got) == set(want)
+    for c in want:
+        assert got[c][0] == want[c][0]
+        assert abs(got[c][1] - want[c][1]) < 1e-9
