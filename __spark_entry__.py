@@ -140,7 +140,7 @@ _SWEEP_PRIORITY = [
     "q161_cluster_safe_split", "q162_temperature_mixture",
     "q163_cdc_chunk_dedup", "q164_dsir_resample",
     "q165_ivfpq_topk", "q166_lexical_diversity",
-    "q167_index_drift",
+    "q167_index_drift", "q168_key_skew_audit",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

