@@ -1839,3 +1839,143 @@ def q168_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("l_partkey"))
         .unionByName(one("l_suppkey"))
     )
+
+
+@register(
+    "q169_entity_match",
+    oracle="""
+    WITH b AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             substr(c_name, 1, length(c_name) - 2) AS blk
+      FROM customer
+    )
+    SELECT a.c_custkey AS custkey_1, c.c_custkey AS custkey_2,
+           a.c_name AS name_1, c.c_name AS name_2,
+           CAST(levenshtein(a.c_name, c.c_name) AS INTEGER)
+             AS edit_distance
+    FROM b a JOIN b c
+      ON a.blk = c.blk AND a.c_nationkey = c.c_nationkey
+     AND a.c_custkey < c.c_custkey
+    WHERE levenshtein(a.c_name, c.c_name) <= 2
+    """,
+)
+def q169_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution with BLOCKING: candidate duplicate-customer
+    pairs whose names are within edit distance 2, restricted to pairs
+    sharing a blocking key (name minus its last two characters,
+    co-nation) — the classic record-linkage shape. Exhaustive
+    pairwise edit distance is O(N²) and dead at any scale; blocking
+    makes cost Σ|block|², and the expensive string metric runs ONLY
+    on block-colliding pairs (the same candidates-then-verify
+    discipline as MinHash-LSH (q62), applied to structured entities).
+    Production systems union several blocking keys (phonetic codes,
+    sorted-token prefixes) the same way; one key suffices to
+    demonstrate the plan shape.
+
+    Scale shape: one shuffle on the compound blocking key; block
+    sizes are bounded by the key's selectivity (cap oversized blocks
+    exactly as lsh_candidate_pairs does if a degenerate key appears);
+    levenshtein is a JVM-side codegen expression on both engines with
+    an identical definition, so the gate is exact."""
+    c = _t(spark, sf_dir, "customer")
+    b = c.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.expr("substr(c_name, 1, length(c_name) - 2)").alias("blk"),
+    )
+    a = b.select(
+        F.col("blk"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("custkey_1"),
+        F.col("c_name").alias("name_1"),
+    )
+    d = b.select(
+        F.col("blk"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("custkey_2"),
+        F.col("c_name").alias("name_2"),
+    )
+    return (
+        a.join(d, ["blk", "nk"])
+        .filter(F.col("custkey_1") < F.col("custkey_2"))
+        .withColumn(
+            "edit_distance",
+            F.levenshtein("name_1", "name_2").cast("int"),
+        )
+        .filter(F.col("edit_distance") <= 2)
+        .select("custkey_1", "custkey_2", "name_1", "name_2", "edit_distance")
+    )
+
+
+@register(
+    "q170_lasttouch_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS prev_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN ts END IGNORE NULLS) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT coalesce(CASE WHEN prev_ts >= ts - INTERVAL 7 DAY
+                         THEN prev_type END, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q170_lasttouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: every purchase credits the
+    user's most recent NON-purchase event within a 7-day lookback
+    ('direct' when none) — the marketing-analytics query a warehouse
+    star schema exists to answer, and a second consumer of the
+    ordered-user-sequence shape q137's transition matrix established.
+    Revenue aggregates in integer cents (catalog convention: double
+    sums are order-dependent; bigint cents are exact).
+
+    Scale shape: one user-keyed exchange carries the ordered
+    sequence window (last_value IGNORE NULLS over the preceding
+    frame — identical semantics both engines); the channel rollup is
+    a map-side-combined aggregate over purchase rows only."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    not_purchase = F.col("event_type") != "purchase"
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.last(F.when(not_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("prev_type"),
+        F.last(F.when(not_purchase, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("prev_ts"),
+    )
+    channel = F.coalesce(
+        F.when(
+            F.col("prev_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"),
+            F.col("prev_type"),
+        ),
+        F.lit("direct"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )

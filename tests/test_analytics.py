@@ -815,3 +815,47 @@ def test_key_skew_audit_matches_python_gini(spark, sf_dir):
         assert abs(r["gini"] - round(gini, 6)) < 1e-9
         assert abs(r["skew_ratio"] - round(max(cs) / (tot / n), 6)) < 1e-9
         assert 0.0 <= r["gini"] < 1.0
+
+
+def test_lasttouch_attribution_python_model(spark, sf_dir):
+    """q170 equals a pure-Python replay of last-touch-within-7-days,
+    and conservation holds: attributed purchases sum to the corpus
+    purchase count and revenue."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    want = defaultdict(lambda: [0, 0])
+    n_purch, cents_total = 0, 0
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        last_np = None
+        for r in rows:
+            if r["event_type"] == "purchase":
+                ch = (
+                    last_np["event_type"]
+                    if last_np is not None
+                    and last_np["ts"] >= r["ts"] - timedelta(days=7)
+                    else "direct"
+                )
+                cents = round(r["value"] * 100)
+                want[ch][0] += 1
+                want[ch][1] += cents
+                n_purch += 1
+                cents_total += cents
+            else:
+                last_np = r
+    got = {
+        r["channel"]: (r["n_purchases"], r["revenue_cents"])
+        for r in QUERIES["q170_lasttouch_attribution"](spark, sf_dir).collect()
+    }
+    assert got == {ch: tuple(v) for ch, v in want.items()}
+    assert sum(v[0] for v in got.values()) == n_purch
+    assert sum(v[1] for v in got.values()) == cents_total
