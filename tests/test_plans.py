@@ -285,3 +285,44 @@ def test_copurchase_cap_bounds_mega_order(spark):
     assert all(r["p1"] < r["p2"] for r in got)
     small = pairs.filter(F.col("ok") == 2).collect()
     assert [(r["p1"], r["p2"]) for r in small] == [(200, 201)]
+
+
+def test_dsir_uses_take_ordered_not_global_sort(spark, sf_dir):
+    """q164's top-100 must compile to TakeOrderedAndProject — a
+    global Sort (or a corpus-scale unpartitioned rank window) before
+    the limit would serialize the candidate pool."""
+    plan = (
+        QUERIES["q164_dsir_resample"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_temperature_mixture_broadcasts_quota(spark, sf_dir):
+    """q162's per-source quota relation (|sources| rows) must join
+    broadcast — the corpus side shuffles only for its rank window."""
+    plan = (
+        QUERIES["q162_temperature_mixture"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_cdc_cross_doc_exchange_keys_on_digest(spark, sf_dir):
+    """q163's cross-document aggregate must shuffle on the 32-byte
+    chunk digest, never on chunk text: the only hash exchanges are
+    the per-doc chunk build (doc_id) and the digest rollup."""
+    import re
+
+    plan = (
+        QUERIES["q163_cdc_chunk_dedup"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert keys and set(keys) <= {"doc_id", "chunk_digest"}, keys
