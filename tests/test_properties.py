@@ -468,3 +468,71 @@ def test_snapshot_diff_classification_model(spark, t1, t2):
         else:
             want[k] = "unchanged"
     assert got == want
+
+
+# ------------------------------------------------------- CDC chunking
+
+@PROP
+@given(
+    words=st.lists(
+        st.sampled_from([f"w{i}" for i in range(60)]), min_size=8, max_size=40
+    ),
+    prefix=st.lists(
+        st.sampled_from([f"p{i}" for i in range(20)]), min_size=1, max_size=8
+    ),
+)
+def test_cdc_chunks_shift_invariant_suffix(spark, words, prefix):
+    """Content-defined chunking's law: prepending arbitrary words
+    changes only chunks up to (and including) the first cut at or
+    after the insertion point — every later chunk is byte-identical.
+    Tested as: the chunk multiset of `doc` restricted to chunks that
+    START after doc's first cut word is a sub-multiset of the
+    prefixed doc's chunks."""
+    import hashlib
+    from collections import Counter
+
+    def is_cut(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 16 == 0
+
+    def chunks(ws):
+        out, cur = [], []
+        for w in ws:
+            cur.append(w)
+            if is_cut(w):
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    # python reference law check (fast path, no spark needed for the
+    # invariance law itself)
+    base = chunks(words)
+    pre = chunks(prefix + words)
+    cut_idx = next((i for i, w in enumerate(words) if is_cut(w)), None)
+    if cut_idx is not None and len(base) > 1:
+        stable = Counter(base[1:])  # chunks starting after the first cut
+        prec = Counter(pre)
+        assert all(prec[c] >= n for c, n in stable.items())
+
+    # and the SPARK operator agrees with the python chunker on both
+    # docs (digest-for-digest)
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [
+                (0, " ".join(words), "en", "a", 1),
+                (1, " ".join(prefix + words), "en", "b", 1),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(td, "documents.parquet"))
+        got = QUERIES["q163_cdc_chunk_dedup"](spark, td).collect()
+        want_shared = Counter(
+            hashlib.md5(c.encode()).hexdigest()
+            for c in (Counter(base) & Counter(pre)).elements()
+        )
+        for r in got:
+            # every reported duplicated chunk must be genuinely shared
+            assert r["chunk_digest"] in want_shared
