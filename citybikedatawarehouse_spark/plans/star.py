@@ -182,3 +182,85 @@ def q44_speed_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(rate)
         .alias("qty_per_hour"),
     )
+
+
+@register(
+    "q171_geo_neighbor_pairs",
+    oracle=f"""
+    WITH p AS (SELECT c_custkey, lat1 AS lat, lng1 AS lng
+               FROM ({_COORD_SQL})),
+    -- oracle is the BRUTE-FORCE all-pairs sweep: a hash match proves
+    -- the Spark side's grid blocking missed nothing (the q62 pattern)
+    d AS (
+      SELECT a.c_custkey AS custkey_1, b.c_custkey AS custkey_2,
+             round(2.0::DOUBLE * 6371.0::DOUBLE * asin(sqrt(
+                 pow(sin(radians(b.lat - a.lat) / 2.0::DOUBLE), 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * pow(sin(radians(b.lng - a.lng) / 2.0::DOUBLE), 2)
+             )), 6) AS distance_km
+      FROM p a JOIN p b ON a.c_custkey < b.c_custkey
+    )
+    SELECT custkey_1, custkey_2, distance_km
+    FROM d WHERE distance_km <= 0.15
+    """,
+)
+def q171_geo_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial proximity self-join: all point pairs within 150 m, via
+    GRID-CELL BLOCKING — each point lands in one 0.002°×0.002° cell;
+    the left side explodes into its 3×3 cell neighborhood and joins
+    the right side's single cell, and only block-colliding pairs pay
+    the haversine. Pigeonhole-complete at this radius: 0.002° is
+    ≥ 150 m in both axes at this latitude, so any qualifying pair is
+    in the same or an adjacent cell — which the BRUTE-FORCE oracle
+    verifies outright (the LSH candidates-then-verify discipline,
+    q62's gate pattern, applied to space). The station-proximity
+    query the reference's bike-share schema exists to serve.
+
+    Scale shape: one shuffle on the cell key; cost is Σ|cell|²
+    over 9 cells per point instead of N² (cells are ~200 m² patches,
+    so occupancy is density-bounded); the trig runs only on
+    candidates. Threshold compares the 1e-6-rounded distance on both
+    engines so a last-ulp libm difference cannot flip a boundary
+    pair."""
+    pts = _coords(spark, sf_dir).select(
+        "c_custkey", F.col("lat1").alias("lat"), F.col("lng1").alias("lng")
+    )
+    cell = 0.002
+    cx = F.floor(F.col("lng") / cell).cast("long")
+    cy = F.floor(F.col("lat") / cell).cast("long")
+    b = pts.select(
+        F.col("c_custkey").alias("custkey_2"),
+        F.col("lat").alias("lat_2"),
+        F.col("lng").alias("lng_2"),
+        cx.alias("cx"),
+        cy.alias("cy"),
+    )
+    offsets = F.expr(
+        "explode(transform(sequence(0, 8),"
+        " i -> struct(i div 3 - 1 AS dx, i % 3 - 1 AS dy)))"
+    )
+    a = pts.select(
+        F.col("c_custkey").alias("custkey_1"),
+        F.col("lat").alias("lat_1"),
+        F.col("lng").alias("lng_1"),
+        cx.alias("__cx"),
+        cy.alias("__cy"),
+    ).select(
+        "custkey_1", "lat_1", "lng_1", offsets.alias("o"), "__cx", "__cy"
+    ).select(
+        "custkey_1",
+        "lat_1",
+        "lng_1",
+        (F.col("__cx") + F.col("o.dx")).alias("cx"),
+        (F.col("__cy") + F.col("o.dy")).alias("cy"),
+    )
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter(F.col("custkey_1") < F.col("custkey_2"))
+        .withColumn(
+            "distance_km",
+            F.round(haversine_km("lat_1", "lng_1", "lat_2", "lng_2"), 6),
+        )
+        .filter(F.col("distance_km") <= 0.15)
+        .select("custkey_1", "custkey_2", "distance_km")
+    )
