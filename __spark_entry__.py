@@ -142,7 +142,7 @@ _SWEEP_PRIORITY = [
     "q165_ivfpq_topk", "q166_lexical_diversity",
     "q167_index_drift", "q168_key_skew_audit",
     "q169_entity_match", "q170_lasttouch_attribution",
-    "q171_geo_neighbor_pairs",
+    "q171_geo_neighbor_pairs", "q172_lateral_topn",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

@@ -183,3 +183,28 @@ def q107_salted_join(spark, sf_dir):
     return salted_join(
         li, s, on="suppkey", salt_col="l_orderkey", n_salts=8
     ).select("l_orderkey", "l_linenumber", "s_name")
+
+
+_LATERAL_TOPN = """
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 3
+    ) t
+"""
+
+
+@register("q172_lateral_topn", oracle=_LATERAL_TOPN)
+def q172_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery — the SQL-standard per-row top-N
+    (top-3 customers by balance per nation) that PostgreSQL users
+    write constantly and the reference's warehouse would serve with
+    exactly this text. Catalyst decorrelates the LATERAL into the
+    same rank-window plan the DataFrame form (q17) builds, so the
+    per-group top-N never becomes N correlated executions — the
+    decorrelation IS the scale story. Deterministic tie-break on
+    c_custkey keeps both engines' LIMIT stable."""
+    return _sql(spark, sf_dir, _LATERAL_TOPN)
