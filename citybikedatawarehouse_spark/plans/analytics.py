@@ -1979,3 +1979,57 @@ def q170_lasttouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "q173_rolling_wau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    contrib AS (
+      SELECT user_id, day + CAST(i AS INTEGER) AS wday
+      FROM ud, UNNEST(range(0, 7)) t(i)
+    ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS wday FROM events)
+    SELECT strftime(d.wday, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+    FROM days d JOIN contrib c ON c.wday = d.wday
+    GROUP BY d.wday
+    """,
+)
+def q173_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU) — the engagement
+    metric every product dashboard leads with, and the canonical
+    DISTINCT-over-sliding-window problem: no engine can window a
+    COUNT(DISTINCT), so the scalable form materializes distinct
+    (user, day) once and EXPLODES each into the <=7 window days it
+    contributes to, making the rollup a plain distinct aggregate.
+    Only days that actually occur in the data are reported (the
+    shipped window is dense, so no phantom-day suppression is
+    needed; gap handling is q121's job).
+
+    Scale shape: the corpus collapses to distinct user-days (one
+    map-side-combined aggregate); the 7x fan-out is linear in
+    user-days, not events; the final distinct shuffles (day, user)
+    pairs. At 100 TB the same plan holds — the fan-out factor is the
+    window length, never data-dependent."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(6)),
+                lambda i: F.date_add("day", i.cast("int")),
+            )
+        ).alias("wday"),
+    )
+    days = ev.select(F.to_date("ts").alias("wday")).distinct()
+    return (
+        contrib.join(days, "wday")
+        .groupBy(
+            F.date_format("wday", "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+    )

@@ -859,3 +859,34 @@ def test_lasttouch_attribution_python_model(spark, sf_dir):
     assert got == {ch: tuple(v) for ch, v in want.items()}
     assert sum(v[0] for v in got.values()) == n_purch
     assert sum(v[1] for v in got.values()) == cents_total
+
+
+def test_rolling_wau_python_model(spark, sf_dir):
+    """q173 equals the naive per-day set-union model, and WAU >= DAU
+    (the 7-day window can only add users)."""
+    from collections import defaultdict
+
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts").collect()
+    by_day = defaultdict(set)
+    for r in ev:
+        by_day[r["ts"].date()].add(r["user_id"])
+    want = {}
+    for d in by_day:
+        users = set()
+        for k in range(7):
+            from datetime import timedelta
+
+            users |= by_day.get(d - timedelta(days=k), set())
+        want[d.isoformat()] = len(users)
+    got = {
+        r["day"]: r["wau"]
+        for r in QUERIES["q173_rolling_wau"](spark, sf_dir).collect()
+    }
+    assert got == want
+    for d, n in got.items():
+        from datetime import date
+
+        dd = date.fromisoformat(d)
+        assert n >= len(by_day[dd])  # WAU >= DAU
