@@ -143,7 +143,7 @@ _SWEEP_PRIORITY = [
     "q167_index_drift", "q168_key_skew_audit",
     "q169_entity_match", "q170_lasttouch_attribution",
     "q171_geo_neighbor_pairs", "q172_lateral_topn",
-    "q173_rolling_wau",
+    "q173_rolling_wau", "q174_equidepth_bins", "q175_cohort_ltv",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

@@ -2033,3 +2033,167 @@ def q173_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
     )
+
+
+@register(
+    "q174_equidepth_bins",
+    oracle="""
+    WITH b AS (
+      SELECT [quantile_cont(o_totalprice, 0.1), quantile_cont(o_totalprice, 0.2),
+              quantile_cont(o_totalprice, 0.3), quantile_cont(o_totalprice, 0.4),
+              quantile_cont(o_totalprice, 0.5), quantile_cont(o_totalprice, 0.6),
+              quantile_cont(o_totalprice, 0.7), quantile_cont(o_totalprice, 0.8),
+              quantile_cont(o_totalprice, 0.9)] AS bounds
+      FROM orders
+    ),
+    assigned AS (
+      SELECT o_totalprice,
+             CAST(len(list_filter(b.bounds, x -> x < o_totalprice))
+                  AS INTEGER) AS bucket
+      FROM orders CROSS JOIN b
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM assigned GROUP BY bucket
+    """,
+)
+def q174_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) binning of order value — the quantile
+    discretizer feature-engineering and BI both lean on: exact decile
+    boundaries (both engines compute the identical (1-g)·a + g·b
+    interpolation, the q28-proven percentile == quantile_cont
+    equivalence), then bucket = count of boundaries strictly below
+    the value, so boundary ties resolve identically everywhere.
+    Reports per-bucket population, exact integer-cents revenue, and
+    the realized [lo, hi] range.
+
+    Scale shape: ONE exact-percentile aggregate produces a 9-value
+    array broadcast to every row; assignment is a JVM-side array
+    filter per row (no join, no sort); the rollup is a 10-group
+    map-side-combined aggregate. At extreme scale the exact
+    percentile swaps for approx_percentile with the same plan."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.expr(
+            "array("
+            + ", ".join(
+                f"percentile(o_totalprice, {p/10})" for p in range(1, 10)
+            )
+            + ")"
+        ).alias("bounds")
+    )
+    assigned = o.crossJoin(F.broadcast(bounds)).select(
+        "o_totalprice",
+        F.size(
+            F.filter("bounds", lambda x: x < F.col("o_totalprice"))
+        ).cast("int").alias("bucket"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@register(
+    "q175_cohort_ltv",
+    oracle="""
+    WITH fw AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(min(ts) AS DATE)) // 7 AS INTEGER)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    rev AS (
+      SELECT e.user_id,
+             CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(e.ts AS DATE)) // 7 AS INTEGER)
+               - f.cohort_week AS week_offset,
+             f.cohort_week,
+             CAST(round(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN fw f USING (user_id)
+      WHERE e.event_type = 'purchase'
+    ),
+    wk AS (
+      SELECT cohort_week, week_offset,
+             CAST(sum(cents) AS BIGINT) AS week_cents
+      FROM rev GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM fw GROUP BY cohort_week
+    )
+    SELECT w.cohort_week, w.week_offset, s.cohort_users,
+           CAST(sum(w.week_cents) OVER (
+             PARTITION BY w.cohort_week ORDER BY w.week_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_cents,
+           round(sum(w.week_cents) OVER (
+             PARTITION BY w.cohort_week ORDER BY w.week_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) / (100.0 * s.cohort_users), 6) AS ltv_per_user
+    FROM wk w JOIN sizes s USING (cohort_week)
+    """,
+)
+def q175_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: users grouped by first-activity week,
+    purchase revenue accumulated by week offset — the CUMULATIVE
+    money twin of q129's retention matrix (retention says who comes
+    back; LTV says what they're worth as the cohort ages, which is
+    what acquisition spend is actually judged against). Revenue in
+    integer cents end-to-end; the per-user normalization divides
+    once at the end.
+
+    Scale shape: one user-keyed aggregate pins each user's cohort;
+    the purchase join rides the same user key; weekly cells are
+    O(cohorts × offsets) rows, so the running-sum window and the
+    cohort-size broadcast join are metadata-scale."""
+    ev = _t(spark, sf_dir, "events")
+    week = lambda c: F.floor(  # noqa: E731
+        F.datediff(F.to_date(c), F.lit("2024-01-01").cast("date")) / 7
+    ).cast("int")
+    fw = ev.groupBy("user_id").agg(
+        week(F.min("ts")).alias("cohort_week")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fw, "user_id")
+        .select(
+            "cohort_week",
+            (week(F.col("ts")) - F.col("cohort_week")).alias("week_offset"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    wk = rev.groupBy("cohort_week", "week_offset").agg(
+        F.sum("cents").cast("bigint").alias("week_cents")
+    )
+    sizes = fw.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    w = (
+        W.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        wk.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_users",
+            F.sum("week_cents").over(w).cast("bigint").alias("cum_cents"),
+            F.round(
+                F.sum("week_cents").over(w)
+                / (100.0 * F.col("cohort_users")),
+                6,
+            ).alias("ltv_per_user"),
+        )
+    )

@@ -890,3 +890,54 @@ def test_rolling_wau_python_model(spark, sf_dir):
 
         dd = date.fromisoformat(d)
         assert n >= len(by_day[dd])  # WAU >= DAU
+
+
+def test_equidepth_bins_depth_and_conservation(spark, sf_dir):
+    """q174: buckets partition the orders (counts sum to |orders|),
+    realized ranges are ordered and non-overlapping, and depths are
+    within 1 of each other up to interpolation ties (equi-DEPTH is
+    the contract)."""
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    rows = sorted(
+        QUERIES["q174_equidepth_bins"](spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert [r["bucket"] for r in rows] == list(range(10))
+    assert sum(r["n"] for r in rows) == n_orders
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"] + 0.01
+    depths = [r["n"] for r in rows]
+    assert max(depths) - min(depths) <= max(2, n_orders // 50)
+
+
+def test_cohort_ltv_monotone_and_conserves_revenue(spark, sf_dir):
+    """q175: cumulative LTV is non-decreasing within each cohort, and
+    the final cum_cents across cohorts equals total purchase revenue."""
+    from collections import defaultdict
+
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["q175_cohort_ltv"](spark, sf_dir).collect()
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r["cohort_week"]].append(r)
+    total = 0
+    for cohort, cells in by_cohort.items():
+        cells.sort(key=lambda r: r["week_offset"])
+        cums = [r["cum_cents"] for r in cells]
+        assert cums == sorted(cums)
+        for r in cells:
+            assert abs(
+                r["ltv_per_user"]
+                - round(r["cum_cents"] / (100.0 * r["cohort_users"]), 6)
+            ) < 1e-9
+        total += cums[-1]
+    ev = load_table(spark, sf_dir, "events")
+    want = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("c"))
+        .first()["c"]
+    )
+    assert total == want
