@@ -572,3 +572,57 @@ def assign_epoch_step(
     assign_batch_against_centroids(batch_df, centroids).write.mode(
         "overwrite"
     ).parquet(f"{state_dir}/epoch={epoch_id}")
+
+
+USER_DAY_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("day", T.DateType(), False),
+    ]
+)
+
+
+def start_incremental_wau(events_stream: DataFrame, state_dir: str):
+    """Streaming rolling-WAU feed: each epoch persists its distinct
+    (user_id, day) slice under ``state_dir/epoch=N``. Distinct
+    user-days form a set (idempotent union), so slices resolve by a
+    plain distinct and the step never reads state — replays are
+    trivially idempotent. resolve_wau computes the q173 batch rollup
+    from the accumulated slices at any time."""
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        wau_epoch_step(batch_df, epoch_id, state_dir)
+
+    return events_stream.writeStream.foreachBatch(step).start()
+
+
+def wau_epoch_step(
+    batch_df: DataFrame, epoch_id: int, state_dir: str
+) -> None:
+    """One WAU epoch (module-level; see dedup_epoch_step)."""
+    (
+        batch_df.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(f"{state_dir}/epoch={epoch_id}")
+    )
+
+
+def resolve_wau(state_df: DataFrame) -> DataFrame:
+    """q173's rollup over the accumulated user-day set: per observed
+    day, distinct users active in the trailing 7 days."""
+    ud = state_df.select("user_id", "day").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(6)),
+                lambda i: F.date_add("day", i.cast("int")),
+            )
+        ).alias("wday"),
+    )
+    days = ud.select(F.col("day").alias("wday")).distinct()
+    return (
+        contrib.join(days, "wday")
+        .groupBy(F.date_format("wday", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+    )

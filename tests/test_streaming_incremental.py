@@ -597,3 +597,37 @@ def test_stream_assign_equals_batch_q167_stats(spark, tmp_path):
     for c in want:
         assert got[c][0] == want[c][0]
         assert abs(got[c][1] - want[c][1]) < 1e-9
+
+
+def test_stream_wau_equals_batch_q173(spark, tmp_path):
+    """Streaming WAU slices resolved after 3 epochs (one replayed)
+    equal the batch q173 result on the full events table."""
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+    from citybikedatawarehouse_spark.sources.readers import load_table
+    from citybikedatawarehouse_spark.streaming.incremental import (
+        USER_DAY_STATE_SCHEMA,
+        _read_epoch_state,
+        resolve_wau,
+        wau_epoch_step,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    state = str(tmp_path / "wau")
+    for i in range(3):
+        wau_epoch_step(ev.filter(F.col("event_id") % 3 == i), i, state)
+    wau_epoch_step(ev.filter(F.col("event_id") % 3 == 1), 1, state)  # replay
+    got = {
+        r["day"]: r["wau"]
+        for r in resolve_wau(
+            _read_epoch_state(spark, state, USER_DAY_STATE_SCHEMA, 99)
+        ).collect()
+    }
+    want = {
+        r["day"]: r["wau"]
+        for r in QUERIES["q173_rolling_wau"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == want
