@@ -85,7 +85,13 @@ def q134_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PCA_ITER = 4
 
 
-def _pca_oracle(n_iter: int = _PCA_ITER) -> str:
+def _pca_oracle_parts(n_iter: int = _PCA_ITER) -> tuple[str, str]:
+    """q135's oracle split at its structural seam: (CTE prefix ending
+    after v{n_iter} plus trailing whitespace, final SELECT). q157's
+    two-component oracle extends the prefix — exposed here so it never
+    has to slice rendered SQL by marker (the round-5 ADVICE failure
+    mode on q152: a cosmetic reformat of the base oracle raises at
+    import time and takes the whole catalog down)."""
     head = """
     WITH e AS MATERIALIZED (
       SELECT emb.vec_id, t.i - 1 AS pos,
@@ -119,11 +125,8 @@ def _pca_oracle(n_iter: int = _PCA_ITER) -> str:
     ),
     n{k} AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nrm FROM w{k}),
     v{k} AS MATERIALIZED (SELECT pos, w / (SELECT nrm FROM n{k}) AS v FROM w{k})""")
-    return (
-        head
-        + "".join(steps)
-        + f"""
-    SELECT CAST(pos AS INTEGER) AS dim,
+    prefix = head + "".join(steps) + "\n    "
+    final = f"""SELECT CAST(pos AS INTEGER) AS dim,
            round(v, 6) AS loading,
            round((SELECT nrm FROM n{n_iter}) / ((SELECT n FROM tv) - 1), 6)
              AS eigval,
@@ -131,7 +134,12 @@ def _pca_oracle(n_iter: int = _PCA_ITER) -> str:
                  / (SELECT total_var FROM tv), 6) AS explained_ratio
     FROM v{n_iter}
     """
-    )
+    return prefix, final
+
+
+def _pca_oracle(n_iter: int = _PCA_ITER) -> str:
+    prefix, final = _pca_oracle_parts(n_iter)
+    return prefix + final
 
 
 @register("q135_pca_power_iteration", oracle=_pca_oracle())
@@ -451,8 +459,7 @@ def _pca2_oracle(n_iter: int = _PCA_ITER) -> str:
     DEFLATED second-component recurrence — each iterate w = C·u is
     orthogonalized against the first-PC estimate v{n} before
     normalizing."""
-    base = _pca_oracle(n_iter)
-    head = base[: base.index("SELECT CAST(pos AS INTEGER) AS dim")]
+    head, _final = _pca_oracle_parts(n_iter)
     steps = [",\n    ub0 AS MATERIALIZED (SELECT pos, 0.125 AS v FROM st)"]
     for k in range(1, n_iter + 1):
         steps.append(f""",
