@@ -158,3 +158,81 @@ def pagerank(
         # every earlier iteration per action
         ranks = new_ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_counts(
+    pairs: DataFrame, a_col: str = "p1", b_col: str = "p2"
+) -> DataFrame:
+    """Per-node triangle participation over an undirected edge set,
+    via degree-ordered edge orientation (the standard distributed
+    formulation — e.g. Suri & Vassilvitskii's MR triangle counting).
+
+    Each undirected edge is oriented from its lower-(degree, id)
+    endpoint to the higher one; wedges are generated by a self-join
+    of the oriented list on ``src`` (both out-neighbors ordered by
+    the same (deg, id) total order, so each triangle closes through
+    exactly ONE oriented edge x→y and is counted exactly once).
+
+    Scale shape: orientation bounds every out-degree at O(√E), so
+    the wedge self-join emits ≤ E^1.5 rows total regardless of hub
+    skew — the reason this beats the naive "join edges to edges to
+    edges" which is quadratic in the max degree. Three shuffles
+    (degree agg, wedge self-join on src, closing join on (x, y)),
+    all map-side combinable or key-partitioned; no per-row arrays,
+    no driver state. Returns (node, n_triangles), one row per node
+    that participates in ≥ 1 triangle.
+    """
+    canon = (
+        pairs.select(
+            F.least(a_col, b_col).alias("a"),
+            F.greatest(a_col, b_col).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = canon.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b"
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        # degree of the HIGH endpoint: the sort key that keeps the
+        # wedge pair (x, y) aligned with the closing edge's x→y
+        # orientation
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = (
+        o1.join(o2, "src")
+        .where(
+            (F.col("o1.dd") < F.col("o2.dd"))
+            | (
+                (F.col("o1.dd") == F.col("o2.dd"))
+                & (F.col("o1.dst") < F.col("o2.dst"))
+            )
+        )
+        .select(
+            F.col("src").alias("w0"),
+            F.col("o1.dst").alias("x"),
+            F.col("o2.dst").alias("y"),
+        )
+    )
+    closing = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"])
+    corners = tri.select(F.explode(F.array("w0", "x", "y")).alias("node"))
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

@@ -512,6 +512,57 @@ _PAGERANK_DAMPING = 0.85
 _COPURCHASE_CAP = 20
 
 
+def _copurchase_pairs(lineitem: DataFrame) -> DataFrame:
+    """Canonical (p1 < p2) co-purchase pairs, shared by q133 and
+    q176. ONE groupBy replaces the naive distinct + per-order window
+    + self-join (three corpus-scale exchanges → one, measured 13 s →
+    ~5 s edge build at sf0.1): collect_set dedups parts within the
+    order, array_sort + slice applies the deterministic
+    ``_COPURCHASE_CAP`` (one degenerate mega-order cannot go
+    quadratic), and the ordered-pair fan-out is a per-row HOF over
+    the (≤20-element) array — identical pair set to the oracles'
+    row_number formulation. Returns rows of ``pp`` structs
+    (pp.p1 < pp.p2)."""
+    li = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    per_order = li.groupBy("ok").agg(
+        F.slice(
+            F.array_sort(F.collect_set("pk")), 1, _COPURCHASE_CAP
+        ).alias("ps")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ps",
+            lambda x, i: F.transform(
+                F.slice(
+                    "ps",
+                    i + F.lit(2),
+                    F.greatest(F.size("ps") - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+    return per_order.select(F.explode(pair_structs).alias("pp"))
+
+
+_COPURCHASE_PAIRS_SQL = f"""
+    li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    capped AS (
+      SELECT ok, pk FROM (
+        SELECT ok, pk, row_number() OVER (PARTITION BY ok ORDER BY pk) AS rn
+        FROM li
+      ) WHERE rn <= {_COPURCHASE_CAP}
+    ),
+    pairs AS (
+      SELECT a.pk AS p1, b.pk AS p2
+      FROM capped a JOIN capped b ON a.ok = b.ok AND a.pk < b.pk
+    )"""
+
+
 def _pagerank_oracle() -> str:
     head = f"""
     WITH li AS (
@@ -584,36 +635,7 @@ def q133_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges/degrees materialized once."""
     from citybikedatawarehouse_spark.operators.graph import pagerank
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    )
-    # ONE groupBy replaces the naive distinct + per-order window +
-    # self-join (three corpus-scale exchanges → one, measured 13 s →
-    # ~5 s edge build at sf0.1): collect_set dedups parts within the
-    # order, array_sort + slice applies the deterministic cap, and the
-    # ordered-pair fan-out is a per-row HOF over the (≤20-element)
-    # array — identical pair set to the oracle's row_number formulation
-    per_order = li.groupBy("ok").agg(
-        F.slice(
-            F.array_sort(F.collect_set("pk")), 1, _COPURCHASE_CAP
-        ).alias("ps")
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            "ps",
-            lambda x, i: F.transform(
-                F.slice(
-                    "ps",
-                    i + F.lit(2),
-                    F.greatest(F.size("ps") - i - 1, F.lit(0)),
-                ),
-                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
-            ),
-        )
-    )
-    # both directions emitted by the SAME explode (a union of two
-    # selects would run the groupBy + pair fan-out once per branch)
-    pairs = per_order.select(F.explode(pair_structs).alias("pp"))
+    pairs = _copurchase_pairs(_t(spark, sf_dir, "lineitem"))
     edges = pairs.select(
         F.explode(
             F.array(
@@ -2196,4 +2218,87 @@ def q175_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("ltv_per_user"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q176 — triangle participation over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_TOPK = 20
+
+
+def _triangle_oracle() -> str:
+    return f"""
+    WITH
+{_COPURCHASE_PAIRS_SQL},
+    canon AS (SELECT DISTINCT p1 AS a, p2 AS b FROM pairs),
+    deg AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM canon UNION ALL SELECT b FROM canon
+      ) GROUP BY node
+    ),
+    ed AS (
+      SELECT c.a, c.b, da.deg AS da, db.deg AS db
+      FROM canon c JOIN deg da ON da.node = c.a
+                   JOIN deg db ON db.node = c.b
+    ),
+    oriented AS (
+      SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS src,
+             CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS dst,
+             CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dd
+      FROM ed
+    ),
+    wedges AS (
+      SELECT o1.src AS w0, o1.dst AS x, o2.dst AS y
+      FROM oriented o1 JOIN oriented o2 ON o1.src = o2.src
+      WHERE o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst)
+    ),
+    tri AS (
+      SELECT w.w0, w.x, w.y
+      FROM wedges w JOIN oriented o ON o.src = w.x AND o.dst = w.y
+    ),
+    corners AS (
+      SELECT w0 AS node FROM tri
+      UNION ALL SELECT x FROM tri
+      UNION ALL SELECT y FROM tri
+    )
+    SELECT CAST(node AS BIGINT) AS part_id,
+           CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY node
+    ORDER BY n_triangles DESC, node LIMIT {_TRIANGLE_TOPK}
+    """
+
+
+@register("q176_triangle_participation", oracle=_triangle_oracle())
+def q176_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} parts by triangle participation in the co-purchase
+    graph — "items whose co-purchase neighborhoods are themselves
+    interlinked", the local-clustering signal recommender pipelines
+    and community detection use, and a structurally different graph
+    kernel from q133's PageRank (closed-walk counting vs power
+    iteration). Same capped fact-derived edge set as q133
+    (``_copurchase_pairs``); no graph store.
+
+    Degree-ordered orientation (operators/graph.py:triangle_counts)
+    keeps the wedge self-join's output at ≤ E^1.5 rows no matter how
+    skewed the hub degrees — the naive edges³ join is quadratic in
+    the max degree. The oracle replays orientation, wedge join and
+    closing join verbatim in SQL; ties at the top-k boundary break
+    by part id in both engines.
+
+    Scale shape: three key-partitioned shuffles (degree agg, wedge
+    self-join on src, closing join on (x, y)) + one map-side-
+    combinable count; the top-k is a TakeOrdered, never a global
+    sort."""
+    from citybikedatawarehouse_spark.operators.graph import triangle_counts
+
+    pairs = _copurchase_pairs(_t(spark, sf_dir, "lineitem")).select(
+        F.col("pp.p1").alias("p1"), F.col("pp.p2").alias("p2")
+    )
+    tri = triangle_counts(pairs)
+    return (
+        tri.orderBy(F.desc("n_triangles"), "node")
+        .limit(_TRIANGLE_TOPK)
+        .select(F.col("node").alias("part_id"), "n_triangles")
     )

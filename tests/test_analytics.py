@@ -941,3 +941,51 @@ def test_cohort_ltv_monotone_and_conserves_revenue(spark, sf_dir):
         .first()["c"]
     )
     assert total == want
+
+
+# ------------------------------------------------------------- triangles
+
+
+def test_triangle_counts_on_planted_graph(spark):
+    """K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant
+    edge (5-6, in none) plus an open wedge (7-8, 7-9, never closed);
+    duplicate and reversed input edges must not change counts."""
+    from citybikedatawarehouse_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = k4 + [(5, 6), (7, 8), (7, 9)]
+    edges += [(b, a) for a, b in k4]  # reversed dups
+    edges += k4  # exact dups
+    df = spark.createDataFrame(edges, "p1 long, p2 long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_total_matches_bruteforce(spark, sf_dir):
+    """Σ per-node participation == 3 × (brute-force triangle count)
+    on the real co-purchase graph at sf0.001."""
+    from citybikedatawarehouse_spark.operators.graph import triangle_counts
+    from citybikedatawarehouse_spark.plans.analytics import (
+        _copurchase_pairs,
+    )
+
+    pairs = _copurchase_pairs(load_table(spark, sf_dir, "lineitem")).select(
+        F.col("pp.p1").alias("p1"), F.col("pp.p2").alias("p2")
+    )
+    per_node = triangle_counts(pairs)
+    total_participation = per_node.agg(
+        F.sum("n_triangles").cast("bigint").alias("s")
+    ).collect()[0]["s"] or 0
+
+    es = {(r["p1"], r["p2"]) for r in pairs.dropDuplicates().collect()}
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    brute = sum(
+        1
+        for a, b in es
+        for c in (adj[a] & adj[b])
+        if c > b  # a < b < c: count each triangle once
+    )
+    assert total_participation == 3 * brute
