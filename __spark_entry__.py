@@ -144,7 +144,7 @@ _SWEEP_PRIORITY = [
     "q169_entity_match", "q170_lasttouch_attribution",
     "q171_geo_neighbor_pairs", "q172_lateral_topn",
     "q173_rolling_wau", "q174_equidepth_bins", "q175_cohort_ltv",
-    "q176_triangle_participation",
+    "q176_triangle_participation", "q177_rater_agreement",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

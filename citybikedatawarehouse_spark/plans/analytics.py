@@ -2302,3 +2302,121 @@ def q176_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TRIANGLE_TOPK)
         .select(F.col("node").alias("part_id"), "n_triangles")
     )
+
+
+# ---------------------------------------------------------------------------
+# q177 — inter-rater agreement (Cohen's kappa) between two quality gates
+# ---------------------------------------------------------------------------
+
+@register(
+    "q177_rater_agreement",
+    oracle=r"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_nonspace,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+             CAST(len(regexp_extract_all(text, '\b(the|and|of|is|a)\b')) AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    r AS (
+      SELECT CASE WHEN n_words BETWEEN 5 AND 5000 AND n_stop >= 1
+                       AND n_nonspace * 1.0 / nullif(n_words, 0) BETWEEN 2 AND 12
+                  THEN 1 ELSE 0 END AS a,
+             CASE WHEN n_words >= 3
+                       AND n_punct * 1.0 / nullif(n_words, 0) <= 0.25
+                  THEN 1 ELSE 0 END AS b
+      FROM c
+    ),
+    m AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n11,
+             sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS n10,
+             sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS n01,
+             sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS n00
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(n11 AS BIGINT) AS n_both_pass,
+           CAST(n10 AS BIGINT) AS n_only_a,
+           CAST(n01 AS BIGINT) AS n_only_b,
+           CAST(n00 AS BIGINT) AS n_both_fail,
+           round((n11 + n00) * 1.0 / n, 6) AS p_observed,
+           round(((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                 + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n), 6)
+             AS p_expected,
+           round(coalesce(
+             ((n11 + n00) * 1.0 / n
+              - (((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                 + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n)))
+             / nullif(1.0
+              - (((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                 + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n)), 0),
+             1.0), 6) AS kappa
+    FROM m
+    """,
+)
+def q177_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent deterministic document
+    "raters" — a Gopher-style heuristic gate (length band, ≥1 English
+    stopword, mean word length 2–12) and a symbol-density gate
+    (≥3 words, punctuation ratio ≤ 0.25). The chance-corrected
+    agreement statistic every labeling/curation pipeline reports
+    before trusting a cheap filter as a proxy for an expensive one;
+    the 2×2 contingency table ships alongside so disagreement is
+    auditable, not just summarized.
+
+    Degenerate guard: when chance agreement pe = 1 (both raters
+    constant) kappa is taken as 1.0 in both engines.
+
+    Scale shape: ONE corpus scan computing per-row boolean features
+    (no explode, no join), then a single map-side-combinable 1-row
+    aggregate — the same shape at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    from citybikedatawarehouse_spark.functions.textfns import (
+        LANG_MARKERS,
+        marker_hits,
+        word_count,
+    )
+
+    n_words = word_count("text")
+    n_nonspace = F.length(F.regexp_replace("text", r"\s+", "")).cast("bigint")
+    n_punct = F.size(
+        F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)
+    ).cast("bigint")
+    n_stop = marker_hits("text", LANG_MARKERS["en"])
+    awl = F.try_divide(n_nonspace * F.lit(1.0), n_words)
+    a = (
+        n_words.between(5, 5000) & (n_stop >= 1) & awl.between(2, 12)
+    ).cast("int")
+    b = (
+        (n_words >= 3)
+        & (F.try_divide(n_punct * F.lit(1.0), n_words) <= 0.25)
+    ).cast("int")
+    r = d.select(a.alias("a"), b.alias("b"))
+    m = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 1)).cast("int")).alias("n11"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 0)).cast("int")).alias("n10"),
+        F.sum(((F.col("a") == 0) & (F.col("b") == 1)).cast("int")).alias("n01"),
+        F.sum(((F.col("a") == 0) & (F.col("b") == 0)).cast("int")).alias("n00"),
+    )
+    n, n11, n10, n01, n00 = (F.col(c) for c in ("n", "n11", "n10", "n01", "n00"))
+    po = (n11 + n00) * F.lit(1.0) / n
+    pe = ((n11 + n10) * F.lit(1.0) / n) * ((n11 + n01) * F.lit(1.0) / n) + (
+        (n01 + n00) * F.lit(1.0) / n
+    ) * ((n10 + n00) * F.lit(1.0) / n)
+    kappa = F.coalesce(
+        F.try_divide(po - pe, F.nullif(F.lit(1.0) - pe, F.lit(0.0))),
+        F.lit(1.0),
+    )
+    return m.select(
+        n.cast("bigint").alias("n_docs"),
+        n11.cast("bigint").alias("n_both_pass"),
+        n10.cast("bigint").alias("n_only_a"),
+        n01.cast("bigint").alias("n_only_b"),
+        n00.cast("bigint").alias("n_both_fail"),
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round(kappa, 6).alias("kappa"),
+    )

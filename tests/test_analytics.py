@@ -989,3 +989,25 @@ def test_triangle_total_matches_bruteforce(spark, sf_dir):
         if c > b  # a < b < c: count each triangle once
     )
     assert total_participation == 3 * brute
+
+
+# ------------------------------------------------------------- kappa
+
+
+def test_kappa_matches_hand_computation(spark, sf_dir):
+    """Recompute kappa from q177's own contingency counts in pure
+    Python and planted checks: kappa == 1 iff no disagreement,
+    kappa <= p_observed, and the counts partition n_docs."""
+    row = QUERIES["q177_rater_agreement"](spark, sf_dir).collect()[0]
+    n, n11, n10 = row["n_docs"], row["n_both_pass"], row["n_only_a"]
+    n01, n00 = row["n_only_b"], row["n_both_fail"]
+    assert n11 + n10 + n01 + n00 == n
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) / n) * ((n11 + n01) / n) + ((n01 + n00) / n) * (
+        (n10 + n00) / n
+    )
+    kappa = 1.0 if pe == 1.0 else (po - pe) / (1 - pe)
+    assert abs(row["kappa"] - round(kappa, 6)) <= 1e-6
+    assert abs(row["p_observed"] - round(po, 6)) <= 1e-6
+    if n10 + n01 == 0:
+        assert row["kappa"] == 1.0
