@@ -1645,3 +1645,108 @@ def q167_index_drift(spark, sf_dir):
         F.round(mean_n, 6).alias("mean_sq_new"),
         F.round(mean_n / mean_h, 6).alias("drift_ratio"),
     )
+
+
+def _cluster_purity_oracle(k: int = 4, n_iter: int = 2, dim: int = 64) -> str:
+    """q178 replay: the shared k-means CTE chain (q75's exact fit),
+    then per-cluster label histogram → majority label, purity and
+    label entropy."""
+    return (
+        "WITH" + ",".join(_kmeans_ctes(k, n_iter, dim)) + """,
+    lc AS (
+      SELECT a.cell, e.label, count(*) AS c
+      FROM afinal a JOIN embeddings e USING (vec_id)
+      GROUP BY a.cell, e.label
+    ),
+    tot AS (SELECT cell, sum(c) AS n FROM lc GROUP BY cell),
+    top AS (
+      SELECT cell, label, c FROM (
+        SELECT cell, label, c,
+               row_number() OVER (PARTITION BY cell
+                                  ORDER BY c DESC, label) AS rn
+        FROM lc
+      ) WHERE rn = 1
+    ),
+    ent AS (
+      SELECT lc.cell,
+             round(-sum((lc.c * 1.0 / t.n) * ln(lc.c * 1.0 / t.n)), 6)
+               AS label_entropy
+      FROM lc JOIN tot t USING (cell) GROUP BY lc.cell
+    )
+    SELECT CAST(t.cell AS INTEGER) AS cluster_id,
+           CAST(t.n AS BIGINT) AS n_vecs,
+           CAST(p.label AS INTEGER) AS top_label,
+           CAST(p.c AS BIGINT) AS n_top,
+           round(p.c * 1.0 / t.n, 6) AS purity,
+           e.label_entropy
+    FROM tot t JOIN top p USING (cell) JOIN ent e ON e.cell = t.cell
+    """
+    )
+
+
+@register("q178_cluster_purity", oracle=_cluster_purity_oracle())
+def q178_cluster_purity(spark, sf_dir):
+    """Cluster-quality audit: per k-means cluster (q75's exact fit —
+    same init, iterations and tie-breaks), the label histogram
+    summarized as majority label, purity (majority share) and label
+    entropy. The audit a curation pipeline runs before trusting
+    cluster ids for stratified splits (q161) or cluster-balanced
+    sampling — low purity/high entropy flags clusters whose members
+    disagree with their would-be stratum.
+
+    Oracle-paired end-to-end: the DuckDB chain replays the FULL
+    Lloyd's fit, then the histogram/majority/entropy stages, so the
+    hash gate covers the training loop and the audit, not just the
+    audit. Majority ties break to the low label in both engines;
+    entropy terms are summed unrounded and rounded once at 1e-6.
+
+    Scale shape: the fit is q75's (broadcast centroids, corpus never
+    shuffles); the audit adds ONE (cell, label) aggregate — k·|labels|
+    rows — and windows/joins over that tiny relation. One corpus-scale
+    shuffle total for the audit stage at any size."""
+    from citybikedatawarehouse_spark.operators.clustering import kmeans_fit
+    from pyspark.sql import Window as W
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_fit(emb, k=4, n_iter=2)
+    lc = (
+        assigned.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy(F.col("cluster_id").alias("cell"), "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = lc.groupBy("cell").agg(F.sum("c").alias("n"))
+    top = (
+        lc.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("cell").orderBy(F.desc("c"), "label")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("cell", F.col("label").alias("top_label"), F.col("c").alias("n_top"))
+    )
+    ent = (
+        lc.join(tot, "cell")
+        .groupBy("cell")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("c") * F.lit(1.0) / F.col("n"))
+                    * F.log(F.col("c") * F.lit(1.0) / F.col("n"))
+                ),
+                6,
+            ).alias("label_entropy")
+        )
+    )
+    return (
+        tot.join(top, "cell")
+        .join(ent, "cell")
+        .select(
+            F.col("cell").cast("int").alias("cluster_id"),
+            F.col("n").cast("bigint").alias("n_vecs"),
+            F.col("top_label").cast("int").alias("top_label"),
+            F.col("n_top").cast("bigint").alias("n_top"),
+            F.round(F.col("n_top") * F.lit(1.0) / F.col("n"), 6).alias("purity"),
+            "label_entropy",
+        )
+    )
