@@ -1713,6 +1713,11 @@ def q178_cluster_purity(spark, sf_dir):
         assigned.join(emb.select("vec_id", "label"), "vec_id")
         .groupBy(F.col("cluster_id").alias("cell"), "label")
         .agg(F.count(F.lit(1)).alias("c"))
+        # k·|labels| rows feeding THREE consumers (totals, majority
+        # window, entropy) — materialize once or the corpus-scale
+        # assignment pipeline replicates into every branch (measured:
+        # 20 parquet scans without this)
+        .localCheckpoint(eager=True)
     )
     tot = lc.groupBy("cell").agg(F.sum("c").alias("n"))
     top = (
