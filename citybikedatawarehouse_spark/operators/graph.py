@@ -244,3 +244,64 @@ def triangle_counts(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan
+    et al. 2007, made deterministic): every node starts labeled with
+    its own id; each iteration relabels every node with the most
+    frequent label among its in-neighbors PLUS its own current label
+    (the self-vote damps the 2-cycle oscillation synchronous LPA is
+    prone to), ties broken to the smallest label. Fixed ``n_iter``
+    rounds — no RNG, no convergence check — so the full run replays
+    as a SQL CTE chain.
+
+    Distinct from pointer-jumping connected components
+    (operators/dedup_ops.dedup_clusters): the MODE vote splits dense
+    regions joined by thin bridges instead of flooding the whole
+    component with one min-label.
+
+    Expects a DIRECTED edge list; pass both directions for an
+    undirected graph (the q179 co-purchase use). Returns
+    (node, community).
+
+    Scale shape: edges are materialized once; per iteration ONE
+    src-keyed join (labels ⋈ edges), one map-side-combinable
+    (node, label) count and one node-keyed window — all O(E) rows,
+    nothing driver-side; labels are localCheckpointed per round so
+    the plan never re-executes earlier iterations."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window as W
+
+    for _ in range(n_iter):
+        votes = e.join(
+            labels.select(F.col("node").alias("src"), "lbl"), "src"
+        ).select(F.col("dst").alias("node"), "lbl").unionAll(labels)
+        cnt = votes.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        new = (
+            cnt.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("node").orderBy(F.desc("c"), "lbl")
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+        labels = new.localCheckpoint(eager=True)
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -2420,3 +2420,93 @@ def q177_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("p_expected"),
         F.round(kappa, 6).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q179 — label-propagation communities over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_LPA_ITER = 3
+_LPA_TOPK = 20
+
+
+def _lpa_oracle() -> str:
+    head = f"""
+    WITH
+{_COPURCHASE_PAIRS_SQL},
+    edges AS (
+      SELECT DISTINCT p1 AS src, p2 AS dst FROM pairs
+      UNION SELECT DISTINCT p2, p1 FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)"""
+    steps = []
+    for k in range(1, _LPA_ITER + 1):
+        steps.append(f""",
+    v{k} AS (
+      SELECT e.dst AS node, l.lbl
+      FROM edges e JOIN l{k - 1} l ON l.node = e.src
+      UNION ALL SELECT node, lbl FROM l{k - 1}
+    ),
+    c{k} AS (SELECT node, lbl, count(*) AS c FROM v{k} GROUP BY node, lbl),
+    l{k} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl) AS rn
+        FROM c{k}
+      ) WHERE rn = 1
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT CAST(lbl AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM l{_LPA_ITER} GROUP BY lbl
+    ORDER BY n_members DESC, community LIMIT {_LPA_TOPK}
+    """
+    )
+
+
+@register("q179_copurchase_communities", oracle=_lpa_oracle())
+def q179_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 communities (by size) from deterministic synchronous
+    label propagation over the co-purchase graph — 3 fixed mode-vote
+    rounds with a self-vote and min-label ties
+    (operators/graph.py:label_propagation). The third graph kernel
+    beside PageRank (q133, walk centrality) and triangles (q176,
+    local closure): mode votes find the DENSE regions — "catalog
+    neighborhoods bought together" — where min-label flooding
+    (dedup_clusters) would merge everything reachable.
+
+    Oracle-paired end-to-end: the whole vote/argmax recurrence
+    replays as a DuckDB CTE chain — integer counts and id
+    tie-breaks, no floats anywhere.
+
+    Scale shape: per round ONE src-keyed join + one combinable
+    (node, label) count + one node-keyed window, all O(E); edges and
+    labels checkpointed per round so iteration k never re-executes
+    rounds 1..k-1. Community sizes are a TakeOrdered top-k."""
+    from citybikedatawarehouse_spark.operators.graph import label_propagation
+
+    pairs = _copurchase_pairs(_t(spark, sf_dir, "lineitem"))
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pp.p1").alias("src"), F.col("pp.p2").alias("dst")
+                ),
+                F.struct(
+                    F.col("pp.p2").alias("src"), F.col("pp.p1").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    lab = label_propagation(edges, n_iter=_LPA_ITER)
+    return (
+        lab.groupBy(F.col("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(_LPA_TOPK)
+        .select(F.col("community").cast("bigint"), "n_members")
+    )

@@ -1011,3 +1011,18 @@ def test_kappa_matches_hand_computation(spark, sf_dir):
     assert abs(row["p_observed"] - round(po, 6)) <= 1e-6
     if n10 + n01 == 0:
         assert row["kappa"] == 1.0
+
+
+def test_label_propagation_planted_communities(spark):
+    """Two K4 cliques joined by one bridge edge: mode voting keeps
+    the cliques as separate communities (min-label flooding would
+    merge them through the bridge)."""
+    from citybikedatawarehouse_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    c2 = [(a, b) for a in range(11, 15) for b in range(11, 15) if a != b]
+    bridge = [(4, 11), (11, 4)]
+    df = spark.createDataFrame(c1 + c2 + bridge, "src long, dst long")
+    got = {r["node"]: r["community"] for r in label_propagation(df, n_iter=3).collect()}
+    assert {got[n] for n in (1, 2, 3, 4)} == {1}
+    assert {got[n] for n in (11, 12, 13, 14)} == {11}
