@@ -145,7 +145,8 @@ _SWEEP_PRIORITY = [
     "q171_geo_neighbor_pairs", "q172_lateral_topn",
     "q173_rolling_wau", "q174_equidepth_bins", "q175_cohort_ltv",
     "q176_triangle_participation", "q177_rater_agreement",
-    "q178_cluster_purity",
+    "q178_cluster_purity", "q179_copurchase_communities",
+    "q180_linear_attribution",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

@@ -2510,3 +2510,99 @@ def q179_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_LPA_TOPK)
         .select(F.col("community").cast("bigint"), "n_members")
     )
+
+
+# ---------------------------------------------------------------------------
+# q180 — linear multi-touch attribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "q180_linear_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts, event_type
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    pt AS (
+      SELECT p.pid, p.cents, t.event_type AS channel
+      FROM p JOIN t ON t.user_id = p.user_id
+                   AND t.ts < p.ts
+                   AND t.ts >= p.ts - INTERVAL 7 DAY
+    ),
+    per_p AS (
+      SELECT pid, cents, channel,
+             count(*) AS cnt,
+             sum(count(*)) OVER (PARTITION BY pid) AS k
+      FROM pt GROUP BY pid, cents, channel
+    ),
+    credited AS (
+      SELECT channel, cnt, cents * cnt // k AS ch_cents FROM per_p
+      UNION ALL
+      SELECT 'direct', 1, p.cents
+      FROM p LEFT JOIN (SELECT DISTINCT pid FROM pt) x ON x.pid = p.pid
+      WHERE x.pid IS NULL
+    )
+    SELECT channel,
+           CAST(sum(cnt) AS BIGINT) AS n_touches,
+           CAST(sum(ch_cents) AS BIGINT) AS credited_cents
+    FROM credited GROUP BY channel
+    """,
+)
+def q180_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's revenue is
+    split EQUALLY across every non-purchase touch in its 7-day
+    lookback (q170's window), 'direct' when there are none — the
+    fairer sibling of last-touch that marketing teams reconcile
+    against. All arithmetic stays in integers: each channel's share
+    is cents·cnt DIV k (floor division — identical in both engines;
+    remainder pennies are deliberately dropped rather than floated).
+
+    Scale shape: ONE user-keyed join bounded by the 7-day range
+    predicate (the same per-user range-join shape as q38's as-of
+    family), then aggregates over (purchase, channel) rows — no
+    window over raw events, no explode. The direct-purchase
+    anti-join rides the same purchase relation."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        cents.alias("cents"),
+    )
+    t = ev.where(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    pt = p.join(
+        t,
+        (F.col("tu") == F.col("pu"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS")),
+    ).select("pid", "cents", "channel")
+    per_p = (
+        pt.groupBy("pid", "cents", "channel")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("k", F.sum("cnt").over(W.partitionBy("pid")))
+    )
+    credited = per_p.select(
+        "channel",
+        "cnt",
+        F.expr("div(cents * cnt, k)").alias("ch_cents"),
+    ).unionAll(
+        p.join(pt.select("pid").distinct(), "pid", "left_anti").select(
+            F.lit("direct").alias("channel"),
+            F.lit(1).cast("bigint").alias("cnt"),
+            F.col("cents").alias("ch_cents"),
+        )
+    )
+    return credited.groupBy("channel").agg(
+        F.sum("cnt").cast("bigint").alias("n_touches"),
+        F.sum("ch_cents").cast("bigint").alias("credited_cents"),
+    )

@@ -1026,3 +1026,24 @@ def test_label_propagation_planted_communities(spark):
     got = {r["node"]: r["community"] for r in label_propagation(df, n_iter=3).collect()}
     assert {got[n] for n in (1, 2, 3, 4)} == {1}
     assert {got[n] for n in (11, 12, 13, 14)} == {11}
+
+
+def test_linear_attribution_conserves_revenue(spark, sf_dir):
+    """Credited cents across channels == total purchase cents minus
+    the floor-division remainders (bounded by k-1 pennies per
+    purchase-with-touches); last-touch (q170) and linear (q180)
+    see the same purchase count."""
+    lin = {
+        r["channel"]: r["credited_cents"]
+        for r in QUERIES["q180_linear_attribution"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    total = (
+        ev.where(F.col("event_type") == "purchase")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")))
+        .collect()[0][0]
+    )
+    credited = sum(lin.values())
+    n_purch = ev.where(F.col("event_type") == "purchase").count()
+    assert credited <= total
+    assert total - credited < n_purch * 4  # < k-1 pennies per purchase
