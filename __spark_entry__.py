@@ -146,7 +146,7 @@ _SWEEP_PRIORITY = [
     "q173_rolling_wau", "q174_equidepth_bins", "q175_cohort_ltv",
     "q176_triangle_participation", "q177_rater_agreement",
     "q178_cluster_purity", "q179_copurchase_communities",
-    "q180_linear_attribution",
+    "q180_linear_attribution", "q181_rfm_segments",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

@@ -216,10 +216,15 @@ def triangle_counts(
     # join); without materialization the whole upstream — edge
     # canonicalization, degree agg, two degree joins, and the
     # caller's edge-generation pipeline — replicates into each branch
-    # (measured: 15 parquet scans in the q176 plan). One O(E)
-    # checkpoint makes it a single pass, same rationale as pagerank's
-    # edge/degree materialization above.
-    oriented = oriented.localCheckpoint(eager=True)
+    # (measured: 15 parquet scans in the q176 plan). Serialized
+    # spill-to-disk persist, NOT localCheckpoint: the edge relation
+    # is O(E) and at 100× scale a deserialized on-heap checkpoint
+    # OOMed an 8 GiB driver (measured), while serialized columnar
+    # batches spill; lineage-cutting isn't needed here (no
+    # iteration), only reuse.
+    from pyspark import StorageLevel
+
+    oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = (
         o1.join(o2, "src")
@@ -275,10 +280,16 @@ def label_propagation(
     (node, label) count and one node-keyed window — all O(E) rows,
     nothing driver-side; labels are localCheckpointed per round so
     the plan never re-executes earlier iterations."""
+    from pyspark import StorageLevel
+
+    # static relation reused every round: serialized spillable
+    # persist (same 100×-OOM rationale as triangle_counts); the
+    # per-round labels DO need localCheckpoint — it's the lineage
+    # cut, and they're only O(V)
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .dropDuplicates(["src", "dst"])
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
         e.select(F.col("src").alias("node"))

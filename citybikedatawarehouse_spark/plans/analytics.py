@@ -2606,3 +2606,82 @@ def q180_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("bigint").alias("n_touches"),
         F.sum("ch_cents").cast("bigint").alias("credited_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q181 — RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+@register(
+    "q181_rfm_segments",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             date_diff('day', DATE '1990-01-01', max(o_orderdate)) AS rec,
+             count(*) AS freq,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS mon
+      FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT
+        [quantile_cont(rec, 0.2), quantile_cont(rec, 0.4),
+         quantile_cont(rec, 0.6), quantile_cont(rec, 0.8)] AS rb,
+        [quantile_cont(freq, 0.2), quantile_cont(freq, 0.4),
+         quantile_cont(freq, 0.6), quantile_cont(freq, 0.8)] AS fb,
+        [quantile_cont(mon, 0.2), quantile_cont(mon, 0.4),
+         quantile_cont(mon, 0.6), quantile_cont(mon, 0.8)] AS mb
+      FROM m
+    ),
+    scored AS (
+      SELECT 1 + len(list_filter(b.rb, x -> x < m.rec)) AS r_score,
+             1 + len(list_filter(b.fb, x -> x < m.freq)) AS f_score,
+             1 + len(list_filter(b.mb, x -> x < m.mon)) AS m_score,
+             m.mon
+      FROM m CROSS JOIN b
+    )
+    SELECT CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(mon) AS BIGINT) AS monetary_cents
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def q181_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic warehouse customer-value
+    rollup: per customer, Recency (days from a fixed anchor to the
+    last order), Frequency (order count) and Monetary (lifetime
+    cents), each scored 1–5 by exact quintile (q174's equi-depth
+    rule: score = 1 + boundaries strictly below, so boundary ties
+    resolve identically in both engines), then the 5×5×5 segment
+    census with exact integer revenue.
+
+    Scale shape: one customer-keyed aggregate (map-side combinable),
+    ONE pass computing all three quintile arrays in a single 1-row
+    aggregate broadcast to every row, per-row array-filter scoring
+    (no join, no sort), and a ≤125-group final rollup. Exact
+    percentile swaps for approx_percentile at extreme scale with the
+    same plan."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.lit("1990-01-01")).alias("rec"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "mon"
+        ),
+    )
+    b = m.agg(
+        F.expr(f"array({', '.join(f'percentile(rec, {q/5})' for q in range(1, 5))})").alias("rb"),
+        F.expr(f"array({', '.join(f'percentile(freq, {q/5})' for q in range(1, 5))})").alias("fb"),
+        F.expr(f"array({', '.join(f'percentile(mon, {q/5})' for q in range(1, 5))})").alias("mb"),
+    )
+    scored = m.crossJoin(F.broadcast(b)).select(
+        (1 + F.size(F.filter("rb", lambda x: x < F.col("rec")))).cast("int").alias("r_score"),
+        (1 + F.size(F.filter("fb", lambda x: x < F.col("freq")))).cast("int").alias("f_score"),
+        (1 + F.size(F.filter("mb", lambda x: x < F.col("mon")))).cast("int").alias("m_score"),
+        "mon",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("mon").cast("bigint").alias("monetary_cents"),
+    )
