@@ -52,6 +52,12 @@ HEADLINE = [
     # sf0.1 vs the HOF fold's 1.19 s) — benched to keep the swap's
     # before/after on the record and watch the mapInPandas overhead
     "q134_random_projection",
+    # round 6: the two new graph kernels — the wedge self-join
+    # (triangle) and the iterative mode-vote (LPA) are exactly the
+    # shapes that regress first under a bad edge-materialization
+    # change, so they join the watch
+    "q176_triangle_participation",
+    "q179_copurchase_communities",
 ]
 
 # Queries whose iterative driver loop (convergence counts, d-row
@@ -65,6 +71,12 @@ EAGER_BUILD = {
     "q133_copurchase_pagerank",
     "q135_pca_power_iteration",
     "q143_bpe_merges",
+    # q179's per-round label checkpoints run at plan-build time;
+    # q176 persists its oriented edge list, so a re-timed SAME
+    # DataFrame would read the cache — rebuilding per run keeps the
+    # number covering edge build + wedge join, not a cached scan
+    "q176_triangle_participation",
+    "q179_copurchase_communities",
 }
 
 # the round-1 baseline benched exactly these 13; rounds add queries

@@ -221,6 +221,7 @@ def jaccard_pairs_arrays(
     threshold: float,
     max_item_freq: int | None = None,
     hash_items: bool = True,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """:func:`jaccard_pairs` over the per-set ARRAY representation
     (``(id, array<item>)``, items distinct within a set) — the
@@ -250,7 +251,16 @@ def jaccard_pairs_arrays(
     corpus scan.) Critically, the carried size is computed BEFORE the
     hot-item cap filter, so capping prunes candidate generation but
     never the denominator (same semantics as `jaccard_pairs`).
+
+    ``metric``: ``"jaccard"`` (default) scores |A∩B| / |A∪B|;
+    ``"containment"`` scores |A∩B| / min(|A|, |B|) — the asymmetric
+    signal that catches a short document fully CONTAINED in a long
+    one (quotes, excerpts, boilerplate wrappers), where Jaccard is
+    diluted by the length gap. Identical single-scan plan either
+    way; only the final per-pair expression changes.
     """
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric: {metric!r}")
     items = F.col(items_col)
     # Hash INSIDE the explode and size the RAW array: a shared
     # transformed-array reference from both size() and explode()
@@ -311,17 +321,18 @@ def jaccard_pairs_arrays(
         .groupBy("id_1", "id_2", "__n1", "__n2")
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    return (
-        inter.select(
-            "id_1",
-            "id_2",
-            F.round(
-                F.col("__inter")
-                / (F.col("__n1") + F.col("__n2") - F.col("__inter")),
-                6,
-            ).alias("jaccard"),
+    if metric == "containment":
+        score = F.round(
+            F.col("__inter") / F.least(F.col("__n1"), F.col("__n2")), 6
         )
-        .filter(F.col("jaccard") >= threshold)
+    else:
+        score = F.round(
+            F.col("__inter")
+            / (F.col("__n1") + F.col("__n2") - F.col("__inter")),
+            6,
+        )
+    return inter.select("id_1", "id_2", score.alias(metric)).filter(
+        F.col(metric) >= threshold
     )
 
 

@@ -686,3 +686,51 @@ def q163_cdc_chunk_dedup(spark, sf_dir):
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "q182_ngram_containment",
+    oracle=r"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents),
+           UNNEST(range(1, len(words) - 1)) t(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_1, id_2,
+           round(i * 1.0 / least(s1.n, s2.n), 6) AS containment
+    FROM inter
+    JOIN sz s1 ON s1.doc_id = id_1
+    JOIN sz s2 ON s2.doc_id = id_2
+    WHERE i * 1.0 / least(s1.n, s2.n) >= 0.6
+    """,
+)
+def q182_ngram_containment(spark, sf_dir):
+    """Asymmetric near-dup pairs by 3-gram CONTAINMENT >= 0.6
+    (|A∩B| / min(|A|,|B|)): the excerpt/quote/boilerplate-wrapper
+    detector. A 50-shingle snippet verbatim inside a 5000-shingle
+    page scores containment 1.0 but Jaccard 0.01 — q61's symmetric
+    gate (and MinHash, which estimates Jaccard) structurally cannot
+    see it, which is why web-corpus pipelines run both.
+
+    Same single-scan inverted-index plan as q61 (shared operator,
+    ``metric="containment"``): carried set sizes, one
+    repartition(__item) exchange reused by the hot-shingle cap and
+    the posting-list build; only the final per-pair expression
+    differs."""
+    from citybikedatawarehouse_spark.operators.dedup_ops import (
+        jaccard_pairs_arrays,
+        shingle_arrays,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_pairs_arrays(
+        shingle_arrays(d, n=3), "doc_id", "shingle_arr", threshold=0.6,
+        max_item_freq=1000, metric="containment",
+    )

@@ -425,3 +425,28 @@ def test_cdc_chunk_dedup_shift_robust(spark, tmp_path):
     )
     con.close()
     assert sorted(tuple(r) for r in got) == want
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully contained in a long one: containment == 1.0
+    while Jaccard is far below any useful threshold."""
+    from citybikedatawarehouse_spark.operators.dedup_ops import (
+        jaccard_pairs_arrays,
+        shingle_arrays,
+    )
+    from pyspark.sql import functions as F
+
+    snippet = " ".join(f"w{i}" for i in range(12))
+    page = " ".join(f"w{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, snippet), (2, page)], "doc_id long, text string"
+    )
+    arrs = shingle_arrays(df, n=3)
+    cont = jaccard_pairs_arrays(
+        arrs, "doc_id", "shingle_arr", threshold=0.6, metric="containment"
+    ).collect()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+    jac = jaccard_pairs_arrays(
+        arrs, "doc_id", "shingle_arr", threshold=0.6
+    ).collect()
+    assert jac == []
