@@ -147,7 +147,7 @@ _SWEEP_PRIORITY = [
     "q176_triangle_participation", "q177_rater_agreement",
     "q178_cluster_purity", "q179_copurchase_communities",
     "q180_linear_attribution", "q181_rfm_segments",
-    "q182_ngram_containment",
+    "q182_ngram_containment", "q183_mann_whitney",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

@@ -2685,3 +2685,112 @@ def q181_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("mon").cast("bigint").alias("monetary_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q183 — Mann-Whitney U test (nonparametric two-sample)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q183_mann_whitney",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS c2
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, c1, c2,
+             coalesce(sum(c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum2
+      FROM h
+    ),
+    agg AS (
+      SELECT sum(c1) AS n1, sum(c2) AS n2,
+             sum(c1 * (2 * cum2 + c2)) AS two_u,
+             sum((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)) AS tie3
+      FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_urgent,
+           CAST(n2 AS BIGINT) AS n_low,
+           round(two_u / 2.0, 1) AS u_stat,
+           round(two_u * 1.0 / (n1 * n2) - 1.0, 6) AS rank_biserial,
+           round((two_u / 2.0 - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 / 12.0
+                        * ((n1 + n2 + 1.0)
+                           - tie3 * 1.0 / ((n1 + n2) * (n1 + n2 - 1.0)))), 6)
+             AS z_score
+    FROM agg
+    """,
+)
+def q183_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between URGENT and LOW
+    order values — the NONPARAMETRIC two-sample test beside q144's
+    normal-theory z-test: no distributional assumption, robust to the
+    heavy right tail order values actually have. Includes the
+    tie-corrected normal approximation and the rank-biserial effect
+    size.
+
+    Never ranks raw rows: U comes from the value HISTOGRAM via
+    2·U = Σ_v c1(v)·(2·cum2(v<) + c2(v)) — integer-exact (the ·2
+    dodges the half-rank of ties), the same histogram-identity trick
+    as q168's Gini. Doubles appear only in the final 1-row
+    z/effect-size expressions, identically ordered in both engines.
+
+    Scale shape: one scan-side filter + (value, group) count, then
+    an ordered prefix sum over O(distinct values) histogram rows and
+    a 1-row aggregate. The prefix sum is the only ordered step — at
+    extreme cardinality it becomes a range-partitioned two-pass
+    prefix sum (per-partition totals broadcast, local cumsum), same
+    plan otherwise. n1·n2 overflows bigint around n≈3e9 — swap the
+    final expressions to DECIMAL there."""
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    h = o.groupBy(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v")
+    ).agg(
+        F.sum(
+            (F.col("o_orderpriority") == "1-URGENT").cast("long")
+        ).alias("c1"),
+        F.sum((F.col("o_orderpriority") == "5-LOW").cast("long")).alias(
+            "c2"
+        ),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    cum = h.select(
+        "c1",
+        "c2",
+        F.coalesce(F.sum("c2").over(w), F.lit(0)).alias("cum2"),
+    )
+    t = F.col("c1") + F.col("c2")
+    agg = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("cum2") + F.col("c2"))).alias(
+            "two_u"
+        ),
+        F.sum(t * t * t - t).alias("tie3"),
+    )
+    n1, n2, two_u, tie3 = (
+        F.col(c) for c in ("n1", "n2", "two_u", "tie3")
+    )
+    n = n1 + n2
+    var = (
+        n1 * n2 / F.lit(12.0)
+        * ((n + F.lit(1.0)) - tie3 * F.lit(1.0) / (n * (n - F.lit(1.0))))
+    )
+    return agg.select(
+        n1.cast("bigint").alias("n_urgent"),
+        n2.cast("bigint").alias("n_low"),
+        F.round(two_u / F.lit(2.0), 1).alias("u_stat"),
+        F.round(two_u * F.lit(1.0) / (n1 * n2) - F.lit(1.0), 6).alias(
+            "rank_biserial"
+        ),
+        F.round(
+            (two_u / F.lit(2.0) - n1 * n2 / F.lit(2.0)) / F.sqrt(var), 6
+        ).alias("z_score"),
+    )

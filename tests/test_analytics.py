@@ -1047,3 +1047,34 @@ def test_linear_attribution_conserves_revenue(spark, sf_dir):
     n_purch = ev.where(F.col("event_type") == "purchase").count()
     assert credited <= total
     assert total - credited < n_purch * 4  # < k-1 pennies per purchase
+
+
+def test_mann_whitney_matches_scipy_style_replay(spark, sf_dir):
+    """Recompute U and z in pure Python from raw values (rank-based
+    definition with midranks) and compare to the histogram-identity
+    implementation."""
+    row = QUERIES["q183_mann_whitney"](spark, sf_dir).collect()[0]
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    vals = [
+        (int(round(r["o_totalprice"] * 100)), r["o_orderpriority"])
+        for r in o.collect()
+    ]
+    import itertools
+
+    vals.sort()
+    ranks = {}
+    i = 0
+    pos = 1
+    for v, grp in itertools.groupby(vals, key=lambda x: x[0]):
+        g = list(grp)
+        ranks[v] = pos + (len(g) - 1) / 2.0
+        pos += len(g)
+    r1 = sum(ranks[v] for v, p in vals if p == "1-URGENT")
+    n1 = sum(1 for _, p in vals if p == "1-URGENT")
+    n2 = len(vals) - n1
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    assert row["n_urgent"] == n1 and row["n_low"] == n2
+    assert abs(row["u_stat"] - round(u1, 1)) < 1e-9
+    assert abs(row["rank_biserial"] - round(2 * u1 / (n1 * n2) - 1, 6)) <= 1e-6
