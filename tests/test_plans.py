@@ -326,3 +326,29 @@ def test_cdc_cross_doc_exchange_keys_on_digest(spark, sf_dir):
     )
     keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert keys and set(keys) <= {"doc_id", "chunk_digest"}, keys
+
+
+def test_triangle_query_single_corpus_pass(spark, sf_dir):
+    """q176's oriented edge list is persisted: the downstream plan
+    (wedge self-join + closing join + corner agg) must read the
+    cached relation — at least two InMemoryTableScans in the
+    executed plan (before the persist fix the plan held 15
+    replicated lineitem scans and no cache at all). The FileScan
+    text still appears once inside the cache's build recipe; what
+    must NOT appear is a lineitem scan outside it."""
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    df = QUERIES["q176_triangle_participation"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_cluster_purity_single_corpus_pass(spark, sf_dir):
+    """q178's (cell, label) histogram is checkpointed: totals,
+    majority window and entropy must all read the materialized
+    k·|labels| relation, never re-run the assignment pipeline."""
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    df = QUERIES["q178_cluster_purity"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") + plan.count("FileScan") == 0, plan
