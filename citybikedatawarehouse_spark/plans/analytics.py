@@ -2794,3 +2794,106 @@ def q183_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             (two_u / F.lit(2.0) - n1 * n2 / F.lit(2.0)) / F.sqrt(var), 6
         ).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q184 — chi-squared independence test + Cramér's V
+# ---------------------------------------------------------------------------
+
+@register(
+    "q184_chi_squared",
+    oracle="""
+    WITH o AS (
+      SELECT source, lang, count(*) AS obs FROM documents GROUP BY source, lang
+    ),
+    rt AS (SELECT source, sum(obs) AS rn FROM o GROUP BY source),
+    ct AS (SELECT lang, sum(obs) AS cn FROM o GROUP BY lang),
+    n AS (SELECT sum(obs) AS n FROM o),
+    cells AS (
+      -- FULL r x c grid: a structurally-absent cell still contributes
+      -- its expected count ((0-e)^2/e = e) or chi2 is understated
+      SELECT coalesce(o.obs, 0) AS obs, rt.rn * ct.cn * 1.0 / n.n AS exp
+      FROM rt CROSS JOIN ct CROSS JOIN n
+      LEFT JOIN o USING (source, lang)
+    ),
+    stat AS (
+      SELECT sum((obs - exp) * (obs - exp) / exp) AS chi2,
+             (SELECT count(*) FROM rt) AS r,
+             (SELECT count(*) FROM ct) AS c,
+             (SELECT n FROM n) AS n
+      FROM cells
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS cramers_v
+    FROM stat
+    """,
+)
+def q184_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence test between document source
+    and language, with Cramér's V effect size — the categorical
+    association audit a curation pipeline runs before stratifying on
+    one facet and assuming the other stays balanced (a high V means
+    per-source quotas silently skew the language mix, q127/q162
+    territory).
+
+    Scale shape: ONE corpus scan to the (source, lang) contingency
+    table — every later stage (marginals, expected counts, the
+    statistic) operates on r·c rows. Marginals join back broadcast;
+    the statistic is a 1-row aggregate. Integer observed counts;
+    doubles only in the final expected/chi2 arithmetic, identically
+    ordered both engines."""
+    d = _t(spark, sf_dir, "documents")
+    o = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("obs"))
+    o = o.localCheckpoint(eager=True)  # r·c rows, four consumers
+    rt = o.groupBy("source").agg(F.sum("obs").alias("rn"))
+    ct = o.groupBy("lang").agg(F.sum("obs").alias("cn"))
+    n = o.agg(F.sum("obs").alias("n"))
+    # FULL r x c grid (tiny: marginals only): a structurally-absent
+    # cell still contributes its expected count — (0-e)^2/e = e —
+    # otherwise chi2 is silently understated wherever a combination
+    # never occurs
+    cells = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(o), ["source", "lang"], "left")
+        .select(
+            F.coalesce("obs", F.lit(0)).alias("obs"),
+            (F.col("rn") * F.col("cn") * F.lit(1.0) / F.col("n")).alias(
+                "exp"
+            ),
+        )
+    )
+    chi2 = cells.agg(
+        F.sum(
+            (F.col("obs") - F.col("exp"))
+            * (F.col("obs") - F.col("exp"))
+            / F.col("exp")
+        ).alias("chi2")
+    )
+    dims = (
+        rt.agg(F.count(F.lit(1)).alias("r"))
+        .crossJoin(F.broadcast(ct.agg(F.count(F.lit(1)).alias("c"))))
+        .crossJoin(F.broadcast(n))
+    )
+    return (
+        chi2.crossJoin(F.broadcast(dims))
+        .select(
+            F.col("n").cast("bigint").alias("n_docs"),
+            ((F.col("r") - 1) * (F.col("c") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            F.round("chi2", 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n")
+                        * F.least(F.col("r") - 1, F.col("c") - 1)
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )

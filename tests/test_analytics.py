@@ -1078,3 +1078,26 @@ def test_mann_whitney_matches_scipy_style_replay(spark, sf_dir):
     assert row["n_urgent"] == n1 and row["n_low"] == n2
     assert abs(row["u_stat"] - round(u1, 1)) < 1e-9
     assert abs(row["rank_biserial"] - round(2 * u1 / (n1 * n2) - 1, 6)) <= 1e-6
+
+
+def test_chi_squared_matches_numpy(spark, sf_dir):
+    """Replay chi2 and Cramér's V from the raw contingency table in
+    numpy."""
+    row = QUERIES["q184_chi_squared"](spark, sf_dir).collect()[0]
+    d = load_table(spark, sf_dir, "documents")
+    obs = {}
+    for r in d.groupBy("source", "lang").count().collect():
+        obs[(r["source"], r["lang"])] = r["count"]
+    srcs = sorted({k[0] for k in obs})
+    langs = sorted({k[1] for k in obs})
+    m = np.array(
+        [[obs.get((s, l), 0) for l in langs] for s in srcs], dtype=float
+    )
+    # full-grid chi2: absent cells contribute their expected count
+    n = m.sum()
+    exp = np.outer(m.sum(axis=1), m.sum(axis=0)) / n
+    chi2 = float(((m - exp) ** 2 / exp).sum())
+    assert row["n_docs"] == int(n)
+    assert abs(row["chi2"] - round(chi2, 6)) <= 1e-4
+    v = (chi2 / (n * min(len(srcs) - 1, len(langs) - 1))) ** 0.5
+    assert abs(row["cramers_v"] - round(v, 6)) <= 1e-6
