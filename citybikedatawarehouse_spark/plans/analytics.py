@@ -2897,3 +2897,70 @@ def q184_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q185 — day-of-week seasonality profile
+# ---------------------------------------------------------------------------
+
+@register(
+    "q185_dow_seasonality",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_orderdate
+    ),
+    base AS (SELECT avg(cents * 1.0) AS overall FROM daily)
+    SELECT CAST(isodow(d) AS INTEGER) AS dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           round(avg(cents * 1.0), 6) AS avg_day_cents,
+           round(avg(cents * 1.0) / (SELECT overall FROM base), 6)
+             AS seasonal_index
+    FROM daily GROUP BY isodow(d)
+    """,
+)
+def q185_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative day-of-week seasonality of order revenue: the
+    per-weekday mean of DAILY totals over the grand daily mean — the
+    classical decomposition's seasonal factor, the input every
+    forecast (q148) and anomaly rule (q149's CUSUM) needs before
+    comparing a Monday to a Saturday. ISO weekday numbering
+    (1=Monday) in both engines (Spark ``weekday()+1`` == DuckDB
+    ``isodow``).
+
+    Scale shape: one date-keyed aggregate collapses the fact table
+    to O(days) rows; everything after — weekday rollup, grand mean,
+    index — runs on that tiny relation (grand mean broadcast as one
+    row). Integer cents until the final two rounded doubles."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    ).localCheckpoint(eager=True)  # O(days) rows, two consumers
+    base = daily.agg(F.avg(F.col("cents") * F.lit(1.0)).alias("overall"))
+    return (
+        daily.groupBy(
+            (F.expr("weekday(d)") + F.lit(1)).cast("int").alias("dow")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.round(F.avg(F.col("cents") * F.lit(1.0)), 6).alias(
+                "avg_day_cents"
+            ),
+            F.avg(F.col("cents") * F.lit(1.0)).alias("__avg_raw"),
+        )
+        .crossJoin(F.broadcast(base))
+        .select(
+            "dow",
+            "n_days",
+            "total_cents",
+            "avg_day_cents",
+            F.round(F.col("__avg_raw") / F.col("overall"), 6).alias(
+                "seasonal_index"
+            ),
+        )
+    )

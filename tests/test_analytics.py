@@ -1101,3 +1101,14 @@ def test_chi_squared_matches_numpy(spark, sf_dir):
     assert abs(row["chi2"] - round(chi2, 6)) <= 1e-4
     v = (chi2 / (n * min(len(srcs) - 1, len(langs) - 1))) ** 0.5
     assert abs(row["cramers_v"] - round(v, 6)) <= 1e-6
+
+
+def test_dow_seasonality_indices_average_to_one(spark, sf_dir):
+    """Weighted by day counts, the seasonal indices must average to
+    1 (the decomposition identity), and ISO weekday numbering must
+    hold (1=Monday..7=Sunday)."""
+    rows = QUERIES["q185_dow_seasonality"](spark, sf_dir).collect()
+    assert {r["dow"] for r in rows} <= set(range(1, 8))
+    n = sum(r["n_days"] for r in rows)
+    w = sum(r["seasonal_index"] * r["n_days"] for r in rows) / n
+    assert abs(w - 1.0) < 1e-4
