@@ -2964,3 +2964,81 @@ def q185_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q186 — nation-to-nation trade flows (TPC-H Q7 shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q186_trade_flows",
+    oracle="""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    WHERE ns.n_nationkey <> nc.n_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def q186_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-border trade flows — the TPC-H Q7 join shape: lineitem
+    ⋈ orders ⋈ customer ⋈ nation twice (customer AND supplier side)
+    with an inequality filter, rolled up by nation pair and ship
+    year. The 6-relation plan is exactly what Catalyst's join
+    reordering + broadcast selection exists for: expressed
+    declaratively, the two 25-row nation dims and the supplier dim
+    broadcast, and the only corpus-scale shuffle is lineitem ⋈
+    orders.
+
+    Revenue follows q01's discount formula in integer cents; the
+    anti-self-trade filter runs on nation KEYS before the name
+    projection.
+
+    Scale shape: one fact-sized join (lineitem ⋈ orders on
+    orderkey), everything else broadcast; the rollup output is
+    |nations|² · years rows. At 100 TB, bucketing lineitem and
+    orders by orderkey makes the remaining big join shuffle-free
+    (q39's demonstrated layout)."""
+    sf = sf_dir
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    df = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .where(F.col("s_nk") != F.col("c_nk"))
+    )
+    return df.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )

@@ -352,3 +352,17 @@ def test_cluster_purity_single_corpus_pass(spark, sf_dir):
     df = QUERIES["q178_cluster_purity"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") + plan.count("FileScan") == 0, plan
+
+
+def test_trade_flows_broadcasts_all_dims(spark, sf_dir):
+    """q186's 6-relation TPC-H Q7 shape: the customer/supplier/
+    nation dims must all come in as broadcast joins — the only join
+    allowed to shuffle at scale is lineitem ⋈ orders (and AQE may
+    broadcast even that at test scale). No cartesian anywhere."""
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    df = QUERIES["q186_trade_flows"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1, plan
