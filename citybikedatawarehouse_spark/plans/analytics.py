@@ -3042,3 +3042,92 @@ def q186_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q187 — per-segment OLS revenue trend
+# ---------------------------------------------------------------------------
+
+@register(
+    "q187_segment_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT c.c_mktsegment AS seg,
+             date_diff('day', DATE '1992-01-01', o.o_orderdate) AS x,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT seg, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * 1.0 * x) AS sxx, sum(x * 1.0 * y) AS sxy,
+             sum(y * 1.0 * y) AS syy
+      FROM daily GROUP BY seg
+    )
+    SELECT seg AS segment,
+           CAST(n AS BIGINT) AS n_days,
+           round((n * sxy - sx * 1.0 * sy) / (n * sxx - sx * 1.0 * sx), 6)
+             AS slope_cents_per_day,
+           round((sy - (n * sxy - sx * 1.0 * sy)
+                        / (n * sxx - sx * 1.0 * sx) * sx) / n, 6)
+             AS intercept_cents,
+           round(power(n * sxy - sx * 1.0 * sy, 2)
+                 / ((n * sxx - sx * 1.0 * sx) * (n * syy - sy * 1.0 * sy)), 6)
+             AS r2
+    FROM s
+    """,
+)
+def q187_segment_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise OLS: the daily-revenue trend line PER market
+    segment (slope in cents/day, intercept, r²) from the closed-form
+    normal equations — q148's global regression generalized to one
+    fit per group in a single plan, the "which segments are growing"
+    query every revenue dashboard runs.
+
+    All five sufficient statistics (Σx, Σy, Σx², Σxy, Σy²)
+    accumulate in one map-side-combinable aggregate over the
+    (segment, day) relation — fitting G groups costs exactly one
+    aggregation, not G jobs. Integer day index and cents keep the
+    sums exact; doubles appear in the final per-group expressions
+    only, identically ordered both engines.
+
+    Scale shape: fact join on custkey (bucketable), collapse to
+    O(G·days) rows, then a G-row closed-form select. No window, no
+    iteration, no driver math."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("x"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("y")
+        )
+    )
+    s = daily.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.lit(1.0) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.lit(1.0) * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.lit(1.0) * F.col("y")).alias("syy"),
+    )
+    n, sx, sy, sxx, sxy, syy = (
+        F.col(k) for k in ("n", "sx", "sy", "sxx", "sxy", "syy")
+    )
+    cov = n * sxy - sx * F.lit(1.0) * sy
+    varx = n * sxx - sx * F.lit(1.0) * sx
+    vary = n * syy - sy * F.lit(1.0) * sy
+    slope = cov / varx
+    return s.select(
+        F.col("seg").alias("segment"),
+        n.cast("bigint").alias("n_days"),
+        F.round(slope, 6).alias("slope_cents_per_day"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept_cents"),
+        F.round(F.pow(cov, 2) / (varx * vary), 6).alias("r2"),
+    )

@@ -1112,3 +1112,37 @@ def test_dow_seasonality_indices_average_to_one(spark, sf_dir):
     n = sum(r["n_days"] for r in rows)
     w = sum(r["seasonal_index"] * r["n_days"] for r in rows) / n
     assert abs(w - 1.0) < 1e-4
+
+
+def test_segment_trend_matches_numpy_polyfit(spark, sf_dir):
+    """Per-segment slope/intercept/r2 against numpy least squares on
+    the same (segment, day) aggregates."""
+    rows = {
+        r["segment"]: r
+        for r in QUERIES["q187_segment_trend"](spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("x"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    pts = defaultdict(list)
+    for r in daily:
+        pts[r["seg"]].append((r["x"], r["y"]))
+    for seg, xy in pts.items():
+        x = np.array([a for a, _ in xy], dtype=float)
+        y = np.array([b for _, b in xy], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        cc = np.corrcoef(x, y)[0, 1]
+        got = rows[seg]
+        assert abs(got["slope_cents_per_day"] - slope) < 1e-3 * max(1, abs(slope))
+        assert abs(got["intercept_cents"] - intercept) < 1e-3 * max(1, abs(intercept))
+        assert abs(got["r2"] - cc * cc) < 1e-5
