@@ -1401,3 +1401,94 @@ def q166_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_gram_share"
         ),
     )
+
+
+@register(
+    "q188_source_jsd",
+    oracle=r"""
+    WITH wc AS (
+      SELECT source, w, count(*) AS c
+      FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+            FROM documents)
+      GROUP BY source, w
+    ),
+    tot AS (SELECT source, sum(c) AS n FROM wc GROUP BY source),
+    pairs AS (
+      SELECT a.source AS s1, b.source AS s2
+      FROM tot a JOIN tot b ON a.source < b.source
+    ),
+    contrib AS (
+      SELECT p.s1, p.s2, wc.w, wc.c * 1.0 / t.n AS pw, 0.0 AS qw
+      FROM wc JOIN tot t USING (source) JOIN pairs p ON wc.source = p.s1
+      UNION ALL
+      SELECT p.s1, p.s2, wc.w, 0.0, wc.c * 1.0 / t.n
+      FROM wc JOIN tot t USING (source) JOIN pairs p ON wc.source = p.s2
+    ),
+    pq AS (
+      SELECT s1, s2, w, sum(pw) AS p, sum(qw) AS q
+      FROM contrib GROUP BY s1, s2, w
+    )
+    SELECT s1 AS source_a, s2 AS source_b,
+           round(sum(
+             CASE WHEN p > 0 THEN 0.5 * p * log2(2.0 * p / (p + q)) ELSE 0 END
+             + CASE WHEN q > 0 THEN 0.5 * q * log2(2.0 * q / (p + q)) ELSE 0 END
+           ), 6) AS jsd_bits
+    FROM pq GROUP BY s1, s2
+    """,
+)
+def q188_source_jsd(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence (bits) between the unigram
+    distributions of every source pair — the bounded, symmetric
+    distribution distance curation pipelines use to quantify how
+    different two corpora actually are before mixing them (q97/q162)
+    or to detect a source drifting release-over-release (the
+    distributional sibling of q151's binned PSI). JSD ∈ [0, 1] bit;
+    0 = identical unigram mix.
+
+    No outer join: each pair's (word, p, q) support union is built
+    by UNION ALL of the two sources' contribution rows and one
+    re-aggregate — absent words land as exact zeros on the other
+    side, the pattern that keeps the plan two joins + two combinable
+    aggregates at any vocabulary size. The pair table is O(sources²)
+    and broadcast.
+
+    Scale shape: one corpus tokenize → (source, word) count, each
+    word row replicated once per pair it participates in
+    (sources are few; fan-out = n_sources−1), word-keyed shuffle,
+    per-pair 1-row sum. Zero-guards keep 0·log terms exact zeros in
+    both engines; the log2 term sum rounds once at 1e-6."""
+    from citybikedatawarehouse_spark.functions.textfns import words
+
+    d = _t(spark, sf_dir, "documents")
+    wc = (
+        d.select("source", F.explode(words("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = wc.groupBy("source").agg(F.sum("c").alias("n"))
+    t1 = tot.select(F.col("source").alias("s1"))
+    t2 = tot.select(F.col("source").alias("s2"))
+    pairs = t1.crossJoin(t2).where(F.col("s1") < F.col("s2"))
+    wcn = wc.join(tot, "source").select(
+        "source", "w", (F.col("c") * F.lit(1.0) / F.col("n")).alias("f")
+    )
+    left = wcn.join(
+        F.broadcast(pairs), wcn.source == pairs.s1
+    ).select("s1", "s2", "w", F.col("f").alias("pw"), F.lit(0.0).alias("qw"))
+    right = wcn.join(
+        F.broadcast(pairs), wcn.source == pairs.s2
+    ).select("s1", "s2", "w", F.lit(0.0).alias("pw"), F.col("f").alias("qw"))
+    pq = (
+        left.unionAll(right)
+        .groupBy("s1", "s2", "w")
+        .agg(F.sum("pw").alias("p"), F.sum("qw").alias("q"))
+    )
+    p, q = F.col("p"), F.col("q")
+    term = F.when(
+        p > 0, F.lit(0.5) * p * F.log2(F.lit(2.0) * p / (p + q))
+    ).otherwise(F.lit(0.0)) + F.when(
+        q > 0, F.lit(0.5) * q * F.log2(F.lit(2.0) * q / (p + q))
+    ).otherwise(F.lit(0.0))
+    return pq.groupBy(
+        F.col("s1").alias("source_a"), F.col("s2").alias("source_b")
+    ).agg(F.round(F.sum(term), 6).alias("jsd_bits"))

@@ -310,3 +310,41 @@ def test_lexical_diversity_flags_template_farm(spark, tmp_path):
     assert got["farm"]["top_gram_share"] > 0.1
     assert got["varied"]["top_gram_share"] < 0.01
     assert got["farm"]["type_token_ratio"] < got["varied"]["type_token_ratio"]
+
+
+def test_jsd_bounds_and_planted_extremes(spark, sf_dir):
+    """JSD is within [0,1] bit on real data; identical corpora give
+    0, disjoint-vocabulary corpora give exactly 1 bit."""
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    for r in QUERIES["q188_source_jsd"](spark, sf_dir).collect():
+        assert 0.0 <= r["jsd_bits"] <= 1.0
+
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as tmp:
+        rows = (
+            [(i, "a b c d", "x", "s1") for i in range(20)]
+            + [(100 + i, "a b c d", "x", "s2") for i in range(20)]
+            + [(200 + i, "p q r s", "x", "s3") for i in range(20)]
+        )
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"):
+            src = os.path.join("/root/testdata/sf0.001", f"{t}.parquet")
+            dst = os.path.join(tmp, f"{t}.parquet")
+            os.symlink(src, dst)
+        df.withColumn("n_chars", F.length("text")).write.parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        got = {
+            (r["source_a"], r["source_b"]): r["jsd_bits"]
+            for r in QUERIES["q188_source_jsd"](spark, tmp).collect()
+        }
+        assert got[("s1", "s2")] == 0.0
+        assert got[("s1", "s3")] == 1.0
+        assert got[("s2", "s3")] == 1.0
