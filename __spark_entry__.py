@@ -53,10 +53,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #      its last driver row). 33 + 17 = 50 exactly (slot 50 = q108).
 #   3. everything else, least-recently-verified first (the rest of
 #      the r03 block, then r04, then the r05-verified block at the
-#      tail — freshest evidence last). All 164 queries are re-proven
-#      locally at sf0.01 against DuckDB every round regardless of
-#      sweep position (driver-style full sweeps — see PERFORMANCE.md
-#      round-6 end-state).
+#      tail — freshest evidence last). All 194 registered queries are
+#      re-proven locally at sf0.01 against DuckDB every round
+#      regardless of sweep position (driver-style full sweeps — see
+#      PERFORMANCE.md round-6 end-state).
 # Every name is asserted against the registry at import time (see
 # the assert after the list).
 _SWEEP_PRIORITY = [

@@ -626,3 +626,79 @@ def resolve_wau(state_df: DataFrame) -> DataFrame:
         .groupBy(F.date_format("wday", "yyyy-MM-dd").alias("day"))
         .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
     )
+
+
+SOURCE_WORD_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType(), False),
+        T.StructField("w", T.StringType(), False),
+        T.StructField("c", T.LongType(), False),
+    ]
+)
+
+
+def start_incremental_jsd(docs_stream: DataFrame, state_dir: str):
+    """Streaming distribution-drift feed: each epoch persists its
+    per-(source, word) COUNT slice — counts form a commutative
+    monoid, so slices resolve by one re-aggregate and a replayed
+    epoch (same epoch id) overwrites its own directory instead of
+    double-counting. ``resolve_source_jsd`` then computes q188's
+    exact pairwise Jensen-Shannon divergence from the accumulated
+    state at any time — the "is source X drifting away from source Y
+    as data lands" monitor."""
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        wordcount_epoch_step(batch_df, epoch_id, state_dir)
+
+    return docs_stream.writeStream.foreachBatch(step).start()
+
+
+def wordcount_epoch_step(
+    batch_df: DataFrame, epoch_id: int, state_dir: str
+) -> None:
+    """One JSD-feed epoch (module-level; see dedup_epoch_step)."""
+    from citybikedatawarehouse_spark.functions.textfns import words
+
+    (
+        batch_df.select("source", F.explode(words("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .write.mode("overwrite")
+        .parquet(f"{state_dir}/epoch={epoch_id}")
+    )
+
+
+def resolve_source_jsd(state_df: DataFrame) -> DataFrame:
+    """q188's pairwise JSD over the accumulated (source, word, c)
+    slices: merge the monoid (sum counts), then the identical
+    union-accumulate support construction — absent words are exact
+    zeros, no outer join."""
+    wc = state_df.groupBy("source", "w").agg(F.sum("c").alias("c"))
+    tot = wc.groupBy("source").agg(F.sum("c").alias("n"))
+    pairs = (
+        tot.select(F.col("source").alias("s1"))
+        .crossJoin(tot.select(F.col("source").alias("s2")))
+        .where(F.col("s1") < F.col("s2"))
+    )
+    wcn = wc.join(tot, "source").select(
+        "source", "w", (F.col("c") * F.lit(1.0) / F.col("n")).alias("f")
+    )
+    left = wcn.join(F.broadcast(pairs), wcn.source == pairs.s1).select(
+        "s1", "s2", "w", F.col("f").alias("pw"), F.lit(0.0).alias("qw")
+    )
+    right = wcn.join(F.broadcast(pairs), wcn.source == pairs.s2).select(
+        "s1", "s2", "w", F.lit(0.0).alias("pw"), F.col("f").alias("qw")
+    )
+    pq = (
+        left.unionAll(right)
+        .groupBy("s1", "s2", "w")
+        .agg(F.sum("pw").alias("p"), F.sum("qw").alias("q"))
+    )
+    p, q = F.col("p"), F.col("q")
+    term = F.when(
+        p > 0, F.lit(0.5) * p * F.log2(F.lit(2.0) * p / (p + q))
+    ).otherwise(F.lit(0.0)) + F.when(
+        q > 0, F.lit(0.5) * q * F.log2(F.lit(2.0) * q / (p + q))
+    ).otherwise(F.lit(0.0))
+    return pq.groupBy(
+        F.col("s1").alias("source_a"), F.col("s2").alias("source_b")
+    ).agg(F.round(F.sum(term), 6).alias("jsd_bits"))

@@ -631,3 +631,37 @@ def test_stream_wau_equals_batch_q173(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_jsd_equals_batch_q188(spark, tmp_path):
+    """JSD resolved from 3 word-count epoch slices (one replayed)
+    equals the batch q188 on the full documents table."""
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+    from citybikedatawarehouse_spark.sources.readers import load_table
+    from citybikedatawarehouse_spark.streaming.incremental import (
+        SOURCE_WORD_STATE_SCHEMA,
+        _read_epoch_state,
+        resolve_source_jsd,
+        wordcount_epoch_step,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    state = str(tmp_path / "jsd")
+    for i in range(3):
+        wordcount_epoch_step(d.filter(F.col("doc_id") % 3 == i), i, state)
+    wordcount_epoch_step(d.filter(F.col("doc_id") % 3 == 1), 1, state)
+    got = {
+        (r["source_a"], r["source_b"]): r["jsd_bits"]
+        for r in resolve_source_jsd(
+            _read_epoch_state(spark, state, SOURCE_WORD_STATE_SCHEMA, 99)
+        ).collect()
+    }
+    want = {
+        (r["source_a"], r["source_b"]): r["jsd_bits"]
+        for r in QUERIES["q188_source_jsd"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == want
