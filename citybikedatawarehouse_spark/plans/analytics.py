@@ -3131,3 +3131,130 @@ def q187_segment_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - slope * sx) / n, 6).alias("intercept_cents"),
         F.round(F.pow(cov, 2) / (varx * vary), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q189 — graph summary statistics + degree assortativity
+# ---------------------------------------------------------------------------
+
+@register(
+    "q189_graph_stats",
+    oracle=f"""
+    WITH
+{_COPURCHASE_PAIRS_SQL},
+    canon AS (SELECT DISTINCT p1 AS a, p2 AS b FROM pairs),
+    deg AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM canon UNION ALL SELECT b FROM canon
+      ) GROUP BY node
+    ),
+    ed AS (
+      SELECT da.deg AS x, db.deg AS y
+      FROM canon c JOIN deg da ON da.node = c.a
+                   JOIN deg db ON db.node = c.b
+    ),
+    -- assortativity = Pearson r over BOTH orientations of each edge
+    -- (the undirected convention: the pair set must be symmetric)
+    sym AS (SELECT x, y FROM ed UNION ALL SELECT y, x FROM ed),
+    s AS (
+      SELECT count(*) AS m2, sum(x * 1.0) AS sx, sum(y * 1.0) AS sy,
+             sum(x * 1.0 * x) AS sxx, sum(y * 1.0 * y) AS syy,
+             sum(x * 1.0 * y) AS sxy
+      FROM sym
+    ),
+    g AS (
+      SELECT (SELECT count(*) FROM deg) AS n_nodes,
+             (SELECT count(*) FROM canon) AS n_edges,
+             (SELECT max(deg) FROM deg) AS max_degree
+    )
+    SELECT CAST(g.n_nodes AS BIGINT) AS n_nodes,
+           CAST(g.n_edges AS BIGINT) AS n_edges,
+           CAST(g.max_degree AS BIGINT) AS max_degree,
+           round(2.0 * g.n_edges / g.n_nodes, 6) AS mean_degree,
+           round(2.0 * g.n_edges / (g.n_nodes * (g.n_nodes - 1.0)), 6)
+             AS density,
+           round((s.m2 * s.sxy - s.sx * s.sy)
+                 / (sqrt(s.m2 * s.sxx - s.sx * s.sx)
+                    * sqrt(s.m2 * s.syy - s.sy * s.sy)), 6)
+             AS assortativity
+    FROM g CROSS JOIN s
+    """,
+)
+def q189_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass structural summary of the co-purchase graph: node and
+    edge counts, density, mean/max degree, and DEGREE ASSORTATIVITY —
+    the Pearson correlation of endpoint degrees over the symmetric
+    edge set (Newman's r): negative r (hubs bonding to leaves) vs
+    positive r (hub-hub cores) decides whether degree-based caps or
+    community detection is the right skew strategy for the graph
+    queries beside it (q133/q176/q179).
+
+    Scale shape: the same canon/degree relations as q176's prep, the
+    edge-degree join, then 1-row sufficient-statistic aggregates —
+    no iteration, no window. The symmetric union doubles edge rows
+    exactly once (assortativity convention).
+
+    Sources: Newman (2002), "Assortative mixing in networks"."""
+    pairs = _copurchase_pairs(_t(spark, sf_dir, "lineitem")).select(
+        F.col("pp.p1").alias("p1"), F.col("pp.p2").alias("p2")
+    )
+    canon = (
+        pairs.select(
+            F.least("p1", "p2").alias("a"), F.greatest("p1", "p2").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=True)  # three consumers below
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    ed = canon.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("x")), "a"
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("deg").alias("y")), "b"
+    ).select("x", "y")
+    sym = ed.unionAll(ed.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    s = sym.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum(F.col("x") * F.lit(1.0)).alias("sx"),
+        F.sum(F.col("y") * F.lit(1.0)).alias("sy"),
+        F.sum(F.col("x") * F.lit(1.0) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.lit(1.0) * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.lit(1.0) * F.col("y")).alias("sxy"),
+    )
+    g = (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.max("deg").alias("max_degree"),
+        )
+        .crossJoin(F.broadcast(canon.agg(F.count(F.lit(1)).alias("n_edges"))))
+    )
+    m2, sx, sy, sxx, syy, sxy = (
+        F.col(c) for c in ("m2", "sx", "sy", "sxx", "syy", "sxy")
+    )
+    return g.crossJoin(F.broadcast(s)).select(
+        F.col("n_nodes").cast("bigint"),
+        F.col("n_edges").cast("bigint"),
+        F.col("max_degree").cast("bigint"),
+        F.round(F.lit(2.0) * F.col("n_edges") / F.col("n_nodes"), 6).alias(
+            "mean_degree"
+        ),
+        F.round(
+            F.lit(2.0)
+            * F.col("n_edges")
+            / (F.col("n_nodes") * (F.col("n_nodes") - F.lit(1.0))),
+            6,
+        ).alias("density"),
+        F.round(
+            (m2 * sxy - sx * sy)
+            / (
+                F.sqrt(m2 * sxx - sx * sx) * F.sqrt(m2 * syy - sy * sy)
+            ),
+            6,
+        ).alias("assortativity"),
+    )

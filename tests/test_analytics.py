@@ -1146,3 +1146,29 @@ def test_segment_trend_matches_numpy_polyfit(spark, sf_dir):
         assert abs(got["slope_cents_per_day"] - slope) < 1e-3 * max(1, abs(slope))
         assert abs(got["intercept_cents"] - intercept) < 1e-3 * max(1, abs(intercept))
         assert abs(got["r2"] - cc * cc) < 1e-5
+
+
+def test_graph_stats_assortativity_matches_numpy(spark, sf_dir):
+    """Replay Newman's r in numpy from the canonical edge list."""
+    from citybikedatawarehouse_spark.plans.analytics import _copurchase_pairs
+
+    row = QUERIES["q189_graph_stats"](spark, sf_dir).collect()[0]
+    pairs = _copurchase_pairs(load_table(spark, sf_dir, "lineitem")).select(
+        F.least("pp.p1", "pp.p2").alias("a"),
+        F.greatest("pp.p1", "pp.p2").alias("b"),
+    ).dropDuplicates().collect()
+    es = [(r["a"], r["b"]) for r in pairs]
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in es:
+        deg[a] += 1
+        deg[b] += 1
+    xs, ys = [], []
+    for a, b in es:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    r = float(np.corrcoef(np.array(xs, float), np.array(ys, float))[0, 1])
+    assert row["n_nodes"] == len(deg) and row["n_edges"] == len(es)
+    assert row["max_degree"] == max(deg.values())
+    assert abs(row["assortativity"] - round(r, 6)) <= 1e-5
