@@ -316,3 +316,61 @@ def label_propagation(
         )
         labels = new.localCheckpoint(eager=True)
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    max_rounds: int = 8,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """The k-core of an undirected canonical edge set (a < b): the
+    maximal subgraph where every node keeps degree >= k, found by
+    iterative peeling — drop all nodes below k, restrict the edges,
+    repeat. Peeling is run for at most ``max_rounds`` SYNCHRONOUS
+    rounds with early exit once the edge set is stable; because a
+    stable round is a no-op, a fixed-round replay (the DuckDB
+    oracle) produces the identical result whenever convergence
+    happens within the budget — the same fixed-iteration parity
+    convention as the k-means/PageRank fits. Callers that need a
+    guarantee assert stability (see tests).
+
+    Returns the core's canonical edge list.
+
+    Scale shape: per round one degree aggregate (map-side
+    combinable) + two semi-joins against the >= k node set; the edge
+    relation only ever SHRINKS. Each round's edges are persisted
+    serialized-spillable and the previous round is unpersisted — the
+    peel never holds more than two edge generations, and nothing is
+    driver-side except the per-round stability count."""
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        nxt = (
+            e.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_next = nxt.count()
+        e.unpersist()
+        e = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    return e

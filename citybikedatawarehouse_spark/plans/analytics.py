@@ -3258,3 +3258,107 @@ def q189_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q190 — k-core of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    head = f"""
+    WITH
+{_COPURCHASE_PAIRS_SQL},
+    e0 AS MATERIALIZED (SELECT DISTINCT p1 AS a, p2 AS b FROM pairs)"""
+    steps = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        steps.append(f""",
+    d{r} AS MATERIALIZED (
+      SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM e{r - 1} UNION ALL SELECT b FROM e{r - 1}
+      ) GROUP BY node
+    ),
+    k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {_KCORE_K}),
+    e{r} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{r - 1} e
+      WHERE e.a IN (SELECT node FROM k{r})
+        AND e.b IN (SELECT node FROM k{r})
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT CAST((SELECT count(*) FROM (
+             SELECT a AS n FROM e{_KCORE_ROUNDS}
+             UNION SELECT b FROM e{_KCORE_ROUNDS})) AS BIGINT)
+             AS n_core_nodes,
+           CAST((SELECT count(*) FROM e{_KCORE_ROUNDS}) AS BIGINT)
+             AS n_core_edges,
+           CAST(coalesce((SELECT max(deg) FROM (
+             SELECT count(*) AS deg FROM (
+               SELECT a AS node FROM e{_KCORE_ROUNDS}
+               UNION ALL SELECT b FROM e{_KCORE_ROUNDS}
+             ) GROUP BY node)), 0) AS BIGINT) AS max_core_degree
+    """
+    )
+
+
+@register("q190_kcore", oracle=_kcore_oracle())
+def q190_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-core of the co-purchase graph (iterative peeling, ≤ 8
+    synchronous rounds with early exit on stability) summarized as
+    core size, edge count and max in-core degree — the cohesive
+    backbone left after pendant items and weak tendrils peel away,
+    the standard pre-filter before community detection (q179) and
+    the classic "where does the graph actually hold together"
+    measure.
+
+    Parity convention: the oracle replays EXACTLY 8 peel rounds; a
+    stable round is a no-op, so early exit agrees with the fixed
+    replay whenever peeling converges inside the budget
+    (tests assert it does at both test scales — the same
+    fixed-iteration contract as the k-means/PageRank fits).
+
+    Scale shape: per round one combinable degree aggregate + two
+    semi-joins; the edge set only shrinks; two edge generations
+    persisted serialized-spillable at a time (see
+    operators/graph.py:k_core)."""
+    from citybikedatawarehouse_spark.operators.graph import k_core
+
+    pairs = _copurchase_pairs(_t(spark, sf_dir, "lineitem")).select(
+        F.col("pp.p1").alias("a"), F.col("pp.p2").alias("b")
+    )
+    core = k_core(pairs, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
+    nodes = (
+        core.select(F.col("a").alias("n"))
+        .union(core.select(F.col("b").alias("n")))
+        .distinct()  # DataFrame.union is UNION ALL
+    )
+    deg = (
+        core.select(F.col("a").alias("node"))
+        .unionAll(core.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_core_nodes"))
+        .crossJoin(
+            F.broadcast(
+                core.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_core_edges")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                deg.agg(
+                    F.coalesce(F.max("deg"), F.lit(0))
+                    .cast("bigint")
+                    .alias("max_core_degree")
+                )
+            )
+        )
+    )

@@ -1172,3 +1172,38 @@ def test_graph_stats_assortativity_matches_numpy(spark, sf_dir):
     assert row["n_nodes"] == len(deg) and row["n_edges"] == len(es)
     assert row["max_degree"] == max(deg.values())
     assert abs(row["assortativity"] - round(r, 6)) <= 1e-5
+
+
+def test_kcore_converges_and_planted(spark, sf_dir):
+    """(a) K5 plus a pendant chain: the 3-core is exactly the K5.
+    (b) On real data the peel must CONVERGE within the oracle's
+    fixed round budget (stability == the parity precondition), and
+    every surviving node keeps degree >= 3."""
+    from citybikedatawarehouse_spark.operators.graph import k_core
+
+    k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    chain = [(5, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(k5 + chain, "a long, b long")
+    core = k_core(df, k=3, max_rounds=8).collect()
+    assert sorted((r["a"], r["b"]) for r in core) == sorted(k5)
+
+    from citybikedatawarehouse_spark.plans.analytics import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        _copurchase_pairs,
+    )
+
+    pairs = _copurchase_pairs(load_table(spark, sf_dir, "lineitem")).select(
+        F.col("pp.p1").alias("a"), F.col("pp.p2").alias("b")
+    )
+    core = k_core(pairs, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
+    # one more peel round must be a no-op (converged)
+    more = k_core(core, k=_KCORE_K, max_rounds=1)
+    assert more.count() == core.count()
+    deg = (
+        core.select(F.col("a").alias("n"))
+        .unionAll(core.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .count()
+    )
+    assert deg.where(F.col("count") < _KCORE_K).count() == 0
