@@ -1755,3 +1755,128 @@ def q178_cluster_purity(spark, sf_dir):
             "label_entropy",
         )
     )
+
+
+@register(
+    "q191_ann_recall",
+    oracle="""
+    WITH cents AS (
+      SELECT cell, cvec FROM (
+        SELECT embedding AS cvec,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                 - 1 AS cell
+        FROM embeddings
+      ) WHERE cell < 40
+    ),
+    asims AS (
+      SELECT vec_id, cell,
+             round(sum(ee * ce) / (sqrt(sum(ee * ee)) * sqrt(sum(ce * ce))), 6) AS sim
+      FROM (
+        SELECT e.vec_id, c.cell,
+               CAST(unnest(e.embedding) AS DOUBLE) AS ee,
+               CAST(unnest(c.cvec) AS DOUBLE) AS ce
+        FROM embeddings e CROSS JOIN cents c
+      ) GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM asims
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM asims WHERE vec_id < 10
+      ) WHERE rn <= 4
+    ),
+    cands AS (
+      SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+    ),
+    ann_scored AS (
+      SELECT query_id, neighbor_id,
+             round(sum(qe * ce) / (sqrt(sum(qe * qe)) * sqrt(sum(ce * ce))), 6) AS cos_sim
+      FROM (
+        SELECT cd.query_id, cd.neighbor_id,
+               CAST(unnest(q.embedding) AS DOUBLE) AS qe,
+               CAST(unnest(c.embedding) AS DOUBLE) AS ce
+        FROM cands cd
+        JOIN embeddings q ON q.vec_id = cd.query_id
+        JOIN embeddings c ON c.vec_id = cd.neighbor_id
+      ) GROUP BY 1, 2
+    ),
+    ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM ann_scored
+      ) WHERE rank <= 5
+    ),
+    ex_scored AS (
+      SELECT query_id, neighbor_id,
+             round(sum(qe * ce) / (sqrt(sum(qe * qe)) * sqrt(sum(ce * ce))), 6) AS cos_sim
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(unnest(q.embedding) AS DOUBLE) AS qe,
+               CAST(unnest(c.embedding) AS DOUBLE) AS ce
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+      ) GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM ex_scored
+      ) WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(a.neighbor_id) / 5.0, 6) AS recall_at_5
+    FROM exact e LEFT JOIN ann a USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+    """,
+)
+def q191_ann_recall(spark, sf_dir):
+    """Recall@5 of the IVF ANN index (q74's exact configuration)
+    against brute-force ground truth (q70), per query — THE quality
+    number a vector-search deployment reports before trusting an
+    index, closing the loop the ANN suite (q72/q74/q76/q93–q96/q165)
+    builds indexes for. Both pipelines are deterministic, so the
+    audit itself is oracle-replayable end-to-end: the DuckDB chain
+    re-runs the coarse quantizer, probes, re-rank AND the exact
+    top-k, then intersects.
+
+    Scale shape: the two top-k's are the existing operators (probe-
+    pruned vs broadcast-query scan over a bounded query set); the
+    intersection is a left join on (query, neighbor) over 5·|queries|
+    rows — negligible beside either index path. Recall audits at
+    corpus scale run exactly this plan over a SAMPLED query set
+    (here vec_id < 10), never all queries."""
+    from citybikedatawarehouse_spark.operators.similarity_ops import (
+        brute_force_topk,
+        ivf_ann_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    ann = ivf_ann_topk(emb, qs, k=5).select("query_id", "neighbor_id")
+    exact = brute_force_topk(emb, qs, k=5).select(
+        "query_id", F.col("neighbor_id").alias("e_n")
+    )
+    hit = exact.join(
+        ann,
+        (exact.query_id == ann.query_id) & (exact.e_n == ann.neighbor_id),
+        "left",
+    ).select(exact.query_id, ann.neighbor_id.alias("hit"))
+    return hit.groupBy("query_id").agg(
+        F.count("hit").cast("bigint").alias("n_hits"),
+        F.round(F.count("hit") / F.lit(5.0), 6).alias("recall_at_5"),
+    )

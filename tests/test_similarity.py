@@ -271,3 +271,26 @@ def test_index_drift_detects_distribution_shift(spark, tmp_path):
     assert all(r["drift_ratio"] > 1.5 for r in occupied)
     # conservation: every vector assigned exactly once
     assert sum(r["n_hist"] + r["n_new"] for r in got) == 400
+
+
+def test_ann_recall_consistent_with_pipelines(spark, sf_dir):
+    """q191's per-query recall must equal the overlap of q74's and
+    q70's result sets computed independently, and be in (0, 1]."""
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    rec = {
+        r["query_id"]: (r["n_hits"], r["recall_at_5"])
+        for r in QUERIES["q191_ann_recall"](spark, sf_dir).collect()
+    }
+    ann = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["q74_ivf_ann_topk"](spark, sf_dir).collect()
+    }
+    exact = {}
+    for r in QUERIES["q70_cosine_topk"](spark, sf_dir).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for q, nbrs in exact.items():
+        hits = sum(1 for n in nbrs if (q, n) in ann)
+        assert rec[q][0] == hits
+        assert rec[q][1] == round(hits / 5.0, 6)
+        assert 0.0 <= rec[q][1] <= 1.0
