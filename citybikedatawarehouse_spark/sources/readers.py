@@ -140,3 +140,8 @@ def jsonl_corrupt_audit(df: DataFrame) -> int:
         return cached.filter(F.col("_corrupt_record").isNotNull()).count()
     finally:
         cached.unpersist()
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read an ORC dataset (Hive interchange; see write_orc)."""
+    return spark.read.orc(path)

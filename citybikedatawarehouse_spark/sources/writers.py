@@ -112,3 +112,19 @@ def write_jdbc(
     Use ``write_parquet`` for the engine's native warehouse format.
     """
     df.write.jdbc(url=url, table=table, mode=mode, properties=properties or {})
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Write ORC — the columnar interchange format for Hive-side
+    consumers (built into Spark, no extra jars). Same partitioning
+    contract as ``write_parquet``; Parquet remains the engine's
+    native at-rest format."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

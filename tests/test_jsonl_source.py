@@ -53,3 +53,32 @@ def test_jsonl_round_trip_matches_parquet(spark, sf_dir, tmp_path):
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
     key = lambda df: sorted(tuple(r[c] for c in cols) for r in df.select(cols).collect())
     assert key(back) == key(docs)
+
+
+def test_orc_round_trip_preserves_query_results(spark, tmp_path):
+    """documents written as ORC and read back must answer a catalog
+    query identically to the parquet original — including the nested
+    writes (partitioned by source)."""
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.sources.readers import load_table, read_orc
+    from citybikedatawarehouse_spark.sources.writers import write_orc
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_orc")
+    write_orc(d, path, partition_by=("source",))
+    back = read_orc(spark, path)
+    a = sorted(
+        (r["source"], r["n"], r["c"])
+        for r in d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("text")).alias("c"))
+        .collect()
+    )
+    b = sorted(
+        (r["source"], r["n"], r["c"])
+        for r in back.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("text")).alias("c"))
+        .collect()
+    )
+    assert a == b
+    assert set(back.columns) == set(d.columns)
