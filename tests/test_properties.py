@@ -536,3 +536,74 @@ def test_cdc_chunks_shift_invariant_suffix(spark, words, prefix):
         for r in got:
             # every reported duplicated chunk must be genuinely shared
             assert r["chunk_digest"] in want_shared
+
+
+NODE = st.integers(min_value=1, max_value=9)
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(NODE, NODE).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """Any small undirected multigraph (dups, both orientations):
+    per-node triangle participation equals the pure-Python brute
+    force over the canonical simple graph."""
+    from citybikedatawarehouse_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "p1 long, p2 long")
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+
+    es = {(min(a, b), max(a, b)) for a, b in edges}
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for a, b in es:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a < b < c once per triangle
+                for n in (a, b, c):
+                    want[n] = want.get(n, 0) + 1
+    assert got == want
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(NODE, NODE).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_kcore_invariants(spark, edges, k):
+    """For any small graph and k: every node of the k-core keeps
+    degree >= k inside the core, and the core is a fixpoint (one
+    more peel changes nothing). (Peeling strictly shrinks a <=9-node
+    graph to stability well within 8 rounds.)"""
+    from citybikedatawarehouse_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "a long, b long"
+    )
+    core = k_core(df, k=k, max_rounds=8).collect()
+    deg = {}
+    for r in core:
+        deg[r["a"]] = deg.get(r["a"], 0) + 1
+        deg[r["b"]] = deg.get(r["b"], 0) + 1
+    assert all(d >= k for d in deg.values())
+    again = k_core(
+        spark.createDataFrame([(r["a"], r["b"]) for r in core], "a long, b long")
+        if core
+        else spark.createDataFrame([], "a long, b long"),
+        k=k,
+        max_rounds=1,
+    ).count()
+    assert again == len(core)
