@@ -113,3 +113,20 @@ def test_surrogate_key_null_safety(spark):
     keys = [r["k"] for r in df.select(surrogate_key("a", "b").alias("k")).collect()]
     assert len(set(keys)) == 4  # no collisions across null layouts
     assert all(k is not None and len(k) == 64 for k in keys)
+
+
+def test_variant_path_equals_get_json_object(spark, sf_dir):
+    """Spark 4's binary VARIANT path (parse_json + variant_get) must
+    extract the same values as the string-parsing get_json_object
+    used by q51 — the two JSON codepaths are interchangeable on the
+    events.props column."""
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    both = ev.select(
+        F.get_json_object("props", "$.k").cast("int").alias("s"),
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("v"),
+    )
+    assert both.where(~(F.col("s").eqNullSafe(F.col("v")))).count() == 0
