@@ -228,3 +228,25 @@ def test_asof_auto_strategy_costs_one_job(spark):
     )  # plan build only — no action on the result
     after = set(tracker.getJobIdsForGroup(None) or [])
     assert len(after - before) <= 3
+
+
+def test_merge_upsert_semantics_and_self_overwrite(spark, tmp_path):
+    """Upsert replaces matched keys, inserts unmatched ones, keeps
+    the rest — writing safely over the files it just read."""
+    from citybikedatawarehouse_spark.operators.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    ).write.parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "B"), (4, "d")], "k long, v string"
+    )
+    n_replaced, n_inserted = merge_upsert(spark, path, updates, "k")
+    assert (n_replaced, n_inserted) == (1, 1)
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+    # idempotent re-apply: same updates -> same table
+    merge_upsert(spark, path, updates, "k")
+    got2 = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got2 == got
