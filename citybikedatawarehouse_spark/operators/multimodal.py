@@ -168,3 +168,75 @@ def sample_frames(blobs: DataFrame, every_nth: int = 2) -> DataFrame:
             )
 
     return blobs.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, window_idx int, n_samples long, rms double, "
+    "is_silence boolean"
+)
+
+AUDIO_WINDOW = 1024
+SILENCE_RMS = 20.0
+
+
+def audio_windows(
+    blobs: DataFrame,
+    window: int = AUDIO_WINDOW,
+    silence_rms: float = SILENCE_RMS,
+) -> DataFrame:
+    """'Audio' feature extraction: the payload bytes (header
+    stripped) are treated as unsigned 8-bit PCM samples, split into
+    fixed ``window``-sample frames, and each frame reports its RMS
+    energy around the 128 midpoint plus a silence flag — the
+    voice-activity-detection shape (windowed energy → keep/drop)
+    that audio curation pipelines run before transcription. A real
+    decoder (torchaudio/ffmpeg, absent here) would only replace the
+    byte interpretation; the Spark-side plumbing — Arrow batches,
+    fan-out schema, vectorized window math — is the production
+    shape, mirroring sample_frames for video.
+
+    Determinism: integer byte values, exact integer sums per window
+    (≤ window·127² ≪ 2⁵³), one sqrt rounded at 1e-6 — replayable in
+    the DuckDB oracle byte-for-byte.
+
+    Scale shape: mapInPandas fan-out (rows out = ceil(bytes/window)
+    per doc); per-window math is numpy over the whole batch; no
+    shuffle at all — window features are scan-side."""
+    import numpy as np
+    import pandas as pd
+
+    hdr = len(MAGIC) + 4
+
+    def win(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, nsamp, rms = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                payload = np.frombuffer(bytes(blob)[hdr:], dtype=np.uint8)
+                n = len(payload)
+                if n == 0:
+                    continue
+                x = payload.astype(np.int64) - 128
+                n_win = -(-n // window)
+                pad = n_win * window - n
+                sq = np.pad(x * x, (0, pad)).reshape(n_win, window)
+                lens = np.minimum(
+                    n - np.arange(n_win, dtype=np.int64) * window, window
+                )
+                ids.extend([doc_id] * n_win)
+                widx.extend(range(n_win))
+                nsamp.extend(lens.tolist())
+                rms.extend(
+                    np.round(np.sqrt(sq.sum(axis=1) / lens), 6).tolist()
+                )
+            out = pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(widx, dtype="int32"),
+                    "n_samples": pd.Series(nsamp, dtype="int64"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                }
+            )
+            out["is_silence"] = out["rms"] < silence_rms
+            yield out
+
+    return blobs.select("doc_id", "blob").mapInPandas(win, AUDIO_SCHEMA)

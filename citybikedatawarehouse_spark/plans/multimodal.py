@@ -9,6 +9,7 @@ oracles verify the plumbing end-to-end on the text equivalents."""
 from __future__ import annotations
 
 from citybikedatawarehouse_spark.operators.multimodal import (
+    audio_windows,
     decode_images,
     extract_features,
     sample_frames,
@@ -64,3 +65,29 @@ def q82_frame_sample(spark, sf_dir):
     frames, every 2nd kept — fan-out mapInPandas (rows out > in)."""
     d = _t(spark, sf_dir, "documents")
     return sample_frames(synthesize_blobs(d), every_nth=2)
+
+
+@register(
+    "q192_audio_windows",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, CAST((i - 1) // 1024 AS INTEGER) AS window_idx,
+             (ascii(substr(text, CAST(i AS INTEGER), 1)) - 128) AS v
+      FROM documents, UNNEST(range(1, length(text) + 1)) t(i)
+    )
+    SELECT doc_id, window_idx,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           round(sqrt(sum(v * v) * 1.0 / count(*)), 6) AS rms,
+           round(sqrt(sum(v * v) * 1.0 / count(*)), 6) < 20.0 AS is_silence
+    FROM s GROUP BY doc_id, window_idx
+    """,
+)
+def q192_audio_windows(spark, sf_dir):
+    """'Audio' windowed energy + silence flags over the synthetic
+    PCM payload (1024-sample windows) — the third modality beside
+    q80/q81's image path and q82's video frames; see
+    operators/multimodal.audio_windows. The oracle replays the exact
+    byte-value arithmetic character-wise (payload is the utf-8
+    text, ascii == byte for this corpus, the q82 convention)."""
+    d = _t(spark, sf_dir, "documents")
+    return audio_windows(synthesize_blobs(d))

@@ -76,3 +76,27 @@ def test_frame_fanout(docs):
 def test_real_codec_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         _decode_real_image(b"\x89PNG....")
+
+
+def test_audio_windows_planted(spark):
+    """A constant-byte payload has an exactly computable RMS; a
+    payload of 128-valued bytes is perfect silence (rms 0)."""
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.operators.multimodal import (
+        MAGIC,
+        audio_windows,
+    )
+
+    loud = bytes(MAGIC) + b"\x00\x00\x00\x00" + bytes([228]) * 1500
+    quiet = bytes(MAGIC) + b"\x00\x00\x00\x00" + bytes([128]) * 100
+    df = spark.createDataFrame(
+        [(1, bytearray(loud)), (2, bytearray(quiet))],
+        "doc_id long, blob binary",
+    )
+    rows = {(r["doc_id"], r["window_idx"]): r for r in audio_windows(df).collect()}
+    assert rows[(1, 0)]["n_samples"] == 1024 and rows[(1, 1)]["n_samples"] == 476
+    assert rows[(1, 0)]["rms"] == 100.0  # |228-128| constant
+    assert rows[(1, 1)]["rms"] == 100.0
+    assert not rows[(1, 0)]["is_silence"]
+    assert rows[(2, 0)]["rms"] == 0.0 and rows[(2, 0)]["is_silence"]
