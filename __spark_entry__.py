@@ -148,7 +148,7 @@ _SWEEP_PRIORITY = [
     "q178_cluster_purity", "q179_copurchase_communities",
     "q180_linear_attribution", "q181_rfm_segments",
     "q182_ngram_containment", "q183_mann_whitney",
-    "q184_chi_squared", "q185_dow_seasonality", "q186_trade_flows", "q187_segment_trend", "q188_source_jsd", "q189_graph_stats", "q190_kcore", "q191_ann_recall", "q192_audio_windows",
+    "q184_chi_squared", "q185_dow_seasonality", "q186_trade_flows", "q187_segment_trend", "q188_source_jsd", "q189_graph_stats", "q190_kcore", "q191_ann_recall", "q192_audio_windows", "q193_revenue_streaks",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

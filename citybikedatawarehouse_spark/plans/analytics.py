@@ -3362,3 +3362,102 @@ def q190_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q193 — longest rising-revenue streaks (gaps and islands)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q193_revenue_streaks",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_orderdate
+    ),
+    flagged AS (
+      SELECT d, cents,
+             CASE WHEN cents > lag(cents) OVER (ORDER BY d)
+                  THEN 1 ELSE 0 END AS up
+      FROM daily
+    ),
+    grp AS (
+      SELECT d, cents, up,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT)
+               - CAST(sum(up) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS g
+      FROM flagged
+    ),
+    streaks AS (
+      SELECT g,
+             CAST(count(*) AS BIGINT) AS len_days,
+             min(d) AS start_day, max(d) AS end_day,
+             CAST(sum(cents) AS BIGINT) AS streak_cents
+      FROM grp WHERE up = 1 GROUP BY g
+    )
+    SELECT CAST(len_days AS BIGINT) AS len_days,
+           strftime(start_day, '%Y-%m-%d') AS start_day,
+           strftime(end_day, '%Y-%m-%d') AS end_day,
+           streak_cents
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY len_days DESC, start_day) AS rn
+      FROM streaks
+    ) WHERE rn <= 10
+    """,
+)
+def q193_revenue_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 longest streaks of strictly-rising daily revenue — the
+    gaps-and-islands idiom (row_number minus running-count grouping
+    key) every SQL-warehouse user eventually needs, here on the
+    O(days) daily aggregate: a streak day is one whose total beats
+    the previous day's; consecutive up-days share a group key.
+
+    Scale shape: the fact table collapses to O(days) rows in one
+    map-side-combinable aggregate; every window after runs on that
+    tiny ordered relation (single partition by design and by size —
+    the same note as q183's prefix sum: range-partitioned two-pass
+    prefix sums if 'days' ever stops being small). Top-10 is a
+    TakeOrdered with a start-day tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    w = W.orderBy("d")
+    flagged = daily.select(
+        "d",
+        "cents",
+        F.when(F.col("cents") > F.lag("cents").over(w), 1)
+        .otherwise(0)
+        .alias("up"),
+    )
+    grp = flagged.withColumn(
+        "g",
+        F.row_number().over(w).cast("bigint")
+        - F.sum("up")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint"),
+    )
+    streaks = (
+        grp.where(F.col("up") == 1)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("len_days"),
+            F.min("d").alias("sd"),
+            F.max("d").alias("ed"),
+            F.sum("cents").cast("bigint").alias("streak_cents"),
+        )
+    )
+    return (
+        streaks.orderBy(F.desc("len_days"), "sd")
+        .limit(10)
+        .select(
+            "len_days",
+            F.date_format("sd", "yyyy-MM-dd").alias("start_day"),
+            F.date_format("ed", "yyyy-MM-dd").alias("end_day"),
+            "streak_cents",
+        )
+    )

@@ -1207,3 +1207,27 @@ def test_kcore_converges_and_planted(spark, sf_dir):
         .count()
     )
     assert deg.where(F.col("count") < _KCORE_K).count() == 0
+
+
+def test_streaks_are_true_islands(spark, sf_dir):
+    """Every reported streak must be a maximal run: daily revenue
+    strictly rises across each day of the streak, and the day before
+    the streak start does NOT rise (or is the first day)."""
+    rows = QUERIES["q193_revenue_streaks"](spark, sf_dir).collect()
+    daily = {
+        str(r["d"]): r["cents"]
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
+        .collect()
+    }
+    days = sorted(daily)
+    idx = {d: i for i, d in enumerate(days)}
+    for r in rows:
+        s, e = r["start_day"], r["end_day"]
+        i, j = idx[s], idx[e]
+        assert j - i + 1 == r["len_days"]
+        for k in range(i, j + 1):
+            assert daily[days[k]] > daily[days[k - 1]]
+        if i >= 2:
+            assert not daily[days[i - 1]] > daily[days[i - 2]]
