@@ -1215,7 +1215,7 @@ def test_streaks_are_true_islands(spark, sf_dir):
     the streak start does NOT rise (or is the first day)."""
     rows = QUERIES["q193_revenue_streaks"](spark, sf_dir).collect()
     daily = {
-        str(r["d"]): r["cents"]
+        str(r["d"])[:10]: r["cents"]
         for r in load_table(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").alias("d"))
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
