@@ -734,3 +734,63 @@ def q182_ngram_containment(spark, sf_dir):
         shingle_arrays(d, n=3), "doc_id", "shingle_arr", threshold=0.6,
         max_item_freq=1000, metric="containment",
     )
+
+
+@register(
+    "q194_quality_canonicals",
+    oracle=(_JACCARD_08_PAIRS_SQL + """,
+    edges AS (
+      SELECT id_1 AS a, id_2 AS b FROM pairs
+      UNION SELECT id_2, id_1 FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    cl AS (
+      SELECT d.doc_id, d.n_chars,
+             least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id, d.n_chars
+    )
+    SELECT doc_id, cluster_id, CAST(n_chars AS BIGINT) AS n_chars,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id) = 1 AS is_kept
+    FROM cl
+    """).replace("WITH sh AS", "WITH RECURSIVE sh AS", 1),
+)
+def q194_quality_canonicals(spark, sf_dir):
+    """Dedup canonicalization by QUALITY POLICY: within each near-dup
+    cluster (q64's exact LSH→components chain) the kept document is
+    the LONGEST member (n_chars, doc_id tie-break) rather than the
+    lowest id — the RefinedWeb-style "keep the richest copy" rule
+    that preserves the most content when near-dups differ by
+    truncation. Every doc reports its cluster and keep flag, so the
+    filter is one boolean predicate downstream.
+
+    Scale shape: the cluster stage is q64's (digest-bounded pair
+    volume, pointer-jumping components over the dup graph only);
+    the policy adds ONE cluster-keyed window over the cluster
+    membership relation — O(docs) rows, trivially partitioned.
+    Swapping the ORDER BY swaps the policy (quality score, source
+    priority, recency) with no other change."""
+    from citybikedatawarehouse_spark.operators.dedup_ops import (
+        dedup_clusters,
+        minhash_lsh_dedup,
+    )
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(d, threshold=0.8, verify="exact")
+    cl = dedup_clusters(d.select("doc_id"), pairs).select(
+        "doc_id", "cluster_id"
+    )
+    j = cl.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        (F.row_number().over(w) == 1).alias("is_kept"),
+    )

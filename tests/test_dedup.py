@@ -450,3 +450,22 @@ def test_containment_catches_subset_jaccard_misses(spark):
         arrs, "doc_id", "shingle_arr", threshold=0.6
     ).collect()
     assert jac == []
+
+
+def test_quality_canonicals_keep_one_longest_per_cluster(spark, sf_dir):
+    """Exactly one keeper per cluster, and it is a maximal-n_chars
+    member; singleton docs keep themselves."""
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["q194_quality_canonicals"](spark, sf_dir).collect()
+    from collections import defaultdict
+
+    by_cl = defaultdict(list)
+    for r in rows:
+        by_cl[r["cluster_id"]].append(r)
+    for cl, members in by_cl.items():
+        kept = [m for m in members if m["is_kept"]]
+        assert len(kept) == 1
+        assert kept[0]["n_chars"] == max(m["n_chars"] for m in members)
