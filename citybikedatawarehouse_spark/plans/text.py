@@ -1492,3 +1492,67 @@ def q188_source_jsd(spark, sf_dir):
     return pq.groupBy(
         F.col("s1").alias("source_a"), F.col("s2").alias("source_b")
     ).agg(F.round(F.sum(term), 6).alias("jsd_bits"))
+
+
+_PHRASE = ("spark", "table")
+
+
+@register(
+    "q195_phrase_search",
+    oracle=r"""
+    WITH pos AS (
+      SELECT doc_id, ws[i] AS w, CAST(i AS BIGINT) AS p
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+            FROM documents),
+           UNNEST(range(1, len(ws) + 1)) t(i)
+      WHERE ws[i] IN ('spark', 'table')
+    )
+    SELECT a.doc_id,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(a.p) AS BIGINT) AS first_pos
+    FROM pos a JOIN pos b
+      ON b.doc_id = a.doc_id AND b.p = a.p + 1
+    WHERE a.w = 'spark' AND b.w = 'table'
+    GROUP BY a.doc_id
+    """,
+)
+def q195_phrase_search(spark, sf_dir):
+    """Exact PHRASE search ("spark table") via a positional index —
+    the retrieval capability bag-of-words BM25 (q111) structurally
+    lacks: posting lists carry word POSITIONS, and a phrase match is
+    an adjacency self-join (position + 1) within the document. Emits
+    match count and first occurrence position per document — the
+    snippet anchor a highlighter needs.
+
+    Scale shape: ONE tokenize pass; only the phrase's own terms
+    survive the scan-side filter before the explode, so the posting
+    relation is term-frequency-sized, not corpus-sized; the
+    adjacency join is keyed on (doc, position) — co-partitioned by
+    doc. Longer phrases chain the same join per extra term (or
+    k-word window structs); stop-word-heavy phrases ride the same
+    hot-term cap as the Jaccard index."""
+    from citybikedatawarehouse_spark.functions.textfns import words
+
+    d = _t(spark, sf_dir, "documents")
+    first, second = _PHRASE
+    pos = (
+        d.select("doc_id", F.posexplode(words("text")).alias("p", "w"))
+        .where(F.col("w").isin(*_PHRASE))
+        # 1-based to match UNNEST WITH ORDINALITY
+        .select("doc_id", "w", (F.col("p") + 1).cast("bigint").alias("p"))
+    )
+    a = pos.where(F.col("w") == first).select(
+        "doc_id", F.col("p").alias("pa")
+    )
+    b = pos.where(F.col("w") == second).select(
+        "doc_id", F.col("p").alias("pb")
+    )
+    return (
+        a.join(b, (a.doc_id == b.doc_id) & (b.pb == a.pa + 1))
+        .select(a.doc_id, "pa")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("pa").cast("bigint").alias("first_pos"),
+        )
+    )

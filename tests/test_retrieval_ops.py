@@ -348,3 +348,33 @@ def test_jsd_bounds_and_planted_extremes(spark, sf_dir):
         assert got[("s1", "s2")] == 0.0
         assert got[("s1", "s3")] == 1.0
         assert got[("s2", "s3")] == 1.0
+
+
+def test_phrase_search_requires_adjacency(spark, sf_dir):
+    """Every reported doc truly contains the adjacent phrase (string
+    containment check), and a doc with both words NON-adjacent is
+    not reported."""
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+    from citybikedatawarehouse_spark.sources.readers import load_table
+
+    hits = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in QUERIES["q195_phrase_search"](spark, sf_dir).collect()
+    }
+    assert hits, "phrase must occur at this SF"
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.col("text").contains("spark") & F.col("text").contains("table"))
+        .collect()
+    }
+    import re
+
+    for doc_id, text in docs.items():
+        n = len(re.findall(r"(?=\bspark table\b)", " ".join(text.split())))
+        if n:
+            assert hits.get(doc_id) == n, doc_id
+        else:
+            assert doc_id not in hits, doc_id
