@@ -1556,3 +1556,109 @@ def q195_phrase_search(spark, sf_dir):
             F.min("pa").cast("bigint").alias("first_pos"),
         )
     )
+
+
+_COLLOC_WINDOW = 4  # partner within the next 4 tokens
+_COLLOC_MIN_COUNT = 20
+_COLLOC_TOPK = 20
+
+
+@register(
+    "q196_collocations",
+    oracle=rf"""
+    WITH pos AS (
+      SELECT doc_id, ws[i] AS w, CAST(i AS BIGINT) AS p, len(ws) AS n
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+            FROM documents),
+           UNNEST(range(1, len(ws) + 1)) t(i)
+    ),
+    uni AS (SELECT w, count(*) AS c FROM pos GROUP BY w),
+    tot AS (SELECT count(*) AS n_tokens FROM pos),
+    pairs AS (
+      SELECT a.w AS w1, b.w AS w2, count(*) AS cp
+      FROM pos a JOIN pos b
+        ON b.doc_id = a.doc_id
+       AND b.p BETWEEN a.p + 1 AND a.p + {_COLLOC_WINDOW}
+      GROUP BY a.w, b.w
+      HAVING count(*) >= {_COLLOC_MIN_COUNT}
+    ),
+    scored AS (
+      SELECT p.w1, p.w2, CAST(p.cp AS BIGINT) AS pair_count,
+             round(log2(p.cp * 1.0 * t.n_tokens / ({_COLLOC_WINDOW} * 1.0)
+                        / (u1.c * 1.0 * u2.c)), 6) AS pmi
+      FROM pairs p
+      JOIN uni u1 ON u1.w = p.w1
+      JOIN uni u2 ON u2.w = p.w2
+      CROSS JOIN tot t
+    )
+    SELECT w1, w2, pair_count, pmi FROM (
+      SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rn
+      FROM scored
+    ) WHERE rn <= {_COLLOC_TOPK}
+    """,
+)
+def q196_collocations(spark, sf_dir):
+    """Collocation extraction: top-20 ordered word pairs by pointwise
+    mutual information within a forward {span}-token window — the
+    corpus-statistics pass that surfaces multiword expressions
+    ("hash join", "stream window") which unigram and adjacent-bigram
+    views (q87/q158) both miss. PMI ≈ log2(P(a,b) / (P(a)·P(b)))
+    with the window-pair space normalized by window size; a minimum
+    pair count keeps rare-pair PMI noise out (the classic
+    Church & Hanks 1990 setup).
+
+    Scale shape: ONE tokenize pass; the window fan-out is a per-row
+    HOF over each doc's token array (pairs = tokens × window, no
+    positional self-join, no shuffle until the (w1, w2) count);
+    unigram counts and the 1-row token total join back keyed and
+    broadcast. Top-k is a TakeOrdered on the rounded score."""
+    from citybikedatawarehouse_spark.functions.textfns import words
+
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select(words("text").alias("ws"))
+    pair_structs = F.flatten(
+        F.transform(
+            "ws",
+            lambda x, i: F.transform(
+                F.slice(
+                    "ws",
+                    i + F.lit(2),
+                    F.least(
+                        F.lit(_COLLOC_WINDOW),
+                        F.greatest(F.size("ws") - i - 1, F.lit(0)),
+                    ),
+                ),
+                lambda y: F.struct(x.alias("w1"), y.alias("w2")),
+            ),
+        )
+    )
+    pairs = (
+        staged.select(F.explode(pair_structs).alias("pp"))
+        .groupBy(F.col("pp.w1").alias("w1"), F.col("pp.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("cp"))
+        .where(F.col("cp") >= _COLLOC_MIN_COUNT)
+    )
+    toks = staged.select(F.explode("ws").alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_tokens"))
+    scored = (
+        pairs.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("cp").cast("bigint").alias("pair_count"),
+            F.round(
+                F.log2(
+                    F.col("cp")
+                    * F.lit(1.0)
+                    * F.col("n_tokens")
+                    / F.lit(float(_COLLOC_WINDOW))
+                    / (F.col("c1") * F.lit(1.0) * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(_COLLOC_TOPK)

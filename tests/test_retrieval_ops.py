@@ -378,3 +378,33 @@ def test_phrase_search_requires_adjacency(spark, sf_dir):
             assert hits.get(doc_id) == n, doc_id
         else:
             assert doc_id not in hits, doc_id
+
+
+def test_collocations_pmi_pure_python_replay(spark, sf_dir):
+    """Recompute window-pair counts, unigram counts and PMI in pure
+    Python on the raw text and compare the top rows."""
+    import math
+    from collections import Counter
+
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+    from citybikedatawarehouse_spark.sources.readers import load_table
+
+    got = QUERIES["q196_collocations"](spark, sf_dir).collect()
+    texts = [
+        r["text"]
+        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    uni, pairs = Counter(), Counter()
+    n_tokens = 0
+    for t in texts:
+        ws = t.split()
+        n_tokens += len(ws)
+        uni.update(ws)
+        for i, a in enumerate(ws):
+            for b in ws[i + 1 : i + 5]:
+                pairs[(a, b)] += 1
+    for r in got:
+        cp = pairs[(r["w1"], r["w2"])]
+        assert cp == r["pair_count"] and cp >= 20
+        pmi = math.log2(cp * n_tokens / 4.0 / (uni[r["w1"]] * uni[r["w2"]]))
+        assert abs(r["pmi"] - round(pmi, 6)) <= 1e-6
