@@ -3461,3 +3461,114 @@ def q193_revenue_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streak_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q197 — link prediction by neighborhood overlap
+# ---------------------------------------------------------------------------
+
+_LINKPRED_MID_CAP = 64
+_LINKPRED_MIN_CN = 3
+_LINKPRED_TOPK = 20
+
+
+def _linkpred_oracle() -> str:
+    return f"""
+    WITH
+{_COPURCHASE_PAIRS_SQL},
+    canon AS MATERIALIZED (SELECT DISTINCT p1 AS a, p2 AS b FROM pairs),
+    bidir AS MATERIALIZED (
+      SELECT a AS w, b AS n FROM canon UNION ALL SELECT b, a FROM canon
+    ),
+    deg AS MATERIALIZED (SELECT w AS node, count(*) AS deg FROM bidir GROUP BY w),
+    mid AS MATERIALIZED (
+      SELECT b.w, b.n FROM bidir b JOIN deg d ON d.node = b.w
+      WHERE d.deg <= {_LINKPRED_MID_CAP}
+    ),
+    cn AS MATERIALIZED (
+      SELECT x.n AS a, y.n AS b, count(*) AS common_neighbors
+      FROM mid x JOIN mid y ON x.w = y.w AND x.n < y.n
+      GROUP BY x.n, y.n
+      HAVING count(*) >= {_LINKPRED_MIN_CN}
+    ),
+    cand AS (
+      SELECT cn.a, cn.b, cn.common_neighbors
+      FROM cn LEFT JOIN canon e ON e.a = cn.a AND e.b = cn.b
+      WHERE e.a IS NULL
+    )
+    SELECT c.a AS item_a, c.b AS item_b,
+           CAST(c.common_neighbors AS BIGINT) AS common_neighbors,
+           round(c.common_neighbors * 1.0
+                 / (da.deg + db.deg - c.common_neighbors), 6) AS nbr_jaccard
+    FROM cand c JOIN deg da ON da.node = c.a JOIN deg db ON db.node = c.b
+    ORDER BY nbr_jaccard DESC, item_a, item_b LIMIT {_LINKPRED_TOPK}
+    """
+
+
+@register("q197_link_prediction", oracle=_linkpred_oracle())
+def q197_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: the top-20
+    NON-ADJACENT item pairs by neighborhood Jaccard
+    (|N(a)∩N(b)| / |N(a)∪N(b)|) — "items never yet bought together
+    whose buyers overlap", the classic common-neighbors recommender
+    signal (Liben-Nowell & Kleinberg 2003).
+
+    Skew rule: common neighbors are counted THROUGH middles with
+    degree ≤ {_LINKPRED_MID_CAP} only — a bestseller co-purchased
+    with everything certifies nothing about any pair (the graph
+    version of the hot-shingle cap), and an uncapped middle join is
+    Σdeg² in the hubs. Degrees in the denominator stay EXACT. A
+    minimum common-neighbor floor keeps coincidence pairs out.
+
+    Scale shape: one middle-keyed self-join bounded by cap² per
+    middle, one (a, b) count, an anti-join against the edge set,
+    two broadcast-scale degree joins, TakeOrdered top-k."""
+    pairs = _copurchase_pairs(_t(spark, sf_dir, "lineitem")).select(
+        F.col("pp.p1").alias("p1"), F.col("pp.p2").alias("p2")
+    )
+    canon = (
+        pairs.select(
+            F.least("p1", "p2").alias("a"), F.greatest("p1", "p2").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=True)
+    )
+    bidir = canon.select(F.col("a").alias("w"), F.col("b").alias("n")).unionAll(
+        canon.select(F.col("b").alias("w"), F.col("a").alias("n"))
+    )
+    deg = bidir.groupBy(F.col("w").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=True)
+    mid = bidir.join(
+        deg.where(F.col("deg") <= _LINKPRED_MID_CAP).select("node"),
+        bidir.w == F.col("node"),
+    ).select("w", "n")
+    x, y = mid.alias("x"), mid.alias("y")
+    cn = (
+        x.join(y, "w")
+        .where(F.col("x.n") < F.col("y.n"))
+        .groupBy(F.col("x.n").alias("a"), F.col("y.n").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+        .where(F.col("common_neighbors") >= _LINKPRED_MIN_CN)
+    )
+    cand = cn.join(canon, ["a", "b"], "left_anti")
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    return (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("item_a"),
+            F.col("b").alias("item_b"),
+            F.col("common_neighbors").cast("bigint").alias("common_neighbors"),
+            F.round(
+                F.col("common_neighbors")
+                * F.lit(1.0)
+                / (F.col("da") + F.col("db") - F.col("common_neighbors")),
+                6,
+            ).alias("nbr_jaccard"),
+        )
+        .orderBy(F.desc("nbr_jaccard"), "item_a", "item_b")
+        .limit(_LINKPRED_TOPK)
+    )

@@ -1231,3 +1231,25 @@ def test_streaks_are_true_islands(spark, sf_dir):
             assert daily[days[k]] > daily[days[k - 1]]
         if i >= 2:
             assert not daily[days[i - 1]] > daily[days[i - 2]]
+
+
+def test_link_prediction_excludes_existing_edges(spark, sf_dir):
+    """No predicted pair may already be an edge, scores lie in
+    (0, 1], and common-neighbor counts respect the floor."""
+    from citybikedatawarehouse_spark.plans.analytics import (
+        _LINKPRED_MIN_CN,
+        _copurchase_pairs,
+    )
+
+    rows = QUERIES["q197_link_prediction"](spark, sf_dir).collect()
+    assert rows
+    edges = {
+        (min(r["pp"]["p1"], r["pp"]["p2"]), max(r["pp"]["p1"], r["pp"]["p2"]))
+        for r in _copurchase_pairs(
+            load_table(spark, sf_dir, "lineitem")
+        ).collect()
+    }
+    for r in rows:
+        assert (r["item_a"], r["item_b"]) not in edges
+        assert 0.0 < r["nbr_jaccard"] <= 1.0
+        assert r["common_neighbors"] >= _LINKPRED_MIN_CN
