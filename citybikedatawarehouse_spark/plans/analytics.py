@@ -3572,3 +3572,119 @@ def q197_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("nbr_jaccard"), "item_a", "item_b")
         .limit(_LINKPRED_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# q198 — supplier revenue concentration (HHI) per nation
+# ---------------------------------------------------------------------------
+
+@register(
+    "q198_supplier_hhi",
+    oracle="""
+    WITH sr AS (
+      SELECT n.n_name AS nation, l.l_suppkey AS sk,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT)) AS cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT nation, sum(cents) AS t, count(*) AS n_suppliers FROM sr GROUP BY nation)
+    SELECT sr.nation,
+           CAST(max(t.n_suppliers) AS BIGINT) AS n_suppliers,
+           CAST(max(t.t) AS BIGINT) AS nation_cents,
+           round(sum(power(sr.cents * 1.0 / t.t, 2)), 6) AS hhi
+    FROM sr JOIN tot t USING (nation)
+    GROUP BY sr.nation
+    """,
+)
+def q198_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation: HHI = Σ (supplier share)² — the market-concentration
+    index (1/n_suppliers = perfectly even, 1.0 = monopoly) that
+    complements q168's Gini with the econometric standard. Flags the
+    nations where one supplier's failure is a supply-chain event.
+
+    Scale shape: one fact aggregate to (nation, supplier) revenue
+    (supplier/nation dims broadcast), nation totals joined back on
+    the tiny grouped relation, squared-share sum per nation.
+    Integer cents until the share division."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sr = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    tot = sr.groupBy("nation").agg(
+        F.sum("cents").alias("t"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        sr.join(tot, "nation")
+        .groupBy("nation")
+        .agg(
+            F.max("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.max("t").cast("bigint").alias("nation_cents"),
+            F.round(
+                F.sum(F.pow(F.col("cents") * F.lit(1.0) / F.col("t"), 2)), 6
+            ).alias("hhi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q199 — order-to-ship latency percentiles by priority
+# ---------------------------------------------------------------------------
+
+@register(
+    "q199_ship_latency",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(avg(days * 1.0), 6) AS mean_days,
+           round(quantile_cont(days, 0.5), 6) AS p50,
+           round(quantile_cont(days, 0.9), 6) AS p90,
+           round(quantile_cont(days, 0.99), 6) AS p99,
+           CAST(max(days) AS BIGINT) AS max_days
+    FROM lat GROUP BY priority
+    """,
+)
+def q199_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: mean,
+    exact p50/p90/p99 and max of (l_shipdate − o_orderdate) days —
+    the operational SLA query (does URGENT actually ship faster?),
+    and a second consumer of the q28-proven percentile ==
+    quantile_cont cross-engine equivalence on integer day counts.
+
+    Scale shape: ONE fact-fact join on orderkey (bucketable — q39's
+    layout), integer day-diff in the scan projection, one grouped
+    aggregate; exact percentiles swap for approx_percentile at
+    extreme scale with the same plan."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lat = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("days"),
+    )
+    return lat.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.round(F.avg(F.col("days") * F.lit(1.0)), 6).alias("mean_days"),
+        F.round(F.expr("percentile(days, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(days, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(days, 0.99)"), 6).alias("p99"),
+        F.max("days").cast("bigint").alias("max_days"),
+    )

