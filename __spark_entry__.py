@@ -151,7 +151,7 @@ _SWEEP_PRIORITY = [
     "q184_chi_squared", "q185_dow_seasonality", "q186_trade_flows", "q187_segment_trend", "q188_source_jsd", "q189_graph_stats", "q190_kcore", "q191_ann_recall", "q192_audio_windows", "q193_revenue_streaks",
     "q194_quality_canonicals", "q195_phrase_search",
     "q196_collocations", "q197_link_prediction",
-    "q198_supplier_hhi", "q199_ship_latency",
+    "q198_supplier_hhi", "q199_ship_latency", "q200_return_rates",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

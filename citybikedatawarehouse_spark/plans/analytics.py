@@ -3688,3 +3688,66 @@ def q199_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(days, 0.99)"), 6).alias("p99"),
         F.max("days").cast("bigint").alias("max_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q200 — return rates by supplier nation and quarter
+# ---------------------------------------------------------------------------
+
+@register(
+    "q200_return_rates",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(quarter(l.l_shipdate) AS INTEGER) AS ship_quarter,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           round(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS return_rate,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R'
+                         THEN CAST(round(l.l_extendedprice
+                                         * (1 - l.l_discount) * 100)
+                                   AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS returned_cents
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def q200_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item rate and revenue impact by supplier nation and
+    ship quarter — the supplier-quality trend view (which origin's
+    return rate is drifting up, and what it costs) that pairs with
+    q199's latency SLA for the operations dashboard.
+
+    Scale shape: dims broadcast, one fact aggregate with CASE
+    counters (map-side combinable), |nations|·quarters output rows;
+    integer cents for the revenue impact."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    ret = (F.col("l_returnflag") == "R").cast("long")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+            F.quarter("l_shipdate").cast("int").alias("ship_quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(ret).cast("bigint").alias("n_returned"),
+            F.round(F.sum(ret) * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+                "return_rate"
+            ),
+            F.sum(F.when(F.col("l_returnflag") == "R", cents).otherwise(0))
+            .cast("bigint")
+            .alias("returned_cents"),
+        )
+    )
