@@ -794,3 +794,88 @@ def q194_quality_canonicals(spark, sf_dir):
         F.col("n_chars").cast("bigint").alias("n_chars"),
         (F.row_number().over(w) == 1).alias("is_kept"),
     )
+
+
+@register(
+    "q201_dup_cluster_census",
+    oracle=(_JACCARD_08_PAIRS_SQL + """,
+    edges AS (
+      SELECT id_1 AS a, id_2 AS b FROM pairs
+      UNION SELECT id_2, id_1 FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    cl AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    sizes AS (
+      SELECT cluster_id, count(*) AS sz FROM cl GROUP BY cluster_id
+    ),
+    alpha AS (
+      SELECT 1.0 + count(*) / sum(ln(sz / 1.5)) AS a_hat
+      FROM sizes WHERE sz >= 2
+    ),
+    tot AS (SELECT count(*) AS n_docs FROM cl)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           round(sz * count(*) * 1.0 / (SELECT n_docs FROM tot), 6)
+             AS pct_of_docs,
+           round((SELECT a_hat FROM alpha), 6) AS alpha_hat
+    FROM sizes GROUP BY sz
+    """).replace("WITH sh AS", "WITH RECURSIVE sh AS", 1),
+)
+def q201_dup_cluster_census(spark, sf_dir):
+    """Dup-cluster size census: the distribution every dedup run
+    should publish before anyone trusts its keep-rate — how many
+    singletons, pairs, triples…, what fraction of the corpus sits in
+    each size, and the MLE power-law exponent of the duplicated tail
+    (continuous approximation with x_min = 2:
+    α̂ = 1 + n / Σ ln(size / 1.5), Clauset-Shalizi-Newman 2009). A
+    web-scale corpus whose α̂ drifts down release-over-release is
+    growing mega-clusters — the early-warning signal for template
+    spam that per-pair thresholds cannot see.
+
+    Scale shape: q64's cluster chain, then O(clusters) rows for the
+    size census, the 1-row α̂ aggregate, and the histogram — nothing
+    corpus-scale past the components stage."""
+    from citybikedatawarehouse_spark.operators.dedup_ops import (
+        dedup_clusters,
+        minhash_lsh_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(d, threshold=0.8, verify="exact")
+    cl = dedup_clusters(d.select("doc_id"), pairs).select(
+        "doc_id", "cluster_id"
+    )
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    ).localCheckpoint(eager=True)  # O(clusters) rows, three consumers
+    alpha = sizes.where(F.col("sz") >= 2).agg(
+        (
+            F.lit(1.0)
+            + F.count(F.lit(1)) / F.sum(F.log(F.col("sz") / F.lit(1.5)))
+        ).alias("a_hat")
+    )
+    tot = cl.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(alpha))
+        .select(
+            F.col("sz").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            F.round(
+                F.col("sz") * F.col("n_clusters") * F.lit(1.0) / F.col("n_docs"),
+                6,
+            ).alias("pct_of_docs"),
+            F.round(F.col("a_hat"), 6).alias("alpha_hat"),
+        )
+    )

@@ -469,3 +469,15 @@ def test_quality_canonicals_keep_one_longest_per_cluster(spark, sf_dir):
         kept = [m for m in members if m["is_kept"]]
         assert len(kept) == 1
         assert kept[0]["n_chars"] == max(m["n_chars"] for m in members)
+
+
+def test_cluster_census_conserves_docs(spark, sf_dir):
+    """Σ size·count == n_docs (every doc in exactly one cluster) and
+    pct_of_docs sums to 1."""
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+    from citybikedatawarehouse_spark.sources.readers import load_table
+
+    rows = QUERIES["q201_dup_cluster_census"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["cluster_size"] * r["n_clusters"] for r in rows) == n_docs
+    assert abs(sum(r["pct_of_docs"] for r in rows) - 1.0) < 1e-4
