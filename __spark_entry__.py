@@ -152,7 +152,8 @@ _SWEEP_PRIORITY = [
     "q194_quality_canonicals", "q195_phrase_search",
     "q196_collocations", "q197_link_prediction",
     "q198_supplier_hhi", "q199_ship_latency", "q200_return_rates",
-    "q201_dup_cluster_census",
+    "q201_dup_cluster_census", "q202_discount_bands",
+    "q203_seasonal_anomalies",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

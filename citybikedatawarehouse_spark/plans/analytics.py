@@ -3751,3 +3751,139 @@ def q200_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("returned_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q202 — discount-band effectiveness
+# ---------------------------------------------------------------------------
+
+@register(
+    "q202_discount_bands",
+    oracle="""
+    SELECT CAST(round(l_discount * 100) AS INTEGER) AS discount_pct,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(avg(l_quantity * 1.0), 6) AS avg_quantity,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+                         AS BIGINT)) AS BIGINT) AS discount_cost_cents
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q202_discount_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-band effectiveness: per integer discount percentage,
+    volume (average quantity), realized revenue and the cents given
+    away — the "does discounting actually move units" table a
+    pricing team reads before the next promotion (TPC-H Q6's
+    question, answered per band instead of one slice).
+
+    Scale shape: single fact scan, integer band key in the scan
+    projection, one map-side-combinable aggregate, ≤ 11 output
+    rows."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy(
+        F.round(F.col("l_discount") * 100).cast("int").alias("discount_pct")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.round(F.avg(F.col("l_quantity") * F.lit(1.0)), 6).alias(
+            "avg_quantity"
+        ),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("revenue_cents"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("discount_cost_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q203 — seasonally-adjusted revenue anomaly days
+# ---------------------------------------------------------------------------
+
+@register(
+    "q203_seasonal_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_orderdate
+    ),
+    dow AS (
+      SELECT isodow(d) AS dw, avg(cents * 1.0) AS dow_mean FROM daily
+      GROUP BY isodow(d)
+    ),
+    adj AS (
+      SELECT daily.d, daily.cents,
+             daily.cents / dow.dow_mean AS ratio
+      FROM daily JOIN dow ON dow.dw = isodow(daily.d)
+    ),
+    stats AS (
+      SELECT avg(ratio) AS mu,
+             sqrt((sum(ratio * ratio) - sum(ratio) * sum(ratio) / count(*))
+                  / (count(*) - 1)) AS sd
+      FROM adj
+    )
+    SELECT strftime(a.d, '%Y-%m-%d') AS day,
+           CAST(a.cents AS BIGINT) AS cents,
+           round(a.ratio, 6) AS dow_adjusted_ratio,
+           round((a.ratio - s.mu) / s.sd, 6) AS z_score,
+           a.ratio > s.mu + 2 * s.sd AS is_high,
+           a.ratio < s.mu - 2 * s.sd AS is_low
+    FROM adj a CROSS JOIN stats s
+    WHERE a.ratio > s.mu + 2 * s.sd OR a.ratio < s.mu - 2 * s.sd
+    """,
+)
+def q203_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly days: each day's revenue is
+    normalized by its weekday mean (q185's multiplicative factor),
+    and days whose adjusted ratio falls outside ±2σ are flagged —
+    the practical anomaly rule (a strong Saturday is not an anomaly;
+    a Saturday performing like a Monday is) that raw-value
+    thresholds and q149's CUSUM both complement.
+
+    Scale shape: O(days) rows after one fact aggregate; weekday
+    means and the global μ/σ are tiny broadcast relations; flags are
+    scan-side predicates over the adjusted series."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    ).localCheckpoint(eager=True)
+    dw = (F.expr("weekday(d)") + F.lit(1)).alias("dw")
+    dow = daily.groupBy(dw).agg(
+        F.avg(F.col("cents") * F.lit(1.0)).alias("dow_mean")
+    )
+    adj = daily.withColumn("dw", F.expr("weekday(d)") + F.lit(1)).join(
+        F.broadcast(dow), "dw"
+    ).select(
+        "d", "cents", (F.col("cents") / F.col("dow_mean")).alias("ratio")
+    )
+    n = F.count(F.lit(1))
+    sr, srr = F.sum("ratio"), F.sum(F.col("ratio") * F.col("ratio"))
+    stats = adj.agg(
+        F.avg("ratio").alias("mu"),
+        F.sqrt((srr - sr * sr / n) / (n - F.lit(1))).alias("sd"),
+    )
+    j = adj.crossJoin(F.broadcast(stats))
+    hi = F.col("ratio") > F.col("mu") + 2 * F.col("sd")
+    lo = F.col("ratio") < F.col("mu") - 2 * F.col("sd")
+    return j.where(hi | lo).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("cents").cast("bigint").alias("cents"),
+        F.round("ratio", 6).alias("dow_adjusted_ratio"),
+        F.round((F.col("ratio") - F.col("mu")) / F.col("sd"), 6).alias(
+            "z_score"
+        ),
+        hi.alias("is_high"),
+        lo.alias("is_low"),
+    )

@@ -1269,3 +1269,12 @@ def test_ship_latency_percentiles_ordered(spark, sf_dir):
     non-negative."""
     for r in QUERIES["q199_ship_latency"](spark, sf_dir).collect():
         assert 0 <= r["p50"] <= r["p90"] <= r["p99"] <= r["max_days"]
+
+
+def test_seasonal_anomalies_flag_semantics(spark, sf_dir):
+    """Every flagged day is exclusively high XOR low and its |z|
+    exceeds 2 (the rounded columns must agree with the flags)."""
+    rows = QUERIES["q203_seasonal_anomalies"](spark, sf_dir).collect()
+    for r in rows:
+        assert r["is_high"] != r["is_low"]
+        assert abs(r["z_score"]) > 2 - 1e-6
