@@ -153,7 +153,7 @@ _SWEEP_PRIORITY = [
     "q196_collocations", "q197_link_prediction",
     "q198_supplier_hhi", "q199_ship_latency", "q200_return_rates",
     "q201_dup_cluster_census", "q202_discount_bands",
-    "q203_seasonal_anomalies",
+    "q203_seasonal_anomalies", "q204_growth_accounting",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

@@ -3887,3 +3887,126 @@ def q203_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi.alias("is_high"),
         lo.alias("is_low"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q204 — weekly growth accounting
+# ---------------------------------------------------------------------------
+
+@register(
+    "q204_growth_accounting",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+                  AS INTEGER) AS wk
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, wk,
+             lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+             lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk,
+             min(wk) OVER (PARTITION BY user_id) AS first_wk
+      FROM uw
+    ),
+    act AS (
+      SELECT wk,
+             sum(CASE WHEN wk = first_wk THEN 1 ELSE 0 END) AS n_new,
+             sum(CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END) AS n_retained,
+             sum(CASE WHEN wk <> first_wk
+                       AND (prev_wk IS NULL OR prev_wk < wk - 1)
+                      THEN 1 ELSE 0 END) AS n_resurrected,
+             count(*) AS n_active
+      FROM seq GROUP BY wk
+    ),
+    churn AS (
+      SELECT wk + 1 AS wk, count(*) AS n_churned
+      FROM seq
+      WHERE (next_wk IS NULL OR next_wk > wk + 1)
+        AND wk + 1 <= (SELECT max(wk) FROM uw)
+      GROUP BY wk + 1
+    )
+    SELECT a.wk AS week,
+           CAST(a.n_active AS BIGINT) AS n_active,
+           CAST(a.n_new AS BIGINT) AS n_new,
+           CAST(a.n_retained AS BIGINT) AS n_retained,
+           CAST(a.n_resurrected AS BIGINT) AS n_resurrected,
+           CAST(coalesce(c.n_churned, 0) AS BIGINT) AS n_churned
+    FROM act a LEFT JOIN churn c ON c.wk = a.wk
+    """,
+)
+def q204_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — the canonical product-growth
+    decomposition: every active user is exactly one of NEW (first
+    week), RETAINED (also active last week) or RESURRECTED (active
+    before, but not last week); CHURNED(w) counts users active in
+    w−1 who went silent in w. The identity
+    active(w) = new + retained + resurrected and
+    retained(w) = active(w−1) − churned(w) is what distinguishes
+    "growing because acquiring" from "growing because win-backs" —
+    q129's retention matrix cannot answer that.
+
+    Scale shape: distinct (user, week) once — O(user-weeks) rows —
+    then user-keyed lag/lead windows and two week-keyed combinable
+    aggregates. The churn side is the SAME windowed relation read
+    for its gaps; no second pass over raw events."""
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        (
+            F.floor(
+                F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / 7
+            )
+        ).cast("int").alias("wk"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("wk")
+    seq = uw.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+        F.min("wk").over(W.partitionBy("user_id")).alias("first_wk"),
+    ).localCheckpoint(eager=True)  # two consumers: act + churn
+    # NULL-safe counters: a week whose rows ALL have prev_wk NULL
+    # (week 0) must count 0 retained, not NULL — boolean-cast sums
+    # skip NULL comparisons, so spell the CASE out
+    act = seq.groupBy("wk").agg(
+        F.sum(
+            F.when(F.col("wk") == F.col("first_wk"), 1).otherwise(0)
+        ).alias("n_new"),
+        F.sum(
+            F.when(F.col("prev_wk") == F.col("wk") - 1, 1).otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            F.when(
+                (F.col("wk") != F.col("first_wk"))
+                & (
+                    F.col("prev_wk").isNull()
+                    | (F.col("prev_wk") < F.col("wk") - 1)
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("n_resurrected"),
+        F.count(F.lit(1)).alias("n_active"),
+    )
+    max_wk = uw.agg(F.max("wk").alias("mx"))
+    churn = (
+        seq.where(
+            F.col("next_wk").isNull() | (F.col("next_wk") > F.col("wk") + 1)
+        )
+        .crossJoin(F.broadcast(max_wk))
+        .where(F.col("wk") + 1 <= F.col("mx"))
+        .groupBy((F.col("wk") + 1).alias("wk"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        act.join(churn, "wk", "left")
+        .select(
+            F.col("wk").alias("week"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("n_new").cast("bigint").alias("n_new"),
+            F.col("n_retained").cast("bigint").alias("n_retained"),
+            F.col("n_resurrected").cast("bigint").alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).cast("bigint").alias("n_churned"),
+        )
+    )

@@ -1278,3 +1278,18 @@ def test_seasonal_anomalies_flag_semantics(spark, sf_dir):
     for r in rows:
         assert r["is_high"] != r["is_low"]
         assert abs(r["z_score"]) > 2 - 1e-6
+
+
+def test_growth_accounting_identities(spark, sf_dir):
+    """active = new + retained + resurrected each week, and
+    retained(w) = active(w-1) - churned(w) for consecutive weeks."""
+    rows = {
+        r["week"]: r
+        for r in QUERIES["q204_growth_accounting"](spark, sf_dir).collect()
+    }
+    for wk, r in rows.items():
+        assert r["n_active"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+        if wk - 1 in rows:
+            assert (
+                r["n_retained"] == rows[wk - 1]["n_active"] - r["n_churned"]
+            )
