@@ -154,6 +154,7 @@ _SWEEP_PRIORITY = [
     "q198_supplier_hhi", "q199_ship_latency", "q200_return_rates",
     "q201_dup_cluster_census", "q202_discount_bands",
     "q203_seasonal_anomalies", "q204_growth_accounting",
+    "q205_stickiness", "q206_abc_classification",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

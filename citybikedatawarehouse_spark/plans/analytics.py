@@ -4010,3 +4010,176 @@ def q204_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_churned", F.lit(0)).cast("bigint").alias("n_churned"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q205 — stickiness: DAU / WAU / MAU per day
+# ---------------------------------------------------------------------------
+
+@register(
+    "q205_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+    wau AS (
+      SELECT d.day, count(DISTINCT u.user_id) AS wau
+      FROM days d JOIN ud u
+        ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    ),
+    mau AS (
+      SELECT d.day, count(DISTINCT u.user_id) AS mau
+      FROM days d JOIN ud u
+        ON u.day BETWEEN d.day - INTERVAL 29 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           CAST(mau.mau AS BIGINT) AS mau,
+           round(dau.dau * 1.0 / mau.mau, 6) AS dau_mau,
+           round(wau.wau * 1.0 / mau.mau, 6) AS wau_mau
+    FROM days d
+    JOIN dau USING (day) JOIN wau ON wau.day = d.day
+    JOIN mau ON mau.day = d.day
+    """,
+)
+def q205_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness: DAU, trailing-7-day WAU and trailing-30-day MAU
+    per observed day, with the DAU/MAU and WAU/MAU ratios — the
+    engagement-intensity metric that tells a flat-WAU product
+    whether its users come daily or weekly. Same
+    distinct-over-sliding-window strategy as q173: each distinct
+    (user, day) EXPLODES into the ≤7 / ≤30 window days it serves, so
+    the rollup is a plain distinct count — fan-out is the window
+    length, never data-dependent.
+
+    Scale shape: one distinct (user, day) pass, two bounded
+    explodes, three combinable distinct aggregates, observed-days
+    join. O(user-days · 37) intermediate rows."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    ud = ud.localCheckpoint(eager=True)  # four consumers
+    days = ud.select("day").distinct()
+
+    def rolled(n: int, name: str) -> DataFrame:
+        contrib = ud.select(
+            "user_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n - 1)),
+                    lambda i: F.date_add("day", i.cast("int")),
+                )
+            ).alias("wday"),
+        )
+        return (
+            contrib.join(days.select(F.col("day").alias("wday")), "wday")
+            .groupBy("wday")
+            .agg(F.count_distinct("user_id").cast("bigint").alias(name))
+        )
+
+    dau = ud.groupBy("day").agg(
+        F.count_distinct("user_id").cast("bigint").alias("dau")
+    )
+    wau = rolled(7, "wau").withColumnRenamed("wday", "day")
+    mau = rolled(30, "mau").withColumnRenamed("wday", "day")
+    return (
+        dau.join(wau, "day")
+        .join(mau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            F.round(F.col("dau") * F.lit(1.0) / F.col("mau"), 6).alias(
+                "dau_mau"
+            ),
+            F.round(F.col("wau") * F.lit(1.0) / F.col("mau"), 6).alias(
+                "wau_mau"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q206 — ABC revenue classification of parts
+# ---------------------------------------------------------------------------
+
+@register(
+    "q206_abc_classification",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey AS pk,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT pk, cents,
+             sum(cents) OVER (ORDER BY cents DESC, pk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cents) OVER () AS tot
+      FROM pr
+    ),
+    classed AS (
+      SELECT pk, cents,
+             CASE WHEN (cum - cents) * 1.0 / tot < 0.8 THEN 'A'
+                  WHEN (cum - cents) * 1.0 / tot < 0.95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked
+    )
+    SELECT abc AS abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           round(sum(cents) * 1.0 / max(tot.t), 6) AS revenue_share
+    FROM classed CROSS JOIN (SELECT sum(cents) AS t FROM pr) tot
+    GROUP BY abc
+    """,
+)
+def q206_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: parts are
+    ranked by revenue and classed A while the revenue BEFORE them is
+    under 80% of the total, B under 95%, C otherwise — the inventory
+    prioritization standard ("A-parts get daily attention"). The
+    strictly-before cumulative makes the rule threshold-stable: a
+    part is A if it starts inside the top-80% band, identical in
+    both engines with the (cents DESC, pk) total order.
+
+    Scale shape: one fact aggregate to O(parts) rows; the ranking
+    cumsum is the one ordered pass (range-partitioned prefix sum at
+    extreme part counts — q183's note); 3-row output."""
+    l = _t(spark, sf_dir, "lineitem")
+    pr = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        ).alias("cents")
+    ).localCheckpoint(eager=True)  # ranked + total consumers
+    w = W.orderBy(F.desc("cents"), "pk").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    tot = pr.agg(F.sum("cents").alias("t"))
+    ranked = pr.select(
+        "pk",
+        "cents",
+        F.sum("cents").over(w).alias("cum"),
+    ).crossJoin(F.broadcast(tot))
+    before = (F.col("cum") - F.col("cents")) * F.lit(1.0) / F.col("t")
+    classed = ranked.select(
+        "cents",
+        "t",
+        F.when(before < 0.8, "A").when(before < 0.95, "B").otherwise("C").alias(
+            "abc"
+        ),
+    )
+    return classed.groupBy(F.col("abc").alias("abc_class")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+        F.round(F.sum("cents") * F.lit(1.0) / F.max("t"), 6).alias(
+            "revenue_share"
+        ),
+    )

@@ -1293,3 +1293,20 @@ def test_growth_accounting_identities(spark, sf_dir):
             assert (
                 r["n_retained"] == rows[wk - 1]["n_active"] - r["n_churned"]
             )
+
+
+def test_stickiness_ordering(spark, sf_dir):
+    """DAU <= WAU <= MAU every day; ratios in (0, 1]."""
+    for r in QUERIES["q205_stickiness"](spark, sf_dir).collect():
+        assert r["dau"] <= r["wau"] <= r["mau"]
+        assert 0 < r["dau_mau"] <= 1 and 0 < r["wau_mau"] <= 1
+
+
+def test_abc_classes_partition_revenue(spark, sf_dir):
+    """A/B/C shares sum to 1; A-share ~0.8 by construction (the
+    first part crossing the boundary is included in A)."""
+    rows = {r["abc_class"]: r for r in
+            QUERIES["q206_abc_classification"](spark, sf_dir).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 1e-4
+    assert rows["A"]["revenue_share"] >= 0.8 - 1e-6
