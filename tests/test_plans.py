@@ -366,3 +366,24 @@ def test_trade_flows_broadcasts_all_dims(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 4, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_trade_flows_single_shuffle_join_without_aqe_broadcast(spark, sf_dir):
+    """With size-based broadcasting disabled, q186's explicit
+    F.broadcast hints must keep all four dim joins broadcast and
+    leave EXACTLY one shuffle join — lineitem ⋈ orders — the plan
+    the claim '100 TB: only the fact join shuffles' rests on."""
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["q186_trade_flows"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") == 4, plan
+        n_shuffle_joins = plan.count("SortMergeJoin") + plan.count(
+            "ShuffledHashJoin"
+        )
+        assert n_shuffle_joins == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
