@@ -4183,3 +4183,97 @@ def q206_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q207 — windowed-step funnel
+# ---------------------------------------------------------------------------
+
+@register(
+    "q207_windowed_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    v AS (
+      SELECT e.user_id, min(e.ts) AS t_view
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type IN ('view', 'click')
+        AND e.ts > s.t_signup
+        AND e.ts <= s.t_signup + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND e.ts > v.t_view
+        AND e.ts <= v.t_view + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    )
+    SELECT count(s.t_signup) AS n_signup,
+           count(v.t_view) AS n_engaged_7d,
+           count(p.t_purchase) AS n_converted_7d,
+           round(count(v.t_view) * 1.0 / nullif(count(s.t_signup), 0), 6)
+             AS engage_rate_7d,
+           round(count(p.t_purchase) * 1.0 / nullif(count(v.t_view), 0), 6)
+             AS convert_rate_7d
+    FROM s LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def q207_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q128's ordered funnel with PER-STEP TIME WINDOWS: engagement
+    counts only within 7 days of signup, conversion only within
+    7 days of first engagement — the form funnels are actually
+    reported in (an engagement nine months later is not the signup
+    flow working). Reads directly against q128: the gap between the
+    unconstrained and windowed rates is the funnel's latency problem.
+
+    Scale shape: identical to q128 — three user-keyed min-aggregates
+    chained by semi-join-shaped inner joins, windows as scan-side
+    predicates; no new shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t_signup")
+    )
+    v = (
+        ev.join(s, "user_id")
+        .where(
+            F.col("event_type").isin("view", "click")
+            & (F.col("ts") > F.col("t_signup"))
+            & (F.col("ts") <= F.col("t_signup") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.join(v, "user_id")
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n_s, n_v, n_p = (
+        F.count("t_signup"),
+        F.count("t_view"),
+        F.count("t_purchase"),
+    )
+    return (
+        s.join(v, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            n_s.alias("n_signup"),
+            n_v.alias("n_engaged_7d"),
+            n_p.alias("n_converted_7d"),
+            F.round(n_v * 1.0 / F.nullif(n_s, F.lit(0)), 6).alias(
+                "engage_rate_7d"
+            ),
+            F.round(n_p * 1.0 / F.nullif(n_v, F.lit(0)), 6).alias(
+                "convert_rate_7d"
+            ),
+        )
+    )

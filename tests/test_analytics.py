@@ -1310,3 +1310,12 @@ def test_abc_classes_partition_revenue(spark, sf_dir):
     assert set(rows) == {"A", "B", "C"}
     assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 1e-4
     assert rows["A"]["revenue_share"] >= 0.8 - 1e-6
+
+
+def test_windowed_funnel_dominated_by_unconstrained(spark, sf_dir):
+    """Windowed counts can never exceed q128's unconstrained ones."""
+    w = QUERIES["q207_windowed_funnel"](spark, sf_dir).collect()[0]
+    u = QUERIES["q128_funnel_conversion"](spark, sf_dir).collect()[0]
+    assert w["n_signup"] == u["n_signup"]
+    assert w["n_engaged_7d"] <= u["n_engaged"]
+    assert w["n_converted_7d"] <= u["n_converted"]
