@@ -4277,3 +4277,97 @@ def q207_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q208 — inter-purchase gap distribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "q208_purchase_gaps",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT user_id,
+             date_diff('second', prev_ts, ts) / 86400.0 AS gap_days
+      FROM p WHERE prev_ts IS NOT NULL
+    ),
+    buyers AS (
+      SELECT count(DISTINCT user_id) AS n_buyers
+      FROM events WHERE event_type = 'purchase'
+    ),
+    repeaters AS (SELECT count(DISTINCT user_id) AS n_repeat FROM gaps)
+    SELECT CAST(b.n_buyers AS BIGINT) AS n_buyers,
+           CAST(r.n_repeat AS BIGINT) AS n_repeat_buyers,
+           round(r.n_repeat * 1.0 / b.n_buyers, 6) AS repeat_rate,
+           CAST((SELECT count(*) FROM gaps) AS BIGINT) AS n_gaps,
+           round((SELECT quantile_cont(gap_days, 0.5) FROM gaps), 6)
+             AS median_gap_days,
+           round((SELECT quantile_cont(gap_days, 0.9) FROM gaps), 6)
+             AS p90_gap_days,
+           round((SELECT avg(gap_days) FROM gaps), 6) AS mean_gap_days
+    FROM buyers b CROSS JOIN repeaters r
+    """,
+)
+def q208_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase gap distribution: repeat-buyer rate and the
+    median/p90/mean days between a user's consecutive purchases —
+    the replenishment-cycle numbers behind win-back timing ("email
+    at the median gap, alarm at p90") and a natural companion to
+    q147's survival curve.
+
+    Gaps are exact second differences over the user-ordered purchase
+    sequence (event_id tie-break), expressed in fractional days —
+    integer seconds divided by a constant, so cross-engine
+    deterministic. Percentiles ride the q28-proven equivalence.
+
+    Scale shape: purchase rows only (scan-side filter), one
+    user-keyed lag window, O(gaps) rows into 1-row aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        p.select(
+            "user_id",
+            "ts",
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+        .where(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            (
+                (
+                    F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+                ) / F.lit(86400.0)
+            ).alias("gap_days"),
+        )
+        .localCheckpoint(eager=True)  # four consumers below
+    )
+    buyers = p.agg(F.count_distinct("user_id").alias("n_buyers"))
+    stats = gaps.agg(
+        F.count_distinct("user_id").alias("n_repeat"),
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.expr("percentile(gap_days, 0.5)").alias("med"),
+        F.expr("percentile(gap_days, 0.9)").alias("p90"),
+        F.avg("gap_days").alias("mean"),
+    )
+    return (
+        F.broadcast(buyers)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("n_buyers").cast("bigint").alias("n_buyers"),
+            F.col("n_repeat").cast("bigint").alias("n_repeat_buyers"),
+            F.round(
+                F.col("n_repeat") * F.lit(1.0) / F.col("n_buyers"), 6
+            ).alias("repeat_rate"),
+            F.col("n_gaps").cast("bigint").alias("n_gaps"),
+            F.round("med", 6).alias("median_gap_days"),
+            F.round("p90", 6).alias("p90_gap_days"),
+            F.round("mean", 6).alias("mean_gap_days"),
+        )
+    )

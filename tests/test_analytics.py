@@ -1319,3 +1319,16 @@ def test_windowed_funnel_dominated_by_unconstrained(spark, sf_dir):
     assert w["n_signup"] == u["n_signup"]
     assert w["n_engaged_7d"] <= u["n_engaged"]
     assert w["n_converted_7d"] <= u["n_converted"]
+
+
+def test_purchase_gaps_consistency(spark, sf_dir):
+    """n_gaps == total purchases − buyers (each repeat buyer's k
+    purchases produce k−1 gaps), median ≤ p90, rate in (0, 1]."""
+    r = QUERIES["q208_purchase_gaps"](spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    n_purchases = ev.count()
+    assert r["n_gaps"] == n_purchases - r["n_buyers"]
+    assert r["median_gap_days"] <= r["p90_gap_days"]
+    assert 0 < r["repeat_rate"] <= 1
