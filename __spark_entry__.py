@@ -155,7 +155,7 @@ _SWEEP_PRIORITY = [
     "q201_dup_cluster_census", "q202_discount_bands",
     "q203_seasonal_anomalies", "q204_growth_accounting",
     "q205_stickiness", "q206_abc_classification",
-    "q207_windowed_funnel", "q208_purchase_gaps",
+    "q207_windowed_funnel", "q208_purchase_gaps", "q209_table_health",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

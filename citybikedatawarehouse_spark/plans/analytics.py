@@ -4371,3 +4371,149 @@ def q208_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mean", 6).alias("mean_gap_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q209 — star-schema health report (validation capstone)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q209_table_health",
+    oracle="""
+    SELECT 'orders' AS tbl, 'row_count' AS checked, count(*) AS value FROM orders
+    UNION ALL
+    SELECT 'orders', 'pk_dups',
+           count(*) - count(DISTINCT o_orderkey) FROM orders
+    UNION ALL
+    SELECT 'orders', 'fk_orphans_customer', count(*)
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'lineitem', 'row_count', count(*) FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'pk_dups',
+           count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'fk_orphans_orders', count(*)
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'lineitem', 'negative_prices', count(*)
+    FROM lineitem WHERE l_extendedprice < 0
+    UNION ALL
+    SELECT 'customer', 'row_count', count(*) FROM customer
+    UNION ALL
+    SELECT 'customer', 'fk_orphans_nation', count(*)
+    FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE n.n_nationkey IS NULL
+    UNION ALL
+    SELECT 'events', 'row_count', count(*) FROM events
+    UNION ALL
+    SELECT 'events', 'null_user_ids', count(*)
+    FROM events WHERE user_id IS NULL
+    UNION ALL
+    SELECT 'documents', 'row_count', count(*) FROM documents
+    UNION ALL
+    SELECT 'documents', 'empty_texts', count(*)
+    FROM documents WHERE length(trim(text)) = 0
+    """,
+)
+def q209_table_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema health report in ONE long-format table: row
+    counts, primary-key duplicate counts, foreign-key orphan counts
+    and domain violations across the five core tables — q29/q30's
+    checks composed into the single artifact a data-quality
+    dashboard ingests (the validation capstone, sibling of q92/q156/
+    the graph kernels' per-suite capstones).
+
+    Scale shape: each check is a scan-side filter + combinable
+    count or a key-anti-join (the q30 shape); checks UNION into one
+    13-row result. At 100 TB each check stays one pass over its own
+    table — the union does not multiply scans of any single table
+    because each branch prunes to its own columns."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    ev = _t(spark, sf_dir, "events")
+    d = _t(spark, sf_dir, "documents")
+
+    def row(tbl: str, checked: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(checked).alias("checked"),
+            F.col("v").cast("bigint").alias("value"),
+        )
+
+    parts = [
+        row("orders", "row_count", o.agg(F.count(F.lit(1)).alias("v"))),
+        row(
+            "orders",
+            "pk_dups",
+            o.agg(
+                (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias(
+                    "v"
+                )
+            ),
+        ),
+        row(
+            "orders",
+            "fk_orphans_customer",
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+                F.count(F.lit(1)).alias("v")
+            ),
+        ),
+        row("lineitem", "row_count", l.agg(F.count(F.lit(1)).alias("v"))),
+        row(
+            "lineitem",
+            "pk_dups",
+            l.agg(
+                (
+                    F.count(F.lit(1))
+                    - F.count_distinct("l_orderkey", "l_linenumber")
+                ).alias("v")
+            ),
+        ),
+        row(
+            "lineitem",
+            "fk_orphans_orders",
+            l.join(o, l.l_orderkey == o.o_orderkey, "left_anti").agg(
+                F.count(F.lit(1)).alias("v")
+            ),
+        ),
+        row(
+            "lineitem",
+            "negative_prices",
+            l.where(F.col("l_extendedprice") < 0).agg(
+                F.count(F.lit(1)).alias("v")
+            ),
+        ),
+        row("customer", "row_count", c.agg(F.count(F.lit(1)).alias("v"))),
+        row(
+            "customer",
+            "fk_orphans_nation",
+            c.join(n, c.c_nationkey == n.n_nationkey, "left_anti").agg(
+                F.count(F.lit(1)).alias("v")
+            ),
+        ),
+        row("events", "row_count", ev.agg(F.count(F.lit(1)).alias("v"))),
+        row(
+            "events",
+            "null_user_ids",
+            ev.where(F.col("user_id").isNull()).agg(
+                F.count(F.lit(1)).alias("v")
+            ),
+        ),
+        row("documents", "row_count", d.agg(F.count(F.lit(1)).alias("v"))),
+        row(
+            "documents",
+            "empty_texts",
+            d.where(F.length(F.trim("text")) == 0).agg(
+                F.count(F.lit(1)).alias("v")
+            ),
+        ),
+    ]
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionAll(x)
+    return out
