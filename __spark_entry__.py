@@ -156,6 +156,9 @@ _SWEEP_PRIORITY = [
     "q203_seasonal_anomalies", "q204_growth_accounting",
     "q205_stickiness", "q206_abc_classification",
     "q207_windowed_funnel", "q208_purchase_gaps", "q209_table_health",
+    "q210_key_skew_census", "q211_silhouette",
+    "q212_sorted_neighborhood", "q213_order_count_distribution",
+    "q214_large_volume_customers",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

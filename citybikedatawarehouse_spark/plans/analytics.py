@@ -4517,3 +4517,107 @@ def q209_table_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in parts[1:]:
         out = out.unionAll(x)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q213 — customer order-count distribution (TPC-H Q13 shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q213_order_count_distribution",
+    oracle="""
+    WITH pc AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM pc GROUP BY n_orders
+    """,
+)
+def q213_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution — the TPC-H Q13 shape: LEFT
+    join customer to orders so zero-order customers survive with
+    count 0, count orders per customer, then histogram customers by
+    that count. The double-aggregation (per-entity count -> count of
+    counts) is the canonical engagement-distribution query ("how many
+    one-order customers do we have?") and the same shape as q201's
+    dup-cluster census, here on the star schema's core relationship.
+
+    Scale shape: count(o_orderkey) over the LEFT join is
+    map-side-combinable after the join; the join itself shuffles on
+    custkey (or broadcasts at this dim size); the second aggregate
+    runs on O(distinct counts) rows. Nothing materializes beyond the
+    per-customer count relation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    pc = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return pc.groupBy("n_orders").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    ).select(F.col("n_orders").cast("bigint").alias("n_orders"), "n_customers")
+
+
+# ---------------------------------------------------------------------------
+# q214 — large-volume customers (TPC-H Q18 shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q214_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250
+    )
+    SELECT c.c_name,
+           CAST(o.o_custkey AS BIGINT) AS c_custkey,
+           CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+           o.o_orderdate,
+           o.o_totalprice,
+           round(b.total_qty, 2) AS total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q214_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers — the TPC-H Q18 shape: aggregate
+    lineitem quantity per order, keep orders over the 250-unit
+    threshold (between the p90 and p99 of the per-order distribution
+    on the driver testdata, so the filter is selective but never
+    empty), then join the surviving handful back to orders and
+    customer for the report. The agg -> HAVING -> join-back pattern
+    is the standard "find the whales, then enrich them" query.
+
+    Scale shape: the per-order aggregate is map-side-combinable and
+    is the only corpus-scale shuffle; the HAVING filter collapses it
+    to a tiny relation BEFORE any join, so both enrichment joins run
+    on the whale set (broadcast-able), never on raw lineitem.
+    Quantities are whole units stored as DOUBLE — sums of small
+    integers, exact on both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            F.col("o_custkey").cast("bigint").alias("c_custkey"),
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            "o_orderdate",
+            "o_totalprice",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )

@@ -879,3 +879,101 @@ def q201_dup_cluster_census(spark, sf_dir):
             F.round(F.col("a_hat"), 6).alias("alpha_hat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q212 — sorted-neighborhood (SNM) near-dup candidates
+# ---------------------------------------------------------------------------
+
+@register(
+    "q212_sorted_neighborhood",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(
+               regexp_split_to_array(trim(lower(text)), '\s+')) AS ws,
+             lower(regexp_split_to_array(trim(text), '\s+')[1]) AS blk,
+             lower(trim(text)) AS skey
+      FROM documents
+    ),
+    nbr AS (
+      SELECT doc_id, ws,
+             lead(doc_id, 1) OVER w AS n1_id, lead(ws, 1) OVER w AS n1_ws,
+             lead(doc_id, 2) OVER w AS n2_id, lead(ws, 2) OVER w AS n2_ws
+      FROM d WINDOW w AS (PARTITION BY blk ORDER BY skey, doc_id)
+    ),
+    cand AS (
+      SELECT least(doc_id, n1_id) AS id_1, greatest(doc_id, n1_id) AS id_2,
+             len(list_intersect(ws, n1_ws)) AS i,
+             len(ws) + len(n1_ws) AS u2
+      FROM nbr WHERE n1_id IS NOT NULL
+      UNION ALL
+      SELECT least(doc_id, n2_id), greatest(doc_id, n2_id),
+             len(list_intersect(ws, n2_ws)), len(ws) + len(n2_ws)
+      FROM nbr WHERE n2_id IS NOT NULL
+    )
+    SELECT id_1, id_2, round(i * 1.0 / (u2 - i), 6) AS jaccard
+    FROM cand WHERE i * 1.0 / (u2 - i) >= 0.2
+    """,
+)
+def q212_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood (Hernandez-Stolfo SNM) near-dup candidates:
+    sort documents by a normalized key (lowercased text) inside a
+    blocking partition (first word), slide a window of w=2 successors,
+    and score ONLY the adjacent pairs — word-set Jaccard >= 0.2. The
+    third blocking family beside the inverted shingle index (q61) and
+    MinHash banding (q62): SNM finds prefix-preserving edits (same
+    opening, divergent tails) at O(N log N + N*w) comparisons and is
+    the standard entity-resolution pass when records have a natural
+    sort key (names, addresses, near-identical boilerplate openings).
+
+    Determinism: both engines sort by binary UTF-8 (skey, doc_id), so
+    the neighbor lists — and hence the candidate set — are identical;
+    the similarity is pure set arithmetic on split words.
+
+    Scale shape: ONE range shuffle (the sort) and window fan-out
+    exactly w rows per doc — candidate volume is w*N by construction,
+    never data-dependent (the property that makes SNM attractive when
+    a hot shingle would blow up an inverted index). Blocking by first
+    word caps every sort partition at the block size; at web scale
+    the block key doubles as the range-partitioning key so each
+    executor sorts only its blocks. The window cost is the whole
+    method: pairs the sort does NOT bring within w rows are missed by
+    design (recall comes from running multiple passes with different
+    keys); the oracle replays the identical single-pass definition."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.split(F.trim(F.lower("text")), r"\s+")
+        ).alias("ws"),
+        F.lower(
+            F.split(F.trim("text"), r"\s+").getItem(0)
+        ).alias("blk"),
+        F.lower(F.trim("text")).alias("skey"),
+    )
+    w = Window.partitionBy("blk").orderBy("skey", "doc_id")
+    nbr = d.select(
+        "doc_id",
+        "ws",
+        F.lead("doc_id", 1).over(w).alias("n1_id"),
+        F.lead("ws", 1).over(w).alias("n1_ws"),
+        F.lead("doc_id", 2).over(w).alias("n2_id"),
+        F.lead("ws", 2).over(w).alias("n2_ws"),
+    )
+
+    def pairs(nid, nws):
+        return (
+            nbr.where(F.col(nid).isNotNull())
+            .select(
+                F.least("doc_id", nid).alias("id_1"),
+                F.greatest("doc_id", nid).alias("id_2"),
+                F.size(F.array_intersect("ws", nws)).alias("i"),
+                (F.size("ws") + F.size(nws)).alias("u2"),
+            )
+        )
+
+    cand = pairs("n1_id", "n1_ws").unionAll(pairs("n2_id", "n2_ws"))
+    jac = F.col("i") * F.lit(1.0) / (F.col("u2") - F.col("i"))
+    return cand.where(jac >= 0.2).select(
+        "id_1", "id_2", F.round(jac, 6).alias("jaccard")
+    )

@@ -1880,3 +1880,137 @@ def q191_ann_recall(spark, sf_dir):
         F.count("hit").cast("bigint").alias("n_hits"),
         F.round(F.count("hit") / F.lit(5.0), 6).alias("recall_at_5"),
     )
+
+
+def _silhouette_oracle(k: int = 4, n_iter: int = 2, dim: int = 64) -> str:
+    """q211 replay: the shared k-means CTE chain (q75's exact fit),
+    then all-centroid distances per vector and the per-cluster
+    simplified-silhouette summary."""
+    return (
+        "WITH" + ",".join(_kmeans_ctes(k, n_iter, dim)) + f""",
+    alldist AS (
+      SELECT e.vec_id, c.cell, {_KM_SQ} AS sq
+      FROM embeddings e CROSS JOIN c{n_iter} c,
+           range(1, {dim} + 1) t(i)
+      GROUP BY e.vec_id, c.cell
+    ),
+    sil AS (
+      SELECT a.vec_id, a.cell,
+             round(CASE WHEN greatest(sqrt(a.sq), sqrt(min(d.sq))) = 0
+                        THEN 0.0
+                        ELSE (sqrt(min(d.sq)) - sqrt(a.sq))
+                             / greatest(sqrt(a.sq), sqrt(min(d.sq)))
+                   END, 6) AS s
+      FROM afinal a JOIN alldist d
+        ON d.vec_id = a.vec_id AND d.cell <> a.cell
+      GROUP BY a.vec_id, a.cell, a.sq
+    )
+    SELECT CAST(cell AS INTEGER) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(s), 6) AS mean_silhouette,
+           round(min(s), 6) AS min_silhouette
+    FROM sil GROUP BY cell
+    """
+    )
+
+
+@register("q211_silhouette", oracle=_silhouette_oracle())
+def q211_silhouette(spark, sf_dir):
+    """Simplified-silhouette audit of q75's k-means fit: per vector,
+    a = distance to its own (nearest) centroid and b = distance to
+    the closest OTHER centroid; s = (b - a) / max(a, b), summarized
+    per cluster as mean and min. The label-free companion to q178's
+    label purity — mean s near 0 says the clusters barely separate
+    (don't trust them for stratified splits or SemDeDup cells), s
+    near 1 says tight, well-separated cells. Because the final
+    Lloyd's step assigns every point to its NEAREST centroid, a <= b
+    and s >= 0 by construction here: the metric reads as a margin
+    ("how much closer is my centroid than the runner-up"), which is
+    exactly the simplified (centroid-based) silhouette of Hruschka et
+    al. — the O(N*k) scale substitute for the O(N^2) classic
+    silhouette's mean pairwise distances.
+
+    Oracle-paired end-to-end: the DuckDB chain replays the FULL fit
+    (q75's CTE chain), the all-centroid distance pass, and the
+    summary, so the hash gate covers training + audit. Distances are
+    rounded at 1e-6 before sqrt on both engines (the kmeans_assign
+    convention); per-point s is rounded before the avg.
+
+    Scale shape: the fit is q75's (broadcast k-row centroid array,
+    corpus never shuffles); the audit is ONE more broadcast-array
+    HOF scan computing all k distances per vector — zero corpus
+    shuffle — then a k-row aggregate. O(N*k*dim) work, O(k) output
+    at any corpus size."""
+    from citybikedatawarehouse_spark.operators.clustering import kmeans_fit
+    from citybikedatawarehouse_spark.functions.vectors import _as_double
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, cents = kmeans_fit(emb, k=4, n_iter=2)
+    cents_row = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cluster_id", "centroid"))
+        ).alias("__cents")
+    )
+
+    def sq_to(c):
+        return F.aggregate(
+            F.zip_with(
+                _as_double("embedding"),
+                c["centroid"],
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dists = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            F.round(sq_to(c), 6).alias("sq"),
+            c["cluster_id"].alias("cell"),
+        ),
+    )
+    with_d = (
+        emb.crossJoin(F.broadcast(cents_row))
+        .select("vec_id", dists.alias("__d"))
+        .select(
+            "vec_id",
+            F.array_min("__d").alias("__best"),
+            F.col("__d").alias("__d"),
+        )
+        .select(
+            "vec_id",
+            F.col("__best.cell").alias("cell"),
+            F.sqrt("__best.sq").alias("a_dist"),
+            F.sqrt(
+                F.array_min(
+                    F.filter(
+                        "__d",
+                        lambda d: d["cell"] != F.col("__best.cell"),
+                    )
+                )["sq"]
+            ).alias("b_dist"),
+        )
+    )
+    s = F.round(
+        F.when(F.greatest("a_dist", "b_dist") == 0, F.lit(0.0)).otherwise(
+            (F.col("b_dist") - F.col("a_dist"))
+            / F.greatest("a_dist", "b_dist")
+        ),
+        6,
+    )
+    return (
+        with_d.select("cell", s.alias("s"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(F.avg("s"), 6).alias("mean_silhouette"),
+            F.round(F.min("s"), 6).alias("min_silhouette"),
+        )
+        .select(
+            F.col("cell").cast("int").alias("cluster_id"),
+            "n_vecs",
+            "mean_silhouette",
+            "min_silhouette",
+        )
+    )

@@ -338,3 +338,80 @@ def q142_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("cents"),
     )
     return merged
+
+
+# ---------------------------------------------------------------------------
+# q210 — join-key skew census (shuffle-planning diagnostics)
+# ---------------------------------------------------------------------------
+
+_SKEW_STAT_SQL = """
+  SELECT '{tbl}' AS tbl, '{key}' AS key_col,
+         CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(c) AS BIGINT) AS max_rows_per_key,
+         round(max(c) * 1.0 / sum(c), 6) AS top_key_share,
+         round(quantile_cont(c, 0.5), 6) AS med_rows_per_key,
+         round(quantile_cont(c, 0.99), 6) AS p99_rows_per_key,
+         round(max(c) * count(*) * 1.0 / sum(c), 6) AS max_over_mean
+  FROM (SELECT {key} AS k, count(*) AS c FROM {tbl} GROUP BY 1)
+"""
+
+_SKEW_KEYS = [
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("events", "user_id"),
+]
+
+
+@register(
+    "q210_key_skew_census",
+    oracle=" UNION ALL ".join(
+        _SKEW_STAT_SQL.format(tbl=t, key=k) for t, k in _SKEW_KEYS
+    ),
+)
+def q210_key_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew census: for every hot join/aggregation key in
+    the star schema (lineitem's order/part/supp keys, events'
+    user_id), the per-key row-count distribution summarized as
+    max-key share, median/p99 rows-per-key and max/mean ratio — the
+    numbers that decide WHICH keys need the engine's salting
+    (q106/q107), AQE skew-join splitting, or a broadcast instead of
+    a shuffle. A warehouse runs this census before picking a
+    partitioning, not after the straggler appears; it is the
+    planning twin of operators/skew.py's runtime mitigations.
+
+    Scale shape: each census is one map-side-combinable groupBy on a
+    single column-pruned key column (the scan reads ONE int column),
+    then percentile/extremes over the O(distinct keys) count relation
+    into a 1-row summary — four independent single-key passes UNION
+    into a 4-row report. Exact interpolated percentiles ride the
+    q28-proven percentile == quantile_cont equivalence."""
+    out = None
+    for tbl, key in _SKEW_KEYS:
+        c = (
+            _t(spark, sf_dir, tbl)
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        s = c.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(key).alias("key_col"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("c").cast("bigint").alias("max_rows_per_key"),
+            F.round(
+                F.max("c") * F.lit(1.0) / F.sum("c"), 6
+            ).alias("top_key_share"),
+            F.round(F.expr("percentile(c, 0.5)"), 6).alias(
+                "med_rows_per_key"
+            ),
+            F.round(F.expr("percentile(c, 0.99)"), 6).alias(
+                "p99_rows_per_key"
+            ),
+            F.round(
+                F.max("c") * F.count(F.lit(1)) * F.lit(1.0) / F.sum("c"), 6
+            ).alias("max_over_mean"),
+        )
+        out = s if out is None else out.unionAll(s)
+    return out

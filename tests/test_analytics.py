@@ -1332,3 +1332,80 @@ def test_purchase_gaps_consistency(spark, sf_dir):
     assert r["n_gaps"] == n_purchases - r["n_buyers"]
     assert r["median_gap_days"] <= r["p90_gap_days"]
     assert 0 < r["repeat_rate"] <= 1
+
+
+def test_key_skew_census_identities(spark, sf_dir):
+    """Each census row: n_rows == its table's row count, the
+    max/mean ratio equals max * n_keys / n_rows, med <= p99 <= max,
+    and shares are in (0, 1]."""
+    rows = QUERIES["q210_key_skew_census"](spark, sf_dir).collect()
+    counts = {
+        "lineitem": load_table(spark, sf_dir, "lineitem").count(),
+        "events": load_table(spark, sf_dir, "events").count(),
+    }
+    assert len(rows) == 4
+    for r in rows:
+        assert r["n_rows"] == counts[r["tbl"]]
+        assert 0 < r["top_key_share"] <= 1
+        assert (
+            r["med_rows_per_key"]
+            <= r["p99_rows_per_key"]
+            <= r["max_rows_per_key"]
+        )
+        expect = r["max_rows_per_key"] * r["n_keys"] / r["n_rows"]
+        assert abs(r["max_over_mean"] - expect) < 1e-5
+
+
+def test_silhouette_bounds_and_conservation(spark, sf_dir):
+    """Every vector lands in exactly one cluster (counts conserve);
+    nearest-centroid assignment makes s >= 0, and s <= 1 always;
+    min <= mean per cluster."""
+    rows = QUERIES["q211_silhouette"](spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == n
+    for r in rows:
+        assert 0 <= r["min_silhouette"] <= r["mean_silhouette"] <= 1
+
+
+def test_sorted_neighborhood_window_bound(spark, sf_dir):
+    """Candidate volume is bounded by w*N (w=2) BY CONSTRUCTION —
+    the SNM property — and every emitted pair clears the threshold;
+    the corpus carries set-identical near-dups (same vocabulary,
+    reordered words) whose shared prefix sorts them adjacent, so at
+    least one jaccard=1.0 pair must surface."""
+    rows = QUERIES["q212_sorted_neighborhood"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) <= 2 * n_docs
+    assert all(r["jaccard"] >= 0.2 for r in rows)
+    assert any(r["jaccard"] == 1.0 for r in rows)
+    assert all(r["id_1"] < r["id_2"] for r in rows)
+
+
+def test_order_count_distribution_conserves(spark, sf_dir):
+    """Sum of n_customers == customer count; sum of
+    n_orders * n_customers == orders with a valid customer."""
+    rows = QUERIES["q213_order_count_distribution"](spark, sf_dir).collect()
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    assert sum(r["n_customers"] for r in rows) == c.count()
+    joined = o.join(c, o.o_custkey == c.c_custkey, "left_semi").count()
+    assert sum(r["n_orders"] * r["n_customers"] for r in rows) == joined
+
+
+def test_large_volume_customers_threshold(spark, sf_dir):
+    """Every reported order's quantity clears 250, and the report
+    covers EXACTLY the qualifying orders (with a customer row)."""
+    rows = QUERIES["q214_large_volume_customers"](spark, sf_dir).collect()
+    assert all(r["total_qty"] > 250 for r in rows)
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    expect = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .where(F.col("tq") > 250)
+        .join(o, F.col("l_orderkey") == o.o_orderkey, "left_semi")
+        .count()
+    )
+    # every qualifying order in this data has a customer (FK-clean)
+    assert len(rows) == expect
