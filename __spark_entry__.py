@@ -158,7 +158,8 @@ _SWEEP_PRIORITY = [
     "q207_windowed_funnel", "q208_purchase_gaps", "q209_table_health",
     "q210_key_skew_census", "q211_silhouette",
     "q212_sorted_neighborhood", "q213_order_count_distribution",
-    "q214_large_volume_customers",
+    "q214_large_volume_customers", "q215_bfs_reach",
+    "q216_item_similarity",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

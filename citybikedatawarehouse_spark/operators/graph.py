@@ -374,3 +374,53 @@ def k_core(
             break
         n_edges = n_next
     return e
+
+
+def bfs_hops(
+    edges: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Breadth-first hop distances from a DETERMINISTIC seed — the
+    max-degree node (ties to the low id) — over a directed edge list,
+    bounded at ``max_hops`` synchronous frontier expansions. Returns
+    (node, hop) for every node reachable within the budget; the seed
+    itself carries hop 0. The traversal kernel the centrality/
+    community kernels here don't cover: "what can I reach in k steps"
+    (neighborhood sampling for graph features, blast-radius
+    estimation, degrees-of-separation reports).
+
+    Fixed frontier count + min-hop merge makes the result exactly
+    replayable as a DuckDB CTE chain (the q215 oracle), the same
+    fixed-iteration parity convention as pagerank/k_core.
+
+    Scale shape: per round ONE join of the CURRENT FRONTIER (not the
+    whole visited set) against edges pre-partitioned on src, then a
+    min-hop aggregate over O(visited) rows; the visited relation is
+    localCheckpointed each round (O(V) rows, lineage cut — the
+    iterative-loop rule). Nothing is collected driver-side."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seed = (
+        deg.orderBy(F.desc("deg"), "src")
+        .limit(1)
+        .select(F.col("src").alias("node"), F.lit(0).alias("hop"))
+    )
+    dist = seed.localCheckpoint(eager=True)
+    for h in range(1, max_hops + 1):
+        frontier = dist.where(F.col("hop") == h - 1)
+        nxt = frontier.join(e, frontier.node == e.src).select(
+            F.col("dst").alias("node"), F.lit(h).alias("hop")
+        )
+        dist = (
+            dist.unionAll(nxt)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

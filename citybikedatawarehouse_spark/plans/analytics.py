@@ -4621,3 +4621,257 @@ def q214_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total_qty", 2).alias("total_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q215 — BFS k-hop reachability census from the hub part
+# ---------------------------------------------------------------------------
+
+_BFS_HOPS = 3
+
+
+def _bfs_oracle() -> str:
+    head = f"""
+    WITH {_COPURCHASE_PAIRS_SQL},
+    edges AS MATERIALIZED (
+      SELECT DISTINCT p1 AS src, p2 AS dst FROM pairs
+      UNION SELECT DISTINCT p2, p1 FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    d0 AS MATERIALIZED (
+      SELECT src AS node, 0 AS hop FROM deg
+      ORDER BY deg DESC, src LIMIT 1
+    )"""
+    steps = []
+    for h in range(1, _BFS_HOPS + 1):
+        steps.append(f""",
+    d{h} AS MATERIALIZED (
+      SELECT node, min(hop) AS hop FROM (
+        SELECT node, hop FROM d{h - 1}
+        UNION ALL
+        SELECT e.dst, d.hop + 1
+        FROM d{h - 1} d JOIN edges e ON e.src = d.node
+        WHERE d.hop = {h - 1}
+      ) GROUP BY node
+    )"""
+        )
+    tail = f"""
+    SELECT CAST(hop AS INTEGER) AS hop,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM d{_BFS_HOPS} GROUP BY hop
+    UNION ALL
+    SELECT -1,
+           (SELECT count(DISTINCT src) FROM edges)
+             - (SELECT count(*) FROM d{_BFS_HOPS})
+    """
+    return head + "".join(steps) + tail
+
+
+@register("q215_bfs_reach", oracle=_bfs_oracle())
+def q215_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS reachability census: hop-distance histogram within 3 hops
+    of the co-purchase graph's hub part (max degree, ties to the low
+    id), plus an explicit unreached row (hop = -1) — "how much of the
+    catalog is within k recommendation steps of the bestseller", the
+    small-world / blast-radius readout, and the traversal kernel
+    beside PageRank (q133), communities (q179), triangles (q176),
+    k-core (q190) and link prediction (q197).
+
+    Oracle-paired end-to-end: seed selection, three synchronous
+    frontier expansions with min-hop merge, and the census are
+    replayed as a MATERIALIZED CTE chain (iterative DuckDB CTEs
+    inline exponentially otherwise).
+
+    Scale shape: edge build is q133's single-exchange capped
+    pipeline; per hop ONE frontier-against-edges join (frontier only,
+    never the visited set) + a min-hop aggregate over O(V) rows,
+    localCheckpointed per round. The census is a hop-keyed count; the
+    unreached row comes from two 1-row aggregates."""
+    from citybikedatawarehouse_spark.operators.graph import bfs_hops
+
+    pairs = _copurchase_pairs(_t(spark, sf_dir, "lineitem"))
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pp.p1").alias("src"), F.col("pp.p2").alias("dst")
+                ),
+                F.struct(
+                    F.col("pp.p2").alias("src"), F.col("pp.p1").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").dropDuplicates(["src", "dst"])
+    # the edge relation feeds seed-degree + 3 frontier joins — keep it
+    # materialized once (serialized, spillable), not rebuilt per round
+    from pyspark import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    dist = bfs_hops(edges, max_hops=_BFS_HOPS)
+    census = dist.groupBy("hop").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    n_nodes = edges.select("src").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n_reached = dist.agg(F.count(F.lit(1)).alias("r"))
+    unreached = (
+        F.broadcast(n_nodes)
+        .crossJoin(F.broadcast(n_reached))
+        .select(
+            F.lit(-1).alias("hop"), (F.col("n") - F.col("r")).alias("n_nodes")
+        )
+    )
+    return census.unionAll(unreached).select(
+        F.col("hop").cast("int").alias("hop"),
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q216 — item-item collaborative filtering (top-5 similar parts)
+# ---------------------------------------------------------------------------
+
+_CF_USER_CAP = 50
+_CF_MIN_CO = 2
+_CF_TOPK = 5
+
+
+@register(
+    "q216_item_similarity",
+    oracle=f"""
+    WITH ui AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS it
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    capped AS (
+      SELECT u, it FROM (
+        SELECT u, it, row_number() OVER (PARTITION BY u ORDER BY it) AS rn
+        FROM ui
+      ) WHERE rn <= {_CF_USER_CAP}
+    ),
+    deg AS (SELECT it, count(*) AS d FROM capped GROUP BY it),
+    co AS (
+      SELECT a.it AS p1, b.it AS p2, count(*) AS n
+      FROM capped a JOIN capped b ON a.u = b.u AND a.it < b.it
+      GROUP BY 1, 2 HAVING count(*) >= {_CF_MIN_CO}
+    ),
+    mirrored AS (
+      SELECT p1 AS it, p2 AS nb, n FROM co
+      UNION ALL SELECT p2, p1, n FROM co
+    ),
+    scored AS (
+      SELECT b.it, b.nb, b.n,
+             round(b.n / sqrt(d1.d * d2.d), 6) AS cos
+      FROM mirrored b
+      JOIN deg d1 ON d1.it = b.it
+      JOIN deg d2 ON d2.it = b.nb
+    )
+    SELECT CAST(it AS BIGINT) AS item_id,
+           CAST(nb AS BIGINT) AS neighbor_id,
+           CAST(n AS BIGINT) AS n_co_users,
+           cos AS cosine,
+           CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY it
+                                   ORDER BY cos DESC, nb) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_CF_TOPK}
+    """,
+)
+def q216_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-5 most similar parts
+    per part by CUSTOMER-basket cosine — n_co_users /
+    sqrt(deg_i * deg_j) over the distinct customer-part incidence —
+    the "customers who bought X also bought Y" recommender. Distinct
+    from q133 (order-level co-purchase centrality) and q153 (rule
+    confidence/lift): the unit of evidence is the customer's whole
+    history, and the score is degree-normalized so bestseller parts
+    don't dominate every neighbor list.
+
+    Per-customer incidence is capped at {cap} parts (deterministic:
+    lowest part ids) — the q133/q61 skew rule: one crawler-like
+    account otherwise contributes |items|^2 pairs in one task. Pairs
+    below {minco} shared customers are dropped (noise floor). Cosine
+    is rounded at 1e-6 BEFORE ranking, ties to the low neighbor id —
+    the round-before-rank convention, so both engines rank
+    identically.
+
+    Scale shape: ONE groupBy builds each customer's capped sorted
+    item array (the _copurchase_pairs shape), the pair fan-out is a
+    per-row HOF bounded by cap^2/2, and the co-count aggregate is
+    map-side combinable; degrees ride a second small aggregate and
+    join the O(item-pairs) relation, never the corpus. Top-5 is a
+    per-item window over O(pairs) rows."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("u")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("it")
+    )
+    ui = li.join(o, "ok").select("u", "it")
+    per_user = ui.groupBy("u").agg(
+        F.slice(
+            F.array_sort(F.collect_set("it")), 1, _CF_USER_CAP
+        ).alias("its")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "its",
+            lambda x, i: F.transform(
+                F.slice(
+                    "its",
+                    i + F.lit(2),
+                    F.greatest(F.size("its") - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+    co = (
+        per_user.select(F.explode(pair_structs).alias("pp"))
+        .groupBy(F.col("pp.p1").alias("p1"), F.col("pp.p2").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= _CF_MIN_CO)
+    )
+    deg = (
+        per_user.select(F.explode("its").alias("it"))
+        .groupBy("it")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    both = co.select(
+        F.col("p1").alias("it"), F.col("p2").alias("nb"), "n"
+    ).unionAll(
+        co.select(F.col("p2").alias("it"), F.col("p1").alias("nb"), "n")
+    )
+    d1 = deg.select(F.col("it"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("it").alias("nb"), F.col("d").alias("d2"))
+    scored = (
+        both.join(F.broadcast(d1), "it")
+        .join(F.broadcast(d2), "nb")
+        .select(
+            "it",
+            "nb",
+            "n",
+            F.round(
+                F.col("n") / F.sqrt(F.col("d1") * F.col("d2")), 6
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("it").orderBy(F.desc("cos"), "nb")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _CF_TOPK)
+        .select(
+            F.col("it").cast("bigint").alias("item_id"),
+            F.col("nb").cast("bigint").alias("neighbor_id"),
+            F.col("n").cast("bigint").alias("n_co_users"),
+            F.col("cos").alias("cosine"),
+            F.col("rnk").cast("int").alias("rank"),
+        )
+    )
+
+
+q216_item_similarity.__doc__ = q216_item_similarity.__doc__.format(
+    cap=_CF_USER_CAP, minco=_CF_MIN_CO
+)

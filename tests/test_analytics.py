@@ -1409,3 +1409,50 @@ def test_large_volume_customers_threshold(spark, sf_dir):
     )
     # every qualifying order in this data has a customer (FK-clean)
     assert len(rows) == expect
+
+
+def test_bfs_reach_census_identities(spark, sf_dir):
+    """Exactly one seed at hop 0; hop labels are -1 plus a
+    consecutive run from 0; counts (including unreached) conserve
+    the node set of the co-purchase graph."""
+    rows = {r["hop"]: r["n_nodes"]
+            for r in QUERIES["q215_bfs_reach"](spark, sf_dir).collect()}
+    assert rows[0] == 1
+    assert rows[-1] >= 0
+    hops = sorted(h for h in rows if h >= 0)
+    assert hops == list(range(len(hops)))
+    from citybikedatawarehouse_spark.plans.analytics import _copurchase_pairs
+    pairs = _copurchase_pairs(load_table(spark, sf_dir, "lineitem"))
+    n_nodes = (
+        pairs.select(F.col("pp.p1").alias("n"))
+        .unionAll(pairs.select(F.col("pp.p2").alias("n")))
+        .distinct()
+        .count()
+    )
+    assert sum(rows.values()) == n_nodes
+
+
+def test_item_similarity_ranking_and_symmetry(spark, sf_dir):
+    """Per item: at most 5 neighbors, ranks 1..k consecutive,
+    cosine non-increasing with rank (ties broken by id); scores are
+    in (0, 1]; and the score is SYMMETRIC — whenever both directions
+    of a pair survive their top-5 cuts they carry the same cosine."""
+    df = QUERIES["q216_item_similarity"](spark, sf_dir)
+    rows = df.collect()
+    per = {}
+    for r in rows:
+        assert 0 < r["cosine"] <= 1 and r["n_co_users"] >= 2
+        per.setdefault(r["item_id"], []).append(r)
+    for item, rs in per.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        for a, b in zip(rs, rs[1:]):
+            assert a["cosine"] > b["cosine"] or (
+                a["cosine"] == b["cosine"]
+                and a["neighbor_id"] < b["neighbor_id"]
+            )
+    score = {(r["item_id"], r["neighbor_id"]): r["cosine"] for r in rows}
+    mutual = [k for k in score if (k[1], k[0]) in score]
+    assert mutual, "expected at least one mutually-ranked pair"
+    assert all(score[i, j] == score[j, i] for i, j in mutual)
