@@ -159,7 +159,8 @@ _SWEEP_PRIORITY = [
     "q210_key_skew_census", "q211_silhouette",
     "q212_sorted_neighborhood", "q213_order_count_distribution",
     "q214_large_volume_customers", "q215_bfs_reach",
-    "q216_item_similarity",
+    "q216_item_similarity", "q217_theil_sen_trend",
+    "q218_revenue_deciles", "q219_gate_bias_audit",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

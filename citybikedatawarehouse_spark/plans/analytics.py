@@ -4875,3 +4875,309 @@ def q216_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 q216_item_similarity.__doc__ = q216_item_similarity.__doc__.format(
     cap=_CF_USER_CAP, minco=_CF_MIN_CO
 )
+
+
+# ---------------------------------------------------------------------------
+# q217 — Theil-Sen robust daily-revenue trend
+# ---------------------------------------------------------------------------
+
+@register(
+    "q217_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ),
+    slopes AS (
+      SELECT round((b.cents - a.cents) * 1.0 / (b.d - a.d), 6) AS s
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    ts AS (
+      SELECT count(*) AS n_pairs,
+             round(quantile_cont(s, 0.5), 6) AS slope
+      FROM slopes
+    ),
+    ols AS (
+      SELECT round(
+               (count(*) * sum(d * 1.0 * cents) - sum(d) * 1.0 * sum(cents))
+               / nullif(count(*) * sum(d * 1.0 * d) - sum(d) * 1.0 * sum(d),
+                        0), 6) AS slope,
+             count(*) AS n_days
+      FROM daily
+    )
+    SELECT CAST(o.n_days AS BIGINT) AS n_days,
+           CAST(t.n_pairs AS BIGINT) AS n_pairs,
+           t.slope AS theil_sen_cents_per_day,
+           o.slope AS ols_cents_per_day,
+           round(t.slope - o.slope, 6) AS slope_gap
+    FROM ts t CROSS JOIN ols o
+    """,
+)
+def q217_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily order revenue: the MEDIAN of
+    all pairwise day-to-day slopes, reported beside the q148-style
+    OLS slope and their gap. Theil-Sen has a 29% breakdown point —
+    one flash-sale or outage day drags OLS but not the pairwise
+    median — so the gap column IS the signal: near 0 means the trend
+    is clean, large means inspect the residuals (q131/q149).
+
+    Determinism: daily revenue in integer cents; each pairwise slope
+    rounded at 1e-6 BEFORE the median (identical input multiset ->
+    identical quantile_cont/percentile interpolation on both
+    engines); the OLS slope comes from the same sufficient-statistic
+    formula as q148/q187.
+
+    Scale shape: the pairwise self-join is O(days^2) — calendar-
+    bounded (3.65k days/decade -> ~6.7M pairs), NOT corpus-bounded,
+    so it is safe at any fact-table size: the corpus contributes one
+    map-side-combinable daily aggregate and never joins itself. The
+    1-row summaries cross-join broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+            ).alias("d")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents")
+        )
+        # O(days) rows feeding the self-join twice + the OLS pass
+        .localCheckpoint(eager=True)
+    )
+    a = daily.select(F.col("d").alias("d1"), F.col("cents").alias("c1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("cents").alias("c2"))
+    slopes = a.join(b, F.col("d2") > F.col("d1")).select(
+        F.round(
+            (F.col("c2") - F.col("c1"))
+            * F.lit(1.0)
+            / (F.col("d2") - F.col("d1")),
+            6,
+        ).alias("s")
+    )
+    ts = slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.expr("percentile(s, 0.5)"), 6).alias("t_slope"),
+    )
+    n, sd, sc, sdd, sdc = (
+        F.count(F.lit(1)),
+        F.sum("d"),
+        F.sum("cents"),
+        F.sum(F.col("d") * F.lit(1.0) * F.col("d")),
+        F.sum(F.col("d") * F.lit(1.0) * F.col("cents")),
+    )
+    ols = daily.agg(
+        F.round(
+            F.try_divide(
+                n * sdc - sd * F.lit(1.0) * sc,
+                F.nullif(n * sdd - sd * F.lit(1.0) * sd, F.lit(0.0)),
+            ),
+            6,
+        ).alias("o_slope"),
+        n.alias("n_days"),
+    )
+    return (
+        F.broadcast(ts)
+        .crossJoin(F.broadcast(ols))
+        .select(
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("t_slope").alias("theil_sen_cents_per_day"),
+            F.col("o_slope").alias("ols_cents_per_day"),
+            F.round(
+                F.col("t_slope") - F.col("o_slope"), 6
+            ).alias("slope_gap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q218 — customer revenue decile lift table
+# ---------------------------------------------------------------------------
+
+@register(
+    "q218_revenue_deciles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn,
+             count(*) OVER () AS n
+      FROM spend
+    ),
+    dec AS (
+      SELECT CAST(floor((rn - 1) * 10.0 / n) AS INTEGER) + 1 AS decile,
+             cents
+      FROM ranked
+    ),
+    g AS (
+      SELECT decile, count(*) AS n_customers, sum(cents) AS cents
+      FROM dec GROUP BY decile
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(cents AS BIGINT) AS revenue_cents,
+           round(cents * 1.0 / sum(cents) OVER (), 6) AS revenue_share,
+           round(sum(cents) OVER (ORDER BY decile)
+                 * 1.0 / sum(cents) OVER (), 6) AS cume_share,
+           round(cents * 10.0 / sum(cents) OVER (), 6) AS lift
+    FROM g
+    """,
+)
+def q218_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue decile lift table: rank customers by
+    lifetime spend (integer cents), cut into 10 explicit-arithmetic
+    deciles (floor((rn-1)*10/N)+1 — NOT ntile, so the assignment is
+    pure integer arithmetic and identical on any engine), and report
+    each decile's revenue share, cumulative share and lift (share /
+    the 10% a uniform decile would take). The marketing/finance
+    standard "top decile drives X% of revenue" artifact — the
+    continuous companion to q206's ABC classes and q181's RFM cells.
+
+    Scale shape: one map-side-combinable per-customer aggregate,
+    then ranking + shares over O(customers) rows; the decile
+    aggregate is 10 rows and the share windows run on those 10. The
+    global row_number is the only total-order step, and it runs on
+    the O(customers) aggregate, never the fact table
+    (range-partitioned ranking at extreme customer counts —
+    q206's cumsum note)."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("cents")
+    )
+    wrank = W.orderBy(F.desc("cents"), "o_custkey")
+    ranked = spend.select(
+        "cents",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(
+            W.partitionBy()
+        ).alias("n"),
+    )
+    dec = ranked.select(
+        (
+            F.floor((F.col("rn") - 1) * 10.0 / F.col("n")).cast("int") + 1
+        ).alias("decile"),
+        "cents",
+    )
+    g = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("cents"),
+    )
+    wall = W.partitionBy()
+    wcum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return g.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("cents").cast("bigint").alias("revenue_cents"),
+        F.round(
+            F.col("cents") * F.lit(1.0) / F.sum("cents").over(wall), 6
+        ).alias("revenue_share"),
+        F.round(
+            F.sum("cents").over(wcum)
+            * F.lit(1.0)
+            / F.sum("cents").over(wall),
+            6,
+        ).alias("cume_share"),
+        F.round(
+            F.col("cents") * F.lit(10.0) / F.sum("cents").over(wall), 6
+        ).alias("lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q219 — quality-gate bias audit by language
+# ---------------------------------------------------------------------------
+
+@register(
+    "q219_gate_bias_audit",
+    oracle=r"""
+    WITH c AS (
+      SELECT lang,
+             CASE WHEN len(regexp_split_to_array(trim(text), '\s+'))
+                       BETWEEN 5 AND 5000
+                   AND len(regexp_extract_all(text, '\b(the|and|of|is|a)\b'))
+                       >= 1
+                   AND length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+                       / nullif(len(regexp_split_to_array(trim(text), '\s+')),
+                                0) BETWEEN 2 AND 12
+              THEN 1 ELSE 0 END AS pass
+      FROM documents
+    ),
+    per AS (
+      SELECT lang, count(*) AS n,
+             sum(pass) AS n_pass
+      FROM c GROUP BY lang
+    ),
+    tot AS (SELECT sum(n) AS tn, sum(n_pass) AS tp FROM per)
+    SELECT p.lang,
+           CAST(p.n AS BIGINT) AS n_docs,
+           CAST(p.n_pass AS BIGINT) AS n_pass,
+           round(p.n_pass * 1.0 / p.n, 6) AS pass_rate,
+           round(((p.n_pass + 0.5) * ((t.tn - p.n) - (t.tp - p.n_pass) + 0.5))
+                 / (((p.n - p.n_pass) + 0.5) * ((t.tp - p.n_pass) + 0.5)),
+                 6) AS odds_ratio
+    FROM per p CROSS JOIN tot t
+    """,
+)
+def q219_gate_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate bias audit: per language, the pass rate of the
+    Gopher-style heuristic gate (q177's rater A — length band, >= 1
+    English stopword, mean word length 2-12) and its Haldane-
+    corrected odds ratio against the REST of the corpus. An
+    English-tuned stopword gate structurally discriminates against
+    other languages; this audit quantifies that before a curation
+    run silently skews the training mixture (the fairness twin of
+    q151's drift PSI and q127's source quotas). Odds ratio < 1 means
+    the language is filtered harder than the rest; the +0.5 Haldane
+    correction keeps the ratio finite when a cell is empty.
+
+    Scale shape: ONE corpus scan computing the per-row gate bit (no
+    explode, no join), a per-language aggregate, and a broadcast
+    1-row total — O(languages) output at any corpus size."""
+    from citybikedatawarehouse_spark.functions.textfns import (
+        LANG_MARKERS,
+        marker_hits,
+        word_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    n_words = word_count("text")
+    n_nonspace = F.length(F.regexp_replace("text", r"\s+", "")).cast("bigint")
+    n_stop = marker_hits("text", LANG_MARKERS["en"])
+    awl = F.try_divide(n_nonspace * F.lit(1.0), n_words)
+    gate = (
+        n_words.between(5, 5000) & (n_stop >= 1) & awl.between(2, 12)
+    ).cast("int")
+    per = d.select("lang", gate.alias("pass")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pass").alias("n_pass")
+    )
+    tot = per.agg(
+        F.sum("n").alias("tn"), F.sum("n_pass").alias("tp")
+    )
+    npass, nn, tp, tn = (
+        F.col("n_pass"),
+        F.col("n"),
+        F.col("tp"),
+        F.col("tn"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        nn.cast("bigint").alias("n_docs"),
+        npass.cast("bigint").alias("n_pass"),
+        F.round(npass * F.lit(1.0) / nn, 6).alias("pass_rate"),
+        F.round(
+            ((npass + 0.5) * ((tn - nn) - (tp - npass) + 0.5))
+            / (((nn - npass) + 0.5) * ((tp - npass) + 0.5)),
+            6,
+        ).alias("odds_ratio"),
+    )

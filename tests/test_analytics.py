@@ -1456,3 +1456,73 @@ def test_item_similarity_ranking_and_symmetry(spark, sf_dir):
     mutual = [k for k in score if (k[1], k[0]) in score]
     assert mutual, "expected at least one mutually-ranked pair"
     assert all(score[i, j] == score[j, i] for i, j in mutual)
+
+
+def test_theil_sen_matches_numpy_replay(spark, sf_dir):
+    """Recompute the pairwise-slope median and OLS slope in numpy
+    from the same daily integer-cents series; pair count is exactly
+    C(n_days, 2)."""
+    r = QUERIES["q217_theil_sen_trend"](spark, sf_dir).collect()[0]
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+            ).alias("d")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("c")
+        )
+        .collect()
+    )
+    d = np.array([x["d"] for x in daily], dtype=float)
+    c = np.array([x["c"] for x in daily], dtype=float)
+    n = len(d)
+    assert r["n_days"] == n
+    assert r["n_pairs"] == n * (n - 1) // 2
+    i, j = np.triu_indices(n, 1)
+    slopes = np.round((c[j] - c[i]) / (d[j] - d[i]), 6)
+    assert abs(r["theil_sen_cents_per_day"] - np.median(slopes)) < 1e-4
+    ols = np.polyfit(d, c, 1)[0]
+    assert abs(r["ols_cents_per_day"] - ols) < max(1e-3, abs(ols) * 1e-6)
+
+
+def test_revenue_deciles_laws(spark, sf_dir):
+    """Deciles are exactly 1..10 with sizes within 1 of each other;
+    shares sum to 1; cume is monotone and ends at 1; lift == 10x
+    share."""
+    rows = sorted(
+        QUERIES["q218_revenue_deciles"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    sizes = [r["n_customers"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-4
+    cum = [r["cume_share"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(cum, cum[1:]))
+    assert abs(cum[-1] - 1.0) < 1e-6
+    # top decile must dominate a uniform split; shares non-increasing
+    assert rows[0]["lift"] > 1
+    shares = [r["revenue_share"] for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(shares, shares[1:]))
+    for r in rows:
+        assert abs(r["lift"] - 10 * r["revenue_share"]) < 1e-5
+
+
+def test_gate_bias_audit_identities(spark, sf_dir):
+    """Counts conserve the corpus; every odds ratio recomputes from
+    the published contingency counts (Haldane +0.5), so the column
+    cannot drift from its own definition."""
+    rows = QUERIES["q219_gate_bias_audit"](spark, sf_dir).collect()
+    n_corpus = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_corpus
+    tp = sum(r["n_pass"] for r in rows)
+    for r in rows:
+        a, b = r["n_pass"] + 0.5, (r["n_docs"] - r["n_pass"]) + 0.5
+        c_ = (tp - r["n_pass"]) + 0.5
+        d_ = ((n_corpus - r["n_docs"]) - (tp - r["n_pass"])) + 0.5
+        assert abs(r["odds_ratio"] - (a * d_) / (b * c_)) < 1e-4
+        assert abs(r["pass_rate"] - r["n_pass"] / r["n_docs"]) < 1e-5
