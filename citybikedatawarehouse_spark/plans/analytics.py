@@ -5181,3 +5181,440 @@ def q219_gate_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("odds_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q220 — sequential purchase patterns (A then B across consecutive orders)
+# ---------------------------------------------------------------------------
+
+_SEQ_CAP = 20
+_SEQ_TOPK = 20
+
+
+@register(
+    "q220_purchase_sequences",
+    oracle=f"""
+    WITH ro AS (
+      SELECT o_orderkey, o_custkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    op AS (
+      SELECT u, rn, pk FROM (
+        SELECT ro.o_custkey AS u, ro.rn, l.l_partkey AS pk,
+               row_number() OVER (PARTITION BY ro.o_orderkey
+                                  ORDER BY l.l_partkey) AS prn
+        FROM ro JOIN (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ) l ON l.l_orderkey = ro.o_orderkey
+      ) WHERE prn <= {_SEQ_CAP}
+    ),
+    tr AS (
+      SELECT a.u, a.pk AS a_pk, b.pk AS b_pk
+      FROM op a JOIN op b
+        ON a.u = b.u AND b.rn = a.rn + 1 AND a.pk <> b.pk
+    ),
+    cnt AS (
+      SELECT a_pk, b_pk, count(*) AS n,
+             count(DISTINCT u) AS n_customers
+      FROM tr GROUP BY 1, 2
+    ),
+    mx AS (
+      SELECT u, max(rn) AS mr FROM (SELECT DISTINCT u, rn FROM op)
+      GROUP BY u
+    ),
+    base AS (
+      SELECT a.pk, count(*) AS n_ante
+      FROM op a JOIN mx ON mx.u = a.u AND a.rn < mx.mr
+      GROUP BY a.pk
+    )
+    SELECT CAST(a_pk AS BIGINT) AS part_a,
+           CAST(b_pk AS BIGINT) AS part_b,
+           CAST(n AS BIGINT) AS n_transitions,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           round(n * 1.0 / base.n_ante, 6) AS confidence
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY n DESC, a_pk, b_pk) AS rk
+      FROM cnt
+    ) c JOIN base ON base.pk = c.a_pk
+    WHERE rk <= {_SEQ_TOPK}
+    """,
+)
+def q220_purchase_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential purchase patterns: top-20 "bought A, NEXT order
+    bought B" transitions with confidence = P(B in next order | A in
+    an order that has one). The TEMPORAL mining complement to q153's
+    within-basket rules and q216's symmetric history cosine — the
+    direction (diapers then crib, not crib then diapers) is the
+    signal replenishment and cross-sell campaigns act on.
+
+    Per-order distinct parts are capped at {cap} (lowest ids — the
+    q133 skew rule); top-20 ordering is (count DESC, part_a, part_b),
+    fully deterministic.
+
+    Scale shape: the (order, part) incidence rides one distinct +
+    one per-order window; transitions join that incidence to itself
+    on (customer, rank+1) — ONE customer-keyed shuffle, fan-out
+    bounded by cap^2 per consecutive-order pair; counts and the
+    antecedent base are map-side-combinable; the final top-20 window
+    runs on the O(part-pairs) aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    ro = o.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("u"),
+        F.row_number()
+        .over(
+            W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        )
+        .alias("rn"),
+    )
+    lp = l.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).dropDuplicates(["ok", "pk"])
+    op = (
+        ro.join(lp, ro.o_orderkey == lp.ok)
+        .select(
+            "u",
+            "rn",
+            "pk",
+            F.row_number()
+            .over(W.partitionBy("ok").orderBy("pk"))
+            .alias("prn"),
+        )
+        .where(F.col("prn") <= _SEQ_CAP)
+        .drop("prn")
+        # feeds the self-join (both sides), mx and base
+        .localCheckpoint(eager=True)
+    )
+    a = op.select(
+        F.col("u").alias("au"), F.col("rn").alias("arn"),
+        F.col("pk").alias("a_pk"),
+    )
+    b = op.select(
+        F.col("u").alias("bu"), F.col("rn").alias("brn"),
+        F.col("pk").alias("b_pk"),
+    )
+    tr = a.join(
+        b,
+        (F.col("au") == F.col("bu"))
+        & (F.col("brn") == F.col("arn") + 1)
+        & (F.col("a_pk") != F.col("b_pk")),
+    )
+    cnt = tr.groupBy("a_pk", "b_pk").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("au").alias("n_customers"),
+    )
+    mx = (
+        op.select("u", "rn")
+        .distinct()
+        .groupBy("u")
+        .agg(F.max("rn").alias("mr"))
+    )
+    base = (
+        op.join(mx, "u")
+        .where(F.col("rn") < F.col("mr"))
+        .groupBy(F.col("pk"))
+        .agg(F.count(F.lit(1)).alias("n_ante"))
+    )
+    ranked = cnt.withColumn(
+        "rk",
+        F.row_number().over(W.orderBy(F.desc("n"), "a_pk", "b_pk")),
+    ).where(F.col("rk") <= _SEQ_TOPK)
+    return ranked.join(
+        F.broadcast(base), ranked.a_pk == base.pk
+    ).select(
+        F.col("a_pk").cast("bigint").alias("part_a"),
+        F.col("b_pk").cast("bigint").alias("part_b"),
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.round(F.col("n") * F.lit(1.0) / F.col("n_ante"), 6).alias(
+            "confidence"
+        ),
+    )
+
+
+q220_purchase_sequences.__doc__ = q220_purchase_sequences.__doc__.format(
+    cap=_SEQ_CAP
+)
+
+
+# ---------------------------------------------------------------------------
+# q221 — rolling-origin forecast backtest
+# ---------------------------------------------------------------------------
+
+_BT_WARMUP = 30
+_BT_HORIZONS = 3
+
+
+@register(
+    "q221_forecast_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT d, cents,
+             row_number() OVER w AS rn,
+             sum(1) OVER w AS n,
+             sum(d) OVER w AS sd,
+             sum(cents) OVER w AS sc,
+             sum(d * d) OVER w AS sdd,
+             sum(d * cents) OVER w AS sdc
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    fit AS (
+      -- promote the EXACT integer cumsums to double BEFORE the
+      -- products: n*sdc overflows int64 past ~sf0.01, and every
+      -- cumsum is < 2^53 so the casts are lossless
+      SELECT rn, d, cents,
+             (CAST(n AS DOUBLE) * CAST(sdc AS DOUBLE)
+              - CAST(sd AS DOUBLE) * CAST(sc AS DOUBLE))
+               / nullif(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                        - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE), 0)
+               AS slope,
+             n, sd, sc
+      FROM cum
+    ),
+    fc AS (
+      SELECT rn, slope, (sc - slope * sd) / n AS intercept,
+             lead(d, 1) OVER wd AS d1, lead(cents, 1) OVER wd AS c1,
+             lead(d, 2) OVER wd AS d2, lead(cents, 2) OVER wd AS c2,
+             lead(d, 3) OVER wd AS d3, lead(cents, 3) OVER wd AS c3
+      FROM fit WINDOW wd AS (ORDER BY d)
+    ),
+    un AS (
+      SELECT rn, slope, intercept, 1 AS h, d1 AS d_next, c1 AS c_next
+      FROM fc
+      UNION ALL SELECT rn, slope, intercept, 2, d2, c2 FROM fc
+      UNION ALL SELECT rn, slope, intercept, 3, d3, c3 FROM fc
+    ),
+    err AS (
+      SELECT h,
+             round(abs(intercept + slope * d_next - c_next), 6) AS ae,
+             round(abs(intercept + slope * d_next - c_next)
+                   / c_next, 6) AS ape
+      FROM un WHERE d_next IS NOT NULL AND rn >= {_BT_WARMUP}
+    )
+    SELECT CAST(h AS INTEGER) AS horizon,
+           CAST(count(*) AS BIGINT) AS n_folds,
+           round(avg(ae), 6) AS mae_cents,
+           round(avg(ape), 6) AS mape
+    FROM err GROUP BY h
+    """,
+)
+def q221_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the q148-style linear forecaster:
+    at EVERY origin day (after a 30-day warm-up) fit OLS on all
+    history up to the origin, predict the next 1/2/3 observed days,
+    and report MAE and MAPE per horizon. The model-evaluation
+    harness that turns "we have a forecaster" (q148) into "we know
+    its error bars" — the difference between shipping a trend line
+    and trusting one.
+
+    The trick that makes ALL folds one pass: cumulative integer-cent
+    sufficient statistics (n, Σd, Σd², Σc, Σdc) via a running window
+    give every origin's exact OLS fit simultaneously — no per-fold
+    refit, no loop. Integer cumsums are exact, so slope/intercept
+    are bit-identical across engines; per-fold errors round at 1e-6
+    before the MAE/MAPE means.
+
+    Scale shape: the corpus contributes ONE combinable daily
+    aggregate; everything after runs on O(days) rows (calendar-
+    bounded) with two ordered windows — the q193/q217 family."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+        ).alias("d")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("cents")
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    cum = daily.select(
+        "d",
+        "cents",
+        F.row_number().over(W.orderBy("d")).alias("rn"),
+        F.sum(F.lit(1)).over(w).alias("n"),
+        F.sum("d").over(w).alias("sd"),
+        F.sum("cents").over(w).alias("sc"),
+        F.sum(F.col("d") * F.col("d")).over(w).alias("sdd"),
+        F.sum(F.col("d") * F.col("cents")).over(w).alias("sdc"),
+    )
+    # promote the exact integer cumsums to double BEFORE the
+    # products (lossless: all < 2^53) — n*sdc overflows int64 past
+    # ~sf0.01; the double expression shape matches the oracle
+    # token-for-token so both engines round identically
+    dbl = lambda c: F.col(c).cast("double")
+    slope = F.try_divide(
+        dbl("n") * dbl("sdc") - dbl("sd") * dbl("sc"),
+        F.nullif(
+            dbl("n") * dbl("sdd") - dbl("sd") * dbl("sd"), F.lit(0.0)
+        ),
+    )
+    fit = cum.select(
+        "rn", "d", "cents", slope.alias("slope"), "n", "sd", "sc"
+    )
+    wd = W.orderBy("d")
+    # lead() needs a literal offset — one branch per fixed horizon
+    parts = []
+    for h in range(1, _BT_HORIZONS + 1):
+        parts.append(
+            fit.select(
+                "rn",
+                "slope",
+                ((F.col("sc") - F.col("slope") * F.col("sd")) / F.col("n"))
+                .alias("intercept"),
+                F.lit(h).alias("h"),
+                F.lead("d", h).over(wd).alias("d_next"),
+                F.lead("cents", h).over(wd).alias("c_next"),
+            )
+        )
+    fc = parts[0]
+    for p in parts[1:]:
+        fc = fc.unionAll(p)
+    err = fc.where(
+        F.col("d_next").isNotNull() & (F.col("rn") >= _BT_WARMUP)
+    ).select(
+        "h",
+        F.round(
+            F.abs(
+                F.col("intercept")
+                + F.col("slope") * F.col("d_next")
+                - F.col("c_next")
+            ),
+            6,
+        ).alias("ae"),
+        F.round(
+            F.abs(
+                F.col("intercept")
+                + F.col("slope") * F.col("d_next")
+                - F.col("c_next")
+            )
+            / F.col("c_next"),
+            6,
+        ).alias("ape"),
+    )
+    return err.groupBy(F.col("h").cast("int").alias("horizon")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_folds"),
+        F.round(F.avg("ae"), 6).alias("mae_cents"),
+        F.round(F.avg("ape"), 6).alias("mape"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q222 — mutual information: quantity vs discount
+# ---------------------------------------------------------------------------
+
+@register(
+    "q222_mutual_information",
+    oracle="""
+    WITH j AS (
+      SELECT CAST(l_quantity AS INTEGER) AS q,
+             CAST(round(l_discount * 100) AS INTEGER) AS dc,
+             count(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n) AS t FROM j),
+    mq AS (SELECT q, sum(n) AS nq FROM j GROUP BY q),
+    md AS (SELECT dc, sum(n) AS nd FROM j GROUP BY dc),
+    mi AS (
+      SELECT sum((j.n * 1.0 / t.t)
+                 * ln((j.n * 1.0 * t.t) / (mq.nq * 1.0 * md.nd))) AS mi
+      FROM j JOIN mq USING (q) JOIN md USING (dc) CROSS JOIN tot t
+    ),
+    hq AS (
+      SELECT -sum((nq * 1.0 / t.t) * ln(nq * 1.0 / t.t)) AS h
+      FROM mq CROSS JOIN tot t
+    ),
+    hd AS (
+      SELECT -sum((nd * 1.0 / t.t) * ln(nd * 1.0 / t.t)) AS h
+      FROM md CROSS JOIN tot t
+    )
+    SELECT CAST(t.t AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM mq) AS BIGINT) AS n_q_bins,
+           CAST((SELECT count(*) FROM md) AS BIGINT) AS n_d_bins,
+           round(mi.mi, 6) AS mi_nats,
+           round(hq.h, 6) AS h_quantity,
+           round(hd.h, 6) AS h_discount,
+           round(mi.mi / sqrt(hq.h * hd.h), 6) AS nmi
+    FROM mi CROSS JOIN hq CROSS JOIN hd CROSS JOIN tot t
+    """,
+)
+def q222_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between line quantity and discount (both
+    naturally discrete: 50 and 11 levels), with marginal entropies
+    and sqrt-normalized MI. Pearson correlation (q146) only sees
+    LINEAR dependence; MI catches any dependence — the
+    pre-modeling screen for "is this discount policy actually
+    volume-based?" and the feature-redundancy check before training
+    on both columns. Independence shows as mi ≈ 0.
+
+    Determinism: integer bin keys (quantized cents for the
+    discount), exact bigint histogram counts; the O(bins) log-sum
+    rounds once at 1e-6 (the q188 JSD convention).
+
+    Scale shape: ONE combinable (q, dc) histogram aggregate over the
+    corpus — 550 cells max — then joins/sums on the bin relations
+    only. O(bins) work after the scan at any corpus size."""
+    l = _t(spark, sf_dir, "lineitem")
+    j = l.groupBy(
+        F.col("l_quantity").cast("int").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("int").alias("dc"),
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    tot = j.agg(F.sum("n").alias("t"))
+    mq = j.groupBy("q").agg(F.sum("n").alias("nq"))
+    md = j.groupBy("dc").agg(F.sum("n").alias("nd"))
+    mi = (
+        j.join(F.broadcast(mq), "q")
+        .join(F.broadcast(md), "dc")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("n") * F.lit(1.0) / F.col("t"))
+                * F.log(
+                    (F.col("n") * F.lit(1.0) * F.col("t"))
+                    / (F.col("nq") * F.lit(1.0) * F.col("nd"))
+                )
+            ).alias("mi")
+        )
+    )
+    hq = mq.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(
+            (F.col("nq") * F.lit(1.0) / F.col("t"))
+            * F.log(F.col("nq") * F.lit(1.0) / F.col("t"))
+        )).alias("hq"),
+        F.count(F.lit(1)).alias("n_q_bins"),
+    )
+    hd = md.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(
+            (F.col("nd") * F.lit(1.0) / F.col("t"))
+            * F.log(F.col("nd") * F.lit(1.0) / F.col("t"))
+        )).alias("hd"),
+        F.count(F.lit(1)).alias("n_d_bins"),
+    )
+    return (
+        F.broadcast(mi)
+        .crossJoin(F.broadcast(hq))
+        .crossJoin(F.broadcast(hd))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("t").cast("bigint").alias("n_rows"),
+            F.col("n_q_bins").cast("bigint").alias("n_q_bins"),
+            F.col("n_d_bins").cast("bigint").alias("n_d_bins"),
+            F.round("mi", 6).alias("mi_nats"),
+            F.round("hq", 6).alias("h_quantity"),
+            F.round("hd", 6).alias("h_discount"),
+            F.round(
+                F.col("mi") / F.sqrt(F.col("hq") * F.col("hd")), 6
+            ).alias("nmi"),
+        )
+    )

