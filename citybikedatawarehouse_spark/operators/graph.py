@@ -413,24 +413,30 @@ def bfs_hops(
     )
     dist = seed.localCheckpoint(eager=True)
     for h in range(1, max_hops + 1):
-        # BROADCAST the frontier: each expansion is then ONE
-        # broadcast-hash pass over the (cached) edge relation — no
-        # per-round shuffle or sort of O(E). Without the hint Spark
-        # sort-merge-joins and re-exchanges the full 239M-edge set
-        # every round (measured 175 s -> 120 s end-to-end at 100x,
-        # sf10-equivalent, of which 54 s is the one-off edge build).
-        # The frontier is O(component nodes) = dimension-sized here;
-        # for graphs whose frontier outgrows a broadcast, pre-bucket
-        # edges by src instead (pagerank's assume_partitioned_by_src
-        # story above).
-        frontier = F.broadcast(dist.where(F.col("hop") == h - 1))
-        nxt = frontier.join(e, frontier.node == e.src).select(
-            F.col("dst").alias("node"), F.lit(h).alias("hop")
-        )
-        dist = (
-            dist.unionAll(nxt)
-            .groupBy("node")
-            .agg(F.min("hop").alias("hop"))
-            .localCheckpoint(eager=True)
-        )
+        dist = _bfs_expand(dist, e, h).localCheckpoint(eager=True)
     return dist
+
+
+def _bfs_expand(dist: DataFrame, e: DataFrame, h: int) -> DataFrame:
+    """One synchronous frontier expansion + min-hop merge (the plan
+    tests pin this step's shape — bfs_hops checkpoints it eagerly,
+    so the round's join never appears in the caller's final plan).
+
+    The frontier is BROADCAST: each expansion is then ONE
+    broadcast-hash pass over the (cached) edge relation — no
+    per-round shuffle or sort of O(E). Without the hint Spark
+    sort-merge-joins and re-exchanges the full 239M-edge set every
+    round (measured 175 s -> 120 s end-to-end at 100x,
+    sf10-equivalent, of which 54 s is the one-off edge build). The
+    frontier is O(component nodes) = dimension-sized here; for
+    graphs whose frontier outgrows a broadcast, pre-bucket edges by
+    src instead (pagerank's assume_partitioned_by_src story above)."""
+    frontier = F.broadcast(dist.where(F.col("hop") == h - 1))
+    nxt = frontier.join(e, frontier.node == e.src).select(
+        F.col("dst").alias("node"), F.lit(h).alias("hop")
+    )
+    return (
+        dist.unionAll(nxt)
+        .groupBy("node")
+        .agg(F.min("hop").alias("hop"))
+    )

@@ -226,5 +226,110 @@ def main() -> None:
     spark.stop()
 
 
+JOIN_QUERIES = [
+    "q186_trade_flows",
+    "q213_order_count_distribution",
+    "q214_large_volume_customers",
+    "q216_item_similarity",
+    "q220_purchase_sequences",
+]
+
+
+def build_joins(spark, mult: int, out: str) -> None:
+    """Coherent orders+lineitem scaling for JOIN-shaped queries: the
+    default build offsets lineitem's orderkeys but copies orders
+    verbatim, so lineitem<->orders joins are vacuous past copy 0
+    (every per-round PERFORMANCE table marks them n/a). Here orders
+    and lineitem get the SAME per-copy orderkey offset and customers
+    get disjoint custkey copies — so joins resolve, users multiply,
+    and the ITEM CATALOG stays fixed (partkeys unscaled): the
+    realistic "more customers, same parts" growth axis for
+    q213/q214/q216/q220/q186."""
+    copies = spark.range(mult).select(F.col("id").cast("int").alias("__c"))
+
+    o = load_table(spark, SRC, "orders")
+    ok_span = o.agg(F.max("o_orderkey")).first()[0] + 1
+    ck_span = o.agg(F.max("o_custkey")).first()[0] + 1
+    (
+        o.crossJoin(copies)
+        .select(
+            (F.col("o_orderkey") + F.col("__c").cast("long") * ok_span)
+            .alias("o_orderkey"),
+            (F.col("o_custkey") + F.col("__c").cast("long") * ck_span)
+            .alias("o_custkey"),
+            *[c for c in o.columns if c not in ("o_orderkey", "o_custkey")],
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/orders.parquet")
+    )
+
+    li = load_table(spark, SRC, "lineitem")
+    (
+        li.crossJoin(copies)
+        .select(
+            (F.col("l_orderkey") + F.col("__c").cast("long") * ok_span)
+            .alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(f"{out}/lineitem.parquet")
+    )
+
+    c = load_table(spark, SRC, "customer")
+    (
+        c.crossJoin(copies)
+        .select(
+            (F.col("c_custkey") + F.col("__c").cast("long") * ck_span)
+            .alias("c_custkey"),
+            *[x for x in c.columns if x != "c_custkey"],
+        )
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(f"{out}/customer.parquet")
+    )
+
+    for t in (
+        "region",
+        "nation",
+        "supplier",
+        "part",
+        "events",
+        "documents",
+        "embeddings",
+    ):
+        shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+
+
+def main_joins(mult: int, out: str) -> None:
+    os.makedirs(out, exist_ok=True)
+    spark = get_spark(app_name=f"cbdw-scalejoins{mult}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    build_joins(spark, mult, out)
+    print(f"[build] joins {mult}x in {time.perf_counter() - t0:.1f} s -> {out}")
+
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    for name in JOIN_QUERIES:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, out).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        print(
+            f"[time] {name}: {time.perf_counter() - t0:.1f} s "
+            f"(single-shot, joins {mult}x)",
+            flush=True,
+        )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if "--joins" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--joins"]
+        mult = int(args[0]) if args else 10
+        out = args[1] if len(args) > 1 else f"/tmp/sfjoins_m{mult}"
+        main_joins(mult, out)
+    else:
+        main()

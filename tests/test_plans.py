@@ -387,3 +387,61 @@ def test_trade_flows_single_shuffle_join_without_aqe_broadcast(spark, sf_dir):
         assert n_shuffle_joins == 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_key_skew_census_scans_are_column_pruned(spark, sf_dir):
+    """Each census branch must read ONLY its key column — the whole
+    claim of '100 TB: a single-int-column scan per key' rests on
+    pruning reaching the parquet reader."""
+    plan = _plan(spark, "q210_key_skew_census", sf_dir)
+    assert "ReadSchema: struct<l_orderkey" in plan, plan
+    # no lineitem branch may drag a second column along
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "lineitem" in plan:
+            # schema struct must contain exactly one field
+            inner = line.split("struct<", 1)[1]
+            assert inner.count(",") == 0 or "user_id" in inner, line
+
+
+def test_item_similarity_degree_joins_broadcast(spark, sf_dir):
+    """q216: both degree joins ride broadcasts and the pair fan-out
+    aggregate is the only corpus-scale exchange family; no cartesian
+    anywhere."""
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["q216_item_similarity"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "CartesianProduct" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bfs_frontier_joins_broadcast(spark):
+    """q215's fix pinned: with size-based broadcast off, a frontier
+    expansion must STILL be a BroadcastHashJoin (the explicit hint),
+    never a sort-merge re-shuffle of O(E) per hop. bfs_hops
+    checkpoints each round eagerly, so the step's plan is pinned on
+    the exposed _bfs_expand itself."""
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.operators.graph import _bfs_expand
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], ["src", "dst"]
+        )
+        dist = spark.createDataFrame([(1, 0)], ["node", "hop"])
+        step = _bfs_expand(dist, e, 1)
+        plan = step._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        got = {(r["node"], r["hop"]) for r in step.collect()}
+        assert got == {(1, 0), (2, 1)}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
