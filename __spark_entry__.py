@@ -162,7 +162,8 @@ _SWEEP_PRIORITY = [
     "q216_item_similarity", "q217_theil_sen_trend",
     "q218_revenue_deciles", "q219_gate_bias_audit",
     "q220_purchase_sequences", "q221_forecast_backtest",
-    "q222_mutual_information",
+    "q222_mutual_information", "q223_contribution_rollup",
+    "q224_similarity_histogram",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

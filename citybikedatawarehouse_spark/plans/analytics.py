@@ -5618,3 +5618,220 @@ def q222_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q223 — contribution rollup (share of parent at every level)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q223_contribution_rollup",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    ),
+    reg AS (SELECT region, sum(cents) AS cents FROM rev GROUP BY region),
+    tot AS (SELECT sum(cents) AS cents FROM reg)
+    SELECT 'nation' AS lvl, v.region, v.nation,
+           CAST(v.cents AS BIGINT) AS revenue_cents,
+           round(v.cents * 1.0 / g.cents, 6) AS share_of_parent
+    FROM rev v JOIN reg g USING (region)
+    UNION ALL
+    SELECT 'region', g.region, NULL,
+           CAST(g.cents AS BIGINT),
+           round(g.cents * 1.0 / t.cents, 6)
+    FROM reg g CROSS JOIN tot t
+    UNION ALL
+    SELECT 'total', NULL, NULL, CAST(t.cents AS BIGINT), 1.0
+    FROM tot t
+    """,
+)
+def q223_contribution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis over the geography hierarchy: revenue
+    at nation, region and grand-total levels, each row carrying its
+    SHARE OF PARENT (nation/region, region/total) — the drill-down
+    readout a plain ROLLUP (q22) doesn't give you, and the one a
+    revenue review actually reads ("APAC is 31% of total; Japan is
+    44% of APAC"). Long format with an explicit level tag so the
+    three grains coexist in one relation.
+
+    Scale shape: ONE fact aggregate to O(nations) rows (the dims
+    broadcast); region and total levels re-aggregate that tiny
+    relation; shares join nation->region (broadcast) and
+    region->total (1-row broadcast). The fact table is scanned
+    exactly once."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents")
+        )
+        # O(nations) rows feeding three levels
+        .localCheckpoint(eager=True)
+    )
+    reg = rev.groupBy("region").agg(F.sum("cents").alias("rcents"))
+    tot = reg.agg(F.sum("rcents").alias("tcents"))
+    nation_rows = rev.join(F.broadcast(reg), "region").select(
+        F.lit("nation").alias("lvl"),
+        "region",
+        "nation",
+        F.col("cents").cast("bigint").alias("revenue_cents"),
+        F.round(
+            F.col("cents") * F.lit(1.0) / F.col("rcents"), 6
+        ).alias("share_of_parent"),
+    )
+    region_rows = reg.crossJoin(F.broadcast(tot)).select(
+        F.lit("region").alias("lvl"),
+        "region",
+        F.lit(None).cast("string").alias("nation"),
+        F.col("rcents").cast("bigint").alias("revenue_cents"),
+        F.round(
+            F.col("rcents") * F.lit(1.0) / F.col("tcents"), 6
+        ).alias("share_of_parent"),
+    )
+    total_row = tot.select(
+        F.lit("total").alias("lvl"),
+        F.lit(None).cast("string").alias("region"),
+        F.lit(None).cast("string").alias("nation"),
+        F.col("tcents").cast("bigint").alias("revenue_cents"),
+        F.lit(1.0).alias("share_of_parent"),
+    )
+    return nation_rows.unionAll(region_rows).unionAll(total_row)
+
+
+# ---------------------------------------------------------------------------
+# q224 — pairwise cosine-similarity histogram (threshold calibration)
+# ---------------------------------------------------------------------------
+
+_SIMHIST_SAMPLE = 2000
+
+
+@register(
+    "q224_similarity_histogram",
+    oracle=f"""
+    WITH samp AS (
+      SELECT vec_id, embedding,
+             row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      FROM (
+        SELECT * FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_SIMHIST_SAMPLE}
+      )
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+             a.embedding AS e1, b.embedding AS e2
+      FROM samp a JOIN samp b ON b.rk = a.rk + 1 AND a.rk % 2 = 1
+    ),
+    expl AS (
+      SELECT id_1, id_2,
+             CAST(unnest(e1) AS DOUBLE) AS x,
+             CAST(unnest(e2) AS DOUBLE) AS y
+      FROM pairs
+    ),
+    cs AS (
+      SELECT id_1, id_2,
+             round(sum(x * y)
+                   / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS cos
+      FROM expl GROUP BY 1, 2
+    ),
+    binned AS (
+      SELECT least(CAST(floor((cos + 1.0) / 0.1) AS INTEGER), 19) AS bin
+      FROM cs
+    )
+    SELECT CAST(bin AS INTEGER) AS bin,
+           round(-1.0 + bin * 0.1, 1) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM binned GROUP BY bin
+    """,
+)
+def q224_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine-similarity histogram over a deterministic
+    md5-ordered sample (first {n} vectors, adjacent-rank disjoint
+    pairs -> {n2} pairs), binned at 0.1 from -1 to 1. The
+    calibration read EVERY similarity threshold in this engine rests
+    on (q71's near-dup cut, q88's SemDeDup eps, q62's LSH band
+    design): the histogram of "unrelated pair" similarity tells you
+    where the noise floor is before you pick a threshold. md5
+    ordering makes the sample pseudo-random yet exactly replayable —
+    the q67/q113 sampling convention applied to PAIRS.
+
+    Scale shape: the sample is a TakeOrdered {n}-row head (stays in
+    the plan, bounded at any corpus size); pairing is a rank
+    self-join on {n} rows; one HOF cosine per pair; O(20)-row
+    output. Corpus cost = the one ordered sample, independent of N
+    beyond the sort."""
+    emb = _t(spark, sf_dir, "embeddings")
+    skey = F.md5(F.col("vec_id").cast("string"))
+    samp = (
+        emb.orderBy(skey, "vec_id")
+        .limit(_SIMHIST_SAMPLE)
+        .select(
+            "vec_id",
+            "embedding",
+            F.row_number()
+            .over(W.orderBy(skey, "vec_id"))
+            .alias("rk"),
+        )
+    )
+    a = samp.select(
+        F.col("rk").alias("rka"),
+        F.col("vec_id").alias("id_1"),
+        F.col("embedding").alias("e1"),
+    ).where(F.col("rka") % 2 == 1)
+    b = samp.select(
+        F.col("rk").alias("rkb"),
+        F.col("vec_id").alias("id_2"),
+        F.col("embedding").alias("e2"),
+    )
+    pairs = a.join(b, F.col("rkb") == F.col("rka") + 1)
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    cos = F.round(
+        dot(F.col("e1"), F.col("e2"))
+        / (
+            F.sqrt(dot(F.col("e1"), F.col("e1")))
+            * F.sqrt(dot(F.col("e2"), F.col("e2")))
+        ),
+        6,
+    )
+    binned = pairs.select(
+        F.least(
+            F.floor((cos + 1.0) / 0.1).cast("int"), F.lit(19)
+        ).alias("bin")
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    ).select(
+        F.col("bin").cast("int").alias("bin"),
+        F.round(F.lit(-1.0) + F.col("bin") * 0.1, 1).alias("bin_lo"),
+        "n_pairs",
+    )
+
+
+q224_similarity_histogram.__doc__ = q224_similarity_histogram.__doc__.format(
+    n=_SIMHIST_SAMPLE, n2=_SIMHIST_SAMPLE // 2
+)

@@ -1583,3 +1583,39 @@ def test_mutual_information_bounds(spark, sf_dir):
     assert abs(r["mi_nats"] - mi) < 1e-4
     assert abs(r["h_quantity"] - hq) < 1e-4
     assert abs(r["h_discount"] - hd) < 1e-4
+
+
+def test_contribution_rollup_shares_conserve(spark, sf_dir):
+    """Nation shares sum to 1 within every region; region shares sum
+    to 1; every level's revenue sums to the same grand total."""
+    rows = QUERIES["q223_contribution_rollup"](spark, sf_dir).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["lvl"], []).append(r)
+    total = by["total"][0]["revenue_cents"]
+    assert by["total"][0]["share_of_parent"] == 1.0
+    assert sum(r["revenue_cents"] for r in by["region"]) == total
+    assert sum(r["revenue_cents"] for r in by["nation"]) == total
+    assert abs(sum(r["share_of_parent"] for r in by["region"]) - 1) < 1e-4
+    regions = {}
+    for r in by["nation"]:
+        regions.setdefault(r["region"], 0.0)
+        regions[r["region"]] += r["share_of_parent"]
+    for share_sum in regions.values():
+        assert abs(share_sum - 1.0) < 1e-4
+
+
+def test_similarity_histogram_conserves_pairs(spark, sf_dir):
+    """Bin counts sum to exactly min(N, sample)/2 disjoint pairs;
+    bins are valid [0, 19]; on these random-ish embeddings the mass
+    must sit far from the |cos|=1 edges (the noise-floor readout the
+    query exists to provide)."""
+    rows = QUERIES["q224_similarity_histogram"](spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    expect_pairs = min(n, 2000) // 2
+    assert sum(r["n_pairs"] for r in rows) == expect_pairs
+    for r in rows:
+        assert 0 <= r["bin"] <= 19
+        assert abs(r["bin_lo"] - (-1.0 + r["bin"] * 0.1)) < 1e-9
+    top = max(rows, key=lambda r: r["n_pairs"])
+    assert 5 <= top["bin"] <= 14
