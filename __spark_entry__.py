@@ -163,7 +163,7 @@ _SWEEP_PRIORITY = [
     "q218_revenue_deciles", "q219_gate_bias_audit",
     "q220_purchase_sequences", "q221_forecast_backtest",
     "q222_mutual_information", "q223_contribution_rollup",
-    "q224_similarity_histogram",
+    "q224_similarity_histogram", "q225_novelty_curve",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

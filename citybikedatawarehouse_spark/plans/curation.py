@@ -1298,3 +1298,123 @@ def q164_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.col("avg_logratio").desc(), "doc_id").limit(100)
     win = Window.orderBy(F.col("avg_logratio").desc(), "doc_id")
     return top.withColumn("rank", F.row_number().over(win).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# q225 — new-content yield curve (novelty per ingest decile)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q225_novelty_curve",
+    oracle=r"""
+    WITH bounds AS (
+      SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents
+    ),
+    db AS (
+      SELECT d.doc_id,
+             least(CAST(floor((d.doc_id - b.lo) * 10.0
+                              / (b.hi - b.lo + 1)) AS INTEGER), 9)
+               AS bucket,
+             d.text
+      FROM documents d CROSS JOIN bounds b
+    ),
+    sh AS (
+      SELECT DISTINCT bucket, doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM (SELECT bucket, doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS words
+            FROM db),
+           UNNEST(range(1, len(words) - 1)) t(i)
+    ),
+    per_bucket AS (
+      SELECT bucket, count(DISTINCT shingle) AS n_shingles,
+             count(DISTINCT doc_id) AS n_docs
+      FROM sh GROUP BY bucket
+    ),
+    first_seen AS (
+      SELECT shingle, min(bucket) AS fb FROM sh GROUP BY shingle
+    ),
+    news AS (
+      SELECT fb AS bucket, count(*) AS n_new FROM first_seen GROUP BY fb
+    )
+    SELECT CAST(p.bucket AS INTEGER) AS bucket,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           CAST(p.n_shingles AS BIGINT) AS n_shingles,
+           CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new_shingles,
+           round(coalesce(n.n_new, 0) * 1.0 / p.n_shingles, 6)
+             AS new_ratio,
+           CAST(sum(coalesce(n.n_new, 0))
+                  OVER (ORDER BY p.bucket) AS BIGINT)
+             AS cum_distinct_shingles
+    FROM per_bucket p LEFT JOIN news n USING (bucket)
+    """,
+)
+def q225_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-content yield curve: split the corpus into 10 ingest-order
+    buckets (doc_id deciles — min/max-normalized floor arithmetic,
+    one broadcast bounds row), and per bucket report how many
+    distinct 3-gram shingles it touches, how many are NEW (first
+    seen there), the new ratio, and the cumulative distinct count.
+    This is the "data value of scale" curve every corpus acquisition
+    decision reads: a new_ratio collapsing toward 0 means the next
+    crawl increment buys almost no new content and dedup (q60–q64)
+    will delete most of it — measure BEFORE paying to process it.
+
+    Scale shape: one explode to (bucket, shingle) pairs; first-seen
+    is a map-side-combinable min per shingle; per-bucket distincts
+    aggregate the same exploded relation; the cumulative window runs
+    over 10 rows. One corpus-scale shuffle family (shingle-keyed),
+    the q61 cost shape."""
+    from citybikedatawarehouse_spark.operators.dedup_ops import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    db = d.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "text",
+        F.least(
+            F.floor(
+                (F.col("doc_id") - F.col("lo"))
+                * 10.0
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("int"),
+            F.lit(9),
+        ).alias("bucket"),
+    )
+    sh = (
+        shingles(db, n=3)
+        .join(db.select("doc_id", "bucket"), "doc_id")
+        .select("bucket", "doc_id", "shingle")
+        .localCheckpoint(eager=True)  # feeds per-bucket AND first-seen
+    )
+    per_bucket = sh.groupBy("bucket").agg(
+        F.count_distinct("shingle").alias("n_shingles"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    news = (
+        sh.groupBy("shingle")
+        .agg(F.min("bucket").alias("fb"))
+        .groupBy(F.col("fb").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    joined = per_bucket.join(F.broadcast(news), "bucket", "left").select(
+        "bucket",
+        "n_docs",
+        "n_shingles",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_new").cast("bigint").alias("n_new_shingles"),
+        F.round(
+            F.col("n_new") * F.lit(1.0) / F.col("n_shingles"), 6
+        ).alias("new_ratio"),
+        F.sum("n_new").over(wc).cast("bigint").alias(
+            "cum_distinct_shingles"
+        ),
+    )

@@ -702,3 +702,71 @@ def resolve_source_jsd(state_df: DataFrame) -> DataFrame:
     return pq.groupBy(
         F.col("s1").alias("source_a"), F.col("s2").alias("source_b")
     ).agg(F.round(F.sum(term), 6).alias("jsd_bits"))
+
+
+# ---------------------------------------------------------------------------
+# incremental key-skew census (q210's events row as a stream monitor)
+# ---------------------------------------------------------------------------
+
+KEY_COUNT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("c", T.LongType()),
+    ]
+)
+
+
+def keycount_epoch_step(
+    batch_df: DataFrame, epoch_id: int, state_dir: str
+) -> None:
+    """One key-census epoch: persist the batch's per-user_id COUNT
+    slice. Counts are a commutative monoid, so slices resolve by one
+    re-aggregate, and a replayed epoch (same id) overwrites its own
+    directory instead of double-counting — the module's replay
+    contract."""
+    (
+        batch_df.select(F.col("user_id").cast("long").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .write.mode("overwrite")
+        .parquet(f"{state_dir}/epoch={epoch_id}")
+    )
+
+
+def start_incremental_key_census(events_stream: DataFrame, state_dir: str):
+    """Streaming twin of q210's events/user_id row: each epoch lands
+    its per-key count slice; ``resolve_key_census`` reads the
+    accumulated state at any time and emits the census — the live
+    "is one user becoming a hot key" monitor that decides salting
+    (q106/q107) BEFORE the nightly batch job straggles."""
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        keycount_epoch_step(batch_df, epoch_id, state_dir)
+
+    return events_stream.writeStream.foreachBatch(step).start()
+
+
+def resolve_key_census(state_df: DataFrame) -> DataFrame:
+    """q210's summary over the accumulated (k, c) slices: merge the
+    monoid (sum per key), then the identical census expression —
+    byte-compatible with the batch row (tbl='events',
+    key_col='user_id')."""
+    merged = state_df.groupBy("k").agg(F.sum("c").alias("c"))
+    return merged.agg(
+        F.lit("events").alias("tbl"),
+        F.lit("user_id").alias("key_col"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_rows_per_key"),
+        F.round(
+            F.max("c") * F.lit(1.0) / F.sum("c"), 6
+        ).alias("top_key_share"),
+        F.round(F.expr("percentile(c, 0.5)"), 6).alias(
+            "med_rows_per_key"
+        ),
+        F.round(F.expr("percentile(c, 0.99)"), 6).alias(
+            "p99_rows_per_key"
+        ),
+        F.round(
+            F.max("c") * F.count(F.lit(1)) * F.lit(1.0) / F.sum("c"), 6
+        ).alias("max_over_mean"),
+    )

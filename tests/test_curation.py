@@ -342,3 +342,30 @@ def test_dsir_resample_prefers_target_like_docs(spark, tmp_path):
     score_of = {r["doc_id"]: r["avg_logratio"] for r in got}
     assert all(score_of[i] > 0 for i in target_like)
     assert all(score_of[i] < 0 for i in unrelated)
+
+
+def test_novelty_curve_laws(spark, sf_dir):
+    """Bucket 0's shingles are ALL new by definition; new <= seen per
+    bucket; the cumulative distinct count is monotone and ends at
+    the corpus's global distinct shingle count; docs conserve."""
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.operators.dedup_ops import shingles
+    from citybikedatawarehouse_spark.sources.readers import load_table
+
+    rows = sorted(
+        QUERIES["q225_novelty_curve"](spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert rows[0]["n_new_shingles"] == rows[0]["n_shingles"]
+    assert abs(rows[0]["new_ratio"] - 1.0) < 1e-9
+    for r in rows:
+        assert 0 <= r["n_new_shingles"] <= r["n_shingles"]
+    cums = [r["cum_distinct_shingles"] for r in rows]
+    assert cums == sorted(cums)
+    d = load_table(spark, sf_dir, "documents")
+    total_distinct = (
+        shingles(d, n=3).select("shingle").distinct().count()
+    )
+    assert cums[-1] == total_distinct
+    assert sum(r["n_docs"] for r in rows) == d.count()

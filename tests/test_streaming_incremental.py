@@ -665,3 +665,36 @@ def test_stream_jsd_equals_batch_q188(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_key_census_equals_batch_q210(spark, tmp_path):
+    """The census resolved from 3 per-epoch count slices (one
+    replayed — crash-replay must not double-count) equals q210's
+    events/user_id row computed in one batch."""
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+    from citybikedatawarehouse_spark.sources.readers import load_table
+    from citybikedatawarehouse_spark.streaming.incremental import (
+        KEY_COUNT_STATE_SCHEMA,
+        _read_epoch_state,
+        keycount_epoch_step,
+        resolve_key_census,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    state = str(tmp_path / "census")
+    for i in range(3):
+        keycount_epoch_step(ev.filter(F.col("event_id") % 3 == i), i, state)
+    keycount_epoch_step(ev.filter(F.col("event_id") % 3 == 1), 1, state)
+    got = resolve_key_census(
+        _read_epoch_state(spark, state, KEY_COUNT_STATE_SCHEMA, 99)
+    ).collect()[0]
+    want = [
+        r
+        for r in QUERIES["q210_key_skew_census"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        if r["tbl"] == "events"
+    ][0]
+    assert got.asDict() == want.asDict()
