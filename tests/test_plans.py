@@ -445,3 +445,35 @@ def test_bfs_frontier_joins_broadcast(spark):
         assert got == {(1, 0), (2, 1)}
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout must prune at the SCAN: a write
+    partitioned by event date + an equality filter on that date has
+    to show up in PartitionFilters (metadata-only pruning), NOT as a
+    post-scan Filter over all partitions — at 100 TB this is the
+    difference between reading one day and reading the decade."""
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.sources.readers import load_table
+    from citybikedatawarehouse_spark.sources.writers import write_parquet
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_day")
+    write_parquet(ev, out, partition_by=["day"])
+
+    some_day = spark.read.parquet(out).select("day").first()["day"]
+    df = spark.read.parquet(out).where(F.col("day") == some_day)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters" in plan, plan
+    assert "day" in plan.split("PartitionFilters")[1].splitlines()[0], plan
+    # and the pruned read still returns exactly the day's rows
+    got = df.count()
+    want = ev.where(F.col("day") == some_day).count()
+    assert got == want and want > 0
