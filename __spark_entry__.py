@@ -164,6 +164,7 @@ _SWEEP_PRIORITY = [
     "q220_purchase_sequences", "q221_forecast_backtest",
     "q222_mutual_information", "q223_contribution_rollup",
     "q224_similarity_histogram", "q225_novelty_curve",
+    "q226_bm25_snippets",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

@@ -1662,3 +1662,121 @@ def q196_collocations(spark, sf_dir):
         )
     )
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(_COLLOC_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# q226 — snippet extraction for BM25 hits (retrieval UX)
+# ---------------------------------------------------------------------------
+
+_SNIP_TOPK = 10
+_SNIP_RADIUS = 30
+_SNIP_LEN = 60
+
+
+def _snippet_oracle() -> str:
+    cand = "\n      UNION ALL ".join(
+        f"SELECT doc_id, score, rank, text, '{t}' AS term, "
+        f"strpos(text, '{t}') AS pos FROM topd"
+        for t in _BM25_TERMS
+    )
+    return f"""
+    WITH {_bm25_ctes()},
+    topd AS (
+      SELECT doc_id, score, text, rank FROM (
+        SELECT l.doc_id, l.score, d.text,
+               row_number() OVER (ORDER BY l.score DESC, l.doc_id)
+                 AS rank
+        FROM lex l JOIN documents d USING (doc_id)
+        WHERE l.score > 0
+      ) WHERE rank <= {_SNIP_TOPK}
+    ),
+    cand AS (
+      {cand}
+    ),
+    pick AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY pos, term) AS rn
+        FROM cand WHERE pos > 0
+      ) WHERE rn = 1
+    )
+    SELECT doc_id, score, CAST(rank AS INTEGER) AS rank, term,
+           CAST(pos AS INTEGER) AS pos,
+           substr(text, greatest(1, pos - {_SNIP_RADIUS}), {_SNIP_LEN})
+             AS snippet
+    FROM pick
+    """
+
+
+@register("q226_bm25_snippets", oracle=_snippet_oracle())
+def q226_bm25_snippets(spark, sf_dir):
+    """Snippet extraction over the q111 BM25 top-10: for each hit,
+    a 60-char window centered on the FIRST matched query term
+    (earliest position; position ties break by term order) plus the
+    term and its offset — the keyword-in-context presentation layer
+    a retrieval stack serves next to scores, completing the lexical
+    story (score → rank → show WHY it matched). Shares q111's
+    scoring core and oracle fragment, so ranking can never drift
+    from the registered retriever.
+
+    Scale shape: scoring is bm25_scores' one staged-tokenization
+    scan; the top-10 cut happens BEFORE text-position work, so
+    locate/substr run on 10 rows regardless of corpus size; the
+    term unpivot is 3 rows per hit."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    top = (
+        bm25_scores(d)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_SNIP_TOPK)
+        .join(d, "doc_id")
+        .select(
+            "doc_id",
+            "score",
+            "text",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+            .alias("rank"),
+        )
+    )
+    cand = top.select(
+        "doc_id",
+        "score",
+        "rank",
+        "text",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("term"),
+                        F.locate(t, F.col("text")).alias("pos"),
+                    )
+                    for t in _BM25_TERMS
+                ]
+            )
+        ).alias("c"),
+    ).select(
+        "doc_id", "score", "rank", "text",
+        F.col("c.term").alias("term"), F.col("c.pos").alias("pos"),
+    )
+    pick = (
+        cand.where(F.col("pos") > 0)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("pos", "term")
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return pick.select(
+        "doc_id",
+        "score",
+        F.col("rank").cast("int").alias("rank"),
+        "term",
+        F.col("pos").cast("int").alias("pos"),
+        F.substring(
+            "text",
+            F.greatest(F.lit(1), F.col("pos") - _SNIP_RADIUS),
+            _SNIP_LEN,
+        ).alias("snippet"),
+    )

@@ -408,3 +408,31 @@ def test_collocations_pmi_pure_python_replay(spark, sf_dir):
         assert cp == r["pair_count"] and cp >= 20
         pmi = math.log2(cp * n_tokens / 4.0 / (uni[r["w1"]] * uni[r["w2"]]))
         assert abs(r["pmi"] - round(pmi, 6)) <= 1e-6
+
+
+def test_bm25_snippets_contain_their_term(spark, sf_dir):
+    """Every snippet must actually CONTAIN its matched term at the
+    reported relative offset; ranks are 1..10 aligned with q111's
+    ordering; the picked term is the earliest occurrence among the
+    query terms."""
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["q226_bm25_snippets"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert sorted(r["rank"] for r in rows) == list(range(1, 11))
+    top = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            QUERIES["q111_bm25_topk"](spark, sf_dir).limit(10).collect()
+        )
+    }
+    for r in rows:
+        assert top[r["doc_id"]] == r["rank"]
+        assert r["term"] in r["snippet"]
+        start = max(1, r["pos"] - 30)
+        assert r["snippet"].startswith(
+            ""
+        ) and len(r["snippet"]) <= 60
+        # term sits at pos - start within the snippet
+        rel = r["pos"] - start
+        assert r["snippet"][rel : rel + len(r["term"])] == r["term"]
