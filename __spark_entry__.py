@@ -165,6 +165,10 @@ _SWEEP_PRIORITY = [
     "q222_mutual_information", "q223_contribution_rollup",
     "q224_similarity_histogram", "q225_novelty_curve",
     "q226_bm25_snippets",
+    "q227_top_supplier", "q228_small_quantity_revenue",
+    "q229_disjunctive_revenue", "q230_sole_supplier_orders",
+    "q231_rich_idle_customers", "q232_market_share",
+    "q233_parttype_profit",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

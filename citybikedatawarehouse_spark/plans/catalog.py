@@ -58,6 +58,7 @@ def _load_all() -> None:
         warehouse_ops,
         analytics,
         embedding_transform,
+        decision_support,
     )
 
 
