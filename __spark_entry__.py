@@ -169,6 +169,9 @@ _SWEEP_PRIORITY = [
     "q229_disjunctive_revenue", "q230_sole_supplier_orders",
     "q231_rich_idle_customers", "q232_market_share",
     "q233_parttype_profit",
+    "q234_symspell_fuzzy_join", "q235_mmr_rerank",
+    "q236_kcenter_coreset", "q237_hitrate_eval",
+    "q238_calibration_curve",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

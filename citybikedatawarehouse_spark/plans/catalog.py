@@ -59,6 +59,7 @@ def _load_all() -> None:
         analytics,
         embedding_transform,
         decision_support,
+        selection,
     )
 
 
