@@ -172,6 +172,8 @@ _SWEEP_PRIORITY = [
     "q234_symspell_fuzzy_join", "q235_mmr_rerank",
     "q236_kcenter_coreset", "q237_hitrate_eval",
     "q238_calibration_curve",
+    "q239_textrank_keywords", "q240_markov_attribution",
+    "q241_gdpr_cascade_audit", "q242_weighted_quantiles",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

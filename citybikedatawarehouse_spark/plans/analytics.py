@@ -5835,3 +5835,342 @@ def q224_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 q224_similarity_histogram.__doc__ = q224_similarity_histogram.__doc__.format(
     n=_SIMHIST_SAMPLE, n2=_SIMHIST_SAMPLE // 2
 )
+
+
+# ---------------------------------------------------------------------------
+# q240 — Markov removal-effect attribution over user journeys
+# ---------------------------------------------------------------------------
+
+_MKV_ITER = 12
+
+
+def _markov_oracle() -> str:
+    """Unrolled 12-round absorption iteration per removal variant.
+    Transition probabilities are exact BIGINT-count ratios divided
+    once; each iterate is rounded to 12 so sub-ulp float-summation
+    drift can never accumulate across rounds on either engine."""
+    head = """
+    WITH ev AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    conv AS (
+      SELECT user_id, min(rn) AS conv_rn FROM ev
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    j AS (
+      SELECT e.user_id, e.event_type, e.rn,
+             row_number() OVER (PARTITION BY e.user_id ORDER BY e.rn)
+               AS step
+      FROM ev e LEFT JOIN conv c USING (user_id)
+      WHERE e.rn < coalesce(c.conv_rn, 2147483647)
+        AND e.event_type <> 'purchase'
+    ),
+    hops AS (
+      SELECT a.user_id, a.event_type AS s, b.event_type AS t
+      FROM j a JOIN j b ON b.user_id = a.user_id AND b.step = a.step + 1
+      UNION ALL
+      SELECT j.user_id, 'START' AS s, j.event_type AS t
+      FROM j WHERE j.step = 1
+      UNION ALL
+      SELECT u.user_id, coalesce(last.event_type, 'START') AS s,
+             CASE WHEN c.user_id IS NOT NULL THEN 'CONV'
+                  ELSE 'NOCONV' END AS t
+      FROM (SELECT DISTINCT user_id FROM ev) u
+      LEFT JOIN conv c USING (user_id)
+      LEFT JOIN (SELECT user_id, event_type,
+                        row_number() OVER (PARTITION BY user_id
+                                           ORDER BY step DESC) AS rr
+                 FROM j) last
+        ON last.user_id = u.user_id AND last.rr = 1
+    ),
+    trans AS MATERIALIZED (
+      SELECT s, t,
+             count(*) * 1.0
+               / sum(count(*)) OVER (PARTITION BY s) AS p
+      FROM hops GROUP BY s, t
+    ),
+    channels AS MATERIALIZED (
+      SELECT DISTINCT s AS ch FROM trans WHERE s <> 'START'
+    ),
+    removals AS MATERIALIZED (
+      SELECT ch AS removed FROM channels
+      UNION ALL SELECT '__none__'
+    ),
+    states AS MATERIALIZED (
+      SELECT DISTINCT s AS st FROM trans
+      UNION SELECT DISTINCT t FROM trans
+    ),
+    v0 AS MATERIALIZED (
+      SELECT r.removed, s.st,
+             CASE WHEN s.st = 'CONV' THEN 1.0 ELSE 0.0 END AS v
+      FROM removals r CROSS JOIN states s
+    )"""
+    steps = []
+    for k in range(1, _MKV_ITER + 1):
+        steps.append(f""",
+    v{k} AS MATERIALIZED (
+      SELECT p.removed, p.st,
+             CASE WHEN p.st = 'CONV' THEN 1.0
+                  WHEN p.st = 'NOCONV' THEN 0.0
+                  WHEN p.st = p.removed THEN 0.0
+                  ELSE round(coalesce(up.nv, 0.0), 12) END AS v
+      FROM v{k - 1} p
+      LEFT JOIN (
+        SELECT pv.removed, tr.s AS st, sum(tr.p * pv.v) AS nv
+        FROM trans tr JOIN v{k - 1} pv ON pv.st = tr.t
+        GROUP BY pv.removed, tr.s
+      ) up ON up.removed = p.removed AND up.st = p.st
+    )""")
+    tail = f"""
+    , base AS (SELECT v AS base_cvr FROM v{_MKV_ITER}
+               WHERE removed = '__none__' AND st = 'START'),
+    eff AS (
+      SELECT r.removed AS channel, b.base_cvr,
+             v.v AS removed_cvr,
+             round((b.base_cvr - v.v) / b.base_cvr, 6) AS removal_effect
+      FROM removals r
+      JOIN v{_MKV_ITER} v ON v.removed = r.removed AND v.st = 'START'
+      CROSS JOIN base b
+      WHERE r.removed <> '__none__'
+    )
+    SELECT channel,
+           round(base_cvr, 6) AS base_cvr,
+           round(removed_cvr, 6) AS removed_cvr,
+           removal_effect,
+           round(removal_effect
+                 / sum(removal_effect) OVER (), 6) AS attribution_share
+    FROM eff
+    """
+    return head + "".join(steps) + tail
+
+
+@register("q240_markov_attribution", oracle=_markov_oracle())
+def q240_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al.'s
+    first-order Markov graph model): build the channel transition
+    matrix from user journeys truncated at first purchase
+    (START -> channels -> CONV/NOCONV), compute the 12-round
+    absorption probability of CONV from START, then re-run the chain
+    with each channel's outgoing mass nulled — the drop in
+    conversion probability IS that channel's credit. The
+    principled alternative to last-touch (q170) and linear (q180)
+    attribution, completing the attribution family.
+
+    Determinism: the value is DEFINED as the 12th fixed-point
+    iterate (not "converged"), transition probabilities are exact
+    count ratios divided once, and every iterate is rounded to 12 —
+    identical lattices on both engines.
+
+    Scale shape: journeys aggregate to a |channels|^2 transition
+    matrix in one events scan (window + one groupBy); the iteration
+    then runs on (|channels|+1) x |states| rows — a few dozen —
+    entirely corpus-independent, with localCheckpoint per round.
+    All removal variants ride ONE relation (removal is a grid
+    dimension, not a driver loop), so adding channels never adds
+    jobs."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    rn = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = ev.withColumn("rn", F.row_number().over(rn))
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("conv_rn"))
+    )
+    j = (
+        ev.join(F.broadcast(conv), "user_id", "left")
+        .where(
+            (F.col("rn") < F.coalesce(F.col("conv_rn"), F.lit(2147483647)))
+            & (F.col("event_type") != "purchase")
+        )
+        .withColumn(
+            "step",
+            F.row_number().over(W.partitionBy("user_id").orderBy("rn")),
+        )
+        .select("user_id", "event_type", "step")
+    )
+    jb = j.select(
+        F.col("user_id").alias("ub"),
+        F.col("event_type").alias("tb"),
+        F.col("step").alias("sb"),
+    )
+    mid = j.join(
+        jb, (j.user_id == jb.ub) & (jb.sb == j.step + 1)
+    ).select(F.col("event_type").alias("s"), F.col("tb").alias("t"))
+    start = j.where(F.col("step") == 1).select(
+        F.lit("START").alias("s"), F.col("event_type").alias("t")
+    )
+    last_step = j.groupBy("user_id").agg(
+        F.max_by("event_type", "step").alias("last_type")
+    )
+    users = ev.select("user_id").distinct()
+    final = (
+        users.join(F.broadcast(conv), "user_id", "left")
+        .join(F.broadcast(last_step), "user_id", "left")
+        .select(
+            F.coalesce(F.col("last_type"), F.lit("START")).alias("s"),
+            F.when(F.col("conv_rn").isNotNull(), "CONV")
+            .otherwise("NOCONV")
+            .alias("t"),
+        )
+    )
+    hops = mid.unionAll(start).unionAll(final)
+    trans = (
+        hops.groupBy("s", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "p",
+            F.col("n") * 1.0 / F.sum("n").over(W.partitionBy("s")),
+        )
+        .select("s", "t", "p")
+        .localCheckpoint(eager=True)
+    )
+    channels = trans.select(F.col("s").alias("ch")).where(
+        F.col("ch") != "START"
+    ).distinct()
+    removals = channels.select(F.col("ch").alias("removed")).unionAll(
+        channels.sparkSession.createDataFrame([("__none__",)], ["removed"])
+    )
+    states = (
+        trans.select(F.col("s").alias("st"))
+        .union(trans.select(F.col("t").alias("st")))
+        .distinct()
+    )
+    v = (
+        removals.crossJoin(states)
+        .select(
+            "removed",
+            "st",
+            F.when(F.col("st") == "CONV", 1.0).otherwise(0.0).alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_MKV_ITER):
+        up = (
+            trans.join(
+                v.select(
+                    F.col("removed").alias("rm"),
+                    F.col("st").alias("vt"),
+                    F.col("v").alias("pv"),
+                ),
+                trans.t == F.col("vt"),
+            )
+            .groupBy(F.col("rm"), F.col("s").alias("us"))
+            .agg(F.sum(F.col("p") * F.col("pv")).alias("nv"))
+        )
+        v = (
+            v.join(
+                up,
+                (v.removed == up.rm) & (v.st == F.col("us")),
+                "left",
+            )
+            .select(
+                "removed",
+                "st",
+                F.when(F.col("st") == "CONV", 1.0)
+                .when(F.col("st") == "NOCONV", 0.0)
+                .when(F.col("st") == F.col("removed"), 0.0)
+                .otherwise(F.round(F.coalesce(F.col("nv"), F.lit(0.0)), 12))
+                .alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    base = v.where(
+        (F.col("removed") == "__none__") & (F.col("st") == "START")
+    ).select(F.col("v").alias("base_cvr"))
+    eff = (
+        v.where((F.col("removed") != "__none__") & (F.col("st") == "START"))
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("removed").alias("channel"),
+            "base_cvr",
+            F.col("v").alias("removed_cvr"),
+            F.round(
+                (F.col("base_cvr") - F.col("v")) / F.col("base_cvr"), 6
+            ).alias("removal_effect"),
+        )
+    )
+    return eff.select(
+        "channel",
+        F.round("base_cvr", 6).alias("base_cvr"),
+        F.round("removed_cvr", 6).alias("removed_cvr"),
+        "removal_effect",
+        F.round(
+            F.col("removal_effect") / F.sum("removal_effect").over(W.partitionBy()),
+            6,
+        ).alias("attribution_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q242 — token-weighted quantiles of document length per source
+# ---------------------------------------------------------------------------
+
+@register(
+    "q242_weighted_quantiles",
+    oracle="""
+    WITH d AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS v,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT source, v, CAST(sum(w) AS BIGINT) AS w
+      FROM d GROUP BY source, v
+    ),
+    c AS (
+      SELECT source, v, w,
+             sum(w) OVER (PARTITION BY source ORDER BY v) AS cw,
+             sum(w) OVER (PARTITION BY source) AS tw
+      FROM g
+    )
+    SELECT source,
+           CAST(min(CASE WHEN cw * 2 >= tw THEN v END) AS BIGINT)
+             AS w_p50,
+           CAST(min(CASE WHEN cw * 10 >= tw * 9 THEN v END) AS BIGINT)
+             AS w_p90,
+           CAST(min(tw) AS BIGINT) AS total_weight
+    FROM c GROUP BY source
+    """,
+)
+def q242_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-WEIGHTED quantiles of document length per source: the
+    median/p90 document length as experienced by a TOKEN, not a
+    document — the statistic that actually predicts training-batch
+    composition (a corpus whose unweighted median is 200 chars but
+    whose token-weighted median is 4000 is dominated by long docs).
+    Weighted quantile q = the smallest value whose cumulative weight
+    reaches q of the total, computed with EXACT integer comparisons
+    (cw * 2 >= tw, cw * 10 >= 9 * tw) — no float rank anywhere,
+    so no cross-engine boundary flips. Complements q28 (unweighted
+    percentiles) and q113 (token-weighted sampling).
+
+    Scale shape: pre-aggregate to (source, length) cells first — the
+    window then runs over O(distinct lengths) rows per source, not
+    the corpus; one corpus scan, one cell-level shuffle. The 100 TB
+    variant is unchanged: distinct lengths stay bounded while
+    documents grow."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("v"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("w"),
+    )
+    g = d.groupBy("source", "v").agg(F.sum("w").alias("w"))
+    wc = W.partitionBy("source").orderBy("v")
+    c = g.select(
+        "source",
+        "v",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(W.partitionBy("source")).alias("tw"),
+    )
+    return c.groupBy("source").agg(
+        F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("v")))
+        .cast("bigint")
+        .alias("w_p50"),
+        F.min(F.when(F.col("cw") * 10 >= F.col("tw") * 9, F.col("v")))
+        .cast("bigint")
+        .alias("w_p90"),
+        F.min("tw").cast("bigint").alias("total_weight"),
+    )

@@ -1780,3 +1780,106 @@ def q226_bm25_snippets(spark, sf_dir):
             _SNIP_LEN,
         ).alias("snippet"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q239 — TextRank keyword scores over the word-adjacency graph
+# ---------------------------------------------------------------------------
+
+_TR_ITER = 5
+_TR_DAMPING = 0.85
+
+
+def _textrank_oracle() -> str:
+    """q133's round-unrolled PageRank replay, on the word-adjacency
+    edge base instead of co-purchase pairs (identical recurrence, so
+    a rank bug in either engine cannot hide behind the edge
+    builder)."""
+    head = """
+    WITH tok AS (
+      SELECT doc_id, ls, t.i AS pos, ls[t.i] AS w
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS ls
+            FROM documents) d,
+           UNNEST(range(1, len(ls) + 1)) t(i)
+    ),
+    adj AS (
+      SELECT a.w AS w1, b.w AS w2
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 AND a.w <> b.w
+    ),
+    edges AS (
+      SELECT DISTINCT w1 AS src, w2 AS dst FROM adj
+      UNION SELECT DISTINCT w2, w1 FROM adj
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"""
+    steps = []
+    d = _TR_DAMPING
+    for k in range(1, _TR_ITER + 1):
+        steps.append(f""",
+    r{k} AS (
+      SELECT n.node,
+             (1 - {d}) / (SELECT n FROM nn)
+               + {d} * coalesce(inf.inflow, 0) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.pr / d.deg) AS inflow
+        FROM edges e JOIN deg d ON e.src = d.src
+                     JOIN r{k - 1} r ON r.node = e.src
+        GROUP BY e.dst
+      ) inf USING (node)
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT node AS word, round(pr, 10) AS pr FROM r{_TR_ITER}
+    """
+    )
+
+
+@register("q239_textrank_keywords", oracle=_textrank_oracle())
+def q239_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau, EMNLP'04):
+    PageRank over the undirected word-adjacency graph (edges between
+    consecutive tokens), the unsupervised keyword extractor that
+    needs no training data — the text-suite twin of q133, REUSING
+    the same `operators/graph.pagerank` fit so both graph workloads
+    exercise one code path.
+
+    Scale shape: the adjacency build is one corpus scan with a
+    length-linear HOF pair fan-out (the token array is materialized
+    in its own projection first — HOF lambdas do not
+    subexpression-eliminate); the DISTINCT collapses it to at most
+    |vocab|^2 edges BEFORE the iterative fit, so PageRank runs on a
+    vocabulary-bounded graph no matter the corpus size (the same
+    vocab-bounded story as BPE training, q143). Iteration cost and
+    layout are q133's: one src exchange reused, per-round
+    contribution aggregate only."""
+    from citybikedatawarehouse_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("ws")
+    )
+    pair_structs = F.expr(
+        "transform(sequence(1, size(ws) - 1), "
+        "i -> struct(element_at(ws, i) AS w1, "
+        "element_at(ws, i + 1) AS w2))"
+    )
+    adj = (
+        toks.where(F.size("ws") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .where(F.col("w1") != F.col("w2"))
+    )
+    edges = (
+        adj.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .union(adj.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+        .distinct()
+    )
+    pr = pagerank(edges, damping=_TR_DAMPING, n_iter=_TR_ITER)
+    return pr.select(
+        F.col("node").alias("word"), F.round("rank", 10).alias("pr")
+    )

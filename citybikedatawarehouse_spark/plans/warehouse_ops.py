@@ -415,3 +415,133 @@ def q210_key_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = s if out is None else out.unionAll(s)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q241 — GDPR right-to-be-forgotten cascade audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "q241_gdpr_cascade_audit",
+    oracle="""
+    WITH forget AS (
+      SELECT c_custkey FROM customer
+      WHERE ('0x' || substr(md5('forget:' || c_custkey), 1, 8))::BIGINT
+              % 100 < 2
+    ),
+    del_orders AS (
+      SELECT o.o_orderkey FROM orders o
+      JOIN forget f ON f.c_custkey = o.o_custkey
+    ),
+    del_lineitems AS (
+      SELECT l.l_orderkey, l.l_linenumber,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS cents
+      FROM lineitem l JOIN del_orders d ON d.o_orderkey = l.l_orderkey
+    ),
+    orphans AS (
+      SELECT count(*) AS n FROM lineitem l
+      WHERE EXISTS (SELECT 1 FROM del_orders d
+                    WHERE d.o_orderkey = l.l_orderkey)
+        AND NOT EXISTS (SELECT 1 FROM del_lineitems x
+                        WHERE x.l_orderkey = l.l_orderkey
+                          AND x.l_linenumber = l.l_linenumber)
+    )
+    SELECT 'customer' AS entity,
+           CAST((SELECT count(*) FROM forget) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS revenue_cents_removed
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT count(*) FROM del_orders) AS BIGINT),
+           CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT count(*) FROM del_lineitems) AS BIGINT),
+           CAST((SELECT coalesce(sum(cents), 0) FROM del_lineitems)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orphaned_lineitems',
+           CAST((SELECT n FROM orphans) AS BIGINT),
+           CAST(0 AS BIGINT)
+    """,
+)
+def q241_gdpr_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: a deterministic ~2%
+    erasure cohort (md5-keyed, no RNG — the same membership on every
+    engine and rerun) traced through the FK graph: the customers
+    themselves, their orders, their lineitems (with the revenue that
+    disappears from every report), and the orphan check proving the
+    cascade is closed (zero lineitems would lose their order but
+    survive). The dry-run a warehouse runs BEFORE executing a GDPR
+    batch — the reference's star schema (create_db_from_csv.py)
+    has exactly this FK chain and no tooling for it.
+
+    Scale shape: the cohort is a broadcast-sized fraction of the
+    customer dim; both cascades are broadcast semi-joins onto the
+    fact tables (one scan each); the orphan proof is an anti-join of
+    two relations ALREADY restricted to the cohort's orders. Output
+    is 4 rows. At 100 TB the same plan applies the deletes via
+    partition-filtered rewrites (merge_upsert's MERGE shape)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    forget = c.where(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("forget:"), F.col("c_custkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+        < 2
+    ).select("c_custkey")
+    del_orders = o.join(
+        F.broadcast(forget), o.o_custkey == forget.c_custkey
+    ).select("o_orderkey")
+    del_li = l.join(
+        F.broadcast(del_orders), l.l_orderkey == del_orders.o_orderkey
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    orphans = (
+        l.join(F.broadcast(del_orders), l.l_orderkey == del_orders.o_orderkey, "left_semi")
+        .join(
+            del_li.select(
+                F.col("l_orderkey").alias("xo"), F.col("l_linenumber").alias("xl")
+            ),
+            (l.l_orderkey == F.col("xo")) & (l.l_linenumber == F.col("xl")),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    r1 = forget.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("customer").alias("entity"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.lit(0).cast("bigint").alias("revenue_cents_removed"),
+    )
+    r2 = del_orders.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("orders").alias("entity"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.lit(0).cast("bigint").alias("revenue_cents_removed"),
+    )
+    r3 = del_li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("cents"), F.lit(0)).alias("cents"),
+    ).select(
+        F.lit("lineitem").alias("entity"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("cents").cast("bigint").alias("revenue_cents_removed"),
+    )
+    r4 = orphans.select(
+        F.lit("orphaned_lineitems").alias("entity"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.lit(0).cast("bigint").alias("revenue_cents_removed"),
+    )
+    return r1.unionAll(r2).unionAll(r3).unionAll(r4)
