@@ -513,8 +513,11 @@ def q241_gdpr_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orphans = (
         l.join(F.broadcast(del_orders), l.l_orderkey == del_orders.o_orderkey, "left_semi")
         .join(
-            del_li.select(
-                F.col("l_orderkey").alias("xo"), F.col("l_linenumber").alias("xl")
+            F.broadcast(
+                del_li.select(
+                    F.col("l_orderkey").alias("xo"),
+                    F.col("l_linenumber").alias("xl"),
+                )
             ),
             (l.l_orderkey == F.col("xo")) & (l.l_linenumber == F.col("xl")),
             "left_anti",

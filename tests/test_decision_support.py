@@ -256,3 +256,30 @@ def test_parttype_profit_conserves_filtered_revenue(spark, sf_dir):
         F.sum("profit_cents")
     ).collect()[0][0]
     assert out == direct
+
+
+# ------------------------------------------------------- plan pins
+
+def test_market_share_no_cartesian_no_shuffled_dims(spark, sf_dir):
+    """q232's 7-relation tree: no cartesian product anywhere, and
+    every dim-side join is a broadcast (the only allowed non-BHJ at
+    scale is the lineitem-orders fact join)."""
+    plan = _plan(spark, "q232_market_share", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") <= 1  # at most the fact join
+
+
+def test_gdpr_cascade_is_all_broadcast(spark, sf_dir):
+    """q241's cascade joins and the orphan proof are cohort-bounded:
+    every join must broadcast — a sort-merge join here means a fact
+    table went through a shuffle for a ~2% cohort probe."""
+    plan = _plan(spark, "q241_gdpr_cascade_audit", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_supplier_quarter_filter_pushed(spark, sf_dir):
+    """q227's ship-date quarter filter must reach the lineitem scan."""
+    plan = _plan(spark, "q227_top_supplier", sf_dir)
+    read = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in read)
