@@ -53,3 +53,33 @@ def surrogate_key_sql(*exprs: str) -> str:
         f"coalesce(CAST({e} AS VARCHAR), chr(30)||'NULL')" for e in exprs
     )
     return f"sha256(concat_ws(chr(31), {parts}))"
+
+
+def cms_bucket(j: Column | str, key: Column | str, width: int) -> Column:
+    """Count-min-sketch row hash: md5('cms'||j||':'||key) first 8 hex
+    digits as an integer, mod ``width``. A pure function of (row,
+    key) — identical on every engine, epoch, and partitioning, so
+    per-epoch sketch slices merge by SUM and the DuckDB oracle
+    replays it verbatim (`('0x'||substr(md5(...),1,8))::BIGINT %
+    width`)."""
+    j = F.col(j) if isinstance(j, str) else j
+    key = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cms"),
+                        j.cast("string"),
+                        F.lit(":"),
+                        key.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )

@@ -6174,3 +6174,109 @@ def q242_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("w_p90"),
         F.min("tw").cast("bigint").alias("total_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q243 — count-min sketch heavy-hitter audit
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+_CMS_TOPK = 20
+
+
+@register(
+    "q243_countmin_heavy_hitters",
+    oracle=f"""
+    WITH rows_d AS (
+      SELECT l.l_partkey AS pk, t.j
+      FROM lineitem l CROSS JOIN UNNEST(range(0, {_CMS_DEPTH})) t(j)
+    ),
+    cms AS MATERIALIZED (
+      SELECT j,
+             ('0x' || substr(md5('cms' || j || ':' || pk), 1, 8))::BIGINT
+               % {_CMS_WIDTH} AS bucket,
+             CAST(count(*) AS BIGINT) AS counter
+      FROM rows_d GROUP BY 1, 2
+    ),
+    actual AS (
+      SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS actual
+      FROM lineitem GROUP BY 1
+    ),
+    top AS (
+      SELECT pk, actual FROM (
+        SELECT pk, actual,
+               row_number() OVER (ORDER BY actual DESC, pk) AS rn
+        FROM actual
+      ) WHERE rn <= {_CMS_TOPK}
+    ),
+    probes AS (
+      SELECT t.pk, t.actual, d.j,
+             ('0x' || substr(md5('cms' || d.j || ':' || t.pk), 1, 8))::BIGINT
+               % {_CMS_WIDTH} AS bucket
+      FROM top t CROSS JOIN UNNEST(range(0, {_CMS_DEPTH})) d(j)
+    )
+    SELECT p.pk AS l_partkey, p.actual,
+           CAST(min(c.counter) AS BIGINT) AS cms_estimate,
+           CAST(min(c.counter) - p.actual AS BIGINT) AS overestimate
+    FROM probes p JOIN cms c ON c.j = p.j AND c.bucket = p.bucket
+    GROUP BY p.pk, p.actual
+    """,
+)
+def q243_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency audit (Cormode & Muthukrishnan's
+    CM sketch): build a 4x256 counter array over the lineitem
+    partkey stream (md5-derived row hashes — reproducible across
+    engines and epochs, no seed state), then probe it with the TRUE
+    top-20 parts and report estimate vs actual. CMS never
+    underestimates (each of a key's 4 counters contains its full
+    count plus collisions; the min is the estimate), so
+    `overestimate >= 0` is a structural law the test asserts. This
+    is the sketch a 100 TB pipeline keeps PER PARTITION to find
+    heavy hitters without a full groupBy — the frequency sibling of
+    approx_count_distinct (q28b).
+
+    Scale shape: the sketch build is one scan with a depth-4 row
+    fan-out collapsing into 1024 counters via map-side combine —
+    bounded memory regardless of key cardinality, and the counter
+    array is a commutative monoid (the streaming twin
+    `streaming/incremental.cms_epoch_step` lands per-epoch slices
+    that merge by SUM). The probe side is 20 keys x 4 hashes joined
+    against the 1024-row sketch — broadcast-trivial."""
+    from citybikedatawarehouse_spark.functions.keys import cms_bucket
+
+    l = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("pk"))
+    depth = spark.range(_CMS_DEPTH).select(F.col("id").cast("int").alias("j"))
+
+    def bucket(j_col, pk_col):
+        return cms_bucket(j_col, pk_col, _CMS_WIDTH)
+
+    cms = (
+        l.crossJoin(F.broadcast(depth))
+        .groupBy("j", bucket(F.col("j"), F.col("pk")).alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("counter"))
+    )
+    actual = l.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("actual"))
+    top = (
+        actual.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy().orderBy(F.col("actual").desc(), F.col("pk"))
+            ),
+        )
+        .where(F.col("rn") <= _CMS_TOPK)
+        .drop("rn")
+    )
+    probes = top.crossJoin(F.broadcast(depth)).select(
+        "pk", "actual", "j", bucket(F.col("j"), F.col("pk")).alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy(F.col("pk").alias("l_partkey"), "actual")
+        .agg(
+            F.min("counter").cast("bigint").alias("cms_estimate"),
+            (F.min("counter") - F.col("actual"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+    )

@@ -770,3 +770,88 @@ def resolve_key_census(state_df: DataFrame) -> DataFrame:
             F.max("c") * F.count(F.lit(1)) * F.lit(1.0) / F.sum("c"), 6
         ).alias("max_over_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming count-min sketch (q243's live twin)
+# ---------------------------------------------------------------------------
+
+CMS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("j", T.IntegerType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("counter", T.LongType()),
+    ]
+)
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+
+def cms_epoch_step(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    key_col: str = "l_partkey",
+) -> None:
+    """One count-min epoch: land this batch's 4x256 counter slice.
+    Counters are a commutative monoid (SUM-mergeable) and the hash
+    is a pure md5 function of (row, key), so slices from any epoch
+    partitioning resolve to the identical sketch q243 builds in one
+    batch; a replayed epoch overwrites its own directory instead of
+    double-counting (the module's replay contract)."""
+    from citybikedatawarehouse_spark.functions.keys import cms_bucket
+
+    spark = batch_df.sparkSession
+    depth = spark.range(_CMS_DEPTH).select(F.col("id").cast("int").alias("j"))
+    (
+        batch_df.select(F.col(key_col).alias("__k"))
+        .crossJoin(F.broadcast(depth))
+        .groupBy("j", cms_bucket(F.col("j"), F.col("__k"), _CMS_WIDTH).alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("counter"))
+        .write.mode("overwrite")
+        .parquet(f"{state_dir}/epoch={epoch_id}")
+    )
+
+
+def start_incremental_cms(stream: DataFrame, state_dir: str, key_col: str):
+    """Streaming twin of q243's sketch build: each micro-batch lands
+    its counter slice; ``resolve_cms`` merges them at any time into
+    the exact batch sketch — bounded state (1024 counters per epoch)
+    no matter the key cardinality, which is the whole point of
+    keeping a CMS beside the stream instead of a per-key census when
+    keys are unbounded."""
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        cms_epoch_step(batch_df, epoch_id, state_dir, key_col)
+
+    return stream.writeStream.foreachBatch(step).start()
+
+
+def resolve_cms(state_df: DataFrame) -> DataFrame:
+    """Merge the per-epoch counter slices into the sketch: SUM per
+    (j, bucket) — byte-compatible with q243's batch-built `cms`
+    relation."""
+    return state_df.groupBy("j", "bucket").agg(
+        F.sum("counter").cast("bigint").alias("counter")
+    )
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """Point-query the sketch: min over the key's 4 row counters —
+    q243's estimate expression over any resolved sketch. `keys` is a
+    small relation (heavy-hitter candidates); both sides of the
+    probe join broadcast."""
+    from citybikedatawarehouse_spark.functions.keys import cms_bucket
+
+    spark = keys.sparkSession
+    depth = spark.range(_CMS_DEPTH).select(F.col("id").cast("int").alias("j"))
+    probes = keys.select(F.col(key_col).alias("__k")).crossJoin(
+        F.broadcast(depth)
+    ).select(
+        "__k", "j", cms_bucket(F.col("j"), F.col("__k"), _CMS_WIDTH).alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy(F.col("__k").alias(key_col))
+        .agg(F.min("counter").cast("bigint").alias("cms_estimate"))
+    )

@@ -698,3 +698,49 @@ def test_stream_key_census_equals_batch_q210(spark, tmp_path):
         if r["tbl"] == "events"
     ][0]
     assert got.asDict() == want.asDict()
+
+
+def test_stream_cms_equals_batch_q243(spark, tmp_path):
+    """The sketch merged from 3 per-epoch slices (one replayed —
+    crash-replay must not double-count) probed with q243's true
+    top-20 keys gives exactly q243's cms_estimate column, and the
+    merged counters equal the single-batch sketch (counter monoid +
+    pure hash = stream == batch)."""
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+    from citybikedatawarehouse_spark.sources.readers import load_table
+    from citybikedatawarehouse_spark.streaming.incremental import (
+        CMS_STATE_SCHEMA,
+        _read_epoch_state,
+        cms_epoch_step,
+        cms_estimate,
+        resolve_cms,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem")
+    state = str(tmp_path / "cms")
+    for i in range(3):
+        cms_epoch_step(li.filter(F.col("l_orderkey") % 3 == i), i, state)
+    cms_epoch_step(li.filter(F.col("l_orderkey") % 3 == 1), 1, state)  # replay
+    sketch = resolve_cms(_read_epoch_state(spark, state, CMS_STATE_SCHEMA, 99))
+
+    batch = QUERIES["q243_countmin_heavy_hitters"](spark, sf)
+    keys = batch.select("l_partkey")
+    got = {
+        r.l_partkey: r.cms_estimate
+        for r in cms_estimate(sketch, keys, "l_partkey").collect()
+    }
+    want = {r.l_partkey: r.cms_estimate for r in batch.collect()}
+    assert got == want
+    # overestimate law holds on the streamed sketch too
+    actual = {r.l_partkey: r.actual for r in batch.collect()}
+    assert all(got[k] >= actual[k] for k in got)
+    # total mass: every depth row carries every update exactly once
+    per_row = {
+        r.j: r.s
+        for r in sketch.groupBy("j").agg(F.sum("counter").alias("s")).collect()
+    }
+    n = li.count()
+    assert set(per_row.values()) == {n}
