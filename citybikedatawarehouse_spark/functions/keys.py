@@ -83,3 +83,55 @@ def cms_bucket(j: Column | str, key: Column | str, width: int) -> Column:
         ).cast("long")
         % width
     )
+
+
+HLL_BUCKETS = 256  # 2^8 registers
+HLL_RHO_MAX = 57   # 56 payload bits + 1
+
+
+def hll_parts(key: Column | str, tag: str = "hll") -> tuple[Column, Column]:
+    """HyperLogLog (bucket, rho) for a key: md5(tag||':'||key) hex;
+    first 2 hex digits select the register, the next 14 hex digits
+    (56 bits) give rho = 1 + leading zero bits (HLL_RHO_MAX if the
+    payload is all zeros). String-domain leading-zero math — no
+    float log2, no engine-specific bit intrinsics — so Spark and the
+    DuckDB oracle compute identical registers, and registers form a
+    MAX-monoid (streaming slices merge losslessly)."""
+    key = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(tag + ":"), key.cast("string")))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    payload = F.substring(h, 3, 14)
+    zrun = F.length(F.regexp_extract(payload, "^(0*)", 1))
+    first_nibble = F.conv(
+        F.substring(payload, (zrun + 1).cast("int"), 1), 16, 10
+    ).cast("int")
+    nib_lz = (
+        F.when(first_nibble >= 8, 0)
+        .when(first_nibble >= 4, 1)
+        .when(first_nibble >= 2, 2)
+        .otherwise(3)
+    )
+    rho = F.when(zrun == 14, F.lit(HLL_RHO_MAX)).otherwise(
+        zrun * 4 + nib_lz + 1
+    )
+    return bucket, rho.cast("int")
+
+
+def hll_parts_sql(key_expr: str, tag: str = "hll") -> str:
+    """DuckDB twin of ``hll_parts``: renders (bucket, rho) select
+    expressions for the given key expression."""
+    h = f"md5('{tag}:' || CAST({key_expr} AS VARCHAR))"
+    payload = f"substr({h}, 3, 14)"
+    zrun = f"length(regexp_extract({payload}, '^(0*)', 1))"
+    first_nibble = f"('0x' || substr({payload}, {zrun} + 1, 1))::BIGINT"
+    nib_lz = (
+        f"CASE WHEN {first_nibble} >= 8 THEN 0 "
+        f"WHEN {first_nibble} >= 4 THEN 1 "
+        f"WHEN {first_nibble} >= 2 THEN 2 ELSE 3 END"
+    )
+    bucket = f"CAST(('0x' || substr({h}, 1, 2))::BIGINT AS INTEGER)"
+    rho = (
+        f"CAST(CASE WHEN {zrun} = 14 THEN {HLL_RHO_MAX} "
+        f"ELSE {zrun} * 4 + {nib_lz} + 1 END AS INTEGER)"
+    )
+    return f"{bucket} AS bucket, {rho} AS rho"

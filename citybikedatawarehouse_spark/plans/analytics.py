@@ -6280,3 +6280,160 @@ def q243_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overestimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q244 — HyperLogLog distinct-count audit (from-scratch sketch)
+# ---------------------------------------------------------------------------
+
+_HLL_ALPHA = 0.7182725932495458  # 0.7213 / (1 + 1.079/256), m = 256
+_HLL_ENTITIES = [
+    ("lineitem_l_partkey", "lineitem", "l_partkey"),
+    ("lineitem_l_orderkey", "lineitem", "l_orderkey"),
+    ("orders_o_custkey", "orders", "o_custkey"),
+    ("events_user_id", "events", "user_id"),
+]
+
+
+def _hll_entity_sql(entity: str, table: str, key: str) -> str:
+    from citybikedatawarehouse_spark.functions.keys import (
+        HLL_RHO_MAX,
+        hll_parts_sql,
+    )
+
+    parts = hll_parts_sql(key)
+    return f"""
+      SELECT '{entity}' AS entity, exact_distinct, hll_estimate,
+             round((hll_estimate - exact_distinct) * 1.0
+                   / exact_distinct, 6) AS rel_error
+      FROM (
+        SELECT
+          (SELECT CAST(count(DISTINCT {key}) AS BIGINT) FROM {table})
+            AS exact_distinct,
+          CAST(round(CASE WHEN raw <= 640.0 AND zeros > 0
+                          THEN 256.0 * ln(256.0 / zeros)
+                          ELSE raw END) AS BIGINT) AS hll_estimate
+        FROM (
+          SELECT CAST({_HLL_ALPHA} AS DOUBLE) * 256.0 * 256.0
+                   * CAST(1::BIGINT << {HLL_RHO_MAX} AS DOUBLE)
+                   / CAST(sum_scaled AS DOUBLE) AS raw,
+                 zeros
+          FROM (
+            SELECT CAST(sum(CAST(1::BIGINT << ({HLL_RHO_MAX} - reg)
+                                 AS DECIMAL(20,0))) AS DECIMAL(38,0))
+                     AS sum_scaled,
+                   CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS zeros
+            FROM (
+              SELECT b.bucket, coalesce(r.reg, 0) AS reg
+              FROM (SELECT CAST(t.b AS INTEGER) AS bucket
+                    FROM UNNEST(range(0, 256)) t(b)) b
+              LEFT JOIN (
+                SELECT bucket, max(rho) AS reg FROM (
+                  SELECT {parts} FROM {table}
+                ) GROUP BY bucket
+              ) r ON r.bucket = b.bucket
+            )
+          )
+        )
+      )"""
+
+
+@register(
+    "q244_hll_distinct",
+    oracle=" UNION ALL ".join(
+        _hll_entity_sql(e, t, k) for e, t, k in _HLL_ENTITIES
+    ),
+)
+def q244_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog distinct-count audit (Flajolet et
+    al.'s HLL with the standard small-range linear-counting
+    correction): 256 md5-derived registers per entity, probed
+    against the exact COUNT(DISTINCT) for four key columns —
+    including one (events.user_id) small enough to exercise the
+    linear-counting branch. The engine already exposes Spark's HLL++
+    via approx_count_distinct (q28b); THIS one is transparent: the
+    registers are rows you can inspect, merge, and persist, which is
+    what a 100 TB pipeline stores per partition/day and merges at
+    query time (the streaming twin `hll_epoch_step` lands exactly
+    those slices; registers are a MAX-monoid).
+
+    Determinism: rho comes from string-domain leading-zero math on
+    the md5 hex (no float log2, no bit intrinsics); the harmonic-sum
+    is computed as an EXACT integer (sum of 2^(57-reg) in
+    DECIMAL(20,0) — a double sum of 256 spread-magnitude powers of
+    two is order-sensitive in its last bits) and divided once; the
+    one transcendental (ln, linear-counting branch) feeds a round()
+    with ulp-scale inputs only.
+
+    Scale shape: max(rho) per bucket is a map-side-combinable
+    aggregate over the raw rows (no pre-distinct needed — max over
+    duplicate keys is the same register), collapsing any cardinality
+    to 256 rows per entity; everything after runs on the 256-row
+    register array."""
+    from citybikedatawarehouse_spark.functions.keys import (
+        HLL_RHO_MAX,
+        hll_parts,
+    )
+
+    out = None
+    for entity, table, key in _HLL_ENTITIES:
+        df = _t(spark, sf_dir, table)
+        bucket, rho = hll_parts(key)
+        regs = (
+            df.select(bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("reg"))
+        )
+        all_b = spark.range(256).select(F.col("id").cast("int").alias("bucket"))
+        full = all_b.join(F.broadcast(regs), "bucket", "left").select(
+            F.coalesce(F.col("reg"), F.lit(0)).alias("reg")
+        )
+        stats = full.agg(
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - reg)"
+                ).cast("decimal(20,0)")
+            ).alias("sum_scaled"),
+            F.sum(F.when(F.col("reg") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("zeros"),
+        )
+        exact = df.agg(
+            F.countDistinct(key).cast("bigint").alias("exact_distinct")
+        )
+        raw = (
+            F.lit(_HLL_ALPHA)
+            * 256.0
+            * 256.0
+            * F.lit(float(1 << HLL_RHO_MAX))
+            / F.col("sum_scaled").cast("double")
+        )
+        row = (
+            stats.crossJoin(F.broadcast(exact))
+            .select(
+                F.lit(entity).alias("entity"),
+                "exact_distinct",
+                F.round(
+                    F.when(
+                        (raw <= 640.0) & (F.col("zeros") > 0),
+                        F.lit(256.0) * F.log(F.lit(256.0) / F.col("zeros")),
+                    ).otherwise(raw)
+                )
+                .cast("bigint")
+                .alias("hll_estimate"),
+            )
+            .select(
+                "entity",
+                "exact_distinct",
+                "hll_estimate",
+                F.round(
+                    (F.col("hll_estimate") - F.col("exact_distinct"))
+                    * 1.0
+                    / F.col("exact_distinct"),
+                    6,
+                ).alias("rel_error"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -855,3 +855,90 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
         .groupBy(F.col("__k").alias(key_col))
         .agg(F.min("counter").cast("bigint").alias("cms_estimate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming HyperLogLog (q244's live twin)
+# ---------------------------------------------------------------------------
+
+HLL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("reg", T.IntegerType()),
+    ]
+)
+
+
+def hll_epoch_step(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    key_col: str,
+) -> None:
+    """One HLL epoch: land this batch's 256-register slice (max rho
+    per bucket). Registers are a MAX-monoid and the hash is a pure
+    md5 function of the key, so slices from any epoch partitioning
+    — or a replayed epoch overwriting its own directory — resolve
+    to exactly the register array q244 builds in one batch."""
+    from citybikedatawarehouse_spark.functions.keys import hll_parts
+
+    bucket, rho = hll_parts(key_col)
+    (
+        batch_df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("int").alias("reg"))
+        .write.mode("overwrite")
+        .parquet(f"{state_dir}/epoch={epoch_id}")
+    )
+
+
+def start_incremental_hll(stream: DataFrame, state_dir: str, key_col: str):
+    """Streaming distinct-count sketch: bounded state (<= 256 rows
+    per epoch) for any key cardinality — the merge-at-read sibling
+    of the count-min stream (`start_incremental_cms`)."""
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        hll_epoch_step(batch_df, epoch_id, state_dir, key_col)
+
+    return stream.writeStream.foreachBatch(step).start()
+
+
+def resolve_hll_estimate(state_df: DataFrame) -> DataFrame:
+    """Merge register slices (MAX per bucket) and evaluate q244's
+    estimator — exact-integer harmonic sum, linear-counting branch —
+    returning one row (hll_estimate)."""
+    from citybikedatawarehouse_spark.functions.keys import HLL_RHO_MAX
+
+    spark = state_df.sparkSession
+    merged = state_df.groupBy("bucket").agg(F.max("reg").alias("reg"))
+    all_b = spark.range(256).select(F.col("id").cast("int").alias("bucket"))
+    full = all_b.join(F.broadcast(merged), "bucket", "left").select(
+        F.coalesce(F.col("reg"), F.lit(0)).alias("reg")
+    )
+    stats = full.agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - reg)").cast(
+                "decimal(20,0)"
+            )
+        ).alias("sum_scaled"),
+        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("zeros"),
+    )
+    alpha = 0.7182725932495458
+    raw = (
+        F.lit(alpha)
+        * 256.0
+        * 256.0
+        * F.lit(float(1 << HLL_RHO_MAX))
+        / F.col("sum_scaled").cast("double")
+    )
+    return stats.select(
+        F.round(
+            F.when(
+                (raw <= 640.0) & (F.col("zeros") > 0),
+                F.lit(256.0) * F.log(F.lit(256.0) / F.col("zeros")),
+            ).otherwise(raw)
+        )
+        .cast("bigint")
+        .alias("hll_estimate")
+    )

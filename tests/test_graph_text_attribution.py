@@ -159,3 +159,20 @@ def test_weighted_quantiles_match_python_replay(spark, sf_dir):
     # weighted median >= unweighted median would hold iff long docs
     # carry more tokens — true for this corpus; assert non-vacuously
     assert all(v[0] <= v[1] for v in got.values())
+
+
+# ------------------------------------------------- q244 HLL
+
+def test_hll_estimates_within_accuracy_band(spark, sf_dir):
+    """HLL with m=256 has ~6.5% standard error; assert every entity
+    lands within 4 sigma (26%) of exact, the estimate is positive,
+    and rel_error is consistent with the integer columns."""
+    rows = QUERIES["q244_hll_distinct"](spark, sf_dir).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.hll_estimate > 0
+        assert abs(r.hll_estimate - r.exact_distinct) <= 0.26 * r.exact_distinct
+        assert abs(
+            r.rel_error
+            - round((r.hll_estimate - r.exact_distinct) / r.exact_distinct, 6)
+        ) < 1e-9

@@ -744,3 +744,38 @@ def test_stream_cms_equals_batch_q243(spark, tmp_path):
     }
     n = li.count()
     assert set(per_row.values()) == {n}
+
+
+def test_stream_hll_equals_batch_q244(spark, tmp_path):
+    """HLL registers merged from 3 per-epoch slices (one replayed)
+    give exactly q244's estimate for the same entity — MAX-monoid +
+    pure hash = stream == batch regardless of how rows were split
+    across epochs."""
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+    from citybikedatawarehouse_spark.sources.readers import load_table
+    from citybikedatawarehouse_spark.streaming.incremental import (
+        HLL_STATE_SCHEMA,
+        _read_epoch_state,
+        hll_epoch_step,
+        resolve_hll_estimate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem")
+    state = str(tmp_path / "hll")
+    for i in range(3):
+        hll_epoch_step(
+            li.filter(F.col("l_orderkey") % 3 == i), i, state, "l_partkey"
+        )
+    hll_epoch_step(li.filter(F.col("l_orderkey") % 3 == 1), 1, state, "l_partkey")
+    got = resolve_hll_estimate(
+        _read_epoch_state(spark, state, HLL_STATE_SCHEMA, 99)
+    ).collect()[0].hll_estimate
+    want = [
+        r.hll_estimate
+        for r in QUERIES["q244_hll_distinct"](spark, sf).collect()
+        if r.entity == "lineitem_l_partkey"
+    ][0]
+    assert got == want
