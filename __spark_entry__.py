@@ -175,6 +175,7 @@ _SWEEP_PRIORITY = [
     "q239_textrank_keywords", "q240_markov_attribution",
     "q241_gdpr_cascade_audit", "q242_weighted_quantiles",
     "q243_countmin_heavy_hitters", "q244_hll_distinct",
+    "q245_bloom_screen",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

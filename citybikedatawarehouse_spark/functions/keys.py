@@ -135,3 +135,32 @@ def hll_parts_sql(key_expr: str, tag: str = "hll") -> str:
         f"ELSE {zrun} * 4 + {nib_lz} + 1 END AS INTEGER)"
     )
     return f"{bucket} AS bucket, {rho} AS rho"
+
+
+def bloom_bit(j: Column | str, key: Column | str, m_bits: int) -> Column:
+    """Bloom-filter bit position for hash row ``j``: md5-derived,
+    pure function of (j, key) — the same contract as ``cms_bucket``
+    / ``hll_parts``; bits form an OR-monoid (set-of-positions union)
+    so per-epoch slices merge by DISTINCT union. Oracle twin:
+    `('0x'||substr(md5('bloom'||j||':'||key),1,8))::BIGINT % m`."""
+    j = F.col(j) if isinstance(j, str) else j
+    key = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bloom"),
+                        j.cast("string"),
+                        F.lit(":"),
+                        key.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )

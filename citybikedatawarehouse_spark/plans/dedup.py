@@ -977,3 +977,142 @@ def q212_sorted_neighborhood(spark, sf_dir):
     return cand.where(jac >= 0.2).select(
         "id_1", "id_2", F.round(jac, 6).alias("jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# q245 — Bloom-filter decontamination screen (membership sketch)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 32768
+_BLOOM_K = 2
+
+
+@register(
+    "q245_bloom_screen",
+    oracle=rf"""
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+      FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+             || ' ' || words[i+3] || ' ' || words[i+4] AS sh
+      FROM docs, UNNEST(range(1, len(words) - 3)) t(i)
+      WHERE doc_id < 20
+    ),
+    train_sh AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+             || ' ' || words[i+3] || ' ' || words[i+4] AS sh
+      FROM docs, UNNEST(range(1, len(words) - 3)) t(i)
+      WHERE doc_id >= 20
+    ),
+    bits AS MATERIALIZED (
+      SELECT DISTINCT t.j,
+             ('0x' || substr(md5('bloom' || t.j || ':' || b.sh), 1, 8))::BIGINT
+               % {_BLOOM_M} AS bit
+      FROM bench b CROSS JOIN UNNEST(range(0, {_BLOOM_K})) t(j)
+    ),
+    probes AS (
+      SELECT ts.doc_id, ts.sh, t.j,
+             ('0x' || substr(md5('bloom' || t.j || ':' || ts.sh), 1, 8))::BIGINT
+               % {_BLOOM_M} AS bit
+      FROM train_sh ts CROSS JOIN UNNEST(range(0, {_BLOOM_K})) t(j)
+    ),
+    flagged AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT p.doc_id, p.sh
+        FROM probes p JOIN bits b ON b.j = p.j AND b.bit = p.bit
+        GROUP BY p.doc_id, p.sh HAVING count(*) = {_BLOOM_K}
+      )
+    ),
+    truth AS (
+      SELECT DISTINCT t.doc_id FROM train_sh t JOIN bench b ON b.sh = t.sh
+    )
+    SELECT CAST((SELECT count(DISTINCT doc_id) FROM train_sh) AS BIGINT)
+             AS n_train_docs,
+           CAST((SELECT count(*) FROM flagged) AS BIGINT) AS n_flagged,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true_overlaps,
+           CAST((SELECT count(*) FROM flagged)
+                - (SELECT count(*) FROM truth) AS BIGINT) AS n_false_pos,
+           round(((SELECT count(*) FROM flagged)
+                  - (SELECT count(*) FROM truth)) * 1.0
+                 / (SELECT count(DISTINCT doc_id) FROM train_sh), 6)
+             AS fp_rate
+    """,
+)
+def q245_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination screen — the membership sketch
+    completing the trio beside count-min (q243, frequency) and HLL
+    (q244, cardinality): build a 32768-bit / 2-hash Bloom filter
+    over the evaluation benchmark's 5-gram shingles (doc_id < 20,
+    q69's cohort and shingle definition) and flag every training
+    document carrying at least one shingle whose bits are all set.
+    Bloom has NO false negatives — flagged ⊇ the exact q69 overlap
+    set, the property that makes it safe as a decontamination
+    PRE-filter (only flagged docs need the exact check) — and the
+    report measures the false-positive cost of that guarantee
+    against the exact shingle join (~4% of docs at these
+    parameters; m/k chosen so BOTH true overlaps and false
+    positives are non-empty at every shipped SF — a 0-row sketch
+    audit proves nothing).
+
+    Scale shape: the filter is <= |eval shingles| x 2 DISTINCT bit
+    rows — broadcast no matter how big eval grows in documents
+    (bits saturate at m); the probe is one training scan's shingle
+    explode joined against those broadcast bits; the exact join in
+    production runs ONLY on the flagged subset. Bits are an
+    OR-monoid: per-epoch slices union losslessly (the same contract
+    as the CMS/HLL streaming twins)."""
+    from citybikedatawarehouse_spark.functions.keys import bloom_bit
+    from citybikedatawarehouse_spark.operators.dedup_ops import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sh = shingles(d, n=5).select("doc_id", F.col("shingle").alias("sh"))
+    bench = sh.where(F.col("doc_id") < 20).select("sh").distinct()
+    train_sh = sh.where(F.col("doc_id") >= 20)
+    ks = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("j"))
+    bits = (
+        bench.crossJoin(F.broadcast(ks))
+        .select("j", bloom_bit(F.col("j"), F.col("sh"), _BLOOM_M).alias("bit"))
+        .distinct()
+    )
+    probes = train_sh.crossJoin(F.broadcast(ks)).select(
+        "doc_id", "sh", "j",
+        bloom_bit(F.col("j"), F.col("sh"), _BLOOM_M).alias("bit"),
+    )
+    flagged = (
+        probes.join(F.broadcast(bits), ["j", "bit"])
+        .groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .where(F.col("nb") == _BLOOM_K)
+        .select("doc_id")
+        .distinct()
+    )
+    truth = (
+        train_sh.join(
+            F.broadcast(bench.select(F.col("sh").alias("bsh"))),
+            train_sh.sh == F.col("bsh"),
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    n_docs = train_sh.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n_flagged = flagged.agg(F.count(F.lit(1)).alias("f"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        n_docs.crossJoin(F.broadcast(n_flagged))
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            F.col("n").cast("bigint").alias("n_train_docs"),
+            F.col("f").cast("bigint").alias("n_flagged"),
+            F.col("t").cast("bigint").alias("n_true_overlaps"),
+            (F.col("f") - F.col("t")).cast("bigint").alias("n_false_pos"),
+            F.round((F.col("f") - F.col("t")) * 1.0 / F.col("n"), 6).alias(
+                "fp_rate"
+            ),
+        )
+    )

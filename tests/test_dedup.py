@@ -481,3 +481,56 @@ def test_cluster_census_conserves_docs(spark, sf_dir):
     n_docs = load_table(spark, sf_dir, "documents").count()
     assert sum(r["cluster_size"] * r["n_clusters"] for r in rows) == n_docs
     assert abs(sum(r["pct_of_docs"] for r in rows) - 1.0) < 1e-4
+
+
+def test_bloom_screen_has_no_false_negatives(spark, sf_dir):
+    """Structural Bloom law: every exact q69-style overlap doc is
+    flagged (flagged ⊇ truth), re-derived doc-by-doc in Python, and
+    BOTH the true-overlap and false-positive counts are non-zero —
+    the audit never runs vacuously."""
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+    from citybikedatawarehouse_spark.sources.readers import load_table
+
+    r = QUERIES["q245_bloom_screen"](spark, sf_dir).collect()[0]
+    assert r.n_true_overlaps > 0
+    assert r.n_false_pos > 0
+    assert r.n_flagged == r.n_true_overlaps + r.n_false_pos
+
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+
+    def sh5(text):
+        ws = text.strip().split()
+        return {" ".join(ws[i : i + 5]) for i in range(len(ws) - 4)}
+
+    bench = set()
+    for d in docs:
+        if d.doc_id < 20:
+            bench |= sh5(d.text)
+    m, k = 32768, 2
+    bits = {
+        (j, int(hashlib.md5(f"bloom{j}:{s}".encode()).hexdigest()[:8], 16) % m)
+        for s in bench
+        for j in range(k)
+    }
+    flagged, truth = set(), set()
+    for d in docs:
+        if d.doc_id < 20:
+            continue
+        shs = sh5(d.text)
+        if shs & bench:
+            truth.add(d.doc_id)
+        for s in shs:
+            if all(
+                (j, int(hashlib.md5(f"bloom{j}:{s}".encode()).hexdigest()[:8], 16) % m)
+                in bits
+                for j in range(k)
+            ):
+                flagged.add(d.doc_id)
+                break
+    assert truth <= flagged
+    assert len(flagged) == r.n_flagged
+    assert len(truth) == r.n_true_overlaps
