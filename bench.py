@@ -58,6 +58,13 @@ HEADLINE = [
     # change, so they join the watch
     "q176_triangle_participation",
     "q179_copurchase_communities",
+    # round 6 (late): one representative per new family — the
+    # 7-relation share rollup, the leave-last-out recommender eval
+    # (heaviest new pipeline, carries the item-kNN neighborhood cap),
+    # and the count-min sketch build (bounded-memory sketch path)
+    "q232_market_share",
+    "q237_hitrate_eval",
+    "q243_countmin_heavy_hitters",
 ]
 
 # Queries whose iterative driver loop (convergence counts, d-row
