@@ -255,9 +255,18 @@ def q237_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = W.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
     )
+    # ranked feeds eligible/holdout/op and op feeds co (twice) +
+    # profile: without materialization the whole upstream replicates
+    # per consumer (measured: 11 orders scans + 7 lineitem scans in
+    # one plan at sf0.1; persisted -> 1 scan each). persist(MEMORY_
+    # AND_DISK, serialized) not localCheckpoint: both are O(orders)
+    # relations, and a deserialized checkpoint of an O(E) relation
+    # is this repo's measured 100x OOM failure mode
+    from pyspark import StorageLevel
+
     ranked = o.select(
         "o_custkey", "o_orderkey", F.row_number().over(rn).alias("rn")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     eligible = (
         ranked.groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -280,6 +289,7 @@ def q237_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pn", F.row_number().over(pn))
         .where(F.col("pn") <= _REC_ORDER_CAP)
         .drop("pn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     opb = op.select(
         F.col("o_orderkey").alias("ok_b"), F.col("l_partkey").alias("pk_b")
