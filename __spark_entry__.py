@@ -175,7 +175,8 @@ _SWEEP_PRIORITY = [
     "q239_textrank_keywords", "q240_markov_attribution",
     "q241_gdpr_cascade_audit", "q242_weighted_quantiles",
     "q243_countmin_heavy_hitters", "q244_hll_distinct",
-    "q245_bloom_screen",
+    "q245_bloom_screen", "q246_cuped_ab",
+    "q247_bootstrap_ci", "q248_target_encoding",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

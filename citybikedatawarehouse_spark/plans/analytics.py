@@ -6437,3 +6437,438 @@ def q244_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q246 — CUPED variance-reduced A/B readout
+# ---------------------------------------------------------------------------
+
+_CUPED_SPLIT = "1999-01-01"
+
+
+@register(
+    "q246_cuped_ab",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT c.c_custkey,
+             ('0x' || substr(md5('arm:' || c.c_custkey), 1, 8))::BIGINT % 2
+               AS arm,
+             CAST(coalesce(sum(CASE WHEN o.o_orderdate < DATE '{_CUPED_SPLIT}'
+                  THEN CAST(round(o.o_totalprice * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS x,
+             CAST(coalesce(sum(CASE WHEN o.o_orderdate >= DATE '{_CUPED_SPLIT}'
+                  THEN CAST(round(o.o_totalprice * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS y
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ),
+    pooled AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+             CAST(sum(y * y) AS DECIMAL(38,0)) AS syy
+      FROM per_cust
+    ),
+    theta AS (
+      SELECT n, sx, sy,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+               / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+               AS th,
+             (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / n
+               AS var_y,
+             CAST(sx AS DOUBLE) / n AS mean_x
+      FROM pooled
+    ),
+    arms AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_arm,
+             CAST(sum(x) AS BIGINT) AS sx_a, CAST(sum(y) AS BIGINT) AS sy_a
+      FROM per_cust GROUP BY arm
+    ),
+    adj AS (
+      SELECT a.arm, a.n_arm,
+             CAST(a.sy_a AS DOUBLE) / a.n_arm AS mean_y_arm,
+             (CAST(a.sy_a AS DOUBLE)
+              - t.th * (a.sx_a - a.n_arm * t.mean_x)) / a.n_arm
+               AS mean_cuped_arm
+      FROM arms a CROSS JOIN theta t
+    ),
+    resid AS (
+      SELECT (CAST(p.syy AS DOUBLE) - 2 * t.th * CAST(p.sxy AS DOUBLE)
+              + t.th * t.th * CAST(p.sxx AS DOUBLE)
+              - p.n * (CAST(p.sy AS DOUBLE) / p.n
+                       - t.th * CAST(p.sx AS DOUBLE) / p.n)
+                    * (CAST(p.sy AS DOUBLE) / p.n
+                       - t.th * CAST(p.sx AS DOUBLE) / p.n)) / p.n
+               AS var_cuped
+      FROM pooled p CROSS JOIN theta t
+    )
+    SELECT
+      CAST(max(CASE WHEN arm = 1 THEN n_arm END) AS BIGINT) AS n_treat,
+      CAST(max(CASE WHEN arm = 0 THEN n_arm END) AS BIGINT) AS n_ctrl,
+      round((SELECT th FROM theta), 6) AS theta,
+      round(max(CASE WHEN arm = 1 THEN mean_y_arm END)
+            - max(CASE WHEN arm = 0 THEN mean_y_arm END), 6) AS diff_raw,
+      round(max(CASE WHEN arm = 1 THEN mean_cuped_arm END)
+            - max(CASE WHEN arm = 0 THEN mean_cuped_arm END), 6)
+        AS diff_cuped,
+      round(1.0 - (SELECT var_cuped FROM resid)
+                  / (SELECT var_y FROM theta), 6) AS var_reduction
+    FROM adj
+    """,
+)
+def q246_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al.,
+    WSDM'13): per customer, Y = post-period spend, X = pre-period
+    spend (the pre-experiment covariate), md5-deterministic 50/50
+    arms; theta = pooled cov(X,Y)/var(X); the CUPED-adjusted arm
+    means subtract theta*(X - mean X). The headline numbers are the
+    raw vs adjusted treatment difference and the in-sample variance
+    reduction (guaranteed >= 0: theta is exactly the OLS slope that
+    minimizes residual variance) — the reason experiment platforms
+    run CUPED: the same experiment reads significant days sooner.
+    Completes the stats suite beside the plain z-test (q144).
+
+    Determinism: all sufficient statistics are exact integers (cents
+    sums as BIGINT, squared sums as DECIMAL(38,0) — a cents product
+    is ~1e14 per row, sums overflow BIGINT at scale); every double
+    appears only after the final divisions, identical expression
+    shape on both engines, rounded once.
+
+    Scale shape: one customer-keyed aggregate over the orders join
+    (map-side combinable), then EVERYTHING runs on the 2-arm / 1-row
+    sufficient-statistic relations. No second pass over the data —
+    CUPED costs one extra covariate column, which is its point."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("o_orderdate") < split, cents)), F.lit(0)
+            ).cast("bigint").alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("o_orderdate") >= split, cents)), F.lit(0)
+            ).cast("bigint").alias("y"),
+        )
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("arm:"), F.col("c_custkey").cast("string"))),
+                        1, 8,
+                    ), 16, 10,
+                ).cast("long") % 2
+            ).alias("arm"),
+            "x", "y",
+        )
+    )
+    pooled = per_cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    th = (
+        (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n"))
+        / (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+    )
+    theta = pooled.select(
+        "n", "sx", "sy", "sxx", "sxy", "syy",
+        th.alias("th"),
+        ((F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / F.col("n")) / F.col("n")).alias("var_y"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mean_x"),
+    )
+    arms = per_cust.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_arm"),
+        F.sum("x").alias("sx_a"),
+        F.sum("y").alias("sy_a"),
+    )
+    adj = arms.crossJoin(F.broadcast(theta)).select(
+        "arm", "n_arm",
+        (F.col("sy_a").cast("double") / F.col("n_arm")).alias("mean_y_arm"),
+        (
+            (F.col("sy_a").cast("double")
+             - F.col("th") * (F.col("sx_a") - F.col("n_arm") * F.col("mean_x")))
+            / F.col("n_arm")
+        ).alias("mean_cuped_arm"),
+    )
+    mean_resid = (
+        F.col("sy").cast("double") / F.col("n")
+        - F.col("th") * F.col("sx").cast("double") / F.col("n")
+    )
+    resid = theta.select(
+        (
+            (
+                F.col("syy").cast("double")
+                - 2 * F.col("th") * F.col("sxy").cast("double")
+                + F.col("th") * F.col("th") * F.col("sxx").cast("double")
+                - F.col("n") * mean_resid * mean_resid
+            )
+            / F.col("n")
+        ).alias("var_cuped"),
+        F.col("var_y").alias("vy2"),
+        F.col("th").alias("th2"),
+    )
+    return (
+        adj.groupBy()
+        .pivot("arm", [0, 1])
+        .agg(
+            F.first("n_arm").alias("n"),
+            F.first("mean_y_arm").alias("my"),
+            F.first("mean_cuped_arm").alias("mc"),
+        )
+        .crossJoin(F.broadcast(resid))
+        .select(
+            F.col("1_n").cast("bigint").alias("n_treat"),
+            F.col("0_n").cast("bigint").alias("n_ctrl"),
+            F.round(F.col("th2"), 6).alias("theta"),
+            F.round(F.col("1_my") - F.col("0_my"), 6).alias("diff_raw"),
+            F.round(F.col("1_mc") - F.col("0_mc"), 6).alias("diff_cuped"),
+            F.round(1.0 - F.col("var_cuped") / F.col("vy2"), 6).alias(
+                "var_reduction"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q247 — deterministic Poisson-bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+# Poisson(1) CDF scaled to 1e6: tick < t[k] -> weight k
+_BOOT_THRESHOLDS = [367879, 735759, 919699, 981012, 996340, 999406,
+                    999917, 999990, 999999, 1000000]
+
+
+def _boot_weight_sql(tick: str) -> str:
+    branches = "".join(
+        f" WHEN {tick} < {t} THEN {k}"
+        for k, t in enumerate(_BOOT_THRESHOLDS)
+    )
+    return f"CASE{branches} ELSE 10 END"
+
+
+@register(
+    "q247_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT b.b,
+             {_boot_weight_sql("('0x' || substr(md5('boot' || b.b || ':' || o.o_orderkey), 1, 8))::BIGINT % 1000000")}
+               AS w,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o CROSS JOIN UNNEST(range(0, {_BOOT_B})) b(b)
+    ),
+    means AS (
+      SELECT b, CAST(sum(w * cents) AS BIGINT) * 1.0
+                  / CAST(sum(w) AS BIGINT) AS m
+      FROM reps GROUP BY b
+    ),
+    point AS (
+      SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               * 1.0 / count(*) AS pm
+      FROM orders
+    )
+    SELECT round((SELECT pm FROM point), 6) AS point_mean_cents,
+           round(quantile_cont(m, 0.025), 6) AS ci_lo,
+           round(quantile_cont(m, 0.975), 6) AS ci_hi,
+           round(stddev_samp(m), 6) AS boot_se
+    FROM means
+    """,
+)
+def q247_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap of the mean order value: 32
+    replicates whose per-row weights come from md5-ticked inverse-CDF
+    sampling of Poisson(1) — the bootstrap that works at scale
+    because it needs NO resampling pass and no shared RNG state
+    (each row computes its own weight for every replicate; Chamandy
+    et al.'s "Estimating Uncertainty for Massive Data Streams",
+    Google TR'12). Reports the 2.5/97.5 percentile CI and bootstrap
+    SE around the exact point mean — the uncertainty layer the
+    stats suite (q144/q148/q246) reads its significance off of.
+
+    Determinism: weights are exact integer CDF-threshold lookups of
+    an md5 tick; each replicate mean is an exact BIGINT pair
+    (sum w*cents, sum w) divided once; percentiles interpolate over
+    32 such doubles (percentile == quantile_cont, the q28-proven
+    pairing); one round at the end.
+
+    Scale shape: the 32x row fan-out collapses immediately into 32
+    (sum, count) pairs via map-side combine — one scan, constant
+    state, no resampled datasets ever materialized. B scales the
+    combine width, not the shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    b = spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
+    tick = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1, 8,
+            ), 16, 10,
+        ).cast("long") % 1000000
+    )
+    w = F.lit(10)
+    for k, t in reversed(list(enumerate(_BOOT_THRESHOLDS))):
+        w = F.when(tick < t, F.lit(k)).otherwise(w)
+    reps = o.crossJoin(F.broadcast(b)).select(
+        "b",
+        w.alias("w"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    means = reps.groupBy("b").agg(
+        (
+            F.sum(F.col("w") * F.col("cents")).cast("bigint") * 1.0
+            / F.sum("w").cast("bigint")
+        ).alias("m")
+    )
+    point = o.agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint")
+            * 1.0
+            / F.count(F.lit(1))
+        ).alias("pm")
+    )
+    return means.agg(
+        F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
+        F.round(F.stddev_samp("m"), 6).alias("boot_se"),
+    ).crossJoin(F.broadcast(point)).select(
+        F.round(F.col("pm"), 6).alias("point_mean_cents"),
+        "ci_lo",
+        "ci_hi",
+        "boot_se",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q248 — out-of-fold target encoding with prior smoothing
+# ---------------------------------------------------------------------------
+
+_TE_FOLDS = 5
+_TE_ALPHA = 10
+
+
+@register(
+    "q248_target_encoding",
+    oracle=f"""
+    WITH base AS (
+      SELECT c.c_custkey, c.c_mktsegment AS seg,
+             ('0x' || substr(md5('fold:' || c.c_custkey), 1, 8))::BIGINT
+               % {_TE_FOLDS} AS fold,
+             CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)),
+                           0) AS BIGINT) AS spend
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3
+    ),
+    cell AS (
+      SELECT seg, fold, CAST(count(*) AS BIGINT) AS n_cf,
+             CAST(sum(spend) AS BIGINT) AS s_cf
+      FROM base GROUP BY 1, 2
+    ),
+    seg_tot AS (
+      SELECT seg, CAST(sum(n_cf) AS BIGINT) AS n_c,
+             CAST(sum(s_cf) AS BIGINT) AS s_c
+      FROM cell GROUP BY 1
+    ),
+    gtot AS (
+      SELECT CAST(sum(n_cf) AS BIGINT) AS n_g,
+             CAST(sum(s_cf) AS BIGINT) AS s_g
+      FROM cell
+    )
+    SELECT c.seg, CAST(c.fold AS INTEGER) AS fold,
+           c.n_cf AS n_in_fold,
+           CAST(t.n_c - c.n_cf AS BIGINT) AS n_out_of_fold,
+           round(((t.s_c - c.s_cf) * 1.0
+                  + {_TE_ALPHA} * (CAST(g.s_g AS DOUBLE) / g.n_g))
+                 / ((t.n_c - c.n_cf) + {_TE_ALPHA}), 6) AS encoding
+    FROM cell c
+    JOIN seg_tot t ON t.seg = c.seg
+    CROSS JOIN gtot g
+    """,
+)
+def q248_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free target encoding of customer market segment: each
+    (segment, fold) cell's encoding is the mean customer spend of
+    the SAME segment EXCLUDING that fold, blended toward the global
+    mean with alpha=10 prior smoothing — the K-fold out-of-fold
+    construction that keeps a categorical feature from memorizing
+    its own target (the standard high-cardinality-categorical recipe
+    for GBDT/linear feature pipelines). md5-deterministic folds, so
+    train-time and serve-time encodings reproduce exactly.
+
+    Determinism: the out-of-fold mean is a difference of exact
+    BIGINT cell sums divided once; the global prior is one exact
+    ratio; rounded once at the end.
+
+    Scale shape: one customer-keyed aggregate over the orders join,
+    then |segments| x K cells carry everything — the per-cell
+    leave-fold-out arithmetic is pure subtraction on the cell
+    relation (no per-fold re-aggregation of the corpus, the trap a
+    naive K-pass implementation falls into: K corpus scans instead
+    of 1)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    base = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(
+            c.c_custkey,
+            F.col("c_mktsegment").alias("seg"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("fold:"), c.c_custkey.cast("string"))),
+                        1, 8,
+                    ), 16, 10,
+                ).cast("long") % _TE_FOLDS
+            ).alias("fold"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")),
+                F.lit(0),
+            ).cast("bigint").alias("spend")
+        )
+    )
+    cell = base.groupBy("seg", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cf"),
+        F.sum("spend").cast("bigint").alias("s_cf"),
+    )
+    seg_tot = cell.groupBy("seg").agg(
+        F.sum("n_cf").cast("bigint").alias("n_c"),
+        F.sum("s_cf").cast("bigint").alias("s_c"),
+    )
+    glob = cell.agg(
+        F.sum("n_cf").cast("bigint").alias("n_g"),
+        F.sum("s_cf").cast("bigint").alias("s_g"),
+    )
+    return (
+        cell.join(F.broadcast(seg_tot), "seg")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "seg",
+            F.col("fold").cast("int").alias("fold"),
+            F.col("n_cf").alias("n_in_fold"),
+            (F.col("n_c") - F.col("n_cf")).cast("bigint").alias("n_out_of_fold"),
+            F.round(
+                (
+                    (F.col("s_c") - F.col("s_cf")) * 1.0
+                    + _TE_ALPHA * (F.col("s_g").cast("double") / F.col("n_g"))
+                )
+                / ((F.col("n_c") - F.col("n_cf")) + _TE_ALPHA),
+                6,
+            ).alias("encoding"),
+        )
+    )

@@ -176,3 +176,97 @@ def test_hll_estimates_within_accuracy_band(spark, sf_dir):
             r.rel_error
             - round((r.hll_estimate - r.exact_distinct) / r.exact_distinct, 6)
         ) < 1e-9
+
+
+# ------------------------------------------------- q246 CUPED
+
+def test_cuped_variance_reduction_nonnegative_and_replay(spark, sf_dir):
+    """theta is the pooled OLS slope, so in-sample variance
+    reduction is structurally >= 0; replay the whole computation in
+    numpy from the per-customer (x, y) pairs."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    split = F.lit("1999-01-01").cast("timestamp")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("o_orderdate") < split, cents)), F.lit(0)).alias("x"),
+            F.coalesce(F.sum(F.when(F.col("o_orderdate") >= split, cents)), F.lit(0)).alias("y"),
+        )
+        .collect()
+    )
+    xs = np.array([r.x for r in per], dtype=np.float64)
+    ys = np.array([r.y for r in per], dtype=np.float64)
+    arms = np.array(
+        [int(hashlib.md5(f"arm:{r.c_custkey}".encode()).hexdigest()[:8], 16) % 2 for r in per]
+    )
+    th = np.cov(xs, ys, bias=True)[0, 1] / np.var(xs)
+    adj = ys - th * (xs - xs.mean())
+    r = QUERIES["q246_cuped_ab"](spark, sf_dir).collect()[0]
+    assert r.var_reduction >= 0.0
+    assert abs(r.theta - round(float(th), 6)) < 1e-4
+    exp_diff = adj[arms == 1].mean() - adj[arms == 0].mean()
+    assert abs(r.diff_cuped - exp_diff) < max(1.0, abs(exp_diff) * 1e-4)
+    assert r.n_treat + r.n_ctrl == len(per)
+
+
+# ------------------------------------------------- q247 bootstrap
+
+def test_bootstrap_ci_brackets_point_and_is_calibrated(spark, sf_dir):
+    r = QUERIES["q247_bootstrap_ci"](spark, sf_dir).collect()[0]
+    assert r.ci_lo < r.point_mean_cents < r.ci_hi
+    assert r.boot_se > 0
+    # CI width ~ 4 SE for a 95% interval; allow a loose [2, 8] band
+    width = r.ci_hi - r.ci_lo
+    assert 2 * r.boot_se < width < 8 * r.boot_se
+
+
+# ------------------------------------------------- q248 encoding
+
+def test_target_encoding_excludes_own_fold(spark, sf_dir):
+    """Leakage law: a cell's encoding must not change when that
+    fold's own rows change — verified by recomputing each encoding
+    from the OTHER folds only, in Python."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")),
+                F.lit(0),
+            ).alias("spend")
+        )
+        .collect()
+    )
+    cells: dict[tuple, list] = {}
+    tot_n = tot_s = 0
+    for r in per:
+        fold = int(hashlib.md5(f"fold:{r.c_custkey}".encode()).hexdigest()[:8], 16) % 5
+        cells.setdefault((r.c_mktsegment, fold), []).append(r.spend)
+        tot_n += 1
+        tot_s += r.spend
+    gmean = tot_s / tot_n
+    got = {
+        (r.seg, r.fold): (r.n_in_fold, r.n_out_of_fold, r.encoding)
+        for r in QUERIES["q248_target_encoding"](spark, sf_dir).collect()
+    }
+    for (seg, fold), vals in cells.items():
+        out_n = sum(len(v) for (s2, f2), v in cells.items() if s2 == seg and f2 != fold)
+        out_s = sum(sum(v) for (s2, f2), v in cells.items() if s2 == seg and f2 != fold)
+        enc = round((out_s + 10 * gmean) / (out_n + 10), 6)
+        g = got[(seg, fold)]
+        assert g[0] == len(vals)
+        assert g[1] == out_n
+        assert abs(g[2] - enc) < 1e-3
