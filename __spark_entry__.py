@@ -177,6 +177,7 @@ _SWEEP_PRIORITY = [
     "q243_countmin_heavy_hitters", "q244_hll_distinct",
     "q245_bloom_screen", "q246_cuped_ab",
     "q247_bootstrap_ci", "q248_target_encoding",
+    "q249_model_auc", "q250_learning_curve",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

@@ -6872,3 +6872,276 @@ def q248_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("encoding"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q249 — model AUC via exact midrank Mann-Whitney arithmetic
+# ---------------------------------------------------------------------------
+
+# same train/test time split as q238's calibration audit
+# (plans/selection._CAL_SPLIT) so the two halves of model evaluation
+# read the same model
+_CAL_SPLIT = "1999-01-01"
+
+
+@register(
+    "q249_model_auc",
+    oracle=f"""
+    WITH li AS (
+      SELECT CAST(round(l.l_discount * 100) AS INTEGER) AS band,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+             CASE WHEN o.o_orderdate < DATE '{_CAL_SPLIT}' THEN 1 ELSE 0 END
+               AS is_train
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    model AS (
+      SELECT band,
+             CAST(round(sum(ret) * 1000000.0 / count(*)) AS BIGINT)
+               AS p_hat_micro
+      FROM li WHERE is_train = 1 GROUP BY band
+    ),
+    test AS (
+      SELECT m.p_hat_micro AS score, li.ret
+      FROM li JOIN model m ON m.band = li.band
+      WHERE li.is_train = 0
+    ),
+    per_score AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(ret) AS BIGINT) AS pos
+      FROM test GROUP BY score
+    ),
+    ranked AS (
+      SELECT score, c, pos,
+             CAST(coalesce(sum(c) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum
+      FROM per_score
+    ),
+    agg AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS n1,
+             CAST(sum(c - pos) AS BIGINT) AS n0,
+             CAST(sum(pos * (2 * cum + c + 1)) AS BIGINT) AS two_ranksum
+      FROM ranked
+    )
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           round((two_ranksum - n1 * (n1 + 1)) * 1.0 / (2 * n1 * n0), 6)
+             AS auc,
+           round((two_ranksum - n1 * (n1 + 1)) * 1.0 / (n1 * n0) - 1.0, 6)
+             AS gini
+    FROM agg
+    """,
+)
+def q249_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-time AUC of the q238 discount-band return model — the
+    DISCRIMINATION half of model evaluation beside q238's
+    calibration half. AUC is computed as the midrank Mann-Whitney
+    statistic in EXACT integers: grouping test rows by distinct
+    score, the doubled positive rank-sum is
+    sum(pos * (2*cum_below + c + 1)) — a BIGINT — so heavy ties
+    (11 distinct band scores) are handled by construction and no
+    float rank ever exists; the one division happens at the end.
+    Gini = 2*AUC - 1 rides the same integers.
+
+    Scale shape: one fact-join scan into the |bands|-row model
+    (broadcast), one aggregate to |distinct scores| rows, and the
+    rank arithmetic runs on THAT relation — the standard trick that
+    makes AUC computable on 100 TB without a global sort of
+    individual rows."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    li = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.round(F.col("l_discount") * 100).cast("int").alias("band"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+            F.when(
+                F.col("o_orderdate") < F.lit(_CAL_SPLIT).cast("timestamp"), 1
+            ).otherwise(0).alias("is_train"),
+        )
+    )
+    model = (
+        li.where(F.col("is_train") == 1)
+        .groupBy("band")
+        .agg(
+            F.round(F.sum("ret") * 1000000.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("score")
+        )
+    )
+    test = li.where(F.col("is_train") == 0).join(F.broadcast(model), "band")
+    per_score = test.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("ret").cast("bigint").alias("pos"),
+    )
+    wq = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    ranked = per_score.select(
+        "score", "c", "pos",
+        F.coalesce(F.sum("c").over(wq), F.lit(0)).cast("bigint").alias("cum"),
+    )
+    agg = ranked.agg(
+        F.sum("pos").cast("bigint").alias("n1"),
+        F.sum(F.col("c") - F.col("pos")).cast("bigint").alias("n0"),
+        F.sum(F.col("pos") * (2 * F.col("cum") + F.col("c") + 1))
+        .cast("bigint")
+        .alias("two_ranksum"),
+    )
+    return agg.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.round(
+            (F.col("two_ranksum") - F.col("n1") * (F.col("n1") + 1)) * 1.0
+            / (2 * F.col("n1") * F.col("n0")),
+            6,
+        ).alias("auc"),
+        F.round(
+            (F.col("two_ranksum") - F.col("n1") * (F.col("n1") + 1)) * 1.0
+            / (F.col("n1") * F.col("n0"))
+            - 1.0,
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q250 — learning curve: model quality vs training-data fraction
+# ---------------------------------------------------------------------------
+
+_LC_FRACTIONS = [1, 2, 5, 10, 25, 50, 100]  # percent
+
+
+@register(
+    "q250_learning_curve",
+    oracle=f"""
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_linenumber,
+             CAST(round(l.l_discount * 100) AS INTEGER) AS band,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+             CASE WHEN o.o_orderdate < DATE '{_CAL_SPLIT}' THEN 1 ELSE 0 END
+               AS is_train,
+             ('0x' || substr(md5('lc:' || l.l_orderkey || ':'
+                                  || l.l_linenumber), 1, 8))::BIGINT
+               % 1000000 AS tick
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    fr AS (SELECT CAST(t.f AS INTEGER) AS pct
+           FROM UNNEST([{", ".join(str(f) for f in _LC_FRACTIONS)}]) t(f)),
+    models AS (
+      SELECT fr.pct, li.band,
+             CAST(count(*) AS BIGINT) AS n_train,
+             CAST(round(sum(li.ret) * 1000000.0 / count(*)) AS BIGINT)
+               AS p_hat_micro
+      FROM li CROSS JOIN fr
+      WHERE li.is_train = 1 AND li.tick < fr.pct * 10000
+      GROUP BY 1, 2
+    ),
+    test AS (SELECT band, ret FROM li WHERE is_train = 0),
+    scored AS (
+      SELECT m.pct, m.p_hat_micro, t.ret
+      FROM test t JOIN models m ON m.band = t.band
+    ),
+    agg AS (
+      SELECT pct,
+             CAST(count(*) AS BIGINT) AS n_scored,
+             CAST(sum((p_hat_micro - ret * 1000000)
+                      * (p_hat_micro - ret * 1000000))
+                  AS DECIMAL(38,0)) AS sq_micro
+      FROM scored GROUP BY pct
+    ),
+    tr AS (
+      SELECT pct, CAST(sum(n_train) AS BIGINT) AS n_train_rows
+      FROM models GROUP BY pct
+    )
+    SELECT a.pct,
+           t.n_train_rows,
+           a.n_scored,
+           round(CAST(a.sq_micro AS DOUBLE) / a.n_scored
+                 / 1000000.0 / 1000000.0, 6) AS brier
+    FROM agg a JOIN tr t ON t.pct = a.pct
+    """,
+)
+def q250_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve of the discount-band return model: refit on
+    md5-deterministic 1/2/5/10/25/50/100% subsets of the training
+    period, score the SAME held-out period, and report the Brier
+    score per fraction — THE budget question a training-data
+    pipeline answers before paying for more data ("does quality
+    still improve at 2x the corpus?"). Subsets are nested by
+    construction (tick < threshold), exactly how a curation run
+    scales down.
+
+    Determinism: subset membership is an md5 tick threshold; each
+    model cell is an exact integer micro-rate; the Brier numerator
+    is an exact integer sum of squared micro-residuals (DECIMAL —
+    1e12 per row overflows BIGINT at fact scale), divided once.
+
+    Scale shape: the 7x fan-out happens AFTER the row is reduced to
+    (band, ret, tick) — and collapses immediately into |fractions| x
+    |bands| model cells map-side; test rows join the broadcast model
+    grid once. One corpus scan total, not one per fraction — the
+    trap a naive per-fraction loop falls into."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    li = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.round(F.col("l_discount") * 100).cast("int").alias("band"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+            F.when(
+                F.col("o_orderdate") < F.lit(_CAL_SPLIT).cast("timestamp"), 1
+            ).otherwise(0).alias("is_train"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("lc:"),
+                                F.col("l_orderkey").cast("string"),
+                                F.lit(":"),
+                                F.col("l_linenumber").cast("string"),
+                            )
+                        ),
+                        1, 8,
+                    ), 16, 10,
+                ).cast("long") % 1000000
+            ).alias("tick"),
+        )
+    )
+    fr = spark.createDataFrame(
+        [(f,) for f in _LC_FRACTIONS], "pct int"
+    )
+    models = (
+        li.where(F.col("is_train") == 1)
+        .crossJoin(F.broadcast(fr))
+        .where(F.col("tick") < F.col("pct") * 10000)
+        .groupBy("pct", "band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train"),
+            F.round(F.sum("ret") * 1000000.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("p_hat_micro"),
+        )
+    )
+    test = li.where(F.col("is_train") == 0).select("band", "ret")
+    scored = test.join(
+        F.broadcast(models.select("pct", "band", "p_hat_micro")), "band"
+    )
+    resid = F.col("p_hat_micro") - F.col("ret") * 1000000
+    agg = scored.groupBy("pct").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.sum((resid * resid).cast("decimal(38,0)")).alias("sq_micro"),
+    )
+    tr = models.groupBy("pct").agg(
+        F.sum("n_train").cast("bigint").alias("n_train_rows")
+    )
+    return agg.join(F.broadcast(tr), "pct").select(
+        "pct",
+        "n_train_rows",
+        "n_scored",
+        F.round(
+            F.col("sq_micro").cast("double")
+            / F.col("n_scored")
+            / 1000000.0
+            / 1000000.0,
+            6,
+        ).alias("brier"),
+    )

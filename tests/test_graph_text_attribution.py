@@ -270,3 +270,56 @@ def test_target_encoding_excludes_own_fold(spark, sf_dir):
         assert g[0] == len(vals)
         assert g[1] == out_n
         assert abs(g[2] - enc) < 1e-3
+
+
+# ------------------------------------------------- q249 AUC
+
+def test_auc_matches_sklearn_style_replay(spark, sf_dir):
+    """Exact midrank AUC == a direct pairwise-comparison AUC
+    (P(score_pos > score_neg) + 0.5 P(equal)) computed in Python."""
+    from pyspark.sql import functions as F
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    li = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        F.round(F.col("l_discount") * 100).cast("int").alias("band"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+        (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")).alias("tr"),
+    ).collect()
+    from collections import defaultdict
+    tr_n = defaultdict(int); tr_p = defaultdict(int)
+    for r in li:
+        if r.tr:
+            tr_n[r.band] += 1; tr_p[r.band] += r.ret
+    model = {b: round(tr_p[b] * 1e6 / tr_n[b]) for b in tr_n}
+    pos, neg = [], []
+    for r in li:
+        if not r.tr and r.band in model:
+            (pos if r.ret else neg).append(model[r.band])
+    import numpy as np
+    ps, ns = np.array(pos), np.array(neg)
+    gt = (ps[:, None] > ns[None, :]).sum()
+    eq = (ps[:, None] == ns[None, :]).sum()
+    want = round((gt + 0.5 * eq) / (len(ps) * len(ns)), 6)
+    r = QUERIES["q249_model_auc"](spark, sf_dir).collect()[0]
+    assert r.auc == want
+    assert abs(r.gini - round(2 * r.auc - 1, 6)) < 2e-6
+    assert (r.n_pos, r.n_neg) == (len(ps), len(ns))
+
+
+# ------------------------------------------------- q250 curve
+
+def test_learning_curve_is_nested_and_sane(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q250_learning_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.pct,
+    )
+    assert [r.pct for r in rows] == [1, 2, 5, 10, 25, 50, 100]
+    # nested subsets: train rows strictly grow with the fraction
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_train_rows < b.n_train_rows
+    for r in rows:
+        assert 0.0 <= r.brier <= 1.0
+        assert r.n_scored > 0
+    # the full-data model must not be (materially) worse than the 1%
+    assert rows[-1].brier <= rows[0].brier + 0.02
