@@ -178,6 +178,7 @@ _SWEEP_PRIORITY = [
     "q245_bloom_screen", "q246_cuped_ab",
     "q247_bootstrap_ci", "q248_target_encoding",
     "q249_model_auc", "q250_learning_curve",
+    "q251_pareto_frontier", "q252_cdc_apply",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

@@ -7145,3 +7145,203 @@ def q250_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("brier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q251 — Pareto frontier (skyline) of suppliers on cost vs latency
+# ---------------------------------------------------------------------------
+
+@register(
+    "q251_pareto_frontier",
+    oracle="""
+    WITH sup AS (
+      SELECT l.l_suppkey,
+             CAST(round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                        * 1.0 / sum(CAST(l.l_quantity AS BIGINT)))
+                  AS BIGINT) AS unit_cost_micro,
+             CAST(round(avg(date_diff('day', o.o_orderdate, l.l_shipdate))
+                        * 1000000) AS BIGINT) AS latency_micro
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1
+    )
+    SELECT CAST(s.l_suppkey AS BIGINT) AS s_suppkey,
+           s.unit_cost_micro, s.latency_micro
+    FROM sup s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM sup t
+      WHERE t.unit_cost_micro <= s.unit_cost_micro
+        AND t.latency_micro <= s.latency_micro
+        AND (t.unit_cost_micro < s.unit_cost_micro
+             OR t.latency_micro < s.latency_micro)
+    )
+    """,
+)
+def q251_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of suppliers on (unit cost, average
+    ship latency) — keep every supplier no other supplier strictly
+    dominates on both axes: the model-selection / vendor-selection
+    primitive ("which options are worth considering at ANY
+    cost-quality tradeoff"). Both metrics are exact integer micros
+    (cents-per-unit and day-micros), so domination is integer
+    comparison with no float boundary.
+
+    Scale shape: the frontier runs on the AGGREGATED supplier
+    relation (dim-sized), where the literal pairwise NOT-EXISTS —
+    expressed as a broadcast anti-join — is |suppliers|^2 on a tiny
+    input and mirrors the oracle exactly. The corpus contributes one
+    map-side-combinable aggregate. (For a frontier over a
+    corpus-sized relation, the sort + running-min formulation
+    replaces the quadratic: order by cost, keep rows setting a new
+    latency minimum.)"""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    sup = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+                * 1.0
+                / F.sum(F.col("l_quantity").cast("bigint"))
+            ).cast("bigint").alias("unit_cost_micro"),
+            F.round(
+                F.avg(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")))
+                * 1000000
+            ).cast("bigint").alias("latency_micro"),
+        )
+    )
+    dom = sup.select(
+        F.col("unit_cost_micro").alias("tc"),
+        F.col("latency_micro").alias("tl"),
+    )
+    frontier = sup.join(
+        F.broadcast(dom),
+        (F.col("tc") <= F.col("unit_cost_micro"))
+        & (F.col("tl") <= F.col("latency_micro"))
+        & (
+            (F.col("tc") < F.col("unit_cost_micro"))
+            | (F.col("tl") < F.col("latency_micro"))
+        ),
+        "left_anti",
+    )
+    return frontier.select(
+        F.col("l_suppkey").cast("bigint").alias("s_suppkey"),
+        "unit_cost_micro",
+        "latency_micro",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q252 — CDC apply: ordered insert/update/delete log to final state
+# ---------------------------------------------------------------------------
+
+@register(
+    "q252_cdc_apply",
+    oracle="""
+    WITH ops AS (
+      SELECT o_orderkey AS k, o_orderdate AS ts, 1 AS seq, 'I' AS op,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_orderdate + INTERVAL 10 DAY, 2, 'U',
+             CAST(round(o_totalprice * 110) AS BIGINT)
+      FROM orders
+      WHERE ('0x' || substr(md5('cdc_u:' || o_orderkey), 1, 8))::BIGINT
+              % 100 < 30
+      UNION ALL
+      SELECT o_orderkey, o_orderdate + INTERVAL 20 DAY, 3, 'D',
+             CAST(0 AS BIGINT)
+      FROM orders
+      WHERE ('0x' || substr(md5('cdc_d:' || o_orderkey), 1, 8))::BIGINT
+              % 100 < 10
+    ),
+    last AS (
+      SELECT k, op, cents FROM (
+        SELECT k, op, cents,
+               row_number() OVER (PARTITION BY k
+                                  ORDER BY ts DESC, seq DESC) AS rn
+        FROM ops
+      ) WHERE rn = 1
+    )
+    SELECT CAST(sum(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_live,
+           CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_deleted,
+           CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_updated_live,
+           CAST(sum(CASE WHEN op <> 'D' THEN cents ELSE 0 END) AS BIGINT)
+             AS live_cents
+    FROM last
+    """,
+)
+def q252_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC apply — the missing third of the mutation family
+    beside SCD2 history (q108) and keyed upsert (merge_upsert): an
+    ordered insert/update/delete log (synthesized md5-
+    deterministically from orders: every key inserts, ~30% later
+    update with +10% price, ~10% later delete) collapses to final
+    state by last-writer-wins per key on (ts, seq), with deletes
+    REMOVING the row rather than writing a tombstone value. Reports
+    the live/deleted/updated census and surviving revenue.
+
+    Determinism: op membership is md5-ticked; ordering is total
+    ((ts, seq) with seq breaking same-timestamp ties the way a CDC
+    source's log-sequence-number does); money is integer cents.
+
+    Scale shape: ONE window over the ops log keyed by the primary
+    key — the same single-shuffle shape Delta/Iceberg MERGE
+    executes; no join against the previous snapshot is needed when
+    the log carries full rows (vs merge_upsert's snapshot+delta
+    join). At 100 TB the log is partitioned by ingest date and the
+    window runs per key within AQE-coalesced partitions."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    def tick(tag):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(tag), F.col("o_orderkey").cast("string"))),
+                    1, 8,
+                ), 16, 10,
+            ).cast("long") % 100
+        )
+
+    ins = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        cents.alias("cents"),
+    )
+    upd = o.where(tick("cdc_u:") < 30).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 10 DAY")).alias("ts"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        F.round(F.col("o_totalprice") * 110).cast("bigint").alias("cents"),
+    )
+    dels = o.where(tick("cdc_d:") < 10).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 20 DAY")).alias("ts"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(0).cast("bigint").alias("cents"),
+    )
+    ops = ins.unionAll(upd).unionAll(dels)
+    wk = W.partitionBy("k").orderBy(F.col("ts").desc(), F.col("seq").desc())
+    last = (
+        ops.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") == 1)
+        .select("k", "op", "cents")
+    )
+    return last.agg(
+        F.sum(F.when(F.col("op") != "D", 1).otherwise(0))
+        .cast("bigint").alias("n_live"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
+        .cast("bigint").alias("n_deleted"),
+        F.sum(F.when(F.col("op") == "U", 1).otherwise(0))
+        .cast("bigint").alias("n_updated_live"),
+        F.sum(F.when(F.col("op") != "D", F.col("cents")).otherwise(0))
+        .cast("bigint").alias("live_cents"),
+    )

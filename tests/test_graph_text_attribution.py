@@ -323,3 +323,63 @@ def test_learning_curve_is_nested_and_sane(spark, sf_dir):
         assert r.n_scored > 0
     # the full-data model must not be (materially) worse than the 1%
     assert rows[-1].brier <= rows[0].brier + 0.02
+
+
+# ------------------------------------------------- q251 skyline
+
+def test_pareto_frontier_laws(spark, sf_dir):
+    """Frontier members are mutually non-dominating; every
+    non-member is dominated by some member (frontier completeness),
+    re-derived in Python."""
+    from pyspark.sql import functions as F
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    sup = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+                * 1.0 / F.sum(F.col("l_quantity").cast("bigint"))
+            ).cast("bigint").alias("c"),
+            F.round(
+                F.avg(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")))
+                * 1000000
+            ).cast("bigint").alias("t"),
+        )
+        .collect()
+    )
+    pts = {r.l_suppkey: (r.c, r.t) for r in sup}
+
+    def dominates(a, b):
+        return a[0] <= b[0] and a[1] <= b[1] and a != b
+
+    expect = {
+        k for k, p in pts.items()
+        if not any(dominates(q, p) for q in pts.values())
+    }
+    got = {
+        r.s_suppkey
+        for r in QUERIES["q251_pareto_frontier"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert 0 < len(got) < len(pts)  # non-vacuous both ways
+
+
+# ------------------------------------------------- q252 CDC
+
+def test_cdc_apply_census_consistency(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    r = QUERIES["q252_cdc_apply"](spark, sf_dir).collect()[0]
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert r.n_live + r.n_deleted == n_orders
+    # ~10% delete, ~30% update bands (md5, loose)
+    assert 0.05 * n_orders < r.n_deleted < 0.15 * n_orders
+    assert r.n_updated_live > 0
+    assert r.live_cents > 0
+    # an updated-live row carries 110% price: live_cents must exceed
+    # the raw sum of live keys' original prices
+    # (weak but non-vacuous monotonicity)
+    assert r.n_updated_live < r.n_live
