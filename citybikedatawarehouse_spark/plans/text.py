@@ -1883,3 +1883,134 @@ def q239_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("word"), F.round("rank", 10).alias("pr")
     )
+
+
+# ---------------------------------------------------------------------------
+# q253 — retrieval quality: nDCG@10 of the BM25 ranking
+# ---------------------------------------------------------------------------
+
+# 1/log2(rank+1) for ranks 1..10, shared verbatim with the oracle so
+# both engines use bit-identical discount constants
+_NDCG_W = [
+    1.0, 0.6309297535714575, 0.5, 0.43067655807339306,
+    0.38685280723454163, 0.3562071871080222, 0.3333333333333333,
+    0.31546487678572877, 0.3010299956639812, 0.2890648263178879,
+]
+
+
+def _ndcg_oracle() -> str:
+    w_vals = ", ".join(f"({r + 1}, {w!r})" for r, w in enumerate(_NDCG_W))
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH w(rnk, disc) AS (VALUES {w_vals}),
+    graded AS (
+      SELECT t.doc_id, CAST(least(sum(CASE WHEN t.w IN ({terms})
+                                           THEN 1 ELSE 0 END), 7)
+                            AS INTEGER) AS rel
+      FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+            FROM documents) t
+      GROUP BY t.doc_id
+    ),
+    ranked AS (
+      SELECT b.doc_id, b.rnk, g.rel
+      FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+        FROM ({_bm25_oracle_body()})
+      ) b JOIN graded g ON g.doc_id = b.doc_id
+      WHERE b.rnk <= 10
+    ),
+    ideal AS (
+      SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rnk
+      FROM graded
+    ),
+    dcg AS (
+      SELECT round(sum((power(2.0, r.rel) - 1) * w.disc), 6) AS dcg,
+             CAST(sum(CASE WHEN r.rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_relevant_in_top
+      FROM ranked r JOIN w ON w.rnk = r.rnk
+    ),
+    idcg AS (
+      SELECT round(sum((power(2.0, i.rel) - 1) * w.disc), 6) AS idcg
+      FROM ideal i JOIN w ON w.rnk = i.rnk
+      WHERE i.rnk <= 10
+    )
+    SELECT d.dcg, i.idcg,
+           round(d.dcg / i.idcg, 6) AS ndcg_at_10,
+           d.n_relevant_in_top
+    FROM dcg d CROSS JOIN idcg i
+    """
+
+
+def _bm25_oracle_body() -> str:
+    """The q111 oracle's scored relation (doc_id, score) — extracted
+    from the registered oracle text between its WITH prologue and
+    the final top-k cut, kept as a structured call (NOT string
+    surgery on the rendered SQL — the q152 ADVICE failure mode)."""
+    from citybikedatawarehouse_spark.plans.catalog import ORACLES
+
+    sql = ORACLES["q111_bm25_topk"]
+    # the registered oracle ends with an ORDER BY ... LIMIT 20 cut on
+    # a scored relation; reuse everything above the cut
+    cut = sql.rindex("ORDER BY")
+    return f"SELECT doc_id, score FROM ({sql[:cut]} ) "
+
+
+@register("q253_ndcg_at_10", oracle=_ndcg_oracle())
+def q253_ndcg_at_10(spark, sf_dir):
+    """nDCG@10 of the q111 BM25 ranking against an INDEPENDENT
+    graded-relevance signal (how many of the query's terms the
+    document actually contains, 0-3) — the ranking-quality metric
+    that complements the recommender family's hit@k/MRR (q237):
+    nDCG rewards putting HIGHLY relevant docs early, not just any
+    hit. Discounts 1/log2(rank+1) are shared literal constants with
+    the oracle (bit-identical doubles); IDCG is the ideal ordering
+    over the whole corpus' grades, so ndcg = 1 means the ranking
+    found the best possible top-10.
+
+    Scale shape: grading is one corpus scan with a staged token
+    array (3 array_contains probes); the BM25 side is q111's plan
+    (tf filters at the scan, 1-row stats broadcast, TakeOrdered 10);
+    the ideal top-10 is a TakeOrdered over grades. Joins after the
+    cuts run on 10-row relations."""
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("__w"))
+    tf = sum(
+        F.size(F.filter("__w", lambda x: x == F.lit(t))) for t in _BM25_TERMS
+    )
+    graded = staged.select("doc_id", F.least(tf, F.lit(7)).alias("rel"))
+    top = (
+        bm25_scores(d.select("doc_id", "text"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), "doc_id")
+            ),
+        )
+        .where(F.col("rnk") <= 10)
+        .join(graded, "doc_id")
+    )
+    ideal = graded.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("rel").desc(), "doc_id")),
+    ).where(F.col("rnk") <= 10)
+    w_df = F.broadcast(
+        d.sparkSession.createDataFrame(
+            [(r + 1, w) for r, w in enumerate(_NDCG_W)], "rnk int, disc double"
+        )
+    )
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) * F.col("disc")
+    dcg = top.join(w_df, "rnk").agg(
+        F.round(F.sum(gain), 6).alias("dcg"),
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_relevant_in_top"),
+    )
+    idcg = ideal.join(w_df, "rnk").agg(F.round(F.sum(gain), 6).alias("idcg"))
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        "dcg",
+        "idcg",
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
+        "n_relevant_in_top",
+    )

@@ -436,3 +436,38 @@ def test_bm25_snippets_contain_their_term(spark, sf_dir):
         # term sits at pos - start within the snippet
         rel = r["pos"] - start
         assert r["snippet"][rel : rel + len(r["term"])] == r["term"]
+
+
+def test_ndcg_replay_and_bounds(spark, sf_dir):
+    """DCG/IDCG re-derived in Python from the BM25 top-10 and the
+    tf-graded corpus; ndcg = dcg/idcg <= 1."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+    from citybikedatawarehouse_spark.plans.text import _BM25_TERMS, bm25_scores
+    from citybikedatawarehouse_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    grades = {}
+    for r in d.select("doc_id", "text").collect():
+        ws = r.text.strip().split()
+        grades[r.doc_id] = min(sum(ws.count(t) for t in _BM25_TERMS), 7)
+    top = (
+        bm25_scores(d.select("doc_id", "text"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+        .collect()
+    )
+    w = [1.0 / math.log2(r + 2) for r in range(10)]
+    dcg = round(
+        sum((2 ** grades[t.doc_id] - 1) * w[i] for i, t in enumerate(top)), 6
+    )
+    ideal = sorted(grades.values(), reverse=True)[:10]
+    idcg = round(sum((2 ** g - 1) * w[i] for i, g in enumerate(ideal)), 6)
+    got = QUERIES["q253_ndcg_at_10"](spark, sf_dir).collect()[0]
+    assert got.dcg == dcg
+    assert got.idcg == idcg
+    assert 0 < got.ndcg_at_10 <= 1.0
+    assert got.ndcg_at_10 == round(dcg / idcg, 6)
