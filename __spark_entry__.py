@@ -179,7 +179,7 @@ _SWEEP_PRIORITY = [
     "q247_bootstrap_ci", "q248_target_encoding",
     "q249_model_auc", "q250_learning_curve",
     "q251_pareto_frontier", "q252_cdc_apply",
-    "q253_ndcg_at_10",
+    "q253_ndcg_at_10", "q254_ipf_mixture",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

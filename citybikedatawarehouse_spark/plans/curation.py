@@ -1418,3 +1418,137 @@ def q225_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_distinct_shingles"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q254 — IPF (raking) mixture weights to uniform source x lang margins
+# ---------------------------------------------------------------------------
+
+_IPF_ROUNDS = 10
+
+
+def _ipf_oracle() -> str:
+    """Unrolled iterative proportional fitting: 10 rounds of
+    row-scale (source margin) then column-scale (lang margin), each
+    weight rounded to 12 per half-round so float-summation drift
+    cannot accumulate; margins target the UNIFORM distribution."""
+    head = """
+    WITH cells AS MATERIALIZED (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS MATERIALIZED (
+      SELECT CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_src,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_lang
+      FROM (SELECT source, lang, n FROM cells)
+    ),
+    w0 AS MATERIALIZED (
+      SELECT source, lang, n, 1.0 AS w FROM cells
+    )"""
+    steps = []
+    for r in range(1, _IPF_ROUNDS + 1):
+        steps.append(f""",
+    r{r} AS MATERIALIZED (
+      SELECT c.source, c.lang, c.n,
+             round(c.w * (t.n_total * 1.0 / t.n_src)
+                   / rm.row_mass, 12) AS w
+      FROM w{r - 1} c
+      JOIN (SELECT source, sum(n * w) AS row_mass
+            FROM w{r - 1} GROUP BY source) rm ON rm.source = c.source
+      CROSS JOIN tot t
+    ),
+    w{r} AS MATERIALIZED (
+      SELECT c.source, c.lang, c.n,
+             round(c.w * (t.n_total * 1.0 / t.n_lang)
+                   / cm.col_mass, 12) AS w
+      FROM r{r} c
+      JOIN (SELECT lang, sum(n * w) AS col_mass
+            FROM r{r} GROUP BY lang) cm ON cm.lang = c.lang
+      CROSS JOIN tot t
+    )""")
+    tail = f"""
+    SELECT c.source, c.lang, c.n AS n_docs,
+           round(c.w, 6) AS weight,
+           round(c.n * c.w / t.n_total, 6) AS weighted_share
+    FROM w{_IPF_ROUNDS} c CROSS JOIN tot t
+    """
+    return head + "".join(steps) + tail
+
+
+@register("q254_ipf_mixture", oracle=_ipf_oracle())
+def q254_ipf_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking) of per-cell sampling
+    weights so the document mixture simultaneously matches a uniform
+    SOURCE margin and a uniform LANGUAGE margin — the two-margin
+    generalization of q97/q162's single-axis mixture control: when a
+    training recipe specifies both "equal share per source" and a
+    language distribution, per-axis scaling alone breaks the other
+    axis; IPF alternates row/column scalings and converges to the
+    unique min-KL reweighting (Deming-Stephan). Ten fixed rounds,
+    each weight rounded to 12 per half-round (both engines walk the
+    identical lattice); output is the per-cell weight and achieved
+    share. Empty cells simply don't exist in the relation — IPF on a
+    sparse table targets the margins as closely as the support
+    allows.
+
+    Scale shape: the corpus collapses to the |sources| x |langs|
+    cell table in ONE scan; all 20 scalings run on that dim-sized
+    relation (row/col masses are groupBys over <= 100 rows) with
+    localCheckpoint per round. Weights then drive the actual
+    sampling pass (q113's token-weighted sampler) in one further
+    scan."""
+    d = _t(spark, sf_dir, "documents")
+    cells = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.countDistinct("source").cast("bigint").alias("n_src"),
+        F.countDistinct("lang").cast("bigint").alias("n_lang"),
+    )
+    w = cells.withColumn("w", F.lit(1.0))
+    for _ in range(_IPF_ROUNDS):
+        rm = w.groupBy(F.col("source").alias("rs")).agg(
+            F.sum(F.col("n") * F.col("w")).alias("row_mass")
+        )
+        w = (
+            w.join(F.broadcast(rm), w.source == F.col("rs"))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "source", "lang", "n",
+                F.round(
+                    F.col("w")
+                    * (F.col("n_total") * 1.0 / F.col("n_src"))
+                    / F.col("row_mass"),
+                    12,
+                ).alias("w"),
+            )
+        )
+        cm = w.groupBy(F.col("lang").alias("cl")).agg(
+            F.sum(F.col("n") * F.col("w")).alias("col_mass")
+        )
+        w = (
+            w.join(F.broadcast(cm), w.lang == F.col("cl"))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "source", "lang", "n",
+                F.round(
+                    F.col("w")
+                    * (F.col("n_total") * 1.0 / F.col("n_lang"))
+                    / F.col("col_mass"),
+                    12,
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source", "lang",
+        F.col("n").alias("n_docs"),
+        F.round("w", 6).alias("weight"),
+        F.round(F.col("n") * F.col("w") / F.col("n_total"), 6).alias(
+            "weighted_share"
+        ),
+    )

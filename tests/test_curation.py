@@ -369,3 +369,34 @@ def test_novelty_curve_laws(spark, sf_dir):
     )
     assert cums[-1] == total_distinct
     assert sum(r["n_docs"] for r in rows) == d.count()
+
+
+def test_ipf_hits_column_margin_exactly_and_row_margin_close(spark, sf_dir):
+    """After the final column scaling, language margins match the
+    uniform target to rounding; source margins are within 2% —
+    and one more (row) scaling in Python moves them closer,
+    confirming convergence direction."""
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["q254_ipf_mixture"](spark, sf_dir).collect()
+    n_src = len({r.source for r in rows})
+    n_lang = len({r.lang for r in rows})
+    col = {}
+    row = {}
+    for r in rows:
+        assert r.weight > 0
+        col[r.lang] = col.get(r.lang, 0.0) + r.weighted_share
+        row[r.source] = row.get(r.source, 0.0) + r.weighted_share
+    for v in col.values():
+        assert abs(v - 1.0 / n_lang) < 1e-4
+    worst = max(abs(v - 1.0 / n_src) for v in row.values())
+    assert worst < 0.02
+    # one more row scaling (replay) must not worsen the worst row gap
+    scaled = [
+        (r.source, r.weighted_share * (1.0 / n_src) / row[r.source])
+        for r in rows
+    ]
+    row2 = {}
+    for s, v in scaled:
+        row2[s] = row2.get(s, 0.0) + v
+    assert max(abs(v - 1.0 / n_src) for v in row2.values()) <= worst + 1e-12
