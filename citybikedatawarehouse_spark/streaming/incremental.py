@@ -942,3 +942,64 @@ def resolve_hll_estimate(state_df: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("hll_estimate")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming CDC apply (q252's live twin)
+# ---------------------------------------------------------------------------
+
+CDC_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("cents", T.LongType()),
+    ]
+)
+
+
+def cdc_epoch_step(
+    ops_batch: DataFrame, epoch_id: int, state_dir: str
+) -> None:
+    """One CDC epoch: land this batch's PER-KEY LAST op (the op log
+    is reducible per key by max (ts, seq) — a last-writer-wins
+    semilattice, so per-epoch slices resolve by one more
+    last-writer-wins pass and a replayed epoch overwrites its own
+    slice)."""
+    wk = Window.partitionBy("k").orderBy(
+        F.col("ts").desc(), F.col("seq").desc()
+    )
+    (
+        ops_batch.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") == 1)
+        .select("k", "ts", "seq", "op", "cents")
+        .write.mode("overwrite")
+        .parquet(f"{state_dir}/epoch={epoch_id}")
+    )
+
+
+def start_incremental_cdc(ops_stream: DataFrame, state_dir: str):
+    """Streaming CDC apply: micro-batches of the insert/update/
+    delete log reduce to per-key last-ops per epoch; ``resolve_cdc``
+    merges the slices into the final table at any time — the
+    foreachBatch shape a Delta/Iceberg MERGE sink replaces 1:1 at
+    100 TB (the semilattice step IS the MERGE's matched-clause
+    logic)."""
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        cdc_epoch_step(batch_df, epoch_id, state_dir)
+
+    return ops_stream.writeStream.foreachBatch(step).start()
+
+
+def resolve_cdc(state_df: DataFrame) -> DataFrame:
+    """Merge per-epoch last-op slices by one more last-writer-wins
+    pass and drop deleted keys: the live table (k, cents, op)."""
+    wk = Window.partitionBy("k").orderBy(
+        F.col("ts").desc(), F.col("seq").desc()
+    )
+    return (
+        state_df.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") == 1)
+        .select("k", "op", "cents")
+    )

@@ -779,3 +779,78 @@ def test_stream_hll_equals_batch_q244(spark, tmp_path):
         if r.entity == "lineitem_l_partkey"
     ][0]
     assert got == want
+
+
+def test_stream_cdc_equals_batch_q252(spark, tmp_path):
+    """The CDC ops log split across 3 epochs (one replayed) resolves
+    to exactly q252's census — last-writer-wins is a semilattice, so
+    per-epoch reduction then cross-epoch reduction equals one global
+    reduction regardless of how ops were split."""
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+    from citybikedatawarehouse_spark.sources.readers import load_table
+    from citybikedatawarehouse_spark.streaming.incremental import (
+        CDC_STATE_SCHEMA,
+        _read_epoch_state,
+        cdc_epoch_step,
+        resolve_cdc,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    o = load_table(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    def tick(tag):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(tag), F.col("o_orderkey").cast("string"))),
+                    1, 8,
+                ), 16, 10,
+            ).cast("long") % 100
+        )
+
+    ins = o.select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderdate").alias("ts"),
+        F.lit(1).alias("seq"), F.lit("I").alias("op"), cents.alias("cents"),
+    )
+    upd = o.where(tick("cdc_u:") < 30).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 10 DAY")).alias("ts"),
+        F.lit(2).alias("seq"), F.lit("U").alias("op"),
+        F.round(F.col("o_totalprice") * 110).cast("bigint").alias("cents"),
+    )
+    dels = o.where(tick("cdc_d:") < 10).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 20 DAY")).alias("ts"),
+        F.lit(3).alias("seq"), F.lit("D").alias("op"),
+        F.lit(0).cast("bigint").alias("cents"),
+    )
+    ops = ins.unionAll(upd).unionAll(dels)
+    state = str(tmp_path / "cdc")
+    # epochs split by key mod 3 — every key's ops land together but
+    # ALSO run a split-by-op variant to prove cross-epoch merge
+    for i in range(3):
+        cdc_epoch_step(ops.filter(F.col("k") % 3 == i), i, state)
+    cdc_epoch_step(ops.filter(F.col("k") % 3 == 1), 1, state)  # replay
+    # op-type split: inserts epoch 10, updates 11, deletes 12 —
+    # a key's ops now SPAN epochs
+    state2 = str(tmp_path / "cdc2")
+    cdc_epoch_step(ins, 10, state2)
+    cdc_epoch_step(upd, 11, state2)
+    cdc_epoch_step(dels, 12, state2)
+
+    want = QUERIES["q252_cdc_apply"](spark, sf).collect()[0]
+    for st in (state, state2):
+        live = resolve_cdc(
+            _read_epoch_state(spark, st, CDC_STATE_SCHEMA, 99)
+        )
+        got = live.agg(
+            F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("n_live"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_del"),
+            F.sum(F.when(F.col("op") != "D", F.col("cents")).otherwise(0)).alias("cents"),
+        ).collect()[0]
+        assert got.n_live == want.n_live
+        assert got.n_del == want.n_deleted
+        assert got.cents == want.live_cents
