@@ -7106,6 +7106,11 @@ def q250_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tick"),
         )
     )
+    # li feeds the per-fraction models AND the test scoring — persist
+    # the reduced 4-column projection so the fact join runs once
+    from pyspark import StorageLevel
+
+    li = li.persist(StorageLevel.MEMORY_AND_DISK)
     fr = spark.createDataFrame(
         [(f,) for f in _LC_FRACTIONS], "pct int"
     )

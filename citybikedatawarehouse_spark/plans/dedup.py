@@ -1067,8 +1067,17 @@ def q245_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from citybikedatawarehouse_spark.functions.keys import bloom_bit
     from citybikedatawarehouse_spark.operators.dedup_ops import shingles
 
+    from pyspark import StorageLevel
+
     d = _t(spark, sf_dir, "documents")
-    sh = shingles(d, n=5).select("doc_id", F.col("shingle").alias("sh"))
+    # sh feeds bench, probes, truth, and the doc census — serialized
+    # persist collapses 5 corpus scans to 1 (corpus-sized relation:
+    # persist, never localCheckpoint — the measured OOM mode)
+    sh = (
+        shingles(d, n=5)
+        .select("doc_id", F.col("shingle").alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     bench = sh.where(F.col("doc_id") < 20).select("sh").distinct()
     train_sh = sh.where(F.col("doc_id") >= 20)
     ks = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("j"))

@@ -477,3 +477,35 @@ def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
     got = df.count()
     want = ev.where(F.col("day") == some_day).count()
     assert got == want and want > 0
+
+
+def test_sketch_and_eval_queries_broadcast_only(spark, sf_dir):
+    """The sketch trio and the eval suite never sort-merge join or
+    go cartesian: sketches/models are broadcast-sized by design."""
+    for name in [
+        "q243_countmin_heavy_hitters",
+        "q244_hll_distinct",
+        "q245_bloom_screen",
+        "q247_bootstrap_ci",
+        "q249_model_auc",
+        "q250_learning_curve",
+        "q254_ipf_mixture",
+    ]:
+        plan = _plan(spark, name, sf_dir)
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_multi_consumer_relations_scan_once(spark, sf_dir):
+    """Persisted multi-consumer relations keep single table scans:
+    q245's shingle relation feeds 4 consumers off ONE documents
+    scan; q250's fact join feeds models and scoring off ONE
+    lineitem/orders scan (was 5 and 3 scans before the persists)."""
+    p245 = _plan(spark, "q245_bloom_screen", sf_dir)
+    assert p245.count("documents.parquet") <= 1
+    p250 = _plan(spark, "q250_learning_curve", sf_dir)
+    assert p250.count("lineitem.parquet") <= 1
+    assert p250.count("orders.parquet") <= 1
+    p237 = _plan(spark, "q237_hitrate_eval", sf_dir)
+    assert p237.count("lineitem.parquet") <= 1
+    assert p237.count("orders.parquet") <= 1
