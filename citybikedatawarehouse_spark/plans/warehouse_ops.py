@@ -548,3 +548,228 @@ def q241_gdpr_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint").alias("revenue_cents_removed"),
     )
     return r1.unionAll(r2).unionAll(r3).unionAll(r4)
+
+
+# ---------------------------------------------------------------------------
+# q255 — ANALYZE-style column statistics collection
+# ---------------------------------------------------------------------------
+
+_STATS_COLS = [
+    ("orders", "o_custkey"),
+    ("orders", "o_totalprice"),
+    ("orders", "o_orderstatus"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_quantity"),
+    ("lineitem", "l_returnflag"),
+]
+
+
+@register(
+    "q255_column_stats",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{t}' AS tbl, '{c}' AS col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+           CAST(min({c}) AS VARCHAR) AS min_val,
+           CAST(max({c}) AS VARCHAR) AS max_val
+    FROM {t}"""
+        for t, c in _STATS_COLS
+    ),
+)
+def q255_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS, as a query:
+    per column — row count, null count, exact NDV, min and max
+    (stringified for a uniform schema) — the statistics a cost-based
+    optimizer prices joins and filters with, and the freshness check
+    a warehouse runs before trusting its CBO. The reference has no
+    statistics story at all; Spark's own ANALYZE writes these to the
+    catalog — this emits them as data so they can be diffed across
+    snapshots (q141's shape).
+
+    Scale shape: one scan per table computes ALL its columns' stats
+    in a single aggregate (count/min/max are trivially combinable;
+    exact NDV is the one shuffle-bearing term — at 100 TB swap it
+    for the HLL register sketch (q244) per column, same plan shape);
+    output is |columns| rows."""
+    out = None
+    by_table: dict[str, list] = {}
+    for t, c in _STATS_COLS:
+        by_table.setdefault(t, []).append(c)
+    for t, cols in by_table.items():
+        df = _t(spark, sf_dir, t)
+        for c in cols:
+            row = df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias("n_nulls"),
+                F.countDistinct(c).cast("bigint").alias("ndv"),
+                F.min(c).cast("string").alias("min_val"),
+                F.max(c).cast("string").alias("max_val"),
+            ).select(
+                F.lit(t).alias("tbl"), F.lit(c).alias("col"),
+                "n_rows", "n_nulls", "ndv", "min_val", "max_val",
+            )
+            out = row if out is None else out.unionAll(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q256 — functional-dependency audit (key discovery)
+# ---------------------------------------------------------------------------
+
+_FD_CANDIDATES = [
+    ("orders", "o_orderkey", "o_custkey"),      # holds: key -> attribute
+    ("orders", "o_custkey", "o_orderstatus"),   # violated: many orders/cust
+    ("lineitem", "l_orderkey", "l_suppkey"),    # violated: multi-supplier
+    ("lineitem", "l_partkey", "l_returnflag"),  # violated
+    ("nation", "n_nationkey", "n_regionkey"),   # holds
+]
+
+
+@register(
+    "q256_fd_audit",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{t}' AS tbl, '{a} -> {b}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_lhs_values,
+           CAST(sum(CASE WHEN ndv_b > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_lhs,
+           CASE WHEN sum(CASE WHEN ndv_b > 1 THEN 1 ELSE 0 END) = 0
+                THEN 1 ELSE 0 END AS holds
+    FROM (SELECT {a}, count(DISTINCT {b}) AS ndv_b FROM {t} GROUP BY {a})"""
+        for t, a, b in _FD_CANDIDATES
+    ),
+)
+def q256_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each candidate A -> B, count
+    the left-hand values that map to MORE than one right-hand value
+    — zero violators means the dependency holds (key/attribute
+    discovery, the profiling step behind normalization decisions,
+    surrogate-key candidates (q40), and CDC key validation (q252
+    assumes its key IS a key)). Candidates cover both held
+    (order -> customer, nation -> region) and violated dependencies
+    so the audit never reads vacuously.
+
+    Scale shape: one groupBy per candidate on its LHS (map-side
+    combinable count-distinct), reduced to a 1-row verdict; |cands|
+    rows out. At 100 TB run all candidates of one table in a single
+    grouping-sets pass."""
+    out = None
+    for t, a, b in _FD_CANDIDATES:
+        df = _t(spark, sf_dir, t)
+        per = df.groupBy(a).agg(F.countDistinct(b).alias("ndv_b"))
+        row = per.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lhs_values"),
+            F.sum(F.when(F.col("ndv_b") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_lhs"),
+        ).select(
+            F.lit(t).alias("tbl"),
+            F.lit(f"{a} -> {b}").alias("fd"),
+            "n_lhs_values",
+            "n_violating_lhs",
+            F.when(F.col("n_violating_lhs") == 0, 1).otherwise(0).alias("holds"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q257 — sample-based join-cardinality estimate vs actual
+# ---------------------------------------------------------------------------
+
+_JS_PCT = 10  # percent sampled on each side
+
+
+@register(
+    "q257_joinsize_estimate",
+    oracle=f"""
+    WITH ls AS (
+      SELECT l_orderkey FROM lineitem
+      WHERE ('0x' || substr(md5('js_l:' || l_orderkey || ':'
+                                || l_linenumber), 1, 8))::BIGINT
+              % 100 < {_JS_PCT}
+    ),
+    os AS (
+      SELECT o_orderkey FROM orders
+      WHERE ('0x' || substr(md5('js_o:' || o_orderkey), 1, 8))::BIGINT
+              % 100 < {_JS_PCT}
+    ),
+    est AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_sample_join
+      FROM ls JOIN os ON os.o_orderkey = ls.l_orderkey
+    ),
+    act AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_actual
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT e.n_sample_join,
+           CAST(e.n_sample_join * 100 AS BIGINT) AS n_estimated,
+           a.n_actual,
+           round((e.n_sample_join * 100 - a.n_actual) * 1.0
+                 / a.n_actual, 6) AS rel_error
+    FROM est e CROSS JOIN act a
+    """,
+)
+def q257_joinsize_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-based join-cardinality estimation audited against the
+    true join size: independent md5-deterministic 10%
+    Bernoulli samples of both sides join, and the count scales by
+    1/(f_l * f_o) = 100 — the estimator a cost-based optimizer (or a
+    capacity planner sizing a 100 TB join's shuffle) uses when
+    statistics are stale, here with its measured relative error.
+
+    Determinism: sample membership is md5-ticked (the lineitem tick
+    keys on (orderkey, linenumber) so line items of one order sample
+    independently); counts are integers; one division at the end.
+
+    Scale shape: the estimate path joins two 10% samples
+    (1% of the full join work); the audit's actual-count join is
+    the expensive truth run a production estimator skips — which is
+    the point of having measured its error here."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ls = l.where(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("js_l:"),
+                            F.col("l_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1, 8,
+                ), 16, 10,
+            ).cast("long") % 100
+        ) < _JS_PCT
+    ).select("l_orderkey")
+    os_ = o.where(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("js_o:"), F.col("o_orderkey").cast("string"))),
+                    1, 8,
+                ), 16, 10,
+            ).cast("long") % 100
+        ) < _JS_PCT
+    ).select("o_orderkey")
+    est = ls.join(os_, ls.l_orderkey == os_.o_orderkey).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample_join")
+    )
+    act = l.join(o, l.l_orderkey == o.o_orderkey).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_actual")
+    )
+    return est.crossJoin(F.broadcast(act)).select(
+        "n_sample_join",
+        (F.col("n_sample_join") * 100).cast("bigint").alias("n_estimated"),
+        "n_actual",
+        F.round(
+            (F.col("n_sample_join") * 100 - F.col("n_actual")) * 1.0
+            / F.col("n_actual"),
+            6,
+        ).alias("rel_error"),
+    )

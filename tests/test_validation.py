@@ -135,3 +135,42 @@ def test_fused_fact_constraints_match_individual_checks(spark):
     assert fused[("fk(fk_col->id)", "foreign_key")] == 1
     assert fused[("not_null(speed)", "not_null")] == 1
     assert fused[("speed_non_negative", "value_range")] == 1
+
+
+def test_column_stats_match_direct_recount(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+    from citybikedatawarehouse_spark.sources.readers import load_table
+
+    rows = {(r.tbl, r.col): r for r in QUERIES["q255_column_stats"](spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders")
+    r = rows[("orders", "o_custkey")]
+    assert r.n_rows == o.count()
+    assert r.n_nulls == 0
+    assert r.ndv == o.select("o_custkey").distinct().count()
+    assert int(r.min_val) == o.agg(F.min("o_custkey")).collect()[0][0]
+
+
+def test_fd_audit_verdicts(spark, sf_dir):
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    rows = {r.fd: r for r in QUERIES["q256_fd_audit"](spark, sf_dir).collect()}
+    assert rows["o_orderkey -> o_custkey"].holds == 1
+    assert rows["n_nationkey -> n_regionkey"].holds == 1
+    assert rows["o_custkey -> o_orderstatus"].holds == 0
+    assert rows["o_custkey -> o_orderstatus"].n_violating_lhs > 0
+    # a held FD reports zero violators by definition
+    for r in rows.values():
+        assert (r.holds == 1) == (r.n_violating_lhs == 0)
+
+
+def test_joinsize_estimate_within_sampling_error(spark, sf_dir):
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    r = QUERIES["q257_joinsize_estimate"](spark, sf_dir).collect()[0]
+    assert r.n_estimated == r.n_sample_join * 100
+    # 10% x 10% Bernoulli: relative error is a few percent at these
+    # sizes; allow a wide 40% band (never vacuous: estimate > 0)
+    assert r.n_sample_join > 0
+    assert abs(r.rel_error) < 0.4
