@@ -181,6 +181,7 @@ _SWEEP_PRIORITY = [
     "q251_pareto_frontier", "q252_cdc_apply",
     "q253_ndcg_at_10", "q254_ipf_mixture",
     "q255_column_stats", "q256_fd_audit", "q257_joinsize_estimate",
+    "q258_benford_audit", "q259_simpson_audit",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

@@ -7350,3 +7350,186 @@ def q252_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("op") != "D", F.col("cents")).otherwise(0))
         .cast("bigint").alias("live_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q258 — Benford first-digit audit on order amounts
+# ---------------------------------------------------------------------------
+
+_BENFORD_P = [
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+]
+
+
+@register(
+    "q258_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS d
+      FROM orders
+      WHERE o_totalprice > 0
+    ),
+    expected(d, p) AS (VALUES {", ".join(f"({d + 1}, CAST({p!r} AS DOUBLE))" for d, p in enumerate(_BENFORD_P))}),
+    obs AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS n_obs FROM digits GROUP BY d
+    ),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT e.d AS first_digit,
+           CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+           round(coalesce(o.n_obs, 0) * 1.0 / t.n, 6) AS obs_share,
+           round(e.p, 6) AS benford_share,
+           round((coalesce(o.n_obs, 0) - t.n * e.p)
+                 * (coalesce(o.n_obs, 0) - t.n * e.p)
+                 / (t.n * e.p), 6) AS chi2_contrib
+    FROM expected e
+    LEFT JOIN obs o ON o.d = e.d
+    CROSS JOIN tot t
+    """,
+)
+def q258_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts — the
+    classic anomaly/fraud screen: naturally-occurring multiplicative
+    amounts put digit d first with probability log10(1 + 1/d), and a
+    fabricated or range-capped amount column deviates measurably.
+    Per digit: observed share vs the Benford share and the chi-
+    square contribution (summing `chi2_contrib` IS the test
+    statistic against 8 degrees of freedom). On THIS synthetic
+    uniform-ish price column the audit correctly reports a large
+    deviation — the point is the measurement, not a pass.
+
+    Determinism: digits come from the integer-cents string; Benford
+    shares are shared literal doubles; contributions divide exact
+    integer counts by (n * p) identically on both engines.
+
+    Scale shape: one scan to a 9-row digit histogram (map-side
+    combine); everything after is on 9 rows."""
+    o = _t(spark, sf_dir, "orders")
+    digits = (
+        o.where(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+                1, 1,
+            ).cast("int").alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    expected = spark.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(_BENFORD_P)], "d int, p double"
+    )
+    tot = digits.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    dev = (F.coalesce(F.col("n_obs"), F.lit(0)) - F.col("n") * F.col("p"))
+    return (
+        F.broadcast(expected)
+        .join(digits, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("first_digit"),
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias("n_obs"),
+            F.round(
+                F.coalesce(F.col("n_obs"), F.lit(0)) * 1.0 / F.col("n"), 6
+            ).alias("obs_share"),
+            F.round(F.col("p"), 6).alias("benford_share"),
+            F.round(dev * dev / (F.col("n") * F.col("p")), 6).alias(
+                "chi2_contrib"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q259 — Simpson's paradox detector on the discount -> return relationship
+# ---------------------------------------------------------------------------
+
+@register(
+    "q259_simpson_audit",
+    oracle="""
+    WITH rows_j AS (
+      SELECT n.n_name AS seg,
+             CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    stats AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM rows_j GROUP BY seg
+      UNION ALL
+      SELECT '__pooled__', CAST(count(*) AS BIGINT),
+             CAST(sum(x) AS BIGINT), CAST(sum(y) AS BIGINT),
+             CAST(sum(x * x) AS BIGINT), CAST(sum(x * y) AS BIGINT)
+      FROM rows_j
+    )
+    SELECT seg, n,
+           round((sxy * 1.0 - CAST(sx AS DOUBLE) * sy / n)
+                 / (sxx * 1.0 - CAST(sx AS DOUBLE) * sx / n), 6) AS slope,
+           CASE WHEN (sxy * 1.0 - CAST(sx AS DOUBLE) * sy / n) > 0
+                THEN 1 ELSE -1 END AS slope_sign
+    FROM stats
+    """,
+)
+def q259_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox detector: the OLS slope of return-rate on
+    discount, pooled AND within every customer nation — when
+    per-segment signs disagree with the pooled sign, the pooled
+    number is a composition artifact and any discount policy read
+    off it is wrong. The aggregation-can-lie audit that belongs
+    next to every pooled metric in the catalog (q144's lift, q238's
+    bands).
+
+    Determinism: slopes are ratios of exact BIGINT sufficient
+    statistics (x is integer discount-percent, y is 0/1), divided
+    once and rounded; the sign column avoids asserting on a
+    near-zero rounded slope.
+
+    Scale shape: one fact scan with broadcast dims to
+    |segments|+1 sufficient-statistic rows; slopes are computed on
+    that relation. The same shape extends to any (metric, driver,
+    segment) triple."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    base = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("seg"),
+            F.round(F.col("l_discount") * 100).cast("bigint").alias("x"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        )
+    )
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def stats(df, seg_expr):
+        return df.groupBy(seg_expr.alias("seg")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        )
+
+    st = stats(base, F.col("seg")).unionAll(
+        stats(base, F.lit("__pooled__"))
+    )
+    num = F.col("sxy") * 1.0 - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+    den = F.col("sxx") * 1.0 - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    return st.select(
+        "seg",
+        "n",
+        F.round(num / den, 6).alias("slope"),
+        F.when(num > 0, 1).otherwise(-1).alias("slope_sign"),
+    )

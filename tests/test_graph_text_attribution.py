@@ -383,3 +383,53 @@ def test_cdc_apply_census_consistency(spark, sf_dir):
     # the raw sum of live keys' original prices
     # (weak but non-vacuous monotonicity)
     assert r.n_updated_live < r.n_live
+
+
+# ------------------------------------------------- q258 Benford
+
+def test_benford_audit_shares_and_chi2(spark, sf_dir):
+    import math
+
+    rows = sorted(
+        QUERIES["q258_benford_audit"](spark, sf_dir).collect(),
+        key=lambda r: r.first_digit,
+    )
+    assert [r.first_digit for r in rows] == list(range(1, 10))
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r.benford_share - round(math.log10(1 + 1 / r.first_digit), 6)) < 1e-9
+        assert r.chi2_contrib >= 0
+    # digits are a real histogram (multiple digits occur)
+    assert sum(1 for r in rows if r.n_obs > 0) >= 3
+
+
+# ------------------------------------------------- q259 Simpson
+
+def test_simpson_audit_pooled_replay(spark, sf_dir):
+    """Pooled slope replayed in numpy; per-segment rows include
+    every nation with data; signs match their slopes."""
+    from pyspark.sql import functions as F
+
+    rows = {r.seg: r for r in QUERIES["q259_simpson_audit"](spark, sf_dir).collect()}
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    xy = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        )
+        .collect()
+    )
+    xs = np.array([r.x for r in xy], dtype=np.float64)
+    ys = np.array([r.y for r in xy], dtype=np.float64)
+    slope = ((xs * ys).sum() - xs.sum() * ys.sum() / len(xs)) / (
+        (xs * xs).sum() - xs.sum() ** 2 / len(xs)
+    )
+    p = rows["__pooled__"]
+    assert abs(p.slope - round(float(slope), 6)) < 1e-5
+    assert p.slope_sign == (1 if slope > 0 else -1)
+    for r in rows.values():
+        if r.slope is not None and abs(r.slope) > 1e-9:
+            assert (r.slope > 0) == (r.slope_sign == 1)
+    assert sum(r.n for s, r in rows.items() if s != "__pooled__") == p.n
