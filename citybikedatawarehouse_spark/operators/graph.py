@@ -291,8 +291,13 @@ def label_propagation(
         .dropDuplicates(["src", "dst"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # seed from the UNION of endpoints (as pagerank does): on a
+    # genuinely directed edge list a dst-only node must still cast
+    # its round-1 self-vote; on the documented bidirectional input
+    # src-nodes == all nodes, so this is identity there
     labels = (
         e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
         .select("node", F.col("node").alias("lbl"))
         .localCheckpoint(eager=True)

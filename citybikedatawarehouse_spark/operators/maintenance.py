@@ -70,11 +70,19 @@ def merge_upsert(
     are inserted; all other target rows carry over. Returns
     (n_replaced, n_inserted).
 
-    Self-overwrite safety: the merged result is materialized
-    (localCheckpoint) BEFORE the overwrite — Spark cannot write over
-    files an active plan still reads (the classic self-join-overwrite
-    failure), and the checkpoint severs that dependency. Counts ride
-    the same materialization, so the write is one extra action.
+    MERGE semantics require the source keys to be unique (SQL MERGE
+    raises on multiple matches for one target row); a duplicate-key
+    ``updates`` would silently produce a duplicate-key result table,
+    so it is rejected up front.
+
+    Durability: the merged result is written to a STAGING directory
+    first, then swapped in (target moved aside as backup, staging
+    renamed over it, backup removed) — the same pattern as
+    ``compact_parquet``. The target files are never deleted before a
+    complete replacement exists on disk, so a crash mid-merge leaves
+    either the old table or the new one, never neither. (A plain
+    ``mode('overwrite')`` on the target would delete it first and
+    hold the only copy in non-replicated executor memory.)
 
     Scale path: on a transactional table format (Delta/Iceberg,
     jars not present in this sandbox) this is a real MERGE with
@@ -83,13 +91,25 @@ def merge_upsert(
     partition overwrite) rather than this full-table rewrite. The
     emulation keeps identical semantics at any scale — only the
     rewrite granularity changes."""
+    import shutil
+
+    n_updates = updates.count()
+    n_update_keys = updates.select(key).distinct().count()
+    if n_update_keys != n_updates:
+        raise ValueError(
+            f"merge_upsert: updates has {n_updates - n_update_keys} "
+            f"duplicate '{key}' rows; MERGE requires unique source keys"
+        )
     target = spark.read.parquet(target_path)
     matched = target.join(updates.select(key), key, "left_semi")
     n_replaced = matched.count()
-    n_inserted = updates.count() - n_replaced
+    n_inserted = n_updates - n_replaced
     kept = target.join(updates.select(key), key, "left_anti")
-    merged = kept.unionByName(updates.select(*target.columns)).localCheckpoint(
-        eager=True
-    )
-    merged.write.mode("overwrite").parquet(target_path)
+    merged = kept.unionByName(updates.select(*target.columns))
+    staging = target_path.rstrip("/") + "__merging"
+    merged.write.mode("overwrite").parquet(staging)
+    backup = target_path.rstrip("/") + "__premerge"
+    shutil.move(target_path, backup)
+    shutil.move(staging, target_path)
+    shutil.rmtree(backup)
     return n_replaced, n_inserted

@@ -3468,7 +3468,12 @@ def q193_revenue_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LINKPRED_MID_CAP = 64
-_LINKPRED_MIN_CN = 3
+# floor of 2: at the generator's co-purchase density no non-adjacent
+# pair reaches 3 capped common neighbors beyond sf0.001 — a floor of
+# 3 made the whole query return the empty set at sf0.01/sf0.1 (a
+# vacuous hash match; the q147 trap). 2 keeps a full top-20 at every
+# SF while still excluding single-coincidence pairs.
+_LINKPRED_MIN_CN = 2
 _LINKPRED_TOPK = 20
 
 

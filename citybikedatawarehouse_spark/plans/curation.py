@@ -1166,9 +1166,10 @@ def q162_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_docs",
-            ((F.lit(200) * F.col("iw")) / F.col("s"))
-            .cast("bigint")  # bigint floor-div: both sides integer
-            .alias("quota"),
+            # exact bigint floor-div (`div`), matching the oracle's
+            # `//` — double-divide-then-cast can truncate 1 off for
+            # quotients within 1 ulp of an integer at huge weights
+            F.expr("(200 * iw) div s").alias("quota"),
         )
     )
     w = Window.partitionBy("source").orderBy(

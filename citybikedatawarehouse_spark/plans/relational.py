@@ -265,12 +265,20 @@ def q08_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q09_anti_join",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
     """,
 )
 def q09_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no jumbo (>400k) order. The right side is
+    FILTERED before the anti-join so the check is non-vacuous: the
+    generator gives every customer at least one order, making a
+    plain no-orders anti-join return the empty set at every SF — a
+    hash match on nothing (the q147 lesson). 400k keeps 20/202/1997
+    result rows at sf0.001/0.01/0.1."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -402,15 +410,20 @@ def q14_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q15_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT l_shipdate AS d FROM lineitem
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT o_orderdate AS d FROM orders
     """,
 )
 def q15_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)
+    """Ship dates on which nothing was ordered. Previously ran on
+    nationkeys, where supplier covers all 25 nations from sf0.01 up
+    — an always-empty (vacuous) result. Ship dates trail order dates
+    by up to ~4 months, so the tail keeps this non-empty at every
+    SF (1291/101/95 rows)."""
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_shipdate").alias("d"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderdate").alias("d"))
+    return li.subtract(o)
 
 
 @register(
@@ -813,7 +826,7 @@ def q33b_promo_revenue_share(spark, sf_dir):
       JOIN customer c ON c.c_custkey = o.o_custkey
       JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
       JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
-      WHERE n1.n_name IN ('FRANCE', 'GERMANY') AND n2.n_name IN ('FRANCE', 'GERMANY')
+      WHERE n1.n_name IN ('NATION_3', 'NATION_8') AND n2.n_name IN ('NATION_3', 'NATION_8')
     )
     GROUP BY supp_nation, cust_nation, y
     """,
@@ -833,7 +846,7 @@ def q34b_nation_trade_volume(spark, sf_dir):
     n2 = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
-    nations = ["FRANCE", "GERMANY"]
+    nations = ["NATION_3", "NATION_8"]
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(s, li.l_suppkey == s.s_suppkey)

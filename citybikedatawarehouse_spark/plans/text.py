@@ -487,6 +487,34 @@ def _bm25_ctes(
     )"""
 
 
+def bm25_per(
+    docs: DataFrame,
+    terms: tuple[str, ...] = _BM25_TERMS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The per-document BM25 staging relation: (id, dl, tf0..tfn).
+    Everything downstream (corpus stats, scores, and q253's
+    relevance grades) derives from this one projection, so a caller
+    with several consumers can persist it and pay the corpus scan
+    once. The token array is STAGED to a column first (HOF arguments
+    are excluded from Catalyst subexpression elimination — an
+    unbound words() expression here re-tokenizes each row once per
+    tf filter plus once for dl, the winnow_fingerprint trap)."""
+    staged = docs.select(id_col, words(text_col).alias("__w"))
+
+    def _tf(term):
+        # one-arg lambda on purpose: a second (defaulted) parameter
+        # makes Spark bind the HOF's (element, index) form
+        return F.size(F.filter(F.col("__w"), lambda x: x == F.lit(term)))
+
+    return staged.select(
+        id_col,
+        F.size("__w").cast("double").alias("dl"),
+        *[_tf(t).cast("double").alias(f"tf{i}") for i, t in enumerate(terms)],
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     terms: tuple[str, ...] = _BM25_TERMS,
@@ -499,28 +527,27 @@ def bm25_scores(
     every doc with a positive score for ``terms``, as
     (id, rounded score). Ranking/cutting is the caller's business.
 
-    Scale shape: the token array is STAGED to a column first (HOF
-    arguments are excluded from Catalyst subexpression elimination —
-    an unbound words() expression here re-tokenizes each row once
-    per tf filter plus once for dl, the winnow_fingerprint trap), so
-    the corpus is whitespace-tokenized exactly once; per-term tf is
-    then an array-filter count in the scan projection (no explode,
-    no shuffle); corpus stats (N, avgdl, per-term df) collapse to
-    ONE tiny aggregate row broadcast back. Determinism: dl/tf/df are
-    integer-valued doubles (exact under any summation order), one ln
-    per term, score rounded to 6, fixed term order."""
-    staged = docs.select(id_col, words(text_col).alias("__w"))
+    Scale shape: one corpus scan builds the staged per-doc relation
+    (``bm25_per``); per-term tf is an array-filter count in the scan
+    projection (no explode, no shuffle); corpus stats (N, avgdl,
+    per-term df) collapse to ONE tiny aggregate row broadcast back.
+    Determinism: dl/tf/df are integer-valued doubles (exact under
+    any summation order), one ln per term, score rounded to 6,
+    fixed term order."""
+    per = bm25_per(docs, terms, id_col=id_col, text_col=text_col)
+    return bm25_scores_from_per(per, terms, k1=k1, b=b, id_col=id_col)
 
-    def _tf(term):
-        # one-arg lambda on purpose: a second (defaulted) parameter
-        # makes Spark bind the HOF's (element, index) form
-        return F.size(F.filter(F.col("__w"), lambda x: x == F.lit(term)))
 
-    per = staged.select(
-        id_col,
-        F.size("__w").cast("double").alias("dl"),
-        *[_tf(t).cast("double").alias(f"tf{i}") for i, t in enumerate(terms)],
-    )
+def bm25_scores_from_per(
+    per: DataFrame,
+    terms: tuple[str, ...] = _BM25_TERMS,
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 scores from an already-built ``bm25_per`` relation —
+    the seam q253 uses to share one persisted staging scan between
+    its grade and score legs."""
     stats = per.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -1967,21 +1994,25 @@ def q253_ndcg_at_10(spark, sf_dir):
     over the whole corpus' grades, so ndcg = 1 means the ranking
     found the best possible top-10.
 
-    Scale shape: grading is one corpus scan with a staged token
-    array (3 array_contains probes); the BM25 side is q111's plan
-    (tf filters at the scan, 1-row stats broadcast, TakeOrdered 10);
-    the ideal top-10 is a TakeOrdered over grades. Joins after the
-    cuts run on 10-row relations."""
-    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+    Scale shape: ONE corpus scan builds the shared ``bm25_per``
+    staging relation (doc, dl, per-term tf), persisted serialized —
+    the grade leg (rel = capped Σtf) and the BM25 score leg both
+    read it, where the round-6 shape tokenized the corpus twice
+    (the 2.2×-at-10× outlier the round-6 VERDICT flagged). Corpus
+    stats are a 1-row broadcast; both top-10s are TakeOrdered; joins
+    after the cuts run on 10-row relations."""
+    from pyspark import StorageLevel
 
     d = _t(spark, sf_dir, "documents")
-    staged = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("__w"))
-    tf = sum(
-        F.size(F.filter("__w", lambda x: x == F.lit(t))) for t in _BM25_TERMS
+    per = bm25_per(d.select("doc_id", "text")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    graded = staged.select("doc_id", F.least(tf, F.lit(7)).alias("rel"))
+    tf = sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS)))
+    graded = per.select(
+        "doc_id", F.least(tf, F.lit(7.0)).cast("int").alias("rel")
+    )
     top = (
-        bm25_scores(d.select("doc_id", "text"))
+        bm25_scores_from_per(per)
         .withColumn(
             "rnk",
             F.row_number().over(

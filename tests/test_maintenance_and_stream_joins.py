@@ -250,3 +250,17 @@ def test_merge_upsert_semantics_and_self_overwrite(spark, tmp_path):
     merge_upsert(spark, path, updates, "k")
     got2 = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
     assert got2 == got
+    # staging/backup dirs are swapped away, not left behind
+    import os
+
+    assert not os.path.exists(path + "__merging")
+    assert not os.path.exists(path + "__premerge")
+    # duplicate source keys violate MERGE semantics -> rejected,
+    # target untouched
+    import pytest
+
+    dup = spark.createDataFrame([(5, "x"), (5, "y")], "k long, v string")
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_upsert(spark, path, dup, "k")
+    got3 = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got3 == got

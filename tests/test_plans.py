@@ -500,7 +500,15 @@ def test_multi_consumer_relations_scan_once(spark, sf_dir):
     """Persisted multi-consumer relations keep single table scans:
     q245's shingle relation feeds 4 consumers off ONE documents
     scan; q250's fact join feeds models and scoring off ONE
-    lineitem/orders scan (was 5 and 3 scans before the persists)."""
+    lineitem/orders scan (was 5 and 3 scans before the persists).
+
+    CacheManager matches persists by CANONICALIZED plan, so a
+    relation persisted by an earlier test's run of these (or any
+    plan-identical) queries would substitute InMemoryTableScan
+    nodes here and change the printed scan counts — start from a
+    clean cache so the assertion is about THIS query's plan shape,
+    not suite ordering."""
+    spark.catalog.clearCache()
     p245 = _plan(spark, "q245_bloom_screen", sf_dir)
     assert p245.count("documents.parquet") <= 1
     p250 = _plan(spark, "q250_learning_curve", sf_dir)
@@ -509,3 +517,13 @@ def test_multi_consumer_relations_scan_once(spark, sf_dir):
     p237 = _plan(spark, "q237_hitrate_eval", sf_dir)
     assert p237.count("lineitem.parquet") <= 1
     assert p237.count("orders.parquet") <= 1
+
+
+def test_ndcg_single_corpus_scan(spark, sf_dir):
+    """q253's grade and BM25 legs share one persisted bm25_per
+    staging relation — ONE documents scan (the round-6 shape
+    tokenized the corpus once per leg and was the 2.2×-at-10×
+    outlier)."""
+    spark.catalog.clearCache()
+    p253 = _plan(spark, "q253_ndcg_at_10", sf_dir)
+    assert p253.count("documents.parquet") <= 1
