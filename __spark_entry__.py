@@ -183,6 +183,9 @@ _SWEEP_PRIORITY = [
     "q32_date_parts", "q33_time_parts", "q34_epoch_duration",
     "q35_tumbling_window", "q36_sliding_window", "q37_sessionization",
     "q38_asof_join", "q39_asof_join_bucketed", "q108_scd2_merge",
+    # -- NEW in round 7, at the tail per VERDICT r6 item 5: the
+    # never-swept q159–q259 backlog owns the r7/r8 head slots --
+    "q260_revenue_deciles_ranged",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

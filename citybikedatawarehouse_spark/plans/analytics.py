@@ -6665,7 +6665,10 @@ def _boot_weight_sql(tick: str) -> str:
     oracle=f"""
     WITH reps AS (
       SELECT b.b,
-             {_boot_weight_sql("('0x' || substr(md5('boot' || b.b || ':' || o.o_orderkey), 1, 8))::BIGINT % 1000000")}
+             {_boot_weight_sql(
+                 "('0x' || substr(md5('boot' || (b.b // 4) || ':' || o.o_orderkey),"
+                 " (b.b % 4) * 8 + 1, 8))::BIGINT % 1000000"
+             )}
                AS w,
              CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
       FROM orders o CROSS JOIN UNNEST(range(0, {_BOOT_B})) b(b)
@@ -6704,57 +6707,78 @@ def q247_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     32 such doubles (percentile == quantile_cont, the q28-proven
     pairing); one round at the end.
 
-    Scale shape: the 32x row fan-out collapses immediately into 32
-    (sum, count) pairs via map-side combine — one scan, constant
-    state, no resampled datasets ever materialized. B scales the
-    combine width, not the shuffle."""
+    Scale shape (round-7 restated — the 10x-outlier fix): NO row
+    fan-out at all. Each row stages 8 md5 digests (4 ticks of 8 hex
+    chars per digest — the round-6 shape cross-joined the corpus 32x
+    and hashed once per replicate, 4x the hashing and 32x the
+    aggregate input), computes all 32 weights in one projection, and
+    ONE single-row hash aggregate folds 64 (sum w*cents, sum w)
+    pairs plus the point-mean pair — one scan, 66 longs of state,
+    zero shuffled rows before the 32-element replicate explode. B
+    scales the aggregate width, not rows."""
     o = _t(spark, sf_dir, "orders")
-    b = spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
-    tick = (
-        F.conv(
-            F.substring(
+    n_hash = (_BOOT_B + 3) // 4
+    staged = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.array(
+            *[
                 F.md5(
                     F.concat(
-                        F.lit("boot"),
-                        F.col("b").cast("string"),
-                        F.lit(":"),
+                        F.lit(f"boot{g}:"),
                         F.col("o_orderkey").cast("string"),
                     )
+                )
+                for g in range(n_hash)
+            ]
+        ).alias("hs"),
+    )
+
+    def _w(b):
+        tick = (
+            F.conv(
+                F.substring(
+                    F.element_at("hs", b // 4 + 1), (b % 4) * 8 + 1, 8
                 ),
-                1, 8,
-            ), 16, 10,
-        ).cast("long") % 1000000
+                16, 10,
+            ).cast("long") % 1000000
+        )
+        w = F.lit(10)
+        for k, t in reversed(list(enumerate(_BOOT_THRESHOLDS))):
+            w = F.when(tick < t, F.lit(k)).otherwise(w)
+        return w
+
+    one = staged.select(
+        "cents", *[_w(b).alias(f"w{b}") for b in range(_BOOT_B)]
+    ).agg(
+        F.sum("cents").cast("bigint").alias("pm_num"),
+        F.count(F.lit(1)).alias("pm_den"),
+        *[
+            s
+            for b in range(_BOOT_B)
+            for s in (
+                F.sum(F.col(f"w{b}") * F.col("cents"))
+                .cast("bigint")
+                .alias(f"swc{b}"),
+                F.sum(f"w{b}").cast("bigint").alias(f"sw{b}"),
+            )
+        ],
     )
-    w = F.lit(10)
-    for k, t in reversed(list(enumerate(_BOOT_THRESHOLDS))):
-        w = F.when(tick < t, F.lit(k)).otherwise(w)
-    reps = o.crossJoin(F.broadcast(b)).select(
-        "b",
-        w.alias("w"),
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-    )
-    means = reps.groupBy("b").agg(
-        (
-            F.sum(F.col("w") * F.col("cents")).cast("bigint") * 1.0
-            / F.sum("w").cast("bigint")
-        ).alias("m")
-    )
-    point = o.agg(
-        (
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint")
-            * 1.0
-            / F.count(F.lit(1))
-        ).alias("pm")
+    means = one.select(
+        (F.col("pm_num") * 1.0 / F.col("pm_den")).alias("pm"),
+        F.explode(
+            F.array(
+                *[
+                    F.col(f"swc{b}") * 1.0 / F.col(f"sw{b}")
+                    for b in range(_BOOT_B)
+                ]
+            )
+        ).alias("m"),
     )
     return means.agg(
+        F.round(F.first("pm"), 6).alias("point_mean_cents"),
         F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
         F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
         F.round(F.stddev_samp("m"), 6).alias("boot_se"),
-    ).crossJoin(F.broadcast(point)).select(
-        F.round(F.col("pm"), 6).alias("point_mean_cents"),
-        "ci_lo",
-        "ci_hi",
-        "boot_se",
     )
 
 
@@ -7537,4 +7561,101 @@ def q259_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(num / den, 6).alias("slope"),
         F.when(num > 0, 1).otherwise(-1).alias("slope_sign"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q260 — revenue deciles via range-partitioned global rank
+# ---------------------------------------------------------------------------
+
+@register(
+    "q260_revenue_deciles_ranged",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn,
+             count(*) OVER () AS n
+      FROM spend
+    ),
+    dec AS (
+      SELECT CAST(floor((rn - 1) * 10.0 / n) AS INTEGER) + 1 AS decile,
+             cents
+      FROM ranked
+    ),
+    g AS (
+      SELECT decile, count(*) AS n_customers, sum(cents) AS cents
+      FROM dec GROUP BY decile
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(cents AS BIGINT) AS revenue_cents,
+           round(cents * 1.0 / sum(cents) OVER (), 6) AS revenue_share,
+           round(sum(cents) OVER (ORDER BY decile)
+                 * 1.0 / sum(cents) OVER (), 6) AS cume_share,
+           round(cents * 10.0 / sum(cents) OVER (), 6) AS lift
+    FROM g
+    """,
+)
+def q260_revenue_deciles_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q218's decile lift table computed through the RANGE-PARTITIONED
+    global rank (operators/ranking.global_row_number) instead of a
+    single-partition Window.orderBy — the scale escape hatch q218's
+    and q206's docstrings promise for extreme customer counts, here
+    exercised end-to-end against the identical oracle (the two
+    queries must agree row-for-row; the DuckDB SQL is byte-identical
+    to q218's).
+
+    Scale shape: the per-customer spend aggregate is map-side
+    combinable; the rank is two-phase (range shuffle + per-partition
+    local index + a #partitions-row offset broadcast — no task ever
+    sees more than rows/partitions rows); N comes from a 1-row
+    broadcast instead of q218's all-rows count window. Deciles and
+    shares then run on 10 rows."""
+    from citybikedatawarehouse_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("cents")
+    )
+    ranked = global_row_number(
+        spend, [F.desc("cents"), F.asc("o_custkey")], out_col="rn"
+    )
+    n1 = spend.agg(F.count(F.lit(1)).alias("n"))
+    dec = ranked.crossJoin(F.broadcast(n1)).select(
+        (
+            F.floor((F.col("rn") - 1) * 10.0 / F.col("n")).cast("int") + 1
+        ).alias("decile"),
+        "cents",
+    )
+    g = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("cents"),
+    )
+    wall = W.partitionBy()
+    wcum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return g.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("cents").cast("bigint").alias("revenue_cents"),
+        F.round(
+            F.col("cents") * F.lit(1.0) / F.sum("cents").over(wall), 6
+        ).alias("revenue_share"),
+        F.round(
+            F.sum("cents").over(wcum)
+            * F.lit(1.0)
+            / F.sum("cents").over(wall),
+            6,
+        ).alias("cume_share"),
+        F.round(
+            F.col("cents") * F.lit(10.0) / F.sum("cents").over(wall), 6
+        ).alias("lift"),
     )

@@ -47,9 +47,9 @@ QUERIES_UNDER_TEST = [
 ]
 
 
-def build(spark, mult: int, out: str) -> None:
-    copies = spark.range(mult).select(F.col("id").cast("int").alias("__c"))
-
+def scale_documents(spark, copies, out: str) -> None:
+    """Disjoint word-suffixed document copies: within-copy near-dup
+    structure preserved exactly, cross-copy shingle sets disjoint."""
     d = load_table(spark, SRC, "documents")
     n_docs = d.count()
     (
@@ -73,6 +73,12 @@ def build(spark, mult: int, out: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{out}/documents.parquet")
     )
+
+
+def build(spark, mult: int, out: str) -> None:
+    copies = spark.range(mult).select(F.col("id").cast("int").alias("__c"))
+
+    scale_documents(spark, copies, out)
 
     e = load_table(spark, SRC, "embeddings")
     n_vec = e.count()
@@ -235,7 +241,7 @@ JOIN_QUERIES = [
 ]
 
 
-def build_joins(spark, mult: int, out: str) -> None:
+def build_joins(spark, mult: int, out: str, scale_docs: bool = False) -> None:
     """Coherent orders+lineitem scaling for JOIN-shaped queries: the
     default build offsets lineitem's orderkeys but copies orders
     verbatim, so lineitem<->orders joins are vacuous past copy 0
@@ -290,15 +296,11 @@ def build_joins(spark, mult: int, out: str) -> None:
         .parquet(f"{out}/customer.parquet")
     )
 
-    for t in (
-        "region",
-        "nation",
-        "supplier",
-        "part",
-        "events",
-        "documents",
-        "embeddings",
-    ):
+    if scale_docs:
+        scale_documents(spark, copies, out)
+    verbatim = ["region", "nation", "supplier", "part", "events",
+                "embeddings"] + ([] if scale_docs else ["documents"])
+    for t in verbatim:
         shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
 
 
@@ -325,8 +327,50 @@ def main_joins(mult: int, out: str) -> None:
     spark.stop()
 
 
+EVAL_QUERIES = [
+    "q246_cuped_ab", "q247_bootstrap_ci", "q248_target_encoding",
+    "q249_model_auc", "q250_learning_curve", "q251_pareto_frontier",
+    "q252_cdc_apply", "q253_ndcg_at_10", "q254_ipf_mixture",
+    "q255_column_stats", "q256_fd_audit", "q257_joinsize_estimate",
+    "q258_benford_audit", "q259_simpson_audit",
+]
+
+
+def main_evals(mult: int, out: str) -> None:
+    """100x validation of the round-6-late eval cohort (q246-q259):
+    coherent orders/lineitem/customer scaling (joins resolve) PLUS
+    disjoint word-suffixed documents (corpus-shaped q253/q254 scale
+    too, instead of reading a verbatim 1x corpus)."""
+    os.makedirs(out, exist_ok=True)
+    spark = get_spark(app_name=f"cbdw-scaleevals{mult}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    build_joins(spark, mult, out, scale_docs=True)
+    print(f"[build] evals {mult}x in {time.perf_counter() - t0:.1f} s -> {out}",
+          flush=True)
+
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    for name in EVAL_QUERIES:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, out).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        print(
+            f"[time] {name}: {time.perf_counter() - t0:.1f} s "
+            f"(single-shot, evals {mult}x)",
+            flush=True,
+        )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    if "--joins" in sys.argv:
+    if "--evals" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--evals"]
+        mult = int(args[0]) if args else 100
+        out = args[1] if len(args) > 1 else f"/tmp/sfevals_m{mult}"
+        main_evals(mult, out)
+    elif "--joins" in sys.argv:
         args = [a for a in sys.argv[1:] if a != "--joins"]
         mult = int(args[0]) if args else 10
         out = args[1] if len(args) > 1 else f"/tmp/sfjoins_m{mult}"

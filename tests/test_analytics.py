@@ -1619,3 +1619,50 @@ def test_similarity_histogram_conserves_pairs(spark, sf_dir):
         assert abs(r["bin_lo"] - (-1.0 + r["bin"] * 0.1)) < 1e-9
     top = max(rows, key=lambda r: r["n_pairs"])
     assert 5 <= top["bin"] <= 14
+
+
+# ------------------------------------------------- q260 ranged rank
+
+def test_global_row_number_matches_window(spark, sf_dir):
+    """The range-partitioned two-phase rank must equal a plain
+    row_number window on the same total order — on a multi-partition
+    input, with descending keys and a tiebreak."""
+    from pyspark.sql import Window as W
+
+    from citybikedatawarehouse_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    order = [F.desc("cents"), F.asc("o_custkey")]
+    got = {
+        r["o_custkey"]: r["rn"]
+        for r in global_row_number(spend, order, n_partitions=7).collect()
+    }
+    want = {
+        r["o_custkey"]: r["rn"]
+        for r in spend.select(
+            "o_custkey", F.row_number().over(W.orderBy(*order)).alias("rn")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ranged_deciles_equal_windowed_deciles(spark, sf_dir):
+    """q260 (range-partitioned rank) and q218 (single-partition
+    window) are the same query computed two ways — row-identical."""
+    a = sorted(
+        map(tuple, QUERIES["q218_revenue_deciles"](spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            QUERIES["q260_revenue_deciles_ranged"](spark, sf_dir).collect(),
+        )
+    )
+    assert a == b
