@@ -796,18 +796,21 @@ def cms_epoch_step(
 ) -> None:
     """One count-min epoch: land this batch's 4x256 counter slice.
     Counters are a commutative monoid (SUM-mergeable) and the hash
-    is a pure md5 function of (row, key), so slices from any epoch
+    is a pure function of the key (one md5; hash row j reads the
+    digest's j-th 8-hex chunk), so slices from any epoch
     partitioning resolve to the identical sketch q243 builds in one
     batch; a replayed epoch overwrites its own directory instead of
     double-counting (the module's replay contract)."""
-    from citybikedatawarehouse_spark.functions.keys import cms_bucket
+    from citybikedatawarehouse_spark.functions.keys import cms_buckets
 
-    spark = batch_df.sparkSession
-    depth = spark.range(_CMS_DEPTH).select(F.col("id").cast("int").alias("j"))
     (
         batch_df.select(F.col(key_col).alias("__k"))
-        .crossJoin(F.broadcast(depth))
-        .groupBy("j", cms_bucket(F.col("j"), F.col("__k"), _CMS_WIDTH).alias("bucket"))
+        .select(
+            F.posexplode(
+                cms_buckets(F.col("__k"), _CMS_WIDTH, _CMS_DEPTH)
+            ).alias("j", "bucket")
+        )
+        .groupBy("j", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("counter"))
         .write.mode("overwrite")
         .parquet(f"{state_dir}/epoch={epoch_id}")
@@ -841,14 +844,13 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
     q243's estimate expression over any resolved sketch. `keys` is a
     small relation (heavy-hitter candidates); both sides of the
     probe join broadcast."""
-    from citybikedatawarehouse_spark.functions.keys import cms_bucket
+    from citybikedatawarehouse_spark.functions.keys import cms_buckets
 
-    spark = keys.sparkSession
-    depth = spark.range(_CMS_DEPTH).select(F.col("id").cast("int").alias("j"))
-    probes = keys.select(F.col(key_col).alias("__k")).crossJoin(
-        F.broadcast(depth)
-    ).select(
-        "__k", "j", cms_bucket(F.col("j"), F.col("__k"), _CMS_WIDTH).alias("bucket")
+    probes = keys.select(F.col(key_col).alias("__k")).select(
+        "__k",
+        F.posexplode(cms_buckets(F.col("__k"), _CMS_WIDTH, _CMS_DEPTH)).alias(
+            "j", "bucket"
+        ),
     )
     return (
         probes.join(F.broadcast(sketch), ["j", "bucket"])
