@@ -186,6 +186,7 @@ _SWEEP_PRIORITY = [
     # -- NEW in round 7, at the tail per VERDICT r6 item 5: the
     # never-swept q159–q259 backlog owns the r7/r8 head slots --
     "q260_revenue_deciles_ranged",
+    "q261_histogram_quantiles",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

@@ -86,9 +86,19 @@ def pagerank(
     # steps: HashPartitioning(src) satisfies the (src, dst) dedup's
     # clustering requirement (equal pairs share a src), and the
     # degree window partitions by src too.
+    # the O(E) relation is checkpointed SERIALIZED: default local
+    # checkpoints hold deserialized row blocks, and at 100x (180 M
+    # edges, ~10-20 GB of rows) that squeezed execution memory into
+    # UNABLE_TO_ACQUIRE_MEMORY in the contribution aggregate; the
+    # serialized level keeps the lineage cut and the src
+    # partitioning while storing the compact columnar form
+    from pyspark import StorageLevel
+
     e_deg = _edge_prep(
         edges, src_col, dst_col, assume_partitioned_by_src
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     # node set = src ∪ dst endpoints: with bidirectional edges the
     # src set already IS the node set (the union dedups partition-
     # locally after one exchange); with general directed input this

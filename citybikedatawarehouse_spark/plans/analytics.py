@@ -7660,3 +7660,156 @@ def q260_revenue_deciles_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents") * F.lit(10.0) / F.sum("cents").over(wall), 6
         ).alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q261 — mergeable histogram-sketch quantiles (two significant digits)
+# ---------------------------------------------------------------------------
+
+_HQ_QUANTILES = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+
+
+def _hq_bin_lo(v):
+    """Two-significant-digit histogram bin lower bound: keep the
+    first 2 decimal digits of the positive integer and zero the
+    rest (rpad of the 2-char prefix back to the original length) —
+    a pure string operation both engines share, no log/pow floats.
+    Bin width is < 10% of the value, so any quantile estimated as
+    its bin's lower bound is within 10% relative error by
+    construction."""
+    s = v.cast("string")
+    return F.rpad(F.substring(s, 1, 2), F.length(s), "0").cast("long")
+
+
+@register(
+    "q261_histogram_quantiles",
+    oracle=f"""
+    WITH census AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    bins AS (
+      SELECT CAST(rpad(substr(CAST(v AS VARCHAR), 1, 2),
+                       CAST(length(CAST(v AS VARCHAR)) AS INTEGER),
+                       '0') AS BIGINT) AS lo,
+             sum(cnt) AS cnt
+      FROM census GROUP BY 1
+    ),
+    n AS (SELECT sum(cnt) AS n, count(*) AS n_distinct FROM census),
+    bins_cum AS (
+      SELECT lo, sum(cnt) OVER (ORDER BY lo) AS cum FROM bins
+    ),
+    census_cum AS (
+      SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM census
+    ),
+    est AS (
+      SELECT {", ".join(
+        f"min(CASE WHEN b.cum * {den} >= n.n * {num} THEN b.lo END)"
+        f" AS est_{lab}" for lab, num, den in _HQ_QUANTILES)}
+      FROM bins_cum b CROSS JOIN n
+    ),
+    exact AS (
+      SELECT {", ".join(
+        f"min(CASE WHEN c.cum * {den} >= n.n * {num} THEN c.v END)"
+        f" AS exact_{lab}" for lab, num, den in _HQ_QUANTILES)}
+      FROM census_cum c CROSS JOIN n
+    )
+    SELECT CAST(n.n AS BIGINT) AS n_values,
+           CAST(n.n_distinct AS BIGINT) AS n_distinct,
+           CAST((SELECT count(*) FROM bins) AS BIGINT) AS n_bins,
+           {", ".join(
+             f"CAST(est_{lab} AS BIGINT) AS est_{lab}, "
+             f"CAST(exact_{lab} AS BIGINT) AS exact_{lab}, "
+             f"round((exact_{lab} - est_{lab}) * 1.0 / exact_{lab}, 6)"
+             f" AS err_{lab}" for lab, _, _ in _HQ_QUANTILES)}
+    FROM n CROSS JOIN est CROSS JOIN exact
+    """,
+)
+def q261_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile sketch — the QUANTILE member of
+    the sketch quartet beside count-min (q243, frequency), HLL
+    (q244, cardinality) and Bloom (q245, membership): bucket every
+    lineitem price (integer cents) by its two-significant-digit bin
+    (`_hq_bin_lo` — bin width < 10% of the value, the HDR-histogram
+    idea in decimal), estimate p50/p90/p99 as the first bin whose
+    cumulative count reaches ceil(q*N), and audit each estimate
+    against the exact discrete quantile from the full value census.
+    All rank arithmetic is integer (cum*den >= N*num == cum >=
+    ceil(N*num/den)), so no float tie can flip a bin cross-engine,
+    and `est <= exact < est*1.1` is a structural law the test
+    asserts.
+
+    Scale shape: the sketch is a SUM-monoid of (bin, count) pairs —
+    at most ~90 bins per decimal magnitude regardless of row count,
+    so per-epoch slices merge losslessly (streaming twin
+    `streaming/incremental.hist_epoch_step`) and a 100 TB scan
+    carries a few-hundred-counter map-side combine, the reason to
+    keep this beside the stream instead of sorting. One corpus scan
+    builds the value census; the census (distinct cents, orders of
+    magnitude smaller than the corpus) is persisted and feeds both
+    the sketch and the exact-audit leg; the cumulative windows run
+    on census/bin cells, not corpus rows (q242's documented shape —
+    at extreme distinct-value counts the exact leg is the piece
+    you'd drop, keeping only the bounded sketch)."""
+    from pyspark import StorageLevel
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v")
+    )
+    census = (
+        l.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bins = census.groupBy(_hq_bin_lo(F.col("v")).alias("lo")).agg(
+        F.sum("cnt").alias("cnt")
+    )
+    n1 = census.agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    wb = W.orderBy("lo").rowsBetween(W.unboundedPreceding, 0)
+    wc = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    bins_cum = bins.select("lo", F.sum("cnt").over(wb).alias("cum"))
+    census_cum = census.select("v", F.sum("cnt").over(wc).alias("cum"))
+    est = bins_cum.crossJoin(F.broadcast(n1)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") * den >= F.col("n") * num, F.col("lo")
+                )
+            ).alias(f"est_{lab}")
+            for lab, num, den in _HQ_QUANTILES
+        ]
+    )
+    exact = census_cum.crossJoin(F.broadcast(n1)).agg(
+        *[
+            F.min(
+                F.when(F.col("cum") * den >= F.col("n") * num, F.col("v"))
+            ).alias(f"exact_{lab}")
+            for lab, num, den in _HQ_QUANTILES
+        ]
+    )
+    n_bins = bins.agg(F.count(F.lit(1)).alias("n_bins"))
+    out_cols = [
+        F.col("n").cast("bigint").alias("n_values"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.col("n_bins").cast("bigint").alias("n_bins"),
+    ]
+    for lab, _, _ in _HQ_QUANTILES:
+        out_cols += [
+            F.col(f"est_{lab}").cast("bigint").alias(f"est_{lab}"),
+            F.col(f"exact_{lab}").cast("bigint").alias(f"exact_{lab}"),
+            F.round(
+                (F.col(f"exact_{lab}") - F.col(f"est_{lab}"))
+                * F.lit(1.0)
+                / F.col(f"exact_{lab}"),
+                6,
+            ).alias(f"err_{lab}"),
+        ]
+    return (
+        n1.crossJoin(F.broadcast(n_bins))
+        .crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(exact))
+        .select(*out_cols)
+    )

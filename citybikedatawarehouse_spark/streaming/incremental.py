@@ -1005,3 +1005,90 @@ def resolve_cdc(state_df: DataFrame) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("k", "op", "cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming histogram-sketch quantiles (q261's live twin)
+# ---------------------------------------------------------------------------
+
+HIST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("lo", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+
+def hist_epoch_step(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    value_col: str,
+) -> None:
+    """One histogram epoch: land this batch's (bin, count) slice of
+    the two-significant-digit quantile sketch (q261's `_hq_bin_lo`
+    binning — a pure string function of the value, so any epoch
+    partitioning resolves to the identical histogram). Counts are a
+    SUM-monoid; a replayed epoch overwrites its own directory (the
+    module's replay contract). State is bounded at ~90 bins per
+    decimal magnitude per epoch regardless of row count — the
+    reason a 100 TB stream keeps this sketch instead of sorting."""
+    from citybikedatawarehouse_spark.plans.analytics import _hq_bin_lo
+
+    (
+        batch_df.select(
+            _hq_bin_lo(F.col(value_col).cast("bigint")).alias("lo")
+        )
+        .groupBy("lo")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .write.mode("overwrite")
+        .parquet(f"{state_dir}/epoch={epoch_id}")
+    )
+
+
+def start_incremental_hist(stream: DataFrame, state_dir: str, value_col: str):
+    """Streaming quantile sketch: per-epoch (bin, count) slices, the
+    SUM-merge sibling of the count-min stream — completing the live
+    sketch quartet (CMS frequency / HLL cardinality / Bloom
+    membership / histogram quantiles)."""
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        hist_epoch_step(batch_df, epoch_id, state_dir, value_col)
+
+    return stream.writeStream.foreachBatch(step).start()
+
+
+def resolve_hist(state_df: DataFrame) -> DataFrame:
+    """Merge per-epoch histogram slices: SUM per bin — byte-
+    compatible with q261's batch-built `bins` relation."""
+    return state_df.groupBy("lo").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def hist_quantile_estimate(
+    bins: DataFrame, quantiles: list[tuple[str, int, int]] | None = None
+) -> DataFrame:
+    """Point-query the resolved sketch: for each (label, num, den)
+    quantile, the first bin whose cumulative count reaches
+    ceil(N*num/den) — q261's integer-exact estimate expression
+    (cum*den >= N*num) over any resolved histogram. Runs on O(bins)
+    rows."""
+    if quantiles is None:
+        from citybikedatawarehouse_spark.plans.analytics import _HQ_QUANTILES
+
+        quantiles = _HQ_QUANTILES
+    n1 = bins.agg(F.sum("cnt").alias("n"))
+    w = Window.orderBy("lo").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select("lo", F.sum("cnt").over(w).alias("cum"))
+    return cum.crossJoin(F.broadcast(n1)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") * den >= F.col("n") * num, F.col("lo")
+                )
+            )
+            .cast("bigint")
+            .alias(f"est_{lab}")
+            for lab, num, den in quantiles
+        ]
+    )

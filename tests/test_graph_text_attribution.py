@@ -433,3 +433,27 @@ def test_simpson_audit_pooled_replay(spark, sf_dir):
         if r.slope is not None and abs(r.slope) > 1e-9:
             assert (r.slope > 0) == (r.slope_sign == 1)
     assert sum(r.n for s, r in rows.items() if s != "__pooled__") == p.n
+
+
+# ------------------------------------------------- q261 histogram quantiles
+
+def test_histogram_quantile_sketch_laws(spark, sf_dir):
+    """The two-significant-digit bin's lower bound can never exceed a
+    value in the bin and the bin spans < 10% of its lower bound, so
+    for every quantile: est <= exact <= est * 1.1 (exact equality
+    when values are single-digit), err is consistent with the
+    integer columns, and the sketch is genuinely compressive
+    (n_bins <= ~90 per decimal magnitude, far below n_distinct)."""
+    r = QUERIES["q261_histogram_quantiles"](spark, sf_dir).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert 0 < r.n_bins <= r.n_distinct <= r.n_values
+    # cents span at most ~8 decimal magnitudes at any shipped SF
+    assert r.n_bins <= 8 * 91
+    for lab in ("p50", "p90", "p99"):
+        est, exact, err = r[f"est_{lab}"], r[f"exact_{lab}"], r[f"err_{lab}"]
+        assert est <= exact <= est * 1.1 + 1
+        assert abs(err - round((exact - est) / exact, 6)) < 1e-9
+    # quantiles are monotone in both the sketch and the exact leg
+    assert r.est_p50 <= r.est_p90 <= r.est_p99
+    assert r.exact_p50 <= r.exact_p90 <= r.exact_p99

