@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import random
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -743,7 +744,13 @@ def dedup_clusters(
         .select("e.a", "e.b")
         .distinct()
         # materialize once: every round joins edges, and without this
-        # the pair generation would re-execute per round
+        # the pair generation would re-execute per round. Deserialized
+        # ON PURPOSE: the dup-graph edge list is bounded by real
+        # duplicate structure (measured 22.5 s at 100x), unlike
+        # pagerank's full co-occurrence graph, and the per-round joins
+        # rescan it — serialized measured ~25% slower (8.3 vs 6.7 s at
+        # sf0.1); at a genuine memory wall the storageLevel param is
+        # the one-line escape (operators/graph.py precedent)
         .localCheckpoint(eager=True)
     )
     # bidirectional edges: the src set IS the touched-node set

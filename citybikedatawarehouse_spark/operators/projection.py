@@ -26,6 +26,7 @@ from __future__ import annotations
 import hashlib
 import math
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -151,7 +152,9 @@ def power_iteration_top_pc(
     """
     staged = emb.select(
         id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("x")
-    ).localCheckpoint(eager=True)  # scanned 2+n_iter times below
+    ).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )  # serialized: O(N*d) doubles, scanned 2+n_iter times below
 
     stats = (
         staged.select(F.posexplode("x").alias("pos", "v"))
@@ -175,6 +178,9 @@ def power_iteration_top_pc(
     # materialize the centered array once per row — HOF lambdas are
     # excluded from subexpression elimination (PERFORMANCE.md), so an
     # unbound zip_with would recompute per consumer
+    # xc is deserialized ON PURPOSE: the power loop rescans it
+    # n_iter times and serialized storage measured ~26% slower at
+    # sf0.1; `staged` above carries the serialized safety copy
     xc = staged.select(
         F.zip_with("x", mu_lit, lambda a, b: a - b).alias("xc")
     ).localCheckpoint(eager=True)
@@ -243,7 +249,7 @@ def power_iteration_second_pc(
     mu_lit = F.array(*[F.lit(m) for m in mu])
     xc = staged.select(
         F.zip_with("x", mu_lit, lambda a, b: a - b).alias("xc")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)  # deserialized: see q135's note
 
     dim = len(mu)
     u = [1.0 / 8.0] * dim

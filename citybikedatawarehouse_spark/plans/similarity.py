@@ -9,6 +9,7 @@ explicitly (parallel unnest zips element-wise in DuckDB).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -561,7 +562,9 @@ def semantic_dedup(
     # 2.57 s, a ~6% win — modest here because the sf0.1 scan is
     # cheap, but the gap widens with input size since the saved work
     # is per-scan decode; see PERFORMANCE.md round 5.
-    emb_p = emb.select(id_col, vec_col).localCheckpoint(eager=False)
+    emb_p = emb.select(id_col, vec_col).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )  # serialized: O(N) vector arrays, the measured 100x OOM shape
     _, cents = kmeans_fit(emb_p, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
     av = kmeans_assign(emb_p, cents, id_col, vec_col)
     return capped_pair_sweep(
@@ -1113,7 +1116,9 @@ def q117_semantic_dedup_hier(spark, sf_dir):
     emb_p = (
         _t(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
-        .localCheckpoint(eager=False)  # Lloyd's re-scans; see semantic_dedup
+        .localCheckpoint(
+            eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )  # serialized O(N) arrays; Lloyd's re-scans — see semantic_dedup
     )
     assigned, _ = hier_kmeans_fit(
         emb_p, k_coarse=8, k_fine=4, n_iter=2, keep_vec=True
