@@ -523,6 +523,10 @@ def _copurchase_pairs(lineitem: DataFrame) -> DataFrame:
     the (≤20-element) array — identical pair set to the oracles'
     row_number formulation. Returns rows of ``pp`` structs
     (pp.p1 < pp.p2)."""
+    from citybikedatawarehouse_spark.functions.arrays import (
+        ordered_pair_structs,
+    )
+
     li = lineitem.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     )
@@ -531,20 +535,7 @@ def _copurchase_pairs(lineitem: DataFrame) -> DataFrame:
             F.array_sort(F.collect_set("pk")), 1, _COPURCHASE_CAP
         ).alias("ps")
     )
-    pair_structs = F.flatten(
-        F.transform(
-            "ps",
-            lambda x, i: F.transform(
-                F.slice(
-                    "ps",
-                    i + F.lit(2),
-                    F.greatest(F.size("ps") - i - 1, F.lit(0)),
-                ),
-                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
-            ),
-        )
-    )
-    return per_order.select(F.explode(pair_structs).alias("pp"))
+    return per_order.select(F.explode(ordered_pair_structs("ps")).alias("pp"))
 
 
 _COPURCHASE_PAIRS_SQL = f"""

@@ -255,7 +255,7 @@ def q237_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = W.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
     )
-    # ranked feeds eligible/holdout/op and op feeds co (twice) +
+    # ranked feeds eligible/holdout/op_arr and op_arr feeds co +
     # profile: without materialization the whole upstream replicates
     # per consumer (measured: 11 orders scans + 7 lineitem scans in
     # one plan at sf0.1; persisted -> 1 scan each). persist(MEMORY_
@@ -285,26 +285,32 @@ def q237_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_partkey")
         .distinct()
     )
-    pn = W.partitionBy("o_orderkey").orderBy("l_partkey")
-    op = (
+    # per-order CAPPED part arrays via ONE groupBy (collect_set dedups
+    # within the order; array_sort + slice is the same ascending-
+    # partkey cap the oracle's row_number states), then the pair
+    # fan-out is a per-row HOF over the <=20-element array — the
+    # q133/_copurchase_pairs rewrite applied to the training split:
+    # no distinct + per-order window + self-join. Verified identical
+    # pair counts; the executed co subplan drops 9 Exchanges / 1
+    # SortMergeJoin / 8 Windows to 4 / 0 / 1
+    from citybikedatawarehouse_spark.functions.arrays import (
+        ordered_pair_structs,
+    )
+
+    op_arr = (
         joined.where(F.col("rn") > 1)
-        .select("o_orderkey", "o_custkey", "l_partkey")
-        .distinct()
-        .withColumn("pn", F.row_number().over(pn))
-        .where(F.col("pn") <= _REC_ORDER_CAP)
-        .drop("pn")
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set("l_partkey")), 1, _REC_ORDER_CAP
+            ).alias("ps")
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    opb = op.select(
-        F.col("o_orderkey").alias("ok_b"), F.col("l_partkey").alias("pk_b")
-    )
     co = (
-        op.join(
-            opb,
-            (op.o_orderkey == opb.ok_b) & (op.l_partkey < opb.pk_b),
-        )
+        op_arr.select(F.explode(ordered_pair_structs("ps")).alias("pp"))
         .groupBy(
-            F.col("l_partkey").alias("p1"), F.col("pk_b").alias("p2")
+            F.col("pp.p1").alias("p1"), F.col("pp.p2").alias("p2")
         )
         .agg(F.count(F.lit(1)).alias("n_co"))
     )
@@ -319,8 +325,8 @@ def q237_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("nr")
     )
     profile = (
-        op.join(F.broadcast(eligible), "o_custkey")
-        .select("o_custkey", "l_partkey")
+        op_arr.join(F.broadcast(eligible), "o_custkey")
+        .select("o_custkey", F.explode("ps").alias("l_partkey"))
         .distinct()
     )
     owned = profile.select(
