@@ -130,3 +130,27 @@ def test_variant_path_equals_get_json_object(spark, sf_dir):
         F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("v"),
     )
     assert both.where(~(F.col("s").eqNullSafe(F.col("v")))).count() == 0
+
+
+def test_ordered_pair_structs_complete_and_canonical(spark):
+    """For a sorted deduped array of n items the HOF emits exactly
+    C(n,2) structs, each with p1 < p2, covering every unordered pair
+    — the contract that lets it replace a.k < b.k self-joins."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.functions.arrays import (
+        ordered_pair_structs,
+    )
+
+    rows = [([1, 3, 5, 9, 12],), ([7],), ([],), ([2, 4],)]
+    df = spark.createDataFrame(rows, "ps: array<bigint>")
+    got = [
+        sorted((p.p1, p.p2) for p in r.pairs)
+        for r in df.select(
+            ordered_pair_structs("ps").alias("pairs")
+        ).collect()
+    ]
+    want = [sorted(combinations(ps, 2)) for (ps,) in rows]
+    assert got == want
