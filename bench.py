@@ -65,6 +65,8 @@ HEADLINE = [
     "q232_market_share",
     "q237_hitrate_eval",
     "q243_countmin_heavy_hitters",
+    # round 7: the quantile member of the sketch quartet
+    "q261_histogram_quantiles",
 ]
 
 # Queries whose iterative driver loop (convergence counts, d-row
