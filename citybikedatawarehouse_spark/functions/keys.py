@@ -55,36 +55,6 @@ def surrogate_key_sql(*exprs: str) -> str:
     return f"sha256(concat_ws(chr(31), {parts}))"
 
 
-def cms_bucket(j: Column | str, key: Column | str, width: int) -> Column:
-    """Count-min-sketch row hash: md5('cms'||j||':'||key) first 8 hex
-    digits as an integer, mod ``width``. A pure function of (row,
-    key) — identical on every engine, epoch, and partitioning, so
-    per-epoch sketch slices merge by SUM and the DuckDB oracle
-    replays it verbatim (`('0x'||substr(md5(...),1,8))::BIGINT %
-    width`)."""
-    j = F.col(j) if isinstance(j, str) else j
-    key = F.col(key) if isinstance(key, str) else key
-    return (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("cms"),
-                        j.cast("string"),
-                        F.lit(":"),
-                        key.cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % width
-    )
-
-
 def cms_buckets(key: Column | str, width: int, depth: int = 4) -> Column:
     """All ``depth`` count-min row buckets from ONE md5 call: the
     32-hex digest of 'cms:'||key splits into ``depth`` disjoint
@@ -92,8 +62,8 @@ def cms_buckets(key: Column | str, width: int, depth: int = 4) -> Column:
     ``width``. One digest per row instead of one per (row, j) — 4x
     less hashing on the sketch build's full-corpus scan (measured:
     the md5 projection dominated q243's cost), with the same
-    purity contract as ``cms_bucket``: a function of the key alone,
-    so per-epoch slices SUM-merge and the DuckDB oracle replays it
+    purity contract as ``hll_parts``/``bloom_bit``: a pure function
+    of the key, so per-epoch slices SUM-merge and the oracle replays it
     verbatim (``cms_buckets_sql``). Returns array<bigint> indexed by
     hash row j; pair with ``F.posexplode`` to get (j, bucket)."""
     if not 1 <= depth <= 4:
@@ -181,7 +151,7 @@ def hll_parts_sql(key_expr: str, tag: str = "hll") -> str:
 
 def bloom_bit(j: Column | str, key: Column | str, m_bits: int) -> Column:
     """Bloom-filter bit position for hash row ``j``: md5-derived,
-    pure function of (j, key) — the same contract as ``cms_bucket``
+    pure function of (j, key) — the same contract as ``cms_buckets``
     / ``hll_parts``; bits form an OR-monoid (set-of-positions union)
     so per-epoch slices merge by DISTINCT union. Oracle twin:
     `('0x'||substr(md5('bloom'||j||':'||key),1,8))::BIGINT % m`."""
