@@ -527,3 +527,29 @@ def test_ndcg_single_corpus_scan(spark, sf_dir):
     spark.catalog.clearCache()
     p253 = _plan(spark, "q253_ndcg_at_10", sf_dir)
     assert p253.count("documents.parquet") <= 1
+
+
+def test_pagerank_edge_checkpoint_is_serialized(spark):
+    """The O(E) edge checkpoint must store SERIALIZED — the default
+    deserialized row blocks are the measured 100x OOM mode
+    (PERFORMANCE.md round 7). Running pagerank must add at least one
+    'Serialized'-level cached RDD (the e_deg checkpoint; the O(V)
+    ranks/nodes checkpoints stay deserialized by design)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from citybikedatawarehouse_spark.operators.graph import pagerank
+
+    def n_serialized():
+        return sum(
+            1
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if "Serialized" in i.storageLevel().description()
+        )
+
+    before = n_serialized()
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3)],
+        "src: long, dst: long",
+    )
+    pagerank(e, n_iter=2).collect()
+    assert n_serialized() > before
