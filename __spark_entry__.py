@@ -35,111 +35,79 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness sweep records the FIRST 50 entries of
 # this dict, in dict order — so dict order decides which queries
-# reach the hard gate each round. Round-7 priority order (per the
-# round-6 VERDICT's explicit ask, item 1):
-#   1. the 50 OLDEST never-driver-swept queries, q159–q208 — exactly
-#      the head-slot cohort the round-6 VERDICT prescribed. 101/265
-#      queries had no CORRECTNESS row after r6; this retires the
-#      older half. q162 and q179 changed this round (exact integer
-#      quota div; LPA endpoint-union seeding — identity on q179's
-#      bidirectional input) and both sit inside this head block, so
-#      changed code faces the gate in the same pass.
-#   2. the remaining never-swept queries q209–q259 (51) — these own
-#      the round-8 head slots; also contains q253 (restated this
-#      round: shared tokenized base across its BM25/grade legs).
-#   3. everything else, least-recently-verified first: the r03-
-#      evidence block, then r04, then r05, and the 50 queries the
-#      round-6 sweep just proved (q126–q158 + the r6-refreshed
-#      subquery/temporal/SCD2 block) at the very tail — freshest
-#      evidence last. All 265 registered queries are re-proven
-#      locally at sf0.01 against DuckDB every round regardless of
-#      sweep position (driver-style full sweeps, scripts/
-#      catalog_sweep.py — see PERFORMANCE.md).
+# reach the hard gate each round. Round-8 priority order (per the
+# round-7 VERDICT's explicit ask, item 1):
+#   1. the 53 remaining never-driver-swept queries, q209–q261 —
+#      after this cohort gets its driver rows, every one of the 267
+#      registered queries has green evidence from the DRIVER's own
+#      sweep (q159–q208 got theirs in r7; q209–q261 had only the
+#      r7 judge's scripts/full_sweep.py verification until now).
+#   2. everything else, least-recently-verified first: the r03-
+#      evidence block, then r04, r05, r06, and the 50 queries the
+#      round-7 sweep just proved (q159–q208) at the very tail —
+#      freshest evidence last. All 267 registered queries are
+#      re-proven locally at sf0.01 against DuckDB every round
+#      regardless of sweep position (driver-style full sweeps,
+#      scripts/catalog_sweep.py — see PERFORMANCE.md).
 # Every name is asserted against the registry at import time (see
 # the assert after the list).
 _SWEEP_PRIORITY = [
-    # -- 1. never-driver-swept, oldest half (round-7 head slots:
-    #       q159–q208 = 50 exactly, per VERDICT r6 item 1) --
-    "q159_bpe_encode", "q160_semantic_decontaminate",
-    "q161_cluster_safe_split", "q162_temperature_mixture",
-    "q163_cdc_chunk_dedup", "q164_dsir_resample",
-    "q165_ivfpq_topk", "q166_lexical_diversity",
-    "q167_index_drift", "q168_key_skew_audit",
-    "q169_entity_match", "q170_lasttouch_attribution",
-    "q171_geo_neighbor_pairs", "q172_lateral_topn",
-    "q173_rolling_wau", "q174_equidepth_bins", "q175_cohort_ltv",
-    "q176_triangle_participation", "q177_rater_agreement",
-    "q178_cluster_purity", "q179_copurchase_communities",
-    "q180_linear_attribution", "q181_rfm_segments",
-    "q182_ngram_containment", "q183_mann_whitney",
-    "q184_chi_squared", "q185_dow_seasonality", "q186_trade_flows",
-    "q187_segment_trend", "q188_source_jsd", "q189_graph_stats",
-    "q190_kcore", "q191_ann_recall", "q192_audio_windows",
-    "q193_revenue_streaks", "q194_quality_canonicals",
-    "q195_phrase_search", "q196_collocations",
-    "q197_link_prediction", "q198_supplier_hhi",
-    "q199_ship_latency", "q200_return_rates",
-    "q201_dup_cluster_census", "q202_discount_bands",
-    "q203_seasonal_anomalies", "q204_growth_accounting",
-    "q205_stickiness", "q206_abc_classification",
-    "q207_windowed_funnel", "q208_purchase_gaps",
-    # ---- slot-50 boundary: everything below waits for round 8 ----
-    # -- 2. never-driver-swept, newer half (round-8 head slots) --
-    "q209_table_health",
-    "q210_key_skew_census", "q211_silhouette",
+    # -- 1. never-driver-swept cohort (round-8 head slots, per
+    #       VERDICT r7 "Next round" item 1): q209-q261 = 53 queries.
+    #       These 53 currently rest on judge-side verification only
+    #       (scripts/full_sweep.py, r7 session); this rotation gives
+    #       every one of the 267 registered queries a driver row.
+    #       The first 50 fill the driver gate; q259/q260/q261 ride
+    #       in slots 51-53 in case the driver sweeps past 50. --
+    "q209_table_health", "q210_key_skew_census", "q211_silhouette",
     "q212_sorted_neighborhood", "q213_order_count_distribution",
-    "q214_large_volume_customers", "q215_bfs_reach",
-    "q216_item_similarity", "q217_theil_sen_trend",
-    "q218_revenue_deciles", "q219_gate_bias_audit",
+    "q214_large_volume_customers", "q215_bfs_reach", "q216_item_similarity",
+    "q217_theil_sen_trend", "q218_revenue_deciles", "q219_gate_bias_audit",
     "q220_purchase_sequences", "q221_forecast_backtest",
     "q222_mutual_information", "q223_contribution_rollup",
-    "q224_similarity_histogram", "q225_novelty_curve",
-    "q226_bm25_snippets",
+    "q224_similarity_histogram", "q225_novelty_curve", "q226_bm25_snippets",
     "q227_top_supplier", "q228_small_quantity_revenue",
     "q229_disjunctive_revenue", "q230_sole_supplier_orders",
-    "q231_rich_idle_customers", "q232_market_share",
-    "q233_parttype_profit",
-    "q234_symspell_fuzzy_join", "q235_mmr_rerank",
-    "q236_kcenter_coreset", "q237_hitrate_eval",
-    "q238_calibration_curve",
-    "q239_textrank_keywords", "q240_markov_attribution",
-    "q241_gdpr_cascade_audit", "q242_weighted_quantiles",
-    "q243_countmin_heavy_hitters", "q244_hll_distinct",
-    "q245_bloom_screen", "q246_cuped_ab",
-    "q247_bootstrap_ci", "q248_target_encoding",
-    "q249_model_auc", "q250_learning_curve",
-    "q251_pareto_frontier", "q252_cdc_apply",
-    "q253_ndcg_at_10", "q254_ipf_mixture",
-    "q255_column_stats", "q256_fd_audit", "q257_joinsize_estimate",
-    "q258_benford_audit", "q259_simpson_audit",
-    # -- 3a. r03-evidence queries --
+    "q231_rich_idle_customers", "q232_market_share", "q233_parttype_profit",
+    "q234_symspell_fuzzy_join", "q235_mmr_rerank", "q236_kcenter_coreset",
+    "q237_hitrate_eval", "q238_calibration_curve", "q239_textrank_keywords",
+    "q240_markov_attribution", "q241_gdpr_cascade_audit",
+    "q242_weighted_quantiles", "q243_countmin_heavy_hitters",
+    "q244_hll_distinct", "q245_bloom_screen", "q246_cuped_ab",
+    "q247_bootstrap_ci", "q248_target_encoding", "q249_model_auc",
+    "q250_learning_curve", "q251_pareto_frontier", "q252_cdc_apply",
+    "q253_ndcg_at_10", "q254_ipf_mixture", "q255_column_stats",
+    "q256_fd_audit", "q257_joinsize_estimate", "q258_benford_audit",
+    "q259_simpson_audit", "q260_revenue_deciles_ranged",
+    "q261_histogram_quantiles",
+    # ---- slot-53 boundary: everything below already has a driver
+    #      row; ordered least-recently-verified first ----
+    # -- 2a. r03-evidence block --
     "q77_zorder_key", "q48_array_agg", "q61_ngram_jaccard",
     "q68_tfidf_topterms", "q69_decontaminate", "q49_posexplode",
     "q91_running_totals_batch", "q47_conditionals", "q56_map_ops",
     "q57_struct_ops", "q66_quality_filter_pipeline",
     "q67_stratified_sample", "q73_embedding_stats",
-    "q81_multimodal_features", "q59_cross_join",
-    "q106_salted_aggregate", "q80_multimodal_decode",
-    "q90_stream_dedup_batch", "q107_salted_join", "q58_unpivot",
-    "q45_math_suite", "q46_datetime_suite", "q109_compaction",
-    "q63_simhash_neardup",
-    # -- 3b. r04-verified block --
-    "q78_embedding_quantize", "q84_dataset_split",
-    "q85_repetition_filter", "q86_incremental_dedup",
-    "q87_unigram_logprob", "q79_matryoshka_truncate",
-    "q89_split_leakage", "q98_length_buckets",
+    "q81_multimodal_features", "q59_cross_join", "q106_salted_aggregate",
+    "q80_multimodal_decode", "q90_stream_dedup_batch", "q107_salted_join",
+    "q58_unpivot", "q45_math_suite", "q46_datetime_suite",
+    "q109_compaction", "q63_simhash_neardup",
+    # -- 2b. r04-verified block --
+    "q78_embedding_quantize", "q84_dataset_split", "q85_repetition_filter",
+    "q86_incremental_dedup", "q87_unigram_logprob",
+    "q79_matryoshka_truncate", "q89_split_leakage", "q98_length_buckets",
     "q62_minhash_lsh", "q64_dedup_clusters", "q74_ivf_ann_topk",
-    "q82_frame_sample",
-    "q70_cosine_topk", "q71_cosine_neardup", "q72_lsh_ann_topk",
-    "q26_sort_limit_topk", "q56b_text_normalize", "q52_token_count",
-    "q60_exact_dedup", "q43_haversine", "q54_language_id",
-    "q29_pk_uniqueness", "q40_dim_build", "q42_fact_derived_keys",
-    "q53_quality_score", "q10_distinct_dedup", "q25_agg_stats",
-    "q09_anti_join", "q30_fk_orphans", "q12_union_all", "q15_except",
-    "q22_rollup", "q17_window_topk_per_group", "q08_semi_join",
-    "q02_filter_pushdown", "q18_window_running_sum", "q55_fingerprint",
-    "q27_pivot", "q33b_promo_revenue_share", "q31_range_join",
-    # -- 3c. r05-verified block --
+    "q82_frame_sample", "q70_cosine_topk", "q71_cosine_neardup",
+    "q72_lsh_ann_topk", "q26_sort_limit_topk", "q56b_text_normalize",
+    "q52_token_count", "q60_exact_dedup", "q43_haversine",
+    "q54_language_id", "q29_pk_uniqueness", "q40_dim_build",
+    "q42_fact_derived_keys", "q53_quality_score", "q10_distinct_dedup",
+    "q25_agg_stats", "q09_anti_join", "q30_fk_orphans", "q12_union_all",
+    "q15_except", "q22_rollup", "q17_window_topk_per_group",
+    "q08_semi_join", "q02_filter_pushdown", "q18_window_running_sum",
+    "q55_fingerprint", "q27_pivot", "q33b_promo_revenue_share",
+    "q31_range_join",
+    # -- 2c. r05-verified block --
     "q01_pricing_summary", "q03_topk_revenue", "q04_exists_priority",
     "q05_region_volume", "q06_predicate_revenue", "q07_left_join_enrich",
     "q11_keyed_dedup_first", "q13_union_distinct", "q14_intersect",
@@ -148,20 +116,18 @@ _SWEEP_PRIORITY = [
     "q32b_shipmode_priority", "q34b_nation_trade_volume",
     "q35b_returned_item_ranking", "q36b_large_order_customers",
     "q41_date_dim_build", "q44_speed_coercion", "q50_string_funcs",
-    "q51_json_extract", "q65_winnow_fingerprint",
-    "q110_pack_segments", "q111_bm25_topk", "q112_doc_chunks",
-    "q113_weighted_sample", "q114_ngram_novelty",
-    "q115_hard_negatives", "q116_dedup_rate_by_source",
-    "q117_semantic_dedup_hier", "q118_hybrid_rrf", "q119_hot_ngrams",
-    "q120_moving_avg_range", "q121_gap_fill_locf",
-    "q122_word_entropy", "q123_embedding_dim_stats",
+    "q51_json_extract", "q65_winnow_fingerprint", "q110_pack_segments",
+    "q111_bm25_topk", "q112_doc_chunks", "q113_weighted_sample",
+    "q114_ngram_novelty", "q115_hard_negatives",
+    "q116_dedup_rate_by_source", "q117_semantic_dedup_hier",
+    "q118_hybrid_rrf", "q119_hot_ngrams", "q120_moving_avg_range",
+    "q121_gap_fill_locf", "q122_word_entropy", "q123_embedding_dim_stats",
     "q124_chunk_dedup_pipeline", "q125_curriculum_buckets",
-    "q88_semantic_dedup", "q97_mixture_sample",
-    "q83_sequence_pack", "q92_curation_e2e",
-    "q75_kmeans", "q76_ivf_kmeans_topk",
-    "q93_hier_kmeans", "q94_hier_ivf_topk",
-    "q95_pq_encode", "q96_pq_adc_topk",
-    # -- 3d. r06-verified block (freshest evidence, tail) --
+    "q88_semantic_dedup", "q97_mixture_sample", "q83_sequence_pack",
+    "q92_curation_e2e", "q75_kmeans", "q76_ivf_kmeans_topk",
+    "q93_hier_kmeans", "q94_hier_ivf_topk", "q95_pq_encode",
+    "q96_pq_adc_topk",
+    # -- 2d. r06-verified block --
     "q126_positive_pairs", "q127_source_quota_filter",
     "q128_funnel_conversion", "q129_retention_cohorts",
     "q130_gap_fill_interp", "q131_outlier_mad", "q132_pii_scrub",
@@ -169,24 +135,39 @@ _SWEEP_PRIORITY = [
     "q135_pca_power_iteration", "q136_winsorized_stats",
     "q137_event_transitions", "q138_knn_label_audit",
     "q139_label_prototype_margin", "q140_conversion_latency",
-    "q141_snapshot_diff", "q142_incremental_agg_merge",
-    "q143_bpe_merges", "q144_ab_test", "q145_ewma_revenue",
-    "q146_corr_suite", "q147_kaplan_meier", "q148_trend_forecast",
-    "q149_cusum_changepoint", "q150_cross_source_overlap",
-    "q151_length_drift_psi", "q152_knn_label_audit_ann",
-    "q153_association_rules", "q154_session_paths",
-    "q155_multisignal_dedup_audit", "q156_product_health_e2e",
-    "q157_pca_two_components", "q158_bigram_logprob",
-    "q100_scalar_subquery", "q101_correlated_exists",
+    "q141_snapshot_diff", "q142_incremental_agg_merge", "q143_bpe_merges",
+    "q144_ab_test", "q145_ewma_revenue", "q146_corr_suite",
+    "q147_kaplan_meier", "q148_trend_forecast", "q149_cusum_changepoint",
+    "q150_cross_source_overlap", "q151_length_drift_psi",
+    "q152_knn_label_audit_ann", "q153_association_rules",
+    "q154_session_paths", "q155_multisignal_dedup_audit",
+    "q156_product_health_e2e", "q157_pca_two_components",
+    "q158_bigram_logprob", "q100_scalar_subquery", "q101_correlated_exists",
     "q102_in_subquery", "q103_cte_pipeline", "q104_above_group_avg",
     "q105_smoke_limit", "q28_percentiles", "q28b_approx_aggregates",
     "q32_date_parts", "q33_time_parts", "q34_epoch_duration",
     "q35_tumbling_window", "q36_sliding_window", "q37_sessionization",
     "q38_asof_join", "q39_asof_join_bucketed", "q108_scd2_merge",
-    # -- NEW in round 7, at the tail per VERDICT r6 item 5: the
-    # never-swept q159–q259 backlog owns the r7/r8 head slots --
-    "q260_revenue_deciles_ranged",
-    "q261_histogram_quantiles",
+    # -- 2e. r07-verified block (q159-q208, freshest evidence, tail) --
+    "q159_bpe_encode", "q160_semantic_decontaminate",
+    "q161_cluster_safe_split", "q162_temperature_mixture",
+    "q163_cdc_chunk_dedup", "q164_dsir_resample", "q165_ivfpq_topk",
+    "q166_lexical_diversity", "q167_index_drift", "q168_key_skew_audit",
+    "q169_entity_match", "q170_lasttouch_attribution",
+    "q171_geo_neighbor_pairs", "q172_lateral_topn", "q173_rolling_wau",
+    "q174_equidepth_bins", "q175_cohort_ltv", "q176_triangle_participation",
+    "q177_rater_agreement", "q178_cluster_purity",
+    "q179_copurchase_communities", "q180_linear_attribution",
+    "q181_rfm_segments", "q182_ngram_containment", "q183_mann_whitney",
+    "q184_chi_squared", "q185_dow_seasonality", "q186_trade_flows",
+    "q187_segment_trend", "q188_source_jsd", "q189_graph_stats",
+    "q190_kcore", "q191_ann_recall", "q192_audio_windows",
+    "q193_revenue_streaks", "q194_quality_canonicals", "q195_phrase_search",
+    "q196_collocations", "q197_link_prediction", "q198_supplier_hhi",
+    "q199_ship_latency", "q200_return_rates", "q201_dup_cluster_census",
+    "q202_discount_bands", "q203_seasonal_anomalies",
+    "q204_growth_accounting", "q205_stickiness", "q206_abc_classification",
+    "q207_windowed_funnel", "q208_purchase_gaps",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

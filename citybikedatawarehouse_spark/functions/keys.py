@@ -65,7 +65,16 @@ def cms_buckets(key: Column | str, width: int, depth: int = 4) -> Column:
     purity contract as ``hll_parts``/``bloom_bit``: a pure function
     of the key, so per-epoch slices SUM-merge and the oracle replays it
     verbatim (``cms_buckets_sql``). Returns array<bigint> indexed by
-    hash row j; pair with ``F.posexplode`` to get (j, bucket)."""
+    hash row j; pair with ``F.posexplode`` to get (j, bucket).
+
+    Independence caveat: the ``depth`` chunks come from ONE digest,
+    so they are correlated rather than d independently-keyed hashes —
+    the classic CM-sketch error bound (eps = e/width with prob
+    1 - e^-depth) formally assumes pairwise-independent rows. For
+    this non-adversarial frequency-audit workload md5's avalanche
+    makes the chunks behave independently in practice, but size
+    depth*width with margin rather than at the bound when the
+    guarantee matters."""
     if not 1 <= depth <= 4:
         raise ValueError("md5 yields 4 independent 8-hex chunks")
     key = F.col(key) if isinstance(key, str) else key

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from citybikedatawarehouse_spark.functions.keys import cms_buckets_sql
 from citybikedatawarehouse_spark.plans.catalog import register
 from citybikedatawarehouse_spark.sources.readers import load_table as _t
 
@@ -6190,8 +6191,7 @@ _CMS_TOPK = 20
     ),
     cms AS MATERIALIZED (
       SELECT j,
-             ('0x' || substr(md5('cms:' || pk), 1 + 8 * CAST(j AS INTEGER),
-                             8))::BIGINT % {_CMS_WIDTH} AS bucket,
+             {cms_buckets_sql("pk", _CMS_WIDTH, "j")} AS bucket,
              CAST(count(*) AS BIGINT) AS counter
       FROM rows_d GROUP BY 1, 2
     ),
@@ -6208,9 +6208,7 @@ _CMS_TOPK = 20
     ),
     probes AS (
       SELECT t.pk, t.actual, d.j,
-             ('0x' || substr(md5('cms:' || t.pk),
-                             1 + 8 * CAST(d.j AS INTEGER), 8))::BIGINT
-               % {_CMS_WIDTH} AS bucket
+             {cms_buckets_sql("t.pk", _CMS_WIDTH, "d.j")} AS bucket
       FROM top t CROSS JOIN UNNEST(range(0, {_CMS_DEPTH})) d(j)
     )
     SELECT p.pk AS l_partkey, p.actual,

@@ -1037,7 +1037,11 @@ def hist_epoch_step(
 
     (
         batch_df.select(
-            _hq_bin_lo(F.col(value_col).cast("bigint")).alias("lo")
+            # round, THEN cast: a raw double value_col (e.g. price*100
+            # cents) must land in the same bin as batch q261's
+            # round(...) — a bare bigint cast truncates and silently
+            # breaks the stream==batch identity by one cent
+            _hq_bin_lo(F.round(F.col(value_col)).cast("bigint")).alias("lo")
         )
         .groupBy("lo")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
