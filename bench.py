@@ -163,7 +163,21 @@ def main() -> None:
     spark = get_spark(app_name="cbdw-bench")
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    # Interleaved contention probes (round-7 postmortem): the old
+    # end-of-run calib ran AFTER all queries, so host load DURING the
+    # sweep was invisible — r7's driver run recorded a phantom 3.4x
+    # q176 regression that an idle-host re-run disproved, and the
+    # end-of-run calib was actually FASTER than r6's. Sampling
+    # calib_par between every 3rd query pins each timing to the CPU
+    # availability at that moment, so a contended run is machine-
+    # detectable per query without a manual re-run. query_ts_sec
+    # (end offset from bench start) lets any external load log be
+    # lined up against individual queries.
+    calib_inline: dict[str, float] = {}
+    query_ts: dict[str, float] = {}
+    t_bench0 = time.perf_counter()
+    calib_inline["_start"] = _calibrate_parallel()
+    for i, name in enumerate(HEADLINE):
         if name not in QUERIES:
             continue
         df = QUERIES[name](spark, sf_dir)
@@ -180,6 +194,9 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        query_ts[name] = round(time.perf_counter() - t_bench0, 2)
+        if i % 3 == 2:  # one ~0.1 s probe per 3 queries (~3% overhead)
+            calib_inline[name] = _calibrate_parallel()
 
     total = round(sum(timings.values()), 4)
     print(
@@ -203,6 +220,15 @@ def main() -> None:
                 "calib_par_sec": min(
                     _calibrate_parallel() for _ in range(2)
                 ),
+                # per-query contention context: calib_par samples
+                # taken DURING the sweep (key = query just finished;
+                # "_start" = before the first), and each query's end
+                # offset from bench start. A query whose nearest
+                # inline calib is >>min(calib_inline) ran on a
+                # contended host — discount it instead of calling it
+                # a regression.
+                "calib_inline": calib_inline,
+                "query_ts_sec": query_ts,
             }
         )
     )
