@@ -107,9 +107,19 @@ def write_jdbc(
     SQLAlchemy ``to_sql`` into PostgreSQL (create_db_from_csv.py:14).
 
     Requires the JDBC driver jar on the Spark classpath
-    (``spark.jars`` / ``--jars``); this environment ships none, so
-    the function is exercised only against real infrastructure.
+    (``spark.jars`` / ``--jars``). For PostgreSQL that jar must be
+    supplied by the deployment; the path itself is proven end-to-end
+    against embedded Apache Derby (bundled with Spark — see
+    tests/test_jdbc_roundtrip.py: write -> read back -> digest
+    equals the parquet twin, both overwrite and append modes, with
+    int/string/double/date columns through Spark's DerbyDialect).
     Use ``write_parquet`` for the engine's native warehouse format.
+
+    Scale note: each Spark task opens its own connection and issues
+    batched INSERTs — parallelism = input partitions. Against a real
+    server, ``df.coalesce(n)`` to the connection budget first;
+    ``properties['batchsize']`` (default 1000) controls rows per
+    round-trip.
     """
     df.write.jdbc(url=url, table=table, mode=mode, properties=properties or {})
 
