@@ -13,6 +13,34 @@ import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _fs_swap(spark: SparkSession, staging: str, target: str, backup: str) -> None:
+    """Swap ``staging`` into place over ``target`` through the Hadoop
+    ``FileSystem`` API (rename target->backup, staging->target, delete
+    backup) instead of ``shutil`` — so the same code path runs on any
+    Hadoop-supported store, not just the local POSIX filesystem.
+
+    Atomicity caveat: HDFS (and local fs) rename is atomic, so a crash
+    mid-swap leaves either the old directory or the new one. On object
+    stores (S3A and friends) "rename" is a server-side COPY + DELETE —
+    there is a window where readers see a partial table. At that scale
+    use a transactional table format (Delta/Iceberg) or publish into a
+    versioned directory and flip a pointer; this helper is the plain-
+    Parquet fallback, correct-on-crash only where rename is native.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path
+    fs = jpath(target).getFileSystem(hconf)
+    if not fs.rename(jpath(target), jpath(backup)):
+        raise IOError(f"swap: rename {target} -> {backup} failed")
+    if not fs.rename(jpath(staging), jpath(target)):
+        # roll back so the table is never missing
+        fs.rename(jpath(backup), jpath(target))
+        raise IOError(f"swap: rename {staging} -> {target} failed")
+    fs.delete(jpath(backup), True)
 
 
 def parquet_file_stats(path: str) -> tuple[int, int]:
@@ -49,13 +77,7 @@ def compact_parquet(
         out = df.coalesce(n_files)
     staging = path.rstrip("/") + "__compacting"
     out.write.mode("overwrite").parquet(staging)
-    # atomic-ish swap (same filesystem)
-    import shutil
-
-    backup = path.rstrip("/") + "__precompact"
-    shutil.move(path, backup)
-    shutil.move(staging, path)
-    shutil.rmtree(backup)
+    _fs_swap(spark, staging, path, path.rstrip("/") + "__precompact")
     return spark.read.parquet(path)
 
 
@@ -78,21 +100,22 @@ def merge_upsert(
     Durability: the merged result is written to a STAGING directory
     first, then swapped in (target moved aside as backup, staging
     renamed over it, backup removed) — the same pattern as
-    ``compact_parquet``. The target files are never deleted before a
-    complete replacement exists on disk, so a crash mid-merge leaves
-    either the old table or the new one, never neither. (A plain
-    ``mode('overwrite')`` on the target would delete it first and
-    hold the only copy in non-replicated executor memory.)
+    ``compact_parquet``, through the Hadoop FileSystem API
+    (``_fs_swap``; atomic where rename is native — HDFS/local — with
+    a documented copy-window caveat on object stores). The target
+    files are never deleted before a complete replacement exists on
+    disk, so a crash mid-merge leaves either the old table or the
+    new one, never neither. (A plain ``mode('overwrite')`` on the
+    target would delete it first and hold the only copy in
+    non-replicated executor memory.)
 
     Scale path: on a transactional table format (Delta/Iceberg,
     jars not present in this sandbox) this is a real MERGE with
-    file-level pruning; on partitioned plain Parquet, restrict the
-    rewrite to the partitions the update keys touch (dynamic
-    partition overwrite) rather than this full-table rewrite. The
-    emulation keeps identical semantics at any scale — only the
-    rewrite granularity changes."""
-    import shutil
-
+    file-level pruning; on partitioned plain Parquet use
+    ``merge_upsert_partitioned`` — it rewrites only the partitions
+    the update keys touch (dynamic partition overwrite) instead of
+    this full-table rewrite. The emulation keeps identical semantics
+    at any scale — only the rewrite granularity changes."""
     n_updates = updates.count()
     n_update_keys = updates.select(key).distinct().count()
     if n_update_keys != n_updates:
@@ -108,8 +131,111 @@ def merge_upsert(
     merged = kept.unionByName(updates.select(*target.columns))
     staging = target_path.rstrip("/") + "__merging"
     merged.write.mode("overwrite").parquet(staging)
-    backup = target_path.rstrip("/") + "__premerge"
-    shutil.move(target_path, backup)
-    shutil.move(staging, target_path)
-    shutil.rmtree(backup)
+    _fs_swap(spark, staging, target_path, target_path.rstrip("/") + "__premerge")
+    return n_replaced, n_inserted
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key: str,
+    partition_cols: tuple[str, ...],
+) -> tuple[int, int]:
+    """Partition-pruned MERGE on a ``partitionBy(*partition_cols)``
+    parquet table: identical semantics to ``merge_upsert`` but only
+    the partitions the update keys touch are rewritten — the scale
+    shape for a year/month-partitioned 100 TB fact where a day's
+    upsert touches one partition, not the table. Returns
+    (n_replaced, n_inserted).
+
+    How: the touched-partition set = the updates' own partition
+    values (routes inserts) — after verifying no matched key CHANGES
+    partition (target semi-join on key, partition tuples compared).
+    The target is then read WITH a partition filter (Catalyst prunes
+    the scan to those directories), merged exactly like
+    ``merge_upsert``, and written back under
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` — Spark
+    replaces only the partition directories present in the written
+    frame, atomically per partition via the file commit protocol; no
+    staging swap of the whole table, untouched partition files are
+    never opened, listed for rewrite, or re-committed.
+
+    A key whose update row lands in a DIFFERENT partition than its
+    current target row is rejected: dynamic overwrite could then
+    leave the stale row behind in a partition the write never
+    touches (worse, silently). Partition-moving upserts need the
+    full-table ``merge_upsert`` (or a real MERGE on Delta/Iceberg).
+    """
+    n_updates = updates.count()
+    n_update_keys = updates.select(key).distinct().count()
+    if n_update_keys != n_updates:
+        raise ValueError(
+            f"merge_upsert_partitioned: updates has "
+            f"{n_updates - n_update_keys} duplicate '{key}' rows; "
+            f"MERGE requires unique source keys"
+        )
+    if n_updates == 0:
+        return 0, 0
+    pcols = list(partition_cols)
+    target = spark.read.parquet(target_path)
+    # a matched key must stay in its partition — join target rows to
+    # their update row and compare partition tuples
+    moved = (
+        target.select(key, *pcols)
+        .join(
+            updates.select(key, *[F.col(c).alias(f"__u_{c}") for c in pcols]),
+            key,
+        )
+        .where(
+            ~F.struct(*pcols).eqNullSafe(
+                F.struct(*[F.col(f"__u_{c}").alias(c) for c in pcols])
+            )
+        )
+    )
+    n_moved = moved.count()
+    if n_moved:
+        raise ValueError(
+            f"merge_upsert_partitioned: {n_moved} matched key(s) change "
+            f"partition {pcols}; dynamic partition overwrite would leave "
+            f"stale rows — use merge_upsert (full rewrite) for "
+            f"partition-moving upserts"
+        )
+    # touched partitions: small distinct list (bounded by the number
+    # of partition directories an upsert batch spans), rendered as an
+    # OR of equality conjunctions — the exact shape Catalyst's
+    # partition pruning recognizes, so the target scan lists only the
+    # touched directories
+    touched = [
+        tuple(r[c] for c in pcols)
+        for r in updates.select(*pcols).distinct().collect()
+    ]
+    from functools import reduce
+
+    part_filter = reduce(
+        lambda a, b: a | b,
+        [
+            reduce(
+                lambda a, b: a & b,
+                [F.col(c).eqNullSafe(F.lit(v)) for c, v in zip(pcols, t)],
+            )
+            for t in touched
+        ],
+    )
+    slice_df = target.where(part_filter)
+    matched = slice_df.join(updates.select(key), key, "left_semi")
+    n_replaced = matched.count()
+    n_inserted = n_updates - n_replaced
+    kept = slice_df.join(updates.select(key), key, "left_anti")
+    merged = kept.unionByName(updates.select(*target.columns))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(*pcols)
+            .parquet(target_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return n_replaced, n_inserted

@@ -264,3 +264,94 @@ def test_merge_upsert_semantics_and_self_overwrite(spark, tmp_path):
         merge_upsert(spark, path, dup, "k")
     got3 = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
     assert got3 == got
+
+
+def test_merge_upsert_partitioned_rewrites_only_touched_partitions(
+    spark, tmp_path
+):
+    """Dynamic-partition-overwrite merge: identical MERGE semantics,
+    but untouched partition directories keep their exact files
+    (names + mtimes) — the scan and the rewrite are both pruned to
+    the partitions the update batch touches."""
+    import os
+
+    from citybikedatawarehouse_spark.operators.maintenance import (
+        merge_upsert_partitioned,
+    )
+
+    path = str(tmp_path / "pt")
+    spark.createDataFrame(
+        [
+            (1, 2020, "a"), (2, 2020, "b"),
+            (3, 2021, "c"), (4, 2021, "d"),
+            (5, 2022, "e"),
+        ],
+        "k long, yr int, v string",
+    ).write.partitionBy("yr").parquet(path)
+
+    def files_of(year: int) -> dict[str, tuple[int, float]]:
+        d = os.path.join(path, f"yr={year}")
+        return {
+            f: (os.path.getsize(os.path.join(d, f)),
+                os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_2020, before_2022 = files_of(2020), files_of(2022)
+
+    # touch only yr=2021: replace k=3, insert k=6
+    updates = spark.createDataFrame(
+        [(3, 2021, "C"), (6, 2021, "f")], "k long, yr int, v string"
+    )
+    n_replaced, n_inserted = merge_upsert_partitioned(
+        spark, path, updates, "k", ("yr",)
+    )
+    assert (n_replaced, n_inserted) == (1, 1)
+    got = {
+        (r["k"], r["yr"], r["v"]) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, 2020, "a"), (2, 2020, "b"),
+        (3, 2021, "C"), (4, 2021, "d"),
+        (5, 2022, "e"), (6, 2021, "f"),
+    }
+    # untouched partitions: byte-identical file sets, never rewritten
+    assert files_of(2020) == before_2020
+    assert files_of(2022) == before_2022
+
+    # idempotent re-apply
+    merge_upsert_partitioned(spark, path, updates, "k", ("yr",))
+    assert {
+        (r["k"], r["yr"], r["v"]) for r in spark.read.parquet(path).collect()
+    } == got
+
+    # a key that CHANGES partition would strand its old row in a
+    # directory the dynamic overwrite never touches -> rejected
+    mover = spark.createDataFrame([(5, 2021, "E")], "k long, yr int, v string")
+    with pytest.raises(ValueError, match="change partition"):
+        merge_upsert_partitioned(spark, path, mover, "k", ("yr",))
+    assert {
+        (r["k"], r["yr"], r["v"]) for r in spark.read.parquet(path).collect()
+    } == got
+
+    # duplicate source keys still rejected
+    dup = spark.createDataFrame(
+        [(7, 2021, "x"), (7, 2021, "y")], "k long, yr int, v string"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_upsert_partitioned(spark, path, dup, "k", ("yr",))
+
+
+def test_merge_upsert_partitioned_scan_is_partition_pruned(spark, tmp_path):
+    """The target read inside the partitioned merge must list only the
+    touched partition directories — assert via the plan's partition
+    filters on an equivalent pruned scan."""
+    path = str(tmp_path / "pt2")
+    spark.createDataFrame(
+        [(i, 2020 + i % 3, f"v{i}") for i in range(30)],
+        "k long, yr int, v string",
+    ).write.partitionBy("yr").parquet(path)
+    pruned = spark.read.parquet(path).where(F.col("yr").eqNullSafe(F.lit(2021)))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2021" in plan
