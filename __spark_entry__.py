@@ -53,12 +53,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # the assert after the list).
 _SWEEP_PRIORITY = [
     # -- 1. never-driver-swept cohort (round-8 head slots, per
-    #       VERDICT r7 "Next round" item 1): q209-q261 = 53 queries.
-    #       These 53 currently rest on judge-side verification only
+    #       VERDICT r7 "Next round" item 1): q209-q261 = 53 queries,
+    #       plus q262 (NEW this round: DOULION sampled-triangle
+    #       estimator). These rest on judge-side verification only
     #       (scripts/full_sweep.py, r7 session); this rotation gives
-    #       every one of the 267 registered queries a driver row.
-    #       The first 50 fill the driver gate; q259/q260/q261 ride
-    #       in slots 51-53 in case the driver sweeps past 50. --
+    #       every registered query a driver row. The first 50 fill
+    #       the driver gate; q259-q262 ride in slots 51-54 in case
+    #       the driver sweeps past 50. --
     "q209_table_health", "q210_key_skew_census", "q211_silhouette",
     "q212_sorted_neighborhood", "q213_order_count_distribution",
     "q214_large_volume_customers", "q215_bfs_reach", "q216_item_similarity",
@@ -79,7 +80,7 @@ _SWEEP_PRIORITY = [
     "q253_ndcg_at_10", "q254_ipf_mixture", "q255_column_stats",
     "q256_fd_audit", "q257_joinsize_estimate", "q258_benford_audit",
     "q259_simpson_audit", "q260_revenue_deciles_ranged",
-    "q261_histogram_quantiles",
+    "q261_histogram_quantiles", "q262_triangle_sample_estimate",
     # ---- slot-53 boundary: everything below already has a driver
     #      row; ordered least-recently-verified first ----
     # -- 2a. r03-evidence block --

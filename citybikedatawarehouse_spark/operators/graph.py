@@ -261,6 +261,84 @@ def triangle_counts(
     )
 
 
+def triangle_sample_estimate(
+    pairs: DataFrame,
+    p_permille: int = 500,
+    a_col: str = "p1",
+    b_col: str = "p2",
+    salt: str = "tri",
+) -> DataFrame:
+    """DOULION-style sampled triangle count (Tsourakakis et al., KDD
+    2009): keep each undirected edge independently with probability
+    p = ``p_permille``/1000, count triangles EXACTLY on the sampled
+    subgraph with the same degree-ordered wedge join as
+    ``triangle_counts``, and scale by 1/p^3 (each triangle survives
+    with probability p^3, so the scaled count is unbiased; relative
+    error concentrates as O(1/sqrt(p^3 * T))).
+
+    Sampling is a DETERMINISTIC pure hash of the canonical edge
+    (md5('<salt>:a:b') first-8-hex mod 1000 < p_permille), not
+    rand(): reruns, retried tasks, and the DuckDB oracle all select
+    the identical edge subset, and a different ``salt`` gives an
+    independent replicate for variance estimation.
+
+    This is the single-box validation path for triangle workloads
+    whose EXACT wedge shuffle exceeds local disk (q176 at 100x
+    projects ~100 GB of wedges): at p = 1/8 the wedge volume drops
+    ~64x (p^2 per wedge) while a graph with millions of triangles
+    keeps sub-percent expected error. Returns one row:
+    (n_edges, n_sampled_edges, tri_sampled, tri_estimate).
+    """
+    canon = (
+        pairs.select(
+            F.least(a_col, b_col).alias("a"),
+            F.greatest(a_col, b_col).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    h = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit(salt),
+            F.col("a").cast("string"),
+            F.col("b").cast("string"),
+        )
+    )
+    keep = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 1000
+    ) < F.lit(p_permille)
+    flagged = canon.select("a", "b", keep.alias("keep"))
+    from pyspark import StorageLevel
+
+    flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
+    sampled = flagged.where("keep").select(
+        F.col("a").alias("p1"), F.col("b").alias("p2")
+    )
+    tri_nodes = triangle_counts(sampled)
+    # total triangles = sum of per-node participation / 3
+    counts = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum(F.col("keep").cast("bigint"))
+        .cast("bigint")
+        .alias("n_sampled_edges"),
+    )
+    tri = tri_nodes.agg(
+        (F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3)
+        .cast("bigint")
+        .alias("tri_sampled")
+    )
+    p = p_permille / 1000.0
+    return counts.crossJoin(tri).select(
+        "n_edges",
+        "n_sampled_edges",
+        "tri_sampled",
+        F.round(F.col("tri_sampled") / F.lit(p**3))
+        .cast("bigint")
+        .alias("tri_estimate"),
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     n_iter: int = 3,

@@ -2297,6 +2297,120 @@ def q176_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q262 — sampled triangle count estimate (DOULION) vs exact, one-row audit
+# ---------------------------------------------------------------------------
+
+_TRI_P_PERMILLE = 500  # p = 0.5 -> triangles survive w.p. 1/8
+
+
+def _tri_chain_sql(canon: str, sfx: str) -> str:
+    """The degree-orientation / wedge / closing-join CTE chain over a
+    given canonical-edge CTE — shared verbatim by the exact and the
+    sampled legs of the q262 oracle (same SQL as q176's)."""
+    return f"""
+    deg{sfx} AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM {canon} UNION ALL SELECT b FROM {canon}
+      ) GROUP BY node
+    ),
+    ed{sfx} AS (
+      SELECT c.a, c.b, da.deg AS da, db.deg AS db
+      FROM {canon} c JOIN deg{sfx} da ON da.node = c.a
+                     JOIN deg{sfx} db ON db.node = c.b
+    ),
+    oriented{sfx} AS (
+      SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS src,
+             CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS dst,
+             CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dd
+      FROM ed{sfx}
+    ),
+    tri{sfx} AS (
+      SELECT w.w0 FROM (
+        SELECT o1.src AS w0, o1.dst AS x, o2.dst AS y
+        FROM oriented{sfx} o1 JOIN oriented{sfx} o2 ON o1.src = o2.src
+        WHERE o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst)
+      ) w JOIN oriented{sfx} o ON o.src = w.x AND o.dst = w.y
+    )"""
+
+
+def _tri_estimate_oracle() -> str:
+    p = _TRI_P_PERMILLE / 1000.0
+    keep = (
+        "(('0x' || substr(md5('tri:' || a || ':' || b), 1, 8))::BIGINT"
+        f" % 1000) < {_TRI_P_PERMILLE}"
+    )
+    return f"""
+    WITH
+{_COPURCHASE_PAIRS_SQL},
+    canon AS (SELECT DISTINCT least(p1, p2) AS a, greatest(p1, p2) AS b
+              FROM pairs WHERE p1 <> p2),
+    canon_s AS (SELECT a, b FROM canon WHERE {keep}),
+{_tri_chain_sql("canon", "_x")},
+{_tri_chain_sql("canon_s", "_s")}
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM canon) AS n_edges,
+      (SELECT CAST(count(*) AS BIGINT) FROM canon_s) AS n_sampled_edges,
+      (SELECT CAST(count(*) AS BIGINT) FROM tri_x) AS tri_exact,
+      (SELECT CAST(count(*) AS BIGINT) FROM tri_s) AS tri_sampled,
+      (SELECT CAST(round(count(*) / {p ** 3}) AS BIGINT) FROM tri_s)
+        AS tri_estimate,
+      (SELECT round(abs(CAST(round(count(*) / {p ** 3}) AS BIGINT)
+                        - (SELECT count(*) FROM tri_x)) * 1.0
+                    / nullif((SELECT count(*) FROM tri_x), 0), 6)
+       FROM tri_s) AS rel_error
+    """
+
+
+@register("q262_triangle_sample_estimate", oracle=_tri_estimate_oracle())
+def q262_triangle_sample_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DOULION sampled triangle counting (Tsourakakis et al., KDD'09)
+    audited against the exact count — the ESTIMATOR path for graphs
+    whose exact wedge shuffle exceeds the box (q176 at 100x projects
+    ~100 GB of wedges; at p = 1/2 the wedge volume drops ~4x and at
+    p = 1/8 ~64x, while the 1/p^3-scaled count stays unbiased).
+
+    Edge sampling is a pure md5 hash of the canonical edge — NOT
+    rand() — so retried tasks, reruns, and the DuckDB oracle pick the
+    identical subset (the house determinism rule every sketch in the
+    quartet follows). One row: edge counts, exact vs sampled vs
+    scaled-estimate triangle counts, and the realized relative error.
+
+    Scale shape: the sampled leg reuses triangle_counts' degree-
+    oriented wedge join (<= (pE)^1.5 wedge rows); the exact leg here
+    is the AUDIT at test scale — at 100 TB you run only the sampled
+    leg, sized by the error target, exactly like q243/q244/q245's
+    sketch-vs-exact audits."""
+    from citybikedatawarehouse_spark.operators.graph import (
+        triangle_counts,
+        triangle_sample_estimate,
+    )
+
+    pairs = _copurchase_pairs(_t(spark, sf_dir, "lineitem")).select(
+        F.col("pp.p1").alias("p1"), F.col("pp.p2").alias("p2")
+    )
+    est = triangle_sample_estimate(pairs, p_permille=_TRI_P_PERMILLE)
+    exact = triangle_counts(pairs).agg(
+        (F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3)
+        .cast("bigint")
+        .alias("tri_exact")
+    )
+    return est.crossJoin(exact).select(
+        "n_edges",
+        "n_sampled_edges",
+        "tri_exact",
+        "tri_sampled",
+        "tri_estimate",
+        F.round(
+            F.abs(F.col("tri_estimate") - F.col("tri_exact"))
+            / F.nullif(F.col("tri_exact"), F.lit(0)),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q177 — inter-rater agreement (Cohen's kappa) between two quality gates
 # ---------------------------------------------------------------------------
 

@@ -457,3 +457,59 @@ def test_histogram_quantile_sketch_laws(spark, sf_dir):
     # quantiles are monotone in both the sketch and the exact leg
     assert r.est_p50 <= r.est_p90 <= r.est_p99
     assert r.exact_p50 <= r.exact_p90 <= r.exact_p99
+
+
+def test_triangle_sample_estimate_laws(spark):
+    """DOULION estimator structural laws on a graph with a KNOWN
+    triangle census: a K5 (10 triangles) plus a disjoint 4-cycle
+    (0 triangles). Sampling is a pure hash of the edge, so the
+    result is exactly reproducible — assert determinism, the
+    sampled-subgraph invariants, and the p=1 identity."""
+    from citybikedatawarehouse_spark.operators.graph import (
+        triangle_counts,
+        triangle_sample_estimate,
+    )
+
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    cyc = [(10, 11), (11, 12), (12, 13), (13, 10)]
+    pairs = spark.createDataFrame(k5 + cyc, "p1 long, p2 long")
+
+    # p = 1: every edge kept, estimate == exact == 10
+    full = triangle_sample_estimate(pairs, p_permille=1000).collect()[0]
+    assert full["n_edges"] == 14
+    assert full["n_sampled_edges"] == 14
+    assert full["tri_sampled"] == 10
+    assert full["tri_estimate"] == 10
+
+    # p = 0.5: deterministic subset; sampled count <= exact; the
+    # 1/p^3 scaling is applied exactly
+    half1 = triangle_sample_estimate(pairs, p_permille=500).collect()[0]
+    half2 = triangle_sample_estimate(pairs, p_permille=500).collect()[0]
+    assert half1 == half2  # pure-hash sampling: rerun-identical
+    assert 0 < half1["n_sampled_edges"] < 14
+    assert half1["tri_sampled"] <= 10
+    assert half1["tri_estimate"] == round(half1["tri_sampled"] / 0.5**3)
+
+    # a different salt selects a different (still deterministic) subset
+    alt = triangle_sample_estimate(
+        pairs, p_permille=500, salt="tri2"
+    ).collect()[0]
+    assert alt["n_edges"] == 14
+
+    # sampled subgraph counting agrees with running triangle_counts
+    # on the explicitly-filtered edge set
+    h = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit("tri"),
+            F.least("p1", "p2").cast("string"),
+            F.greatest("p1", "p2").cast("string"),
+        )
+    )
+    kept = pairs.where(
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 1000) < 500
+    )
+    manual = (
+        triangle_counts(kept).agg(F.sum("n_triangles")).collect()[0][0] or 0
+    ) // 3
+    assert half1["tri_sampled"] == manual
