@@ -284,13 +284,27 @@ def ivf_ann_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidate_filter=None,
 ) -> DataFrame:
     """IVF ANN: corpus bucketed by nearest centroid; each query probes
     its ``n_probe`` nearest cells; exact cosine re-ranks candidates.
     Same output shape as brute_force_topk. At scale the assigned
     corpus is written partitioned by ivf_cell so a probe reads only
-    n_probe/n_centroids of the data (partition pruning)."""
+    n_probe/n_centroids of the data (partition pruning).
+
+    ``candidate_filter`` (optional boolean Column over corpus
+    columns) makes this FILTERED vector search: the index stays
+    built on the FULL corpus (indexes are not rebuilt per
+    predicate), and the filter lands on the assigned-corpus scan
+    BEFORE the probe join — at rest that is partition pruning
+    (ivf_cell) AND predicate pushdown (the metadata filter) on the
+    same parquet scan, so a probe reads n_probe/n_centroids of the
+    data and only the matching rows of that. Callers should widen
+    ``n_probe`` under selective filters: cells are filtered too, so
+    recall at fixed probe width drops roughly with selectivity."""
     cent_norm, assigned = ivf_index(corpus, n_centroids, id_col, vec_col)
+    if candidate_filter is not None:
+        assigned = assigned.where(candidate_filter)
     probe = min(n_probe, cent_norm.shape[0])
 
     @F.pandas_udf("array<int>")

@@ -256,6 +256,102 @@ def q74_ivf_ann_topk(spark, sf_dir):
     return ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@register(
+    "q263_filtered_ann_topk",
+    oracle="""
+    WITH cents AS (
+      SELECT cell, cvec FROM (
+        SELECT embedding AS cvec,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                 - 1 AS cell
+        FROM embeddings
+      ) WHERE cell < 40
+    ),
+    asims AS (
+      SELECT vec_id, cell,
+             round(sum(ee * ce) / (sqrt(sum(ee * ee)) * sqrt(sum(ce * ce))), 6) AS sim
+      FROM (
+        SELECT e.vec_id, c.cell,
+               CAST(unnest(e.embedding) AS DOUBLE) AS ee,
+               CAST(unnest(c.cvec) AS DOUBLE) AS ce
+        FROM embeddings e CROSS JOIN cents c
+      ) GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM asims
+      ) WHERE rn = 1
+    ),
+    probes AS (  -- widened probe: filtered search keeps recall by
+                 -- scanning more cells (8 vs q74's 4)
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM asims WHERE vec_id < 10
+      ) WHERE rn <= 8
+    ),
+    cands AS (  -- the metadata predicate restricts CANDIDATES only
+      SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+      JOIN embeddings m ON m.vec_id = a.vec_id AND m.label % 3 = 0
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(sum(qe * ce) / (sqrt(sum(qe * qe)) * sqrt(sum(ce * ce))), 6) AS cos_sim
+      FROM (
+        SELECT cd.query_id, cd.neighbor_id,
+               CAST(unnest(q.embedding) AS DOUBLE) AS qe,
+               CAST(unnest(c.embedding) AS DOUBLE) AS ce
+        FROM cands cd
+        JOIN embeddings q ON q.vec_id = cd.query_id
+        JOIN embeddings c ON c.vec_id = cd.neighbor_id
+      ) GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q263_filtered_ann_topk(spark, sf_dir):
+    """FILTERED vector search — the production ANN shape (pgvector /
+    Milvus / OpenSearch filtered k-NN): top-5 cosine neighbors among
+    vectors satisfying a metadata predicate (label % 3 = 0), with
+    the IVF index built on the FULL corpus (indexes are not rebuilt
+    per predicate) and the predicate applied to candidates inside
+    the probed cells.
+
+    Two scale decisions this query pins: (1) the filter lands on the
+    assigned-corpus scan BEFORE the probe join — at rest that is
+    partition pruning (ivf_cell) plus predicate pushdown (label) on
+    the SAME parquet scan; (2) the probe is widened 4 -> 8 because a
+    ~1/3-selective filter thins every probed cell, and recall at
+    fixed probe width drops roughly with selectivity — the widened
+    probe buys it back at n_probe/n_centroids = 20% of the corpus
+    read, vs a brute-force filtered scan reading 100%.
+
+    Oracle-paired end-to-end like q74: centroid order, assignment,
+    widened probe sets, the candidate predicate, and the re-ranked
+    top-k are all replayed in DuckDB SQL."""
+    from citybikedatawarehouse_spark.operators.similarity_ops import ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_probe=8,
+        candidate_filter=F.col("label") % 3 == 0,
+    )
+
+
 _KM_SQ = (
     "round(sum((CAST(e.embedding[t.i] AS DOUBLE) - c.cvec[t.i]) "
     "* (CAST(e.embedding[t.i] AS DOUBLE) - c.cvec[t.i])), 6)"

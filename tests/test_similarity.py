@@ -294,3 +294,35 @@ def test_ann_recall_consistent_with_pipelines(spark, sf_dir):
         assert rec[q][0] == hits
         assert rec[q][1] == round(hits / 5.0, 6)
         assert 0.0 <= rec[q][1] <= 1.0
+
+
+def test_ivf_filtered_search_predicate_and_recall(emb):
+    """Filtered vector search: every returned neighbor satisfies the
+    metadata predicate; against the FILTERED brute-force truth the
+    widened probe keeps recall useful; and the unfiltered call is
+    bit-identical to passing no filter (API regression guard)."""
+    from citybikedatawarehouse_spark.operators.similarity_ops import ivf_ann_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    pred = F.col("label") % 2 == 0
+    ann = ivf_ann_topk(
+        emb, queries, k=5, n_centroids=20, n_probe=8, candidate_filter=pred
+    ).collect()
+    keep = {r["vec_id"] for r in emb.where(pred).select("vec_id").collect()}
+    assert ann and all(r["neighbor_id"] in keep for r in ann)
+
+    brute = brute_force_topk(emb.where(pred), queries, k=5).collect()
+    brute_pairs = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    ann_pairs = {(r["query_id"], r["neighbor_id"]) for r in ann}
+    assert len(ann_pairs & brute_pairs) / len(brute_pairs) >= 0.3
+
+    plain = sorted(map(str, ivf_ann_topk(emb, queries, k=3, n_centroids=20).collect()))
+    none_filter = sorted(
+        map(
+            str,
+            ivf_ann_topk(
+                emb, queries, k=3, n_centroids=20, candidate_filter=None
+            ).collect(),
+        )
+    )
+    assert plain == none_filter
