@@ -81,7 +81,7 @@ _SWEEP_PRIORITY = [
     "q256_fd_audit", "q257_joinsize_estimate", "q258_benford_audit",
     "q259_simpson_audit", "q260_revenue_deciles_ranged",
     "q261_histogram_quantiles", "q262_triangle_sample_estimate",
-    "q263_filtered_ann_topk",
+    "q263_filtered_ann_topk", "q264_ivm_join_view",
     # ---- slot-53 boundary: everything below already has a driver
     #      row; ordered least-recently-verified first ----
     # -- 2a. r03-evidence block --

@@ -773,3 +773,88 @@ def q257_joinsize_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q264 — incremental JOIN-view maintenance (delta-join algebra)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q264_ivm_join_view",
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q264_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN-aggregate view — the
+    delta-join algebra q142 stops short of: for V = gamma(A join B),
+    an insert batch updates the view with
+
+        dV = gamma( dA join B  UNION ALL  A join dB  UNION ALL
+                    dA join dB )
+
+    merged into V_old by SUM (counts and integer-cent sums are
+    commutative monoids). Here A = orders (delta: every 7th
+    orderkey, "late orders"), B = lineitem (delta: line numbers
+    >= 4, "late line items"), and the view is per-customer joined
+    item count + revenue cents. THE ORACLE IS THE FULL
+    RECOMPUTATION over (A union dA) join (B union dB) — the hash
+    gate literally proves the three-term delta algebra equals the
+    batch join, the classic IVM correctness condition (Blakeley et
+    al.'s counting algorithm, insert-only case; deletes negate the
+    counts — same monoid).
+
+    Scale shape: the base-base join is the PRE-EXISTING materialized
+    view (O(customers) rows, read not recomputed at refresh time);
+    each refresh joins delta-sized relations against the other
+    side's base — at 100 TB that is two delta-broadcast joins plus a
+    delta-delta join, never a base-base rescan — and the final merge
+    shuffles two customer-grained aggregates. A wrong-by-one term
+    (the classic bug: forgetting dA join dB, which double-counts or
+    drops rows that are new on BOTH sides) hash-mismatches the
+    oracle."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("__cents"),
+    )
+    o_base = o.filter(F.col("o_orderkey") % 7 != 0)
+    o_delta = o.filter(F.col("o_orderkey") % 7 == 0)
+    l_base = l.filter(F.col("l_linenumber") < 4)
+    l_delta = l.filter(F.col("l_linenumber") >= 4)
+
+    def gamma(df: DataFrame, n: str, c: str) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias(n), F.sum("__cents").alias(c)
+        )
+
+    def j(a: DataFrame, b: DataFrame) -> DataFrame:
+        return a.join(b, a.o_orderkey == b.l_orderkey).select(
+            "o_custkey", "__cents"
+        )
+
+    v_old = gamma(j(o_base, l_base), "__n1", "__c1")
+    dv = gamma(
+        j(o_delta, l_base)
+        .unionByName(j(o_base, l_delta))
+        .unionByName(j(o_delta, l_delta)),
+        "__n2",
+        "__c2",
+    )
+    return v_old.join(dv, "o_custkey", "full").select(
+        "o_custkey",
+        (F.coalesce("__n1", F.lit(0)) + F.coalesce("__n2", F.lit(0)))
+        .cast("bigint")
+        .alias("n_items"),
+        (F.coalesce("__c1", F.lit(0)) + F.coalesce("__c2", F.lit(0)))
+        .cast("bigint")
+        .alias("cents"),
+    )
