@@ -7916,3 +7916,152 @@ def q261_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(exact))
         .select(*out_cols)
     )
+
+
+# ---------------------------------------------------------------------------
+# q265 — per-group HLL distinct (mergeable sketch GROUP BY)
+# ---------------------------------------------------------------------------
+
+
+def _grouped_hll_oracle() -> str:
+    from citybikedatawarehouse_spark.functions.keys import (
+        HLL_RHO_MAX,
+        hll_parts_sql,
+    )
+
+    parts = hll_parts_sql("o_custkey")
+    return f"""
+    WITH months AS (
+      SELECT DISTINCT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month
+      FROM orders
+    ),
+    regs AS (
+      SELECT month, bucket, max(rho) AS reg FROM (
+        SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+               {parts}
+        FROM orders
+      ) GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT m.month, b.bucket, coalesce(r.reg, 0) AS reg
+      FROM months m
+      CROSS JOIN (SELECT CAST(t.b AS INTEGER) AS bucket
+                  FROM UNNEST(range(0, 256)) t(b)) b
+      LEFT JOIN regs r ON r.month = m.month AND r.bucket = b.bucket
+    ),
+    stats AS (
+      SELECT month,
+             CAST(sum(CAST(1::BIGINT << ({HLL_RHO_MAX} - reg)
+                           AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS sum_scaled,
+             CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+      FROM grid GROUP BY 1
+    ),
+    est AS (
+      SELECT month,
+             CAST(round(CASE WHEN raw <= 640.0 AND zeros > 0
+                             THEN 256.0 * ln(256.0 / zeros)
+                             ELSE raw END) AS BIGINT) AS hll_estimate
+      FROM (
+        SELECT month,
+               CAST({_HLL_ALPHA} AS DOUBLE) * 256.0 * 256.0
+                 * CAST(1::BIGINT << {HLL_RHO_MAX} AS DOUBLE)
+                 / CAST(sum_scaled AS DOUBLE) AS raw,
+               zeros
+        FROM stats
+      )
+    ),
+    exact AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+      FROM orders GROUP BY 1
+    )
+    SELECT e.month, x.exact_distinct, e.hll_estimate,
+           round((e.hll_estimate - x.exact_distinct) * 1.0
+                 / x.exact_distinct, 6) AS rel_error
+    FROM est e JOIN exact x ON x.month = e.month
+    """
+
+
+@register("q265_grouped_hll_distinct", oracle=_grouped_hll_oracle())
+def q265_grouped_hll_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-GROUP HLL distinct count — monthly distinct customers from
+    mergeable 256-register sketches, audited per group against the
+    exact COUNT(DISTINCT). q244 proved the sketch globally; THIS is
+    the shape a 100 TB pipeline actually stores: one register set
+    per (group, partition/day), MAX-merged at query time, so "daily
+    distinct users over any date range" needs no re-scan and no
+    exact per-group distinct (whose hash table is O(group
+    cardinality) per group). The sf-scale monthly groups all sit in
+    the small-range regime, so every group exercises the
+    linear-counting branch — the correction path q244 could only
+    probe with one entity.
+
+    Scale shape: ONE map-side-combinable aggregate (group, bucket)
+    -> max(rho) collapses any cardinality to 256 rows per group;
+    the register grid, estimates, and the exact audit all run on
+    |groups|-sized relations. Same exact-integer harmonic sum as
+    q244 (DECIMAL sum of 2^(57-reg)) so both engines agree to the
+    last bit."""
+    from citybikedatawarehouse_spark.functions.keys import (
+        HLL_RHO_MAX,
+        hll_parts,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    month = F.date_format(F.to_date("o_orderdate"), "yyyy-MM")
+    bucket, rho = hll_parts("o_custkey")
+    regs = (
+        o.select(month.alias("month"), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("month", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    months = o.select(month.alias("month")).distinct()
+    all_b = spark.range(256).select(F.col("id").cast("int").alias("bucket"))
+    grid = (
+        months.crossJoin(F.broadcast(all_b))
+        .join(regs, ["month", "bucket"], "left")
+        .select("month", F.coalesce(F.col("reg"), F.lit(0)).alias("reg"))
+    )
+    stats = grid.groupBy("month").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - reg)").cast(
+                "decimal(20,0)"
+            )
+        ).alias("sum_scaled"),
+        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("zeros"),
+    )
+    raw = (
+        F.lit(_HLL_ALPHA)
+        * 256.0
+        * 256.0
+        * F.lit(float(1 << HLL_RHO_MAX))
+        / F.col("sum_scaled").cast("double")
+    )
+    est = stats.select(
+        "month",
+        F.round(
+            F.when(
+                (raw <= 640.0) & (F.col("zeros") > 0),
+                F.lit(256.0) * F.log(F.lit(256.0) / F.col("zeros")),
+            ).otherwise(raw)
+        )
+        .cast("bigint")
+        .alias("hll_estimate"),
+    )
+    exact = o.groupBy(month.alias("month")).agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "month").select(
+        "month",
+        "exact_distinct",
+        "hll_estimate",
+        F.round(
+            (F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_error"),
+    )
