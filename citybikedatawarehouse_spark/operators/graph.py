@@ -433,17 +433,23 @@ def k_core(
 
     Scale shape: per round one degree aggregate (map-side
     combinable) + two semi-joins against the >= k node set; the edge
-    relation only ever SHRINKS. Each round's edges are persisted
-    serialized-spillable and the previous round is unpersisted — the
-    peel never holds more than two edge generations, and nothing is
-    driver-side except the per-round stability count."""
+    relation only ever SHRINKS. Each round's edges are
+    localCheckpointed at the serialized-spillable level — the
+    checkpoint CUTS THE LINEAGE, which a bare persist does not:
+    round n's logical plan re-embeds round n-1's through BOTH
+    semi-join branches, so an uncut peel renders a 2^rounds plan
+    tree and a graph that peels for the full round budget OOMs the
+    driver in plan-STRING generation before any data moves (found
+    by hypothesis on a 14-edge graph). Never more than two edge
+    generations live; nothing driver-side except the per-round
+    stability count."""
     from pyspark import StorageLevel
 
     e = (
         edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
         .where(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     n_edges = e.count()
     for _ in range(max_rounds):
@@ -458,7 +464,9 @@ def k_core(
             e.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
             .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
             .select("a", "b")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
         )
         n_next = nxt.count()
         e.unpersist()
