@@ -67,6 +67,12 @@ HEADLINE = [
     "q243_countmin_heavy_hitters",
     # round 7: the quantile member of the sketch quartet
     "q261_histogram_quantiles",
+    # round 8: the sampled-triangle estimator (the beyond-disk graph
+    # path — watches the edge-sampling + wedge pipeline) and the
+    # delta-join view refresh (3-term IVM algebra, the multi-join
+    # merge shape)
+    "q262_triangle_sample_estimate",
+    "q264_ivm_join_view",
 ]
 
 # Queries whose iterative driver loop (convergence counts, d-row
@@ -86,6 +92,8 @@ EAGER_BUILD = {
     # number covering edge build + wedge join, not a cached scan
     "q176_triangle_participation",
     "q179_copurchase_communities",
+    # q262 persists its flagged edge list (same rationale as q176)
+    "q262_triangle_sample_estimate",
 }
 
 # the round-1 baseline benched exactly these 13; rounds add queries
