@@ -82,7 +82,7 @@ _SWEEP_PRIORITY = [
     "q259_simpson_audit", "q260_revenue_deciles_ranged",
     "q261_histogram_quantiles", "q262_triangle_sample_estimate",
     "q263_filtered_ann_topk", "q264_ivm_join_view",
-    "q265_grouped_hll_distinct",
+    "q265_grouped_hll_distinct", "q266_cdc_extract",
     # ---- slot-53 boundary: everything below already has a driver
     #      row; ordered least-recently-verified first ----
     # -- 2a. r03-evidence block --

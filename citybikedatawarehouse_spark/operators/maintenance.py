@@ -239,3 +239,49 @@ def merge_upsert_partitioned(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return n_replaced, n_inserted
+
+
+def cdc_extract(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    payload_cols: tuple[str, ...],
+) -> DataFrame:
+    """Change-data EXTRACTION: diff two table snapshots into the
+    minimal insert/update/delete op log — the inverse of the CDC
+    APPLY path (q252 / streaming cdc_epoch_step), closing the loop:
+    ``apply(extract(old, new), old) == new`` (asserted in tests).
+    This is what a snapshot-based pipeline ships downstream when the
+    source system has no log (the Debezium-less fallback), and the
+    I/U/D census it yields is the audit a lakehouse writer records
+    per commit.
+
+    One full outer join on the key classifies every row: new-only ->
+    I, old-only -> D, both-with-different-payload -> U, identical ->
+    no row (the log stays MINIMAL — re-extracting after apply yields
+    an empty log, also asserted). Null-safe payload comparison via
+    struct eqNullSafe, so NULL -> value and value -> NULL both count
+    as updates.
+
+    Scale shape: one key-partitioned shuffle join; output is
+    O(changed rows), not O(table). On bucketed-by-key snapshots the
+    join is co-located and shuffle-free."""
+    pc = list(payload_cols)
+    o = old.select(key, F.struct(*pc).alias("__old"))
+    n = new.select(key, F.struct(*pc).alias("__new"))
+    j = o.join(n, key, "full_outer")
+    return (
+        j.select(
+            F.when(F.col("__old").isNull(), F.lit("I"))
+            .when(F.col("__new").isNull(), F.lit("D"))
+            .when(
+                ~F.col("__old").eqNullSafe(F.col("__new")), F.lit("U")
+            )
+            .otherwise(F.lit(None))
+            .alias("op"),
+            F.col(key),
+            F.coalesce(F.col("__new"), F.col("__old")).alias("payload"),
+        )
+        .where(F.col("op").isNotNull())
+        .select("op", key, "payload.*")
+    )

@@ -858,3 +858,77 @@ def q264_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q266 — CDC extraction (snapshot diff -> minimal I/U/D log census)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q266_cdc_extract",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS k, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey AS k, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 3 = 0
+                      THEN CAST(round(o_totalprice * 10) AS BIGINT)
+                      ELSE 0 END AS cents
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    log AS (
+      SELECT CASE WHEN o.k IS NULL THEN 'I'
+                  WHEN n.k IS NULL THEN 'D'
+                  WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                       OR o.cents IS DISTINCT FROM n.cents THEN 'U'
+             END AS op,
+             coalesce(n.cents, o.cents) AS cents
+      FROM old o FULL OUTER JOIN new n ON n.k = o.k
+    )
+    SELECT op, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents_sum
+    FROM log WHERE op IS NOT NULL GROUP BY op
+    """,
+)
+def q266_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC EXTRACTION census — the inverse of q252's apply, closing
+    the CDC loop (extract a minimal I/U/D log from two snapshots;
+    ``apply(extract(old, new), old) == new`` is asserted as a law in
+    tests/test_maintenance_and_stream_joins.py). Snapshots are
+    deterministic order slices: old = keys % 7 != 0 at base price,
+    new = keys % 5 != 0 with +10% price where key % 3 == 0 — so all
+    three op classes are populated and rows identical in both
+    snapshots produce NO log row (minimality: the oracle's
+    unchanged-row class is absent from both engines' outputs).
+
+    Scale shape: one full-outer key join (co-located and
+    shuffle-free on bucketed-by-key snapshots); output is O(changed
+    rows). The census is what a lakehouse writer records per
+    commit."""
+    from citybikedatawarehouse_spark.operators.maintenance import cdc_extract
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    old = o.where(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"), "o_custkey", cents.alias("cents")
+    )
+    new = o.where(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        "o_custkey",
+        (
+            cents
+            + F.when(
+                F.col("o_orderkey") % 3 == 0,
+                F.round(F.col("o_totalprice") * 10).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).alias("cents"),
+    )
+    log = cdc_extract(old, new, "k", ("o_custkey", "cents"))
+    return log.groupBy("op").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents_sum"),
+    )

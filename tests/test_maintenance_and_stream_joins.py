@@ -355,3 +355,32 @@ def test_merge_upsert_partitioned_scan_is_partition_pruned(spark, tmp_path):
     pruned = spark.read.parquet(path).where(F.col("yr").eqNullSafe(F.lit(2021)))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "2021" in plan
+
+
+def test_cdc_extract_apply_identity_and_minimality(spark, tmp_path):
+    """The CDC loop laws: apply(extract(old, new), old) == new, and
+    extract(new, new) == empty (minimal log)."""
+    from citybikedatawarehouse_spark.operators.maintenance import cdc_extract
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k long, v string, x long",
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged, 2 updated, 3 deleted, 5 inserted, 4 null-payload update
+        [(1, "a", 10), (2, "B", 21), (4, None, 40), (5, "e", 50)],
+        "k long, v string, x long",
+    )
+    log = cdc_extract(old, new, "k", ("v", "x"))
+    ops = {r["k"]: r["op"] for r in log.collect()}
+    assert ops == {2: "U", 3: "D", 4: "U", 5: "I"}
+
+    # apply the log back onto old: drop D/U keys, add I/U payloads
+    changed = log.where(F.col("op").isin("U", "D")).select("k")
+    upserts = log.where(F.col("op").isin("I", "U")).select("k", "v", "x")
+    applied = old.join(changed, "k", "left_anti").unionByName(upserts)
+    assert sorted(map(tuple, applied.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+    # minimality: re-extract after apply -> empty log
+    assert cdc_extract(applied, new, "k", ("v", "x")).count() == 0
