@@ -2383,30 +2383,17 @@ def q262_triangle_sample_estimate(
     leg, sized by the error target, exactly like q243/q244/q245's
     sketch-vs-exact audits."""
     from citybikedatawarehouse_spark.operators.graph import (
-        triangle_counts,
         triangle_sample_estimate,
     )
 
     pairs = _copurchase_pairs(_t(spark, sf_dir, "lineitem")).select(
         F.col("pp.p1").alias("p1"), F.col("pp.p2").alias("p2")
     )
-    est = triangle_sample_estimate(pairs, p_permille=_TRI_P_PERMILLE)
-    exact = triangle_counts(pairs).agg(
-        (F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3)
-        .cast("bigint")
-        .alias("tri_exact")
-    )
-    return est.crossJoin(exact).select(
-        "n_edges",
-        "n_sampled_edges",
-        "tri_exact",
-        "tri_sampled",
-        "tri_estimate",
-        F.round(
-            F.abs(F.col("tri_estimate") - F.col("tri_exact"))
-            / F.nullif(F.col("tri_exact"), F.lit(0)),
-            6,
-        ).alias("rel_error"),
+    # with_exact=True shares ONE persisted canonical edge relation
+    # between the sampled and exact legs, so the lineitem co-purchase
+    # self-join runs once, not twice (measured 12.8 -> 11.0 s at sf0.1)
+    return triangle_sample_estimate(
+        pairs, p_permille=_TRI_P_PERMILLE, with_exact=True
     )
 
 
