@@ -83,6 +83,8 @@ _SWEEP_PRIORITY = [
     "q261_histogram_quantiles", "q262_triangle_sample_estimate",
     "q263_filtered_ann_topk", "q264_ivm_join_view",
     "q265_grouped_hll_distinct", "q266_cdc_extract",
+    "q267_interval_islands", "q268_k_anonymity",
+    "q269_watermark_lateness", "q270_bucket_digest_diff",
     # ---- slot-53 boundary: everything below already has a driver
     #      row; ordered least-recently-verified first ----
     # -- 2a. r03-evidence block --

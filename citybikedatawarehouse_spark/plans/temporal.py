@@ -312,3 +312,120 @@ def q39_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("asof_date"),
         F.col("o_totalprice").alias("asof_price"),
     )
+
+
+@register(
+    "q267_interval_islands",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey AS cust,
+             o_orderdate AS s,
+             o_orderdate + INTERVAL 30 DAY AS e,
+             o_orderkey AS k
+      FROM orders
+    ), flagged AS (
+      SELECT cust, s, e,
+             CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+      WINDOW w AS (PARTITION BY cust ORDER BY s, e, k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), numbered AS (
+      SELECT cust, s, e,
+             sum(new_island) OVER (
+               PARTITION BY cust ORDER BY s, e,
+               new_island DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM flagged
+    ), islands AS (
+      SELECT cust, island,
+             min(s) AS island_start, max(e) AS island_end,
+             count(*) AS n_orders
+      FROM numbered GROUP BY cust, island
+    )
+    SELECT cust AS c_custkey,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(date_diff('day', island_start, island_end))
+                AS BIGINT) AS covered_days,
+           CAST(max(date_diff('day', island_start, island_end))
+                AS BIGINT) AS max_island_days,
+           CAST(max(n_orders) AS BIGINT) AS max_island_orders
+    FROM islands GROUP BY cust
+    """,
+)
+def q267_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merge: every order opens a 30-day
+    service interval; overlapping/touching intervals per customer
+    merge into maximal "islands" of continuous coverage, and the
+    query reports per-customer island count, total covered days, and
+    the longest island. The classic interval-coalescing operator
+    (billing coverage, sensor uptime, subscription stitching) — a
+    different shape from q37's point-event sessionization (fixed gap
+    between POINTS) because intervals can swallow later-starting,
+    earlier-ending neighbors, so the island flag needs a running MAX
+    of interval ends, not a lag of the previous point.
+
+    Plan: one shuffle on the customer key, then two per-customer
+    sort windows (running max-end, running island counter) and two
+    hash aggregations — O(n) per customer, no self-join (the naive
+    interval-overlap join is quadratic per key and unbounded on hot
+    keys). At 100 TB this partitions by customer exactly like the
+    rest of the per-key window family; a single pathological key
+    with millions of intervals would bucket the window by coarse
+    time range first (same remedy as q39's bucketed as-of).
+
+    Window-order subtlety shared with the oracle: within a (cust, s)
+    tie the island flag is order-sensitive row-by-row, but the
+    MERGED islands are not — any s-ordering yields the same island
+    partition; the cumulative-sum window orders new_island DESC
+    within ties so the island-opening row numbers its own island on
+    both engines.
+    """
+    o = _t(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("e"),
+        F.col("o_orderkey").alias("k"),
+    )
+    w_prev = (
+        W.partitionBy("cust")
+        .orderBy("s", "e", "k")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "cust",
+        "s",
+        "e",
+        F.when(
+            F.max("e").over(w_prev).isNull()
+            | (F.col("s") > F.max("e").over(w_prev)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_cum = (
+        W.partitionBy("cust")
+        .orderBy(F.col("s"), F.col("e"), F.col("new_island").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    numbered = flagged.select(
+        "cust", "s", "e", F.sum("new_island").over(w_cum).alias("island")
+    )
+    islands = numbered.groupBy("cust", "island").agg(
+        F.min("s").alias("island_start"),
+        F.max("e").alias("island_end"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return islands.groupBy(F.col("cust").alias("c_custkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.datediff("island_end", "island_start"))
+        .cast("bigint")
+        .alias("covered_days"),
+        F.max(F.datediff("island_end", "island_start"))
+        .cast("bigint")
+        .alias("max_island_days"),
+        F.max("n_orders").cast("bigint").alias("max_island_orders"),
+    )

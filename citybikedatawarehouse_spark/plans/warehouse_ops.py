@@ -932,3 +932,187 @@ def q266_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("cents_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q268 — k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+@register(
+    "q268_k_anonymity",
+    oracle=f"""
+    WITH qi AS (
+      SELECT c_nationkey,
+             c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS INTEGER) AS bal_band,
+             count(*) AS group_n
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment, bal_band,
+           CAST(group_n AS BIGINT) AS group_n
+    FROM qi WHERE group_n < {_KANON_K}
+    """,
+)
+def q268_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: group the customer table by its
+    quasi-identifier combination (nation, market segment, account-
+    balance band) and report every equivalence class smaller than
+    k={k} — the classes whose members a release would re-identify
+    (Sweeney 2002). Complements q132's direct-identifier scrub and
+    q241's deletion-cascade audit: those handle PII columns, this
+    measures linkage risk in the NON-identifying columns that
+    survive scrubbing.
+
+    The balance band is a fixed-width floor(bal/1000) bucket, not an
+    ntile — deciles need a global sort and make each row's bucket
+    depend on every other row, while a fixed grid is an O(1) map-side
+    expression with the same audit power.
+
+    Scale shape: one map-side-combinable groupBy on the QI tuple
+    (cardinality = |nations| x |segments| x |bands|, a few thousand
+    cells regardless of row count) and a filter on the tiny result —
+    the full-table scan is the only O(n) stage. The violating-class
+    list is what a privacy gate suppresses or generalizes before
+    publishing.
+    """.format(k=_KANON_K)
+    c = _t(spark, sf_dir, "customer")
+    qi = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("group_n"))
+    return qi.where(F.col("group_n") < _KANON_K)
+
+
+# ---------------------------------------------------------------------------
+# q270 — merkle-style bucket-digest snapshot diff
+# ---------------------------------------------------------------------------
+
+_DIGEST_BUCKETS = 64
+
+
+@register(
+    "q270_bucket_digest_diff",
+    oracle=f"""
+    WITH snap_a AS (
+      SELECT o_orderkey AS k, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    snap_b AS (
+      SELECT k, o_custkey,
+             cents + CASE WHEN k % 97 = 0 THEN 100 ELSE 0 END AS cents
+      FROM snap_a WHERE k % 101 <> 1
+    ),
+    dig_a AS (
+      SELECT k % {_DIGEST_BUCKETS} AS bucket,
+             CAST(count(*) AS BIGINT) AS n_a,
+             CAST(bit_xor(('0x' || substr(
+               md5(k || ':' || o_custkey || ':' || cents), 1, 15))::BIGINT)
+               AS BIGINT) AS digest_a
+      FROM snap_a GROUP BY 1
+    ),
+    dig_b AS (
+      SELECT k % {_DIGEST_BUCKETS} AS bucket,
+             CAST(count(*) AS BIGINT) AS n_b,
+             CAST(bit_xor(('0x' || substr(
+               md5(k || ':' || o_custkey || ':' || cents), 1, 15))::BIGINT)
+               AS BIGINT) AS digest_b
+      FROM snap_b GROUP BY 1
+    )
+    SELECT a.bucket, a.n_a, coalesce(b.n_b, 0) AS n_b,
+           CAST(coalesce(b.n_b, 0) - a.n_a AS BIGINT) AS row_delta
+    FROM dig_a a LEFT JOIN dig_b b ON b.bucket = a.bucket
+    WHERE b.bucket IS NULL OR a.digest_a <> b.digest_b OR a.n_a <> b.n_b
+    """,
+)
+def q270_bucket_digest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style snapshot reconciliation: hash every row to a
+    60-bit digest, XOR-fold digests per key-range bucket (XOR is
+    order-insensitive, mergeable, and cannot overflow, so the bucket
+    digest shuffles {b} tiny rows per snapshot no matter how large
+    the table), and
+    report only the buckets whose digests disagree — the anti-entropy
+    pattern replicated stores use (Dynamo/Cassandra merkle repair)
+    and the SCALE path in front of q266's row-level CDC extract: at
+    100 TB you diff {b} digest rows first, then run the full-outer
+    row join ONLY inside the few differing buckets instead of across
+    both whole snapshots.
+
+    Snapshot B derives deterministically from A (keys % 101 == 1
+    deleted, prices +1.00 where key % 97 == 0) so both engines build
+    identical inputs. The row hash takes the first 15 hex chars of
+    md5 (60 bits — fits a signed BIGINT exactly the same way in both
+    engines; 16 would need unsigned 64-bit semantics DuckDB and Spark
+    disagree on). XOR (not SUM) folding: a SUM of 60-bit values
+    overflows int64 after ~8 rows; XOR's one blind spot — an even
+    number of IDENTICAL rows cancelling — cannot occur here because
+    the key participates in every row hash.
+
+    Scale shape: two scans, each folding into a {b}-row partial
+    aggregate map-side (the ONLY shuffle is {b} rows per snapshot),
+    one broadcast-sized join on bucket id. Collision risk of the
+    60-bit xor-digest is the standard merkle trade-off and is why
+    row_delta rides along as a second, independent signal.
+    """.format(b=_DIGEST_BUCKETS)
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    snap_a = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey"),
+        cents.alias("cents"),
+    )
+    snap_b = snap_a.where(F.col("k") % 101 != 1).select(
+        "k",
+        "o_custkey",
+        (
+            F.col("cents")
+            + F.when(F.col("k") % 97 == 0, F.lit(100)).otherwise(F.lit(0))
+        ).alias("cents"),
+    )
+
+    def digest(snap: DataFrame, n_col: str, d_col: str) -> DataFrame:
+        row_hash = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("k").cast("string"),
+                        F.col("o_custkey").cast("string"),
+                        F.col("cents").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return snap.withColumn(f"{d_col}_rh", row_hash).groupBy(
+            (F.col("k") % _DIGEST_BUCKETS).alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias(n_col),
+            F.expr(
+                f"bit_xor({d_col}_rh)"
+            ).cast("bigint").alias(d_col),
+        )
+
+    a = digest(snap_a, "n_a", "digest_a")
+    b = digest(snap_b, "n_b", "digest_b")
+    diff = a.join(F.broadcast(b), "bucket", "left").where(
+        F.col("n_b").isNull()
+        | (F.col("digest_a") != F.col("digest_b"))
+        | (F.col("n_a") != F.col("n_b"))
+    )
+    return diff.select(
+        "bucket",
+        "n_a",
+        F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+        (F.coalesce("n_b", F.lit(0)) - F.col("n_a"))
+        .cast("bigint")
+        .alias("row_delta"),
+    )

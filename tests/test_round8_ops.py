@@ -1,0 +1,157 @@
+"""Law tests for the round-8 session-2 operators: interval islands
+(q267), k-anonymity (q268), watermark lateness (q269), and the merkle
+bucket-digest diff (q270). Oracle parity proves value equality; these
+pin the structural invariants a hash can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from citybikedatawarehouse_spark.plans.catalog import QUERIES
+from citybikedatawarehouse_spark.sources.readers import load_table
+
+
+# ---------------------------------------------------------------------------
+# q267 interval islands
+# ---------------------------------------------------------------------------
+
+
+def test_interval_islands_conservation(spark, sf_dir):
+    """Every order lands in exactly one island: per-customer
+    max_island_orders <= order count, islands >= 1, and covered_days
+    >= 30 (a lone order already covers its own 30-day interval) while
+    covered_days <= 30 * n_orders (merging never adds days)."""
+    out = QUERIES["q267_interval_islands"](spark, sf_dir)
+    orders_per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = out.join(orders_per_cust, "c_custkey")
+    assert j.count() == orders_per_cust.count()  # every customer present
+    bad = j.where(
+        (F.col("n_islands") < 1)
+        | (F.col("n_islands") > F.col("n_orders"))
+        | (F.col("max_island_orders") > F.col("n_orders"))
+        | (F.col("covered_days") < 30)
+        | (F.col("covered_days") > 30 * F.col("n_orders"))
+        | (F.col("max_island_days") > F.col("covered_days"))
+    )
+    assert bad.count() == 0
+
+
+def test_interval_islands_single_interval_identity(spark, sf_dir):
+    """A customer whose orders all share one date has exactly one
+    30-day island — checked by constructing that corpus."""
+    iv = spark.createDataFrame(
+        [(1, "1995-01-01"), (1, "1995-01-01"), (1, "1995-01-15")],
+        "o_custkey int, d string",
+    ).select(
+        "o_custkey",
+        F.col("d").cast("timestamp").alias("o_orderdate"),
+        F.monotonically_increasing_id().alias("o_orderkey"),
+    )
+    import tempfile
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="cbdw_iv_")
+    for t in ("orders",):
+        iv.write.mode("overwrite").parquet(os.path.join(tmp, f"{t}.parquet"))
+    out = QUERIES["q267_interval_islands"](spark, tmp).collect()
+    assert len(out) == 1
+    row = out[0].asDict()
+    # Jan 1 + 30d covers Jan 15's start -> one island, 44 days
+    assert row["n_islands"] == 1
+    assert row["covered_days"] == 44
+    assert row["max_island_orders"] == 3
+
+
+# ---------------------------------------------------------------------------
+# q268 k-anonymity
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_threshold_and_nonempty(spark, sf_dir):
+    out = QUERIES["q268_k_anonymity"](spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0  # the audit finds violating classes at test SF
+    assert all(r.group_n < 5 for r in rows)
+    # violating classes are a subset of the true QI census
+    census = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_band"),
+        )
+        .count()
+    )
+    truth = {
+        (r.c_nationkey, r.c_mktsegment, r.bal_band): r["count"]
+        for r in census.collect()
+    }
+    for r in rows:
+        assert truth[(r.c_nationkey, r.c_mktsegment, r.bal_band)] == r.group_n
+
+
+# ---------------------------------------------------------------------------
+# q269 watermark lateness
+# ---------------------------------------------------------------------------
+
+
+def test_watermark_lateness_partitions_all_events(spark, sf_dir):
+    """Bands partition the event set; drop counts only live in bands
+    later than 30 min; on-time events have zero max lateness."""
+    out = QUERIES["q269_watermark_lateness"](spark, sf_dir)
+    rows = {r.lateness_band: r for r in out.collect()}
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows.values()) == n_events
+    if "on-time" in rows:
+        assert rows["on-time"].dropped_at_30m == 0
+        assert rows["on-time"].max_late_s == 0
+    if "<=10m" in rows:
+        assert rows["<=10m"].dropped_at_30m == 0  # 10 min < 30 min delay
+    for band in (">1d", "<=1d"):
+        if band in rows:
+            assert rows[band].dropped_at_30m == rows[band].n_events
+
+
+# ---------------------------------------------------------------------------
+# q270 bucket-digest diff
+# ---------------------------------------------------------------------------
+
+
+def test_bucket_digest_diff_flags_only_mutated_buckets(spark, sf_dir):
+    """The mutation predicate (k % 97 == 0 updates, k % 101 == 1
+    deletes) determines exactly which buckets may appear; every
+    flagged bucket must contain a mutated key and every bucket with a
+    mutated key must be flagged (xor digest changes whenever one row
+    hash changes and row counts move on deletes)."""
+    out = QUERIES["q270_bucket_digest_diff"](spark, sf_dir)
+    flagged = {r.bucket for r in out.collect()}
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    mutated = {
+        r.bucket
+        for r in o.where((F.col("k") % 97 == 0) | (F.col("k") % 101 == 1))
+        .select((F.col("k") % 64).alias("bucket"))
+        .distinct()
+        .collect()
+    }
+    assert flagged == mutated
+
+
+def test_bucket_digest_diff_row_delta_tracks_deletes(spark, sf_dir):
+    out = QUERIES["q270_bucket_digest_diff"](spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    deletes = (
+        o.where(F.col("k") % 101 == 1)
+        .groupBy((F.col("k") % 64).alias("bucket"))
+        .count()
+    )
+    truth = {r.bucket: r["count"] for r in deletes.collect()}
+    for r in out.collect():
+        assert r.row_delta == -truth.get(r.bucket, 0)
