@@ -85,6 +85,7 @@ _SWEEP_PRIORITY = [
     "q265_grouped_hll_distinct", "q266_cdc_extract",
     "q267_interval_islands", "q268_k_anonymity",
     "q269_watermark_lateness", "q270_bucket_digest_diff",
+    "q271_variant_shred", "q272_pysource_scan",
     # ---- slot-53 boundary: everything below already has a driver
     #      row; ordered least-recently-verified first ----
     # -- 2a. r03-evidence block --

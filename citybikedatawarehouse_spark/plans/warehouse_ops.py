@@ -1116,3 +1116,68 @@ def q270_bucket_digest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("row_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q272 — custom Python data source scan (Spark 4 pluggable source API)
+# ---------------------------------------------------------------------------
+
+_PYSOURCE_ROWS = 20000
+
+
+@register(
+    "q272_pysource_scan",
+    oracle=f"""
+    WITH g AS (
+      SELECT i, md5('q272:' || i) AS h
+      FROM generate_series(0, {_PYSOURCE_ROWS - 1}) t(i)
+    ), r AS (
+      SELECT CASE (('0x' || substr(h, 1, 1))::INTEGER % 4)
+               WHEN 0 THEN 'view' WHEN 1 THEN 'cart'
+               WHEN 2 THEN 'buy' ELSE 'return' END AS etype,
+             ('0x' || substr(h, 2, 8))::BIGINT % 100000 AS amount_cents
+      FROM g
+    )
+    SELECT etype,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(amount_cents) AS BIGINT) AS cents_sum,
+           CAST(min(amount_cents) AS BIGINT) AS cents_min,
+           CAST(max(amount_cents) AS BIGINT) AS cents_max
+    FROM r GROUP BY etype
+    """,
+)
+def q272_pysource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan through a CUSTOM PYTHON DATA SOURCE (Spark 4
+    ``pyspark.sql.datasource`` API, sources/pysource.py): the
+    deterministic synthetic event generator is registered on the
+    session and read like any format —
+    ``spark.read.format("synthetic_events")`` — then aggregated.
+    The oracle replays the generation rule (md5 of 'seed:i') in pure
+    SQL over generate_series, so the hash gate proves the Python
+    source yields EXACTLY its contract rows: the extensibility path
+    for JVM-connector-less systems, verified end to end.
+
+    Scale shape: the source splits the row range into independent
+    partitions generated inside their tasks and ships Arrow
+    RecordBatches (columnar, 4096-row chunks) across the
+    Python->JVM boundary; the aggregate is one map-side-combinable
+    groupBy on a 4-value key. sf_dir is unused — the source IS the
+    data."""
+    from citybikedatawarehouse_spark.sources.pysource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", _PYSOURCE_ROWS)
+        .option("parts", 8)
+        .option("seed", "q272")
+        .load()
+    )
+    return df.groupBy("etype").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("amount_cents").cast("bigint").alias("cents_sum"),
+        F.min("amount_cents").cast("bigint").alias("cents_min"),
+        F.max("amount_cents").cast("bigint").alias("cents_max"),
+    )
