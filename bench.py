@@ -73,6 +73,16 @@ HEADLINE = [
     # merge shape)
     "q262_triangle_sample_estimate",
     "q264_ivm_join_view",
+    # round 8 (session 2): one representative per new family — the
+    # interval-merge window chain, the per-shard watermark replay
+    # (16-way ordered windows over events), the xor bucket-digest
+    # scan pair, the VARIANT parse/extract path, and the custom
+    # Python source (watches the Arrow Python->JVM boundary cost)
+    "q267_interval_islands",
+    "q269_watermark_lateness",
+    "q270_bucket_digest_diff",
+    "q271_variant_shred",
+    "q272_pysource_scan",
 ]
 
 # Queries whose iterative driver loop (convergence counts, d-row

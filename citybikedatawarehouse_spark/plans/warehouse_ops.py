@@ -1181,3 +1181,96 @@ def q272_pysource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("amount_cents").cast("bigint").alias("cents_min"),
         F.max("amount_cents").cast("bigint").alias("cents_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q273 — point-in-time (PIT) fact lookup against SCD2 validity ranges
+# ---------------------------------------------------------------------------
+
+_PIT_EFF = "1998-01-01"
+
+
+@register(
+    "q273_scd2_pit_lookup",
+    oracle=f"""
+    WITH dim AS (
+      -- closed form of scd2_init + one scd2_merge batch: every third
+      -- customer re-segments to MACHINERY at the effective date (the
+      -- balance also moves, so ALL %3 keys version), everyone else
+      -- keeps one open version
+      SELECT c_custkey, c_mktsegment AS seg,
+             TIMESTAMP '1995-01-01' AS vf,
+             CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '{_PIT_EFF}'
+                  ELSE TIMESTAMP '9999-12-31 23:59:59' END AS vt
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'MACHINERY', TIMESTAMP '{_PIT_EFF}',
+             TIMESTAMP '9999-12-31 23:59:59'
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT d.seg AS c_mktsegment,
+           CAST(year(o.o_orderdate) AS INTEGER) AS y,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN dim d ON d.c_custkey = o.o_custkey
+      AND o.o_orderdate >= d.vf AND o.o_orderdate < d.vt
+    GROUP BY 1, 2
+    """,
+)
+def q273_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact attribution against an SCD2 dimension —
+    the READ side of q108's merge (which only builds the versioned
+    dim): every order joins the customer version that was valid ON
+    ITS ORDER DATE, so revenue attributes to the segment the
+    customer belonged to AT PURCHASE TIME, not the current one. The
+    canonical "as-was" warehouse query; getting it wrong (joining
+    is_current) silently rewrites history, which is why it deserves
+    its own oracle row.
+
+    The dim is built through the real operators (scd2_init +
+    scd2_merge), then the PIT lookup is an EQUI-join on the business
+    key with the validity-range predicate as a post-join filter —
+    NOT an interval join: versions per key are few (<= 2 here,
+    bounded by update batches in general), so the key join's fan-out
+    is tiny and Catalyst keeps it a plain shuffled/broadcast hash
+    join; a general range join would shuffle on range buckets for
+    no benefit. The oracle states the merged dim in closed form, so
+    the hash gate proves init + merge + PIT read end to end.
+
+    Scale shape: dim is customer-sized (broadcast at test scale, key
+    co-partitioned at 100 TB); one fact-side shuffle on the key, one
+    map-side-combinable rollup on (segment, year).
+    """
+    from citybikedatawarehouse_spark.operators.scd import scd2_init, scd2_merge
+
+    c = _t(spark, sf_dir, "customer")
+    snapshot = c.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.lit("1995-01-01").cast("timestamp_ntz").alias("eff"),
+    )
+    dim = scd2_init(snapshot, key="c_custkey", effective_ts="eff")
+    updates = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.lit("MACHINERY").alias("c_mktsegment"),
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        F.lit(_PIT_EFF).cast("timestamp_ntz").alias("eff"),
+    )
+    merged = scd2_merge(
+        dim, updates, key="c_custkey",
+        attrs=["c_mktsegment", "c_acctbal"], effective_ts="eff",
+    )
+    o = _t(spark, sf_dir, "orders")
+    pit = o.join(
+        F.broadcast(
+            merged.select("c_custkey", "c_mktsegment", "valid_from", "valid_to")
+        ),
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("o_orderdate") < F.col("valid_to")),
+    )
+    return pit.groupBy(
+        "c_mktsegment", F.year("o_orderdate").cast("int").alias("y")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

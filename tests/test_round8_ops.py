@@ -155,3 +155,37 @@ def test_bucket_digest_diff_row_delta_tracks_deletes(spark, sf_dir):
     truth = {r.bucket: r["count"] for r in deletes.collect()}
     for r in out.collect():
         assert r.row_delta == -truth.get(r.bucket, 0)
+
+
+# ---------------------------------------------------------------------------
+# q273 SCD2 point-in-time lookup
+# ---------------------------------------------------------------------------
+
+
+def test_pit_lookup_partitions_every_order(spark, sf_dir):
+    """Validity ranges partition time per key: the PIT join matches
+    every order EXACTLY once (row conservation), and orders after the
+    effective date of a re-segmented customer attribute to
+    MACHINERY."""
+    out = QUERIES["q273_scd2_pit_lookup"](spark, sf_dir)
+    n_joined = out.agg(F.sum("n_orders")).collect()[0][0]
+    assert n_joined == load_table(spark, sf_dir, "orders").count()
+    # as-was attribution: for a %3==0 customer, post-1998 orders are
+    # MACHINERY, pre-1998 orders keep the original segment
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    moved = c.where((F.col("c_custkey") % 3 == 0)).select(
+        "c_custkey", "c_mktsegment"
+    )
+    post = (
+        o.join(moved, o.o_custkey == moved.c_custkey)
+        .where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .count()
+    )
+    machinery_post = (
+        out.where((F.col("c_mktsegment") == "MACHINERY") & (F.col("y") >= 1998))
+        .agg(F.sum("n_orders"))
+        .collect()[0][0]
+    )
+    # MACHINERY-post includes natively-MACHINERY non-moved customers
+    assert machinery_post >= post  # moved customers all land there
