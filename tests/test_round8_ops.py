@@ -189,3 +189,69 @@ def test_pit_lookup_partitions_every_order(spark, sf_dir):
     )
     # MACHINERY-post includes natively-MACHINERY non-moved customers
     assert machinery_post >= post  # moved customers all land there
+
+
+# ---------------------------------------------------------------------------
+# q267 property test: window-chain merge == reference interval merge
+# ---------------------------------------------------------------------------
+
+
+def _ref_merge(dates: list[int], span: int = 30):
+    """Reference interval merge in plain Python: sorted sweep."""
+    iv = sorted((d, d + span) for d in dates)
+    islands = []
+    for s, e in iv:
+        if islands and s <= islands[-1][1]:
+            islands[-1][1] = max(islands[-1][1], e)
+            islands[-1][2] += 1
+        else:
+            islands.append([s, e, 1])
+    return islands
+
+
+def test_interval_islands_matches_reference_sweep(spark):
+    """The distributed window-chain merge equals the sequential sweep
+    on adversarial layouts: duplicates, containment, chains that
+    merge only transitively, and isolated points."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=200),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def check(day_offsets):
+        import datetime
+        import os
+        import tempfile
+
+        from citybikedatawarehouse_spark.plans.catalog import QUERIES as Q
+
+        base = datetime.datetime(1995, 1, 1)
+        rows = [
+            (1, base + datetime.timedelta(days=d), i)
+            for i, d in enumerate(day_offsets)
+        ]
+        df = spark.createDataFrame(
+            rows, "o_custkey int, o_orderdate timestamp_ntz, o_orderkey long"
+        )
+        tmp = tempfile.mkdtemp(prefix="cbdw_prop_iv_")
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "orders.parquet"))
+        out = Q["q267_interval_islands"](spark, tmp).collect()
+        ref = _ref_merge(day_offsets)
+        assert len(out) == 1
+        row = out[0].asDict()
+        assert row["n_islands"] == len(ref)
+        assert row["covered_days"] == sum(e - s for s, e, _ in ref)
+        assert row["max_island_days"] == max(e - s for s, e, _ in ref)
+        assert row["max_island_orders"] == max(n for _, _, n in ref)
+
+    check()
