@@ -255,3 +255,46 @@ def test_interval_islands_matches_reference_sweep(spark):
         assert row["max_island_orders"] == max(n for _, _, n in ref)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# plan pins for the session-2 queries
+# ---------------------------------------------------------------------------
+
+
+def _plan(spark, name, sf_dir, mode="formatted"):
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_interval_islands_plan_has_no_join(spark, sf_dir):
+    """The interval merge must stay a window chain — a Join appearing
+    here means someone rewrote it as the quadratic interval
+    self-join."""
+    plan = _plan(spark, "q267_interval_islands", sf_dir)
+    assert "Join" not in plan, plan
+
+
+def test_bucket_digest_plan_joins_aggregates_not_tables(spark, sf_dir):
+    """q270's join must consume the 64-row digest AGGREGATES: both
+    join children contain a HashAggregate below them, and the join is
+    broadcast (64 rows)."""
+    plan = _plan(spark, "q270_bucket_digest_diff", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    # the scans fold into partial aggregates before any exchange
+    assert plan.count("HashAggregate") >= 4, plan  # 2 snapshots x partial+final
+
+
+def test_pit_lookup_plan_broadcasts_dim(spark, sf_dir):
+    plan = _plan(spark, "q273_scd2_pit_lookup", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_k_anonymity_plan_is_single_aggregate(spark, sf_dir):
+    plan = _plan(spark, "q268_k_anonymity", sf_dir)
+    assert "Join" not in plan, plan
+    # exactly ONE shuffle (the tree renders each node once as
+    # "Exchange (n)"; the details section repeats it as "(n) Exchange")
+    assert plan.count("Exchange (") == 1, plan
