@@ -86,7 +86,7 @@ _SWEEP_PRIORITY = [
     "q267_interval_islands", "q268_k_anonymity",
     "q269_watermark_lateness", "q270_bucket_digest_diff",
     "q271_variant_shred", "q272_pysource_scan",
-    "q273_scd2_pit_lookup",
+    "q273_scd2_pit_lookup", "q274_udtf_chunks",
     # ---- slot-53 boundary: everything below already has a driver
     #      row; ordered least-recently-verified first ----
     # -- 2a. r03-evidence block --

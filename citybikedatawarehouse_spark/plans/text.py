@@ -2050,3 +2050,57 @@ def q253_ndcg_at_10(spark, sf_dir):
         F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
         "n_relevant_in_top",
     )
+
+
+@register(
+    "q274_udtf_chunks",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS dl
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w, dl,
+             unnest(generate_series(0, (dl - 1) // 16)) AS chunk_id
+      FROM s
+    )
+    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(least(32, dl - chunk_id * 16) AS BIGINT) AS n_tokens,
+           md5(array_to_string(
+             list_slice(w, chunk_id * 16 + 1,
+                        least(chunk_id * 16 + 32, dl)), ' ')) AS chunk_fp
+    FROM c
+    """,
+)
+def q274_udtf_chunks(spark, sf_dir):
+    """Document chunking through a PYTHON TABLE FUNCTION (Spark 4
+    ``@udtf``, functions/udtfs.py): the docs view lateral-joins
+    ``chunk_doc(text, 32, 16)`` in SQL, proving the row-to-rows TVF
+    extensibility surface end to end against the same chunk-manifest
+    oracle semantics q112 uses natively (different window/stride, so
+    the two queries cannot shadow each other's results).
+
+    This is deliberately NOT the hot path — the native chunker
+    (plans/text.chunk_manifest: explode over a sequence, zero Python)
+    is; see functions/udtfs.py for the rule. What the oracle gate
+    buys here: the UDTF's Python tokenization provably matches the
+    SQL/native convention token for token, hash for hash — the
+    property you need before trusting a bespoke Python parser in a
+    pipeline.
+
+    Scale shape: one scan, per-row lateral expansion bounded by
+    dl/stride rows per doc, no shuffle at all (the oracle compare
+    sorts; the query itself is narrow)."""
+    from citybikedatawarehouse_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").select("doc_id", "text").createOrReplaceTempView(
+        "__q274_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.n_tokens, c.chunk_fp
+        FROM __q274_docs d, LATERAL chunk_doc(d.text, 32, 16) c
+        """
+    )

@@ -298,3 +298,31 @@ def test_k_anonymity_plan_is_single_aggregate(spark, sf_dir):
     # exactly ONE shuffle (the tree renders each node once as
     # "Exchange (n)"; the details section repeats it as "(n) Exchange")
     assert plan.count("Exchange (") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# q274 UDTF chunker: cross-implementation law vs the native chunker
+# ---------------------------------------------------------------------------
+
+
+def test_udtf_chunker_equals_native_chunker(spark, sf_dir):
+    """At the SAME window/stride, the Python UDTF must reproduce the
+    native explode/sequence chunker row for row — the guarantee that
+    the TVF surface and the hot path share one tokenization/hash
+    convention."""
+    from citybikedatawarehouse_spark.functions.udtfs import register_udtfs
+    from citybikedatawarehouse_spark.plans.text import chunk_manifest
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.createOrReplaceTempView("__udtf_law_docs")
+    via_udtf = spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.n_tokens, c.chunk_fp
+        FROM __udtf_law_docs d, LATERAL chunk_doc(d.text, 64, 32) c
+        """
+    )
+    native = chunk_manifest(docs, window=64, stride=32)
+    a = sorted(map(tuple, via_udtf.collect()))
+    b = sorted(map(tuple, native.collect()))
+    assert a == b
