@@ -332,9 +332,18 @@ def q237_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     owned = profile.select(
         F.col("o_custkey").alias("ck_o"), F.col("l_partkey").alias("pk_o")
     )
+    # ONE customer-keyed exchange serves the agg, the anti-join AND
+    # the top-k window: hash(o_custkey) satisfies the clustered
+    # distribution of groupBy(o_custkey, cand) (subset
+    # co-partitioning, SPARK-35703), the anti-join keeps the left
+    # partitioning, and the window then only sorts. The default plan
+    # exchanged the ~45M-row candidate relation twice more (agg on
+    # (cust, cand), window on cust) — A/B in PERFORMANCE.md.
     scores = (
         profile.join(co_sym, profile.l_partkey == co_sym.p)
-        .groupBy("o_custkey", F.col("q").alias("cand"))
+        .select("o_custkey", F.col("q").alias("cand"), "n_co")
+        .repartition("o_custkey")
+        .groupBy("o_custkey", "cand")
         .agg(F.sum("n_co").cast("bigint").alias("score"))
         .join(
             owned,
