@@ -171,7 +171,10 @@ def pagerank(
 
 
 def triangle_counts(
-    pairs: DataFrame, a_col: str = "p1", b_col: str = "p2"
+    pairs: DataFrame,
+    a_col: str = "p1",
+    b_col: str = "p2",
+    broadcast_degrees: bool = True,
 ) -> DataFrame:
     """Per-node triangle participation over an undirected edge set,
     via degree-ordered edge orientation (the standard distributed
@@ -206,11 +209,18 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    ed = canon.join(
-        deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
-    ).join(
-        deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b"
-    )
+    # deg is |V| rows — dim-sized for relation-derived graphs (the
+    # co-purchase node set is the part catalog), so by default both
+    # degree attachments broadcast instead of exchanging the O(E)
+    # canon twice (measured q176 8.1 -> 6.9 s at sf0.1). The hint is
+    # HARD — F.broadcast overrides the size threshold — so callers
+    # with web-scale node sets (|V| too big for one executor) must
+    # pass broadcast_degrees=False to get the shuffled degree joins.
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    if broadcast_degrees:
+        da, db = F.broadcast(da), F.broadcast(db)
+    ed = canon.join(da, "a").join(db, "b")
     lower_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
