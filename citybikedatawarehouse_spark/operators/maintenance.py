@@ -285,3 +285,56 @@ def cdc_extract(
         .where(F.col("op").isNotNull())
         .select("op", key, "payload.*")
     )
+
+
+def bucket_digest(
+    snapshot: DataFrame,
+    key: str,
+    payload_cols: tuple[str, ...],
+    n_buckets: int = 64,
+    n_col: str = "n",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Merkle-style bucket digest of a table snapshot: md5 each row's
+    (key, payload) to a 60-bit value (15 hex chars — fits a signed
+    BIGINT identically in Spark and DuckDB) and XOR-fold per key
+    bucket. XOR is order-insensitive, mergeable, and cannot overflow;
+    its one blind spot — an even number of IDENTICAL rows cancelling
+    — cannot occur when the key participates in every row hash.
+
+    Two digests disagree on a bucket iff the bucket's row multiset
+    differs (modulo the 2^-60 xor-collision risk, which is why
+    callers compare row counts alongside — q270 does). This is the
+    anti-entropy primitive replicated stores repair with
+    (Dynamo/Cassandra) and the SCALE pre-filter in front of
+    ``cdc_extract``: at 100 TB you ship ``n_buckets`` digest rows per
+    snapshot, then run the row-level full-outer join ONLY inside the
+    few differing buckets.
+
+    Scale shape: one scan folding map-side into an ``n_buckets``-row
+    aggregate; the only shuffle is those rows. Returns
+    (bucket, <n_col>, <digest_col>).
+    """
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col(key).cast("string"),
+                    *[F.col(c).cast("string") for c in payload_cols],
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        snapshot.withColumn("__rh", row_hash)
+        .groupBy((F.col(key) % n_buckets).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias(n_col),
+            F.expr("bit_xor(__rh)").cast("bigint").alias(digest_col),
+        )
+    )

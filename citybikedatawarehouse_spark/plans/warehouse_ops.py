@@ -1075,34 +1075,16 @@ def q270_bucket_digest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cents"),
     )
 
-    def digest(snap: DataFrame, n_col: str, d_col: str) -> DataFrame:
-        row_hash = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.col("k").cast("string"),
-                        F.col("o_custkey").cast("string"),
-                        F.col("cents").cast("string"),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        return snap.withColumn(f"{d_col}_rh", row_hash).groupBy(
-            (F.col("k") % _DIGEST_BUCKETS).alias("bucket")
-        ).agg(
-            F.count(F.lit(1)).cast("bigint").alias(n_col),
-            F.expr(
-                f"bit_xor({d_col}_rh)"
-            ).cast("bigint").alias(d_col),
-        )
+    from citybikedatawarehouse_spark.operators.maintenance import (
+        bucket_digest,
+    )
 
-    a = digest(snap_a, "n_a", "digest_a")
-    b = digest(snap_b, "n_b", "digest_b")
+    a = bucket_digest(
+        snap_a, "k", ("o_custkey", "cents"), _DIGEST_BUCKETS, "n_a", "digest_a"
+    )
+    b = bucket_digest(
+        snap_b, "k", ("o_custkey", "cents"), _DIGEST_BUCKETS, "n_b", "digest_b"
+    )
     diff = a.join(F.broadcast(b), "bucket", "left").where(
         F.col("n_b").isNull()
         | (F.col("digest_a") != F.col("digest_b"))

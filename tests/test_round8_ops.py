@@ -326,3 +326,61 @@ def test_udtf_chunker_equals_native_chunker(spark, sf_dir):
     a = sorted(map(tuple, via_udtf.collect()))
     b = sorted(map(tuple, native.collect()))
     assert a == b
+
+
+def test_bucket_digest_property_random_mutations(spark):
+    """Property: for arbitrary tables and arbitrary mutation sets,
+    the digest diff flags exactly the buckets containing a mutated or
+    deleted key (xor-collision risk 2^-60 — negligible for test
+    sizes)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from citybikedatawarehouse_spark.operators.maintenance import (
+        bucket_digest,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=500),  # key
+                st.integers(min_value=-100, max_value=100),  # payload
+            ),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda t: t[0],
+        ),
+        st.sets(st.integers(min_value=0, max_value=500), max_size=10),
+        st.sets(st.integers(min_value=0, max_value=500), max_size=10),
+    )
+    def check(rows, upd_keys, del_keys):
+        a = spark.createDataFrame(rows, "k long, v long")
+        present = {k for k, _ in rows}
+        b = (
+            a.where(~F.col("k").isin(list(del_keys)) if del_keys else F.lit(True))
+            .select(
+                "k",
+                (
+                    F.col("v")
+                    + F.when(F.col("k").isin(list(upd_keys)), 1).otherwise(0)
+                ).alias("v") if upd_keys else F.col("v"),
+            )
+        )
+        da = bucket_digest(a, "k", ("v",), 8, "n_a", "dig_a")
+        db = bucket_digest(b, "k", ("v",), 8, "n_b", "dig_b")
+        diff = da.join(db, "bucket", "left").where(
+            F.col("n_b").isNull()
+            | (F.col("dig_a") != F.col("dig_b"))
+            | (F.col("n_a") != F.col("n_b"))
+        )
+        flagged = {r.bucket for r in diff.collect()}
+        touched = {
+            k % 8 for k in (upd_keys | del_keys) if k in present
+        }
+        assert flagged == touched
+    check()
