@@ -35,50 +35,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness sweep records the FIRST 50 entries of
 # this dict, in dict order — so dict order decides which queries
-# reach the hard gate each round. Round-8 priority order (per the
-# round-7 VERDICT's explicit ask, item 1):
-#   1. the 53 remaining never-driver-swept queries, q209–q261 —
-#      after this cohort gets its driver rows, every one of the 267
+# reach the hard gate each round. Round-9 priority order (per the
+# round-8 VERDICT's explicit ask, item 1):
+#   1. the 16 remaining never-driver-swept queries, q259–q274 —
+#      after this cohort gets its driver rows, every one of the 280
 #      registered queries has green evidence from the DRIVER's own
-#      sweep (q159–q208 got theirs in r7; q209–q261 had only the
-#      r7 judge's scripts/full_sweep.py verification until now).
+#      sweep (q209–q258 got theirs in r8; q259–q274 rest on the
+#      builder's full sweeps plus the r8 judge's 9-query independent
+#      re-verification until now).
 #   2. everything else, least-recently-verified first: the r03-
-#      evidence block, then r04, r05, r06, and the 50 queries the
-#      round-7 sweep just proved (q159–q208) at the very tail —
-#      freshest evidence last. All 267 registered queries are
-#      re-proven locally at sf0.01 against DuckDB every round
-#      regardless of sweep position (driver-style full sweeps,
-#      scripts/catalog_sweep.py — see PERFORMANCE.md).
+#      evidence block backfills the remaining 34 head slots, then
+#      r04, r05, r06, r07, and the 50 queries the round-8 sweep just
+#      proved (q209–q258) at the very tail — freshest evidence last.
+#      All registered queries are re-proven locally at sf0.01
+#      against DuckDB every round regardless of sweep position
+#      (driver-style full sweeps, scripts/full_sweep.py — see
+#      PERFORMANCE.md).
 # Every name is asserted against the registry at import time (see
 # the assert after the list).
 _SWEEP_PRIORITY = [
-    # -- 1. never-driver-swept cohort (round-8 head slots, per
-    #       VERDICT r7 "Next round" item 1): q209-q261 = 53 queries,
-    #       plus q262 (NEW this round: DOULION sampled-triangle
-    #       estimator). These rest on judge-side verification only
-    #       (scripts/full_sweep.py, r7 session); this rotation gives
-    #       every registered query a driver row. The first 50 fill
-    #       the driver gate; q259-q262 ride in slots 51-54 in case
-    #       the driver sweeps past 50. --
-    "q209_table_health", "q210_key_skew_census", "q211_silhouette",
-    "q212_sorted_neighborhood", "q213_order_count_distribution",
-    "q214_large_volume_customers", "q215_bfs_reach", "q216_item_similarity",
-    "q217_theil_sen_trend", "q218_revenue_deciles", "q219_gate_bias_audit",
-    "q220_purchase_sequences", "q221_forecast_backtest",
-    "q222_mutual_information", "q223_contribution_rollup",
-    "q224_similarity_histogram", "q225_novelty_curve", "q226_bm25_snippets",
-    "q227_top_supplier", "q228_small_quantity_revenue",
-    "q229_disjunctive_revenue", "q230_sole_supplier_orders",
-    "q231_rich_idle_customers", "q232_market_share", "q233_parttype_profit",
-    "q234_symspell_fuzzy_join", "q235_mmr_rerank", "q236_kcenter_coreset",
-    "q237_hitrate_eval", "q238_calibration_curve", "q239_textrank_keywords",
-    "q240_markov_attribution", "q241_gdpr_cascade_audit",
-    "q242_weighted_quantiles", "q243_countmin_heavy_hitters",
-    "q244_hll_distinct", "q245_bloom_screen", "q246_cuped_ab",
-    "q247_bootstrap_ci", "q248_target_encoding", "q249_model_auc",
-    "q250_learning_curve", "q251_pareto_frontier", "q252_cdc_apply",
-    "q253_ndcg_at_10", "q254_ipf_mixture", "q255_column_stats",
-    "q256_fd_audit", "q257_joinsize_estimate", "q258_benford_audit",
+    # -- 1. never-driver-swept cohort (round-9 head slots, per
+    #       VERDICT r8 "Next round" item 1): q259-q274 = 16 queries.
+    #       These rest on builder full sweeps (scripts/full_sweep.py:
+    #       280/280 ok) and the r8 judge's independent verification
+    #       of 9/16; this rotation gives every registered query a
+    #       driver row. --
     "q259_simpson_audit", "q260_revenue_deciles_ranged",
     "q261_histogram_quantiles", "q262_triangle_sample_estimate",
     "q263_filtered_ann_topk", "q264_ivm_join_view",
@@ -87,8 +68,9 @@ _SWEEP_PRIORITY = [
     "q269_watermark_lateness", "q270_bucket_digest_diff",
     "q271_variant_shred", "q272_pysource_scan",
     "q273_scd2_pit_lookup", "q274_udtf_chunks",
-    # ---- slot-53 boundary: everything below already has a driver
-    #      row; ordered least-recently-verified first ----
+    # ---- everything below already has a driver row; ordered
+    #      least-recently-verified first. The r03 block (24) plus
+    #      the first 10 of the r04 block fill slots 17-50. ----
     # -- 2a. r03-evidence block --
     "q77_zorder_key", "q48_array_agg", "q61_ngram_jaccard",
     "q68_tfidf_topterms", "q69_decontaminate", "q49_posexplode",
@@ -175,6 +157,26 @@ _SWEEP_PRIORITY = [
     "q202_discount_bands", "q203_seasonal_anomalies",
     "q204_growth_accounting", "q205_stickiness", "q206_abc_classification",
     "q207_windowed_funnel", "q208_purchase_gaps",
+    # -- 2f. r08-verified block (q209-q258, freshest evidence, tail) --
+    "q209_table_health", "q210_key_skew_census", "q211_silhouette",
+    "q212_sorted_neighborhood", "q213_order_count_distribution",
+    "q214_large_volume_customers", "q215_bfs_reach", "q216_item_similarity",
+    "q217_theil_sen_trend", "q218_revenue_deciles", "q219_gate_bias_audit",
+    "q220_purchase_sequences", "q221_forecast_backtest",
+    "q222_mutual_information", "q223_contribution_rollup",
+    "q224_similarity_histogram", "q225_novelty_curve", "q226_bm25_snippets",
+    "q227_top_supplier", "q228_small_quantity_revenue",
+    "q229_disjunctive_revenue", "q230_sole_supplier_orders",
+    "q231_rich_idle_customers", "q232_market_share", "q233_parttype_profit",
+    "q234_symspell_fuzzy_join", "q235_mmr_rerank", "q236_kcenter_coreset",
+    "q237_hitrate_eval", "q238_calibration_curve", "q239_textrank_keywords",
+    "q240_markov_attribution", "q241_gdpr_cascade_audit",
+    "q242_weighted_quantiles", "q243_countmin_heavy_hitters",
+    "q244_hll_distinct", "q245_bloom_screen", "q246_cuped_ab",
+    "q247_bootstrap_ci", "q248_target_encoding", "q249_model_auc",
+    "q250_learning_curve", "q251_pareto_frontier", "q252_cdc_apply",
+    "q253_ndcg_at_10", "q254_ipf_mixture", "q255_column_stats",
+    "q256_fd_audit", "q257_joinsize_estimate", "q258_benford_audit",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a
