@@ -174,7 +174,7 @@ def triangle_counts(
     pairs: DataFrame,
     a_col: str = "p1",
     b_col: str = "p2",
-    broadcast_degrees: bool = True,
+    broadcast_degrees: bool = False,
 ) -> DataFrame:
     """Per-node triangle participation over an undirected edge set,
     via degree-ordered edge orientation (the standard distributed
@@ -210,12 +210,14 @@ def triangle_counts(
         .agg(F.count(F.lit(1)).alias("deg"))
     )
     # deg is |V| rows — dim-sized for relation-derived graphs (the
-    # co-purchase node set is the part catalog), so by default both
-    # degree attachments broadcast instead of exchanging the O(E)
-    # canon twice (measured q176 8.1 -> 6.9 s at sf0.1). The hint is
-    # HARD — F.broadcast overrides the size threshold — so callers
-    # with web-scale node sets (|V| too big for one executor) must
-    # pass broadcast_degrees=False to get the shuffled degree joins.
+    # co-purchase node set is the part catalog), so OPT-IN callers
+    # broadcast both degree attachments instead of exchanging the
+    # O(E) canon twice (measured q176 8.1 -> 6.9 s at sf0.1, which
+    # passes broadcast_degrees=True). The hint is HARD — F.broadcast
+    # overrides the size threshold and a web-scale |V| would OOM an
+    # executor — so the LIBRARY default is False: unknown callers
+    # keep the planner's size-based broadcast protection, and the
+    # measured call sites opt in explicitly.
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
     if broadcast_degrees:
@@ -390,7 +392,7 @@ def label_propagation(
     n_iter: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
-    broadcast_labels: bool = True,
+    broadcast_labels: bool = False,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan
     et al. 2007, made deterministic): every node starts labeled with
@@ -446,7 +448,9 @@ def label_propagation(
         # O(E) shuffles -> 0). Measured NEUTRAL at sf0.1 (the mode
         # groupBy dominates there); the win is structural at scale,
         # where re-shuffling E per round is the bottleneck. The hint
-        # is hard; web-scale node sets pass broadcast_labels=False.
+        # is hard (overrides the size threshold), so the LIBRARY
+        # default is False — callers with dim-sized node sets opt in
+        # (q179 does); web-scale node sets keep planner protection.
         lbl_rel = labels.select(F.col("node").alias("src"), "lbl")
         if broadcast_labels:
             lbl_rel = F.broadcast(lbl_rel)

@@ -311,22 +311,28 @@ def bucket_digest(
     snapshot, then run the row-level full-outer join ONLY inside the
     few differing buckets.
 
+    Row encoding is injective: each column becomes a fixed segment —
+    its own 32-hex-char md5, or the literal token ``NULL`` when the
+    value is NULL. ``N``/``U``/``L`` are not hex characters, so no
+    value segment can imitate the null token, and the fixed 32-char
+    block width removes delimiter ambiguity (a naive
+    ``concat_ws(':')`` would skip NULLs entirely — ``(k, NULL, 'x')``
+    == ``(k, 'x', NULL)`` — and let payload values containing the
+    delimiter shift column boundaries). One caveat remains: columns
+    are hashed via CAST TO STRING, so engines must agree on the cast
+    rendering — integers/strings/decimals do; raw floats may not
+    (round to fixed precision first, as q270's cents column does).
+
     Scale shape: one scan folding map-side into an ``n_buckets``-row
     aggregate; the only shuffle is those rows. Returns
     (bucket, <n_col>, <digest_col>).
     """
+    segments = [
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("NULL"))
+        for c in (key, *payload_cols)
+    ]
     row_hash = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.col(key).cast("string"),
-                    *[F.col(c).cast("string") for c in payload_cols],
-                )
-            ),
-            1,
-            15,
-        ),
+        F.substring(F.md5(F.concat(*segments)), 1, 15),
         16,
         10,
     ).cast("bigint")

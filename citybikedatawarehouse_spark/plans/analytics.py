@@ -2288,7 +2288,9 @@ def q176_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _copurchase_pairs(_t(spark, sf_dir, "lineitem")).select(
         F.col("pp.p1").alias("p1"), F.col("pp.p2").alias("p2")
     )
-    tri = triangle_counts(pairs)
+    # opt-in broadcast: this graph's node set is the part catalog
+    # (dim-sized by construction), measured 8.1 -> 6.9 s at sf0.1
+    tri = triangle_counts(pairs, broadcast_degrees=True)
     return (
         tri.orderBy(F.desc("n_triangles"), "node")
         .limit(_TRIANGLE_TOPK)
@@ -2595,7 +2597,9 @@ def q179_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    lab = label_propagation(edges, n_iter=_LPA_ITER)
+    # opt-in broadcast: node set = part catalog (dim-sized), removes
+    # the per-round O(E) edge-side exchange
+    lab = label_propagation(edges, n_iter=_LPA_ITER, broadcast_labels=True)
     return (
         lab.groupBy(F.col("community"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))

@@ -335,8 +335,12 @@ def q59_cross_join(spark, sf_dir):
 )
 def q271_variant_shred(spark, sf_dir):
     """Semi-structured shredding through Spark 4's VARIANT type:
-    ``parse_json`` ingests the props column as an open-schema binary
-    variant (no declared schema — unlike q56's from_json MapType),
+    ``try_parse_json`` ingests the props column as an open-schema
+    binary variant (no declared schema — unlike q56's from_json
+    MapType; the try_ form yields NULL on malformed input instead of
+    throwing, so ``n_valid`` genuinely measures validity and matches
+    the oracle's json_valid semantics — plain parse_json would crash
+    the job on the first bad row while DuckDB counted it),
     ``variant_get`` extracts typed paths, ``try_variant_get`` probes
     an ABSENT path (returns null, never throws — the
     schema-evolution contract), and the aggregate shreds per event
@@ -351,7 +355,7 @@ def q271_variant_shred(spark, sf_dir):
     the low-cardinality event type; nothing here shuffles more than
     |event_types| rows."""
     ev = _t(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    v = F.try_parse_json("props")
     k = F.variant_get(v, "$.k", "int")
     missing = F.try_variant_get(v, "$.missing", "string")
     shred = ev.select(

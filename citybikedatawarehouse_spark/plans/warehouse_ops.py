@@ -978,7 +978,7 @@ def q268_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full-table scan is the only O(n) stage. The violating-class
     list is what a privacy gate suppresses or generalizes before
     publishing.
-    """.format(k=_KANON_K)
+    """
     c = _t(spark, sf_dir, "customer")
     qi = c.groupBy(
         "c_nationkey",
@@ -986,6 +986,12 @@ def q268_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_band"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("group_n"))
     return qi.where(F.col("group_n") < _KANON_K)
+
+
+# plain docstring + post-def substitution (q216/q220/q224 pattern):
+# an inline '"""...""".format(...)' expression would leave __doc__
+# None because the first statement is no longer a string literal
+q268_k_anonymity.__doc__ = q268_k_anonymity.__doc__.format(k=_KANON_K)
 
 
 # ---------------------------------------------------------------------------
@@ -1011,23 +1017,31 @@ _DIGEST_BUCKETS = 64
     dig_a AS (
       SELECT k % {_DIGEST_BUCKETS} AS bucket,
              CAST(count(*) AS BIGINT) AS n_a,
-             CAST(bit_xor(('0x' || substr(
-               md5(k || ':' || o_custkey || ':' || cents), 1, 15))::BIGINT)
+             CAST(bit_xor(('0x' || substr(md5(
+               coalesce(md5(k::VARCHAR), 'NULL')
+               || coalesce(md5(o_custkey::VARCHAR), 'NULL')
+               || coalesce(md5(cents::VARCHAR), 'NULL')), 1, 15))::BIGINT)
                AS BIGINT) AS digest_a
       FROM snap_a GROUP BY 1
     ),
     dig_b AS (
       SELECT k % {_DIGEST_BUCKETS} AS bucket,
              CAST(count(*) AS BIGINT) AS n_b,
-             CAST(bit_xor(('0x' || substr(
-               md5(k || ':' || o_custkey || ':' || cents), 1, 15))::BIGINT)
+             CAST(bit_xor(('0x' || substr(md5(
+               coalesce(md5(k::VARCHAR), 'NULL')
+               || coalesce(md5(o_custkey::VARCHAR), 'NULL')
+               || coalesce(md5(cents::VARCHAR), 'NULL')), 1, 15))::BIGINT)
                AS BIGINT) AS digest_b
       FROM snap_b GROUP BY 1
     )
-    SELECT a.bucket, a.n_a, coalesce(b.n_b, 0) AS n_b,
-           CAST(coalesce(b.n_b, 0) - a.n_a AS BIGINT) AS row_delta
-    FROM dig_a a LEFT JOIN dig_b b ON b.bucket = a.bucket
-    WHERE b.bucket IS NULL OR a.digest_a <> b.digest_b OR a.n_a <> b.n_b
+    SELECT coalesce(a.bucket, b.bucket) AS bucket,
+           CAST(coalesce(a.n_a, 0) AS BIGINT) AS n_a,
+           CAST(coalesce(b.n_b, 0) AS BIGINT) AS n_b,
+           CAST(coalesce(b.n_b, 0) - coalesce(a.n_a, 0) AS BIGINT)
+             AS row_delta
+    FROM dig_a a FULL OUTER JOIN dig_b b ON b.bucket = a.bucket
+    WHERE a.bucket IS NULL OR b.bucket IS NULL
+       OR a.digest_a <> b.digest_b OR a.n_a <> b.n_b
     """,
 )
 def q270_bucket_digest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1055,10 +1069,13 @@ def q270_bucket_digest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: two scans, each folding into a {b}-row partial
     aggregate map-side (the ONLY shuffle is {b} rows per snapshot),
-    one broadcast-sized join on bucket id. Collision risk of the
-    60-bit xor-digest is the standard merkle trade-off and is why
-    row_delta rides along as a second, independent signal.
-    """.format(b=_DIGEST_BUCKETS)
+    one {b}-row FULL OUTER join on bucket id — symmetric, so buckets
+    populated only in A (pure deletes) AND only in B (pure inserts)
+    both flag; a one-directional left join would miss the latter.
+    Collision risk of the 60-bit xor-digest is the standard merkle
+    trade-off and is why row_delta rides along as a second,
+    independent signal.
+    """
     o = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     snap_a = o.select(
@@ -1085,19 +1102,28 @@ def q270_bucket_digest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = bucket_digest(
         snap_b, "k", ("o_custkey", "cents"), _DIGEST_BUCKETS, "n_b", "digest_b"
     )
-    diff = a.join(F.broadcast(b), "bucket", "left").where(
-        F.col("n_b").isNull()
+    # full outer, not left: a bucket populated only in B (pure
+    # inserts into a bucket empty in A) must flag too. Both sides are
+    # n_buckets rows, so the join is trivially small either way.
+    diff = a.join(b, "bucket", "full_outer").where(
+        F.col("n_a").isNull()
+        | F.col("n_b").isNull()
         | (F.col("digest_a") != F.col("digest_b"))
         | (F.col("n_a") != F.col("n_b"))
     )
     return diff.select(
         "bucket",
-        "n_a",
+        F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
         F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
-        (F.coalesce("n_b", F.lit(0)) - F.col("n_a"))
+        (F.coalesce("n_b", F.lit(0)) - F.coalesce("n_a", F.lit(0)))
         .cast("bigint")
         .alias("row_delta"),
     )
+
+
+q270_bucket_digest_diff.__doc__ = q270_bucket_digest_diff.__doc__.format(
+    b=_DIGEST_BUCKETS
+)
 
 
 # ---------------------------------------------------------------------------

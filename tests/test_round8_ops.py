@@ -157,6 +157,31 @@ def test_bucket_digest_diff_row_delta_tracks_deletes(spark, sf_dir):
         assert r.row_delta == -truth.get(r.bucket, 0)
 
 
+def test_bucket_digest_diff_flags_insert_only_bucket(spark):
+    """Symmetric detection: a bucket populated ONLY in snapshot B
+    (pure inserts into a bucket empty in A) must flag — the case a
+    one-directional left join from A can never see."""
+    from citybikedatawarehouse_spark.operators.maintenance import (
+        bucket_digest,
+    )
+
+    # keys 0..7 all land in bucket 0 (k % 8 with k multiples of 8
+    # avoided): A has keys {1}, B has keys {1, 2} plus key 10 -> a
+    # NEW bucket 2 that A never populates
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(1, "x"), (10, "y")], "k long, v string")
+    da = bucket_digest(a, "k", ("v",), 8, "n_a", "dig_a")
+    db = bucket_digest(b, "k", ("v",), 8, "n_b", "dig_b")
+    diff = da.join(db, "bucket", "full_outer").where(
+        F.col("n_a").isNull()
+        | F.col("n_b").isNull()
+        | (F.col("dig_a") != F.col("dig_b"))
+        | (F.col("n_a") != F.col("n_b"))
+    )
+    flagged = {r.bucket for r in diff.collect()}
+    assert flagged == {10 % 8}
+
+
 # ---------------------------------------------------------------------------
 # q273 SCD2 point-in-time lookup
 # ---------------------------------------------------------------------------
@@ -278,11 +303,13 @@ def test_interval_islands_plan_has_no_join(spark, sf_dir):
 
 
 def test_bucket_digest_plan_joins_aggregates_not_tables(spark, sf_dir):
-    """q270's join must consume the 64-row digest AGGREGATES: both
-    join children contain a HashAggregate below them, and the join is
-    broadcast (64 rows)."""
+    """q270's join must consume the 64-row digest AGGREGATES and be
+    symmetric: FULL OUTER on bucket (a left join can never flag a
+    bucket populated only in snapshot B). BroadcastHashJoin does not
+    support full outer, so the tiny (64x64-row) join sorts+merges —
+    irrelevant at that size."""
     plan = _plan(spark, "q270_bucket_digest_diff", sf_dir)
-    assert "BroadcastHashJoin" in plan, plan
+    assert "FullOuter" in plan, plan
     # the scans fold into partial aggregates before any exchange
     assert plan.count("HashAggregate") >= 4, plan  # 2 snapshots x partial+final
 
@@ -373,8 +400,9 @@ def test_bucket_digest_property_random_mutations(spark):
         )
         da = bucket_digest(a, "k", ("v",), 8, "n_a", "dig_a")
         db = bucket_digest(b, "k", ("v",), 8, "n_b", "dig_b")
-        diff = da.join(db, "bucket", "left").where(
-            F.col("n_b").isNull()
+        diff = da.join(db, "bucket", "full_outer").where(
+            F.col("n_a").isNull()
+            | F.col("n_b").isNull()
             | (F.col("dig_a") != F.col("dig_b"))
             | (F.col("n_a") != F.col("n_b"))
         )
@@ -384,3 +412,68 @@ def test_bucket_digest_property_random_mutations(spark):
         }
         assert flagged == touched
     check()
+
+
+def test_bucket_digest_null_and_delimiter_safety(spark):
+    """The row encoding must be injective over NULLs and delimiter-
+    lookalike payloads: with the old concat_ws(':') scheme all four
+    of these distinct rows hashed IDENTICALLY for the same key —
+    (NULL,'x') == ('x',NULL) (NULL skipped) and ('2:3','') == ('2','3')
+    (delimiter ambiguity) — so a snapshot mutation between them was
+    invisible to the diff. Per-column md5 segments + an explicit
+    NULL token make every digest distinct."""
+    from citybikedatawarehouse_spark.operators.maintenance import (
+        bucket_digest,
+    )
+
+    variants = [
+        (None, "x"),
+        ("x", None),
+        ("2:3", ""),
+        ("2", "3"),
+        (None, None),
+        ("", ""),
+    ]
+    digests = []
+    for v1, v2 in variants:
+        snap = spark.createDataFrame(
+            [(1, v1, v2)], "k long, p1 string, p2 string"
+        )
+        d = bucket_digest(snap, "k", ("p1", "p2"), 8).collect()
+        assert len(d) == 1 and d[0]["n"] == 1
+        digests.append(d[0]["digest"])
+    assert len(set(digests)) == len(variants), digests
+
+
+# ---------------------------------------------------------------------------
+# q271 variant shred: malformed-JSON semantics
+# ---------------------------------------------------------------------------
+
+
+def test_variant_shred_counts_malformed_json_as_invalid(spark, tmp_path):
+    """n_valid must MEASURE validity, not assume it: a malformed
+    props row yields NULL from try_parse_json (ok=0) instead of
+    crashing the job — matching the oracle's json_valid semantics.
+    (Plain parse_json throws on the bad row, making the counter
+    vacuous: 'ok' could only ever be 0 for NULL input.)"""
+    import datetime
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1), 1, "view", 1.0, '{"k": 3}'),
+        (2, datetime.datetime(2024, 1, 1), 2, "view", 1.0, "{not json"),
+        (3, datetime.datetime(2024, 1, 1), 3, "view", 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.coalesce(1).write.parquet(str(sf / "events.parquet"))
+    out = QUERIES["q271_variant_shred"](spark, str(sf)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 3
+    assert r["n_valid"] == 1  # only the well-formed row
+    assert r["k_sum"] == 3 and r["k_min"] == 3 and r["k_max"] == 3
