@@ -56,14 +56,29 @@ def read_ride_csv(
     spark: SparkSession,
     path: str,
     parse_timestamps: bool = True,
+    strict: bool = False,
 ) -> DataFrame:
     """Read a semicolon-delimited ride CSV with the declared schema.
 
-    Timestamps arrive as strings and are parsed *leniently*:
-    ``to_timestamp`` handles both ``yyyy-MM-dd HH:mm:ss.SSS`` and
-    fraction-less rows (the reference's strict ``%f`` format raises
-    on those — check_and_create_db_v4.py:184; we keep all rows).
-    Use :func:`timestamp_parse_audit` to count unparseable values.
+    Timestamps arrive as strings and are parsed *leniently* by
+    default: ``try_to_timestamp`` handles both ``yyyy-MM-dd
+    HH:mm:ss.SSS`` and fraction-less rows (the reference's strict
+    ``%f`` format raises on those — check_and_create_db_v4.py:184;
+    we keep all rows). Use :func:`timestamp_parse_audit` to count
+    unparseable values.
+
+    ``strict=True`` restores the reference's fail-fast contract: any
+    non-null raw value the parse cannot handle raises at execution
+    time with the offending string in the message. Implemented as a
+    plan-embedded ``raise_error`` guard, NOT an upfront audit pass —
+    zero extra scans, the job dies on the first bad row each executor
+    meets (the distributed analogue of pandas' eager
+    ``to_datetime(format=...)`` raise), and the check lives in
+    whole-stage codegen next to the parse itself. Being part of the
+    parse expression, it fires whenever the parsed column is
+    evaluated; an action that column-prunes the timestamps away
+    (e.g. a bare ``count()``) never computes the parse and so cannot
+    trip it — which is exactly lazy-evaluation semantics, not a leak.
     """
     df = (
         spark.read.option("sep", ";")
@@ -72,9 +87,21 @@ def read_ride_csv(
         .csv(path)
     )
     if parse_timestamps:
-        df = df.withColumn("started_at", F.try_to_timestamp("started_at")).withColumn(
-            "ended_at", F.try_to_timestamp("ended_at")
-        )
+        for c in ("started_at", "ended_at"):
+            parsed = F.try_to_timestamp(F.col(c))
+            if strict:
+                parsed = F.when(
+                    F.col(c).isNotNull() & parsed.isNull(),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                f"strict timestamp parse failed on {c}="
+                            ),
+                            F.col(c),
+                        )
+                    ).cast("timestamp"),
+                ).otherwise(parsed)
+            df = df.withColumn(c, parsed)
     return df
 
 

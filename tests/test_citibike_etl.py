@@ -156,6 +156,59 @@ def test_lenient_parse_audit(spark, tmp_path):
     assert parsed.count() == 1  # row kept
 
 
+def test_strict_parse_mode(spark, tmp_path):
+    """strict=True restores the reference's fail-fast contract
+    (check_and_create_db_v4.py:184): an unparseable timestamp raises
+    at execution time with the offending value in the message, while
+    the lenient default keeps the row. Fraction-less rows — the 97
+    rows the reference's '%f' format crashes on — parse fine in BOTH
+    modes here (the documented strictly-dominating deviation): strict
+    only rejects values no supported rendering can parse."""
+    import csv as csvmod
+
+    import pytest
+
+    from tests.citibike_fixture import HEADER
+
+    # file 1: genuinely unparseable value -> strict raises, lenient keeps
+    bad = str(tmp_path / "bad_strict.csv")
+    with open(bad, "w", newline="") as f:
+        w = csvmod.writer(f, delimiter=";")
+        w.writerow(HEADER)
+        w.writerow(
+            ["r1", "classic_bike", "not-a-timestamp", "2025-01-01 10:00:00",
+             "A", "S1", "B", "S2", "40.7", "-74.0", "40.71", "-74.01",
+             "member"]
+        )
+    assert read_ride_csv(spark, bad).count() == 1  # lenient twin
+    # NB: collect(), not count() — the guard lives in the parse
+    # expression, and Catalyst column-prunes it out of a bare count
+    with pytest.raises(Exception, match="not-a-timestamp"):
+        read_ride_csv(spark, bad, strict=True).collect()
+
+    # file 2: fraction-less + fractional mix -> both modes keep both
+    mixed = str(tmp_path / "mixed_strict.csv")
+    with open(mixed, "w", newline="") as f:
+        w = csvmod.writer(f, delimiter=";")
+        w.writerow(HEADER)
+        w.writerow(
+            ["r2", "classic_bike", "2025-01-01 09:00:00",
+             "2025-01-01 10:00:00.250", "A", "S1", "B", "S2",
+             "40.7", "-74.0", "40.71", "-74.01", "member"]
+        )
+        w.writerow(
+            ["r3", "electric_bike", "2025-01-01 09:30:00.125",
+             "2025-01-01 09:45:00", "A", "S1", "B", "S2",
+             "40.7", "-74.0", "40.71", "-74.01", "casual"]
+        )
+    strict_rows = read_ride_csv(spark, mixed, strict=True).collect()
+    assert len(strict_rows) == 2
+    assert all(
+        r["started_at"] is not None and r["ended_at"] is not None
+        for r in strict_rows
+    )
+
+
 def test_key_determinism_and_uuid_mode(spark, fixture):
     path, _ = fixture
     result1 = run_citibike_etl(spark, path)
