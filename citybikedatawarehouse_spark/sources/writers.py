@@ -112,7 +112,12 @@ def write_jdbc(
     against embedded Apache Derby (bundled with Spark — see
     tests/test_jdbc_roundtrip.py: write -> read back -> digest
     equals the parquet twin, both overwrite and append modes, with
-    int/string/double/date columns through Spark's DerbyDialect).
+    int/string/double/date columns through Spark's DerbyDialect),
+    and the PostgreSQL-specific dialect (URL routing, per-type DDL,
+    quoting, truncate) is golden-tested against Spark's bundled
+    PostgresDialect in tests/test_postgres_dialect.py — the only
+    piece the sandbox cannot run is the socket to a live server
+    (no driver jar, no network: documented environment gate).
     Use ``write_parquet`` for the engine's native warehouse format.
 
     Scale note: each Spark task opens its own connection and issues
