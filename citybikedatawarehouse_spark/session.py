@@ -14,7 +14,20 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Shuffle partitions default to the thread count, but the two are
+# independently overridable: under SKEW, per-task memory = pool /
+# min(partitions, threads), so raising partitions ABOVE the thread
+# count is the standard way to shrink task state until it fits —
+# e.g. q237 skewed-25x OOMs at 32 partitions / 8g but completes at
+# 256 partitions / 8g (PERFORMANCE.md round-9). On a cluster this is
+# the same spark.sql.shuffle.partitions sizing exercise, just
+# against executor memory.
+DEFAULT_SHUFFLE_PARTITIONS = int(
+    os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    )
+)
 
 
 def get_spark(

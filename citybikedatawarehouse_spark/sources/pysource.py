@@ -16,6 +16,19 @@ public contract): for row ``i`` with seed ``s``::
     etype       = TYPES[int(h[0], 16) % 4]  # view/cart/buy/return
     amount_cents= int(h[1:9], 16) % 100000  # 0..99999
 
+With ``with_ts=true`` the schema gains an EVENT-TIME column whose
+out-of-orderness is deterministic (the watermark-path twin tests
+replay it)::
+
+    j      = int(h[9:13], 16)
+    late_s = 0 if j % 10 < 8 else j % 7200   # 20% late, up to 2 h
+    ts     = TS_BASE + 30 * i - late_s       # seconds, arrival order = i
+
+Arrival order is the row index, so each streamed microbatch of
+``batch_rows`` rows carries a mostly-increasing event clock with
+deterministic dips — exactly the shape ``withWatermark`` exists for,
+with the drop/admit outcome computable in closed form.
+
 Scale shape: ``partitions()`` splits the row range into ``parts``
 contiguous slices, each generated independently inside its task (no
 driver materialization, no cross-partition state), and ``read``
@@ -29,8 +42,9 @@ exactly-once sinks need.
 
 from __future__ import annotations
 
+import datetime
 import hashlib
-from typing import Iterator, Tuple
+from typing import Tuple
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -43,36 +57,63 @@ from pyspark.sql.types import StructType
 TYPES = ("view", "cart", "buy", "return")
 
 _SCHEMA = "event_id bigint, etype string, amount_cents bigint"
+_SCHEMA_TS = _SCHEMA + ", ts timestamp"
 _ARROW_CHUNK = 4096
 
+# event-time generation constants (public contract, see module doc)
+TS_BASE = 1704067200  # 2024-01-01 00:00:00 UTC
+TS_STEP_S = 30
+LATE_MOD_S = 7200
 
-def _gen_row(seed: str, i: int) -> Tuple[int, str, int]:
+
+def _late_s(h: str) -> int:
+    j = int(h[9:13], 16)
+    return 0 if j % 10 < 8 else j % LATE_MOD_S
+
+
+def event_ts_epoch(seed: str, i: int) -> int:
+    """Event-time epoch seconds for row ``i`` (contract helper used
+    by the stream-equals-batch tests to replay the clock)."""
     h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
-    return (i, TYPES[int(h[0], 16) % 4], int(h[1:9], 16) % 100000)
+    return TS_BASE + TS_STEP_S * i - _late_s(h)
 
 
-def _gen_arrow_batches(seed: str, start: int, end: int):
+def _gen_row(seed: str, i: int, with_ts: bool = False) -> Tuple:
+    h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+    base = (i, TYPES[int(h[0], 16) % 4], int(h[1:9], 16) % 100000)
+    if not with_ts:
+        return base
+    # naive UTC datetime: the engine session runs with
+    # spark.sql.session.timeZone=UTC, so this is the epoch as-is
+    ts = datetime.datetime.utcfromtimestamp(
+        TS_BASE + TS_STEP_S * i - _late_s(h)
+    )
+    return base + (ts,)
+
+
+def _gen_arrow_batches(seed: str, start: int, end: int, with_ts: bool = False):
     """Yield pyarrow RecordBatches for rows [start, end)."""
     import pyarrow as pa
 
-    sch = pa.schema(
-        [
-            ("event_id", pa.int64()),
-            ("etype", pa.string()),
-            ("amount_cents", pa.int64()),
-        ]
-    )
+    fields = [
+        ("event_id", pa.int64()),
+        ("etype", pa.string()),
+        ("amount_cents", pa.int64()),
+    ]
+    if with_ts:
+        fields.append(("ts", pa.timestamp("us")))
+    sch = pa.schema(fields)
     for lo in range(start, end, _ARROW_CHUNK):
         hi = min(lo + _ARROW_CHUNK, end)
-        rows = [_gen_row(seed, i) for i in range(lo, hi)]
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array([r[0] for r in rows], pa.int64()),
-                pa.array([r[1] for r in rows], pa.string()),
-                pa.array([r[2] for r in rows], pa.int64()),
-            ],
-            schema=sch,
-        )
+        rows = [_gen_row(seed, i, with_ts) for i in range(lo, hi)]
+        arrays = [
+            pa.array([r[0] for r in rows], pa.int64()),
+            pa.array([r[1] for r in rows], pa.string()),
+            pa.array([r[2] for r in rows], pa.int64()),
+        ]
+        if with_ts:
+            arrays.append(pa.array([r[3] for r in rows], pa.timestamp("us")))
+        yield pa.RecordBatch.from_arrays(arrays, schema=sch)
 
 
 class _RangePartition(InputPartition):
@@ -81,11 +122,16 @@ class _RangePartition(InputPartition):
         self.end = end
 
 
+def _with_ts(options: dict) -> bool:
+    return str(options.get("with_ts", "false")).lower() == "true"
+
+
 class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options: dict):
         self.rows = int(options.get("rows", 1000))
         self.parts = max(1, int(options.get("parts", 4)))
         self.seed = str(options.get("seed", "synth"))
+        self.with_ts = _with_ts(options)
 
     def partitions(self):
         per = -(-self.rows // self.parts)  # ceil
@@ -95,7 +141,9 @@ class SyntheticEventsReader(DataSourceReader):
         ]
 
     def read(self, partition: _RangePartition):
-        yield from _gen_arrow_batches(self.seed, partition.start, partition.end)
+        yield from _gen_arrow_batches(
+            self.seed, partition.start, partition.end, self.with_ts
+        )
 
 
 class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
@@ -109,6 +157,7 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
         self.rows = int(options.get("rows", 1000))
         self.seed = str(options.get("seed", "synth"))
         self.batch_rows = int(options.get("batch_rows", 256))
+        self.with_ts = _with_ts(options)
 
     def initialOffset(self) -> dict:
         return {"i": 0}
@@ -116,12 +165,18 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         i0 = int(start["i"])
         i1 = min(i0 + self.batch_rows, self.rows)
-        return iter([_gen_row(self.seed, i) for i in range(i0, i1)]), {"i": i1}
+        return (
+            iter([_gen_row(self.seed, i, self.with_ts) for i in range(i0, i1)]),
+            {"i": i1},
+        )
 
     def readBetweenOffsets(self, start: dict, end: dict):
         # deterministic replay of an arbitrary committed slice
         return iter(
-            [_gen_row(self.seed, i) for i in range(int(start["i"]), int(end["i"]))]
+            [
+                _gen_row(self.seed, i, self.with_ts)
+                for i in range(int(start["i"]), int(end["i"]))
+            ]
         )
 
 
@@ -131,7 +186,7 @@ class SyntheticEventsDataSource(DataSource):
         return "synthetic_events"
 
     def schema(self) -> str:
-        return _SCHEMA
+        return _SCHEMA_TS if _with_ts(self.options) else _SCHEMA
 
     def reader(self, schema: StructType) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)

@@ -151,6 +151,60 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def watermark_admitted(
+    events: DataFrame,
+    ts_col: str = "ts",
+    batch_col: str = "batch_idx",
+    window: str = "1 hour",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """BATCH replay of Structured Streaming's per-microbatch
+    watermark admission — returns exactly the rows a streaming
+    windowed aggregation with ``withWatermark(ts, delay)`` would
+    aggregate, given the microbatch assignment in ``batch_col``.
+
+    Spark's contract (this is what q269's lateness profile predicts,
+    now made executable): since SPARK-40925 (3.4+) a stateful
+    operator carries TWO watermarks per microbatch — late-event
+    FILTERING uses the watermark from the PREVIOUS microbatch, while
+    state EVICTION uses the current one (the plan prints both on
+    StateStoreSave). So a row of batch k reaches the aggregation
+    state iff its WINDOW END is past ``max event time over batches
+    <= k-2, minus delay`` (monotone, starts at -inf) — one batch
+    laggier than the naive single-watermark model, which this twin's
+    first implementation used and which over-predicts drops
+    (verified against a live stream's numRowsDroppedByWatermark).
+
+    Scale shape: the per-batch max is a map-side-combinable groupBy
+    producing |batches| rows; the running max is a window over that
+    tiny relation; the admission filter is a broadcast join back.
+    Nothing beyond the original scan is corpus-scale.
+    """
+    from pyspark.sql import Window as W
+
+    per_batch = events.groupBy(F.col(batch_col)).agg(
+        F.max(ts_col).alias("__m")
+    )
+    # -2, not -1: the late-event watermark lags eviction by one batch
+    prev = (
+        W.orderBy(batch_col)
+        .rowsBetween(W.unboundedPreceding, -2)
+    )
+    wm_rel = per_batch.select(
+        batch_col,
+        (
+            F.max("__m").over(prev)
+            - F.expr(f"INTERVAL {delay}")
+        ).alias("__wm"),
+    )
+    win_end = F.window(F.col(ts_col), window)["end"]
+    return (
+        events.join(F.broadcast(wm_rel), batch_col)
+        .where(F.col("__wm").isNull() | (win_end > F.col("__wm")))
+        .drop("__wm")
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming DataFrame into an in-memory table and block
     until all available input is processed. Returns the query handle

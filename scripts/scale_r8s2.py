@@ -30,6 +30,16 @@ QUERIES_UNDER_TEST = [
     "q270_bucket_digest_diff",
     "q271_variant_shred",
     "q273_scd2_pit_lookup",
+    # round-8 session-1 family (r8 VERDICT item 5: 10x-only before
+    # round 9; now scaled on the same coherent build — lineitem
+    # orderkeys share the orders offset so q264's delta joins
+    # resolve for every copy, embeddings get disjoint vec_ids with a
+    # deterministic per-copy jitter so ANN cells densify instead of
+    # filling with exact duplicates)
+    "q263_filtered_ann_topk",
+    "q264_ivm_join_view",
+    "q265_grouped_hll_distinct",
+    "q266_cdc_extract",
 ]
 
 
@@ -93,15 +103,66 @@ def build(spark, mult: int, out: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{out}/events.parquet")
     )
+    # lineitem scales COHERENTLY with orders (same per-copy orderkey
+    # offset) so q264's order<->lineitem delta joins resolve for
+    # every copy; partkeys stay shared so the join-view group keys
+    # keep their cardinality shape
+    li = load_table(spark, SRC, "lineitem")
+    (
+        li.crossJoin(copies)
+        .select(
+            (F.col("l_orderkey") + F.col("__c").cast("long") * n_ord).alias(
+                "l_orderkey"
+            ),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(f"{out}/lineitem.parquet")
+    )
+    # embeddings: disjoint vec_ids + a deterministic per-(copy, dim)
+    # jitter of up to ±5% per component — copies land NEAR the
+    # original clusters (IVF cells densify, the realistic scale
+    # shape) without being exact duplicates (which would make
+    # nearest-neighbor distance 0 and top-k ties degenerate)
+    emb = load_table(spark, SRC, "embeddings")
+    n_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    (
+        emb.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("__c").cast("long") * n_vec).alias(
+                "vec_id"
+            ),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: (
+                    x
+                    * (
+                        F.lit(1.0)
+                        + (
+                            F.pmod(
+                                F.xxhash64(F.col("vec_id"), F.col("__c"), i),
+                                F.lit(1000),
+                            ).cast("double")
+                            - F.lit(500.0)
+                        )
+                        / F.lit(10000.0)
+                    )
+                ).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/embeddings.parquet")
+    )
     # remaining tables verbatim (loaders may look for them)
     for t in (
         "region",
         "nation",
         "supplier",
         "part",
-        "lineitem",
         "documents",
-        "embeddings",
     ):
         dst = f"{out}/{t}.parquet"
         src = f"{SRC}/{t}.parquet"

@@ -210,17 +210,30 @@ def skew_stats(spark, out: str) -> None:
     )
 
 
-def run_skew(mult: int, out: str) -> None:
+def run_skew(mult: int, out: str, only: list[str] | None = None) -> None:
     spark = get_spark(app_name=f"cbdw-skew{mult}x")
     spark.sparkContext.setLogLevel("ERROR")
+    print(
+        "[conf] driver.memory="
+        + spark.conf.get("spark.driver.memory")
+        + " shuffle.partitions="
+        + spark.conf.get("spark.sql.shuffle.partitions")
+    )
     t0 = time.perf_counter()
-    build_skew(spark, mult, out)
-    print(f"[build] skewed {mult}x tables in {time.perf_counter() - t0:.1f} s")
+    if os.path.exists(f"{out}/lineitem.parquet") and os.environ.get(
+        "SPARK_GRAFT_SKEW_REUSE"
+    ):
+        print(f"[build] reusing existing skewed tables at {out}")
+    else:
+        build_skew(spark, mult, out)
+        print(
+            f"[build] skewed {mult}x tables in {time.perf_counter() - t0:.1f} s"
+        )
     skew_stats(spark, out)
 
     from citybikedatawarehouse_spark.plans.catalog import QUERIES
 
-    for name in (
+    for name in only or (
         "q61_ngram_jaccard",
         "q62_minhash_lsh",
         "q107_salted_join",
@@ -316,7 +329,8 @@ def main() -> None:
     )
     os.makedirs(out, exist_ok=True)
     if mode == "skew":
-        run_skew(mult, out)
+        only = sys.argv[4].split(",") if len(sys.argv) > 4 else None
+        run_skew(mult, out, only)
     elif mode == "triangle":
         run_triangle(mult, out)
     else:

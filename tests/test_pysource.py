@@ -91,3 +91,93 @@ def test_stream_equals_batch_across_restarts(spark):
     want = sorted(map(tuple, _read(spark, rows=700, seed="s").collect()))
     assert got == want  # exactly once: no loss, no duplicates
     assert attempts >= 2  # the drain really spanned restarts
+
+
+def test_with_ts_batch_contract(spark):
+    """with_ts=true adds the deterministic event-time column; the
+    clock replays from the documented rule (TS_BASE + 30*i - late)."""
+    from citybikedatawarehouse_spark.sources.pysource import event_ts_epoch
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 300)
+        .option("seed", "wt")
+        .option("with_ts", "true")
+        .load()
+    )
+    assert df.columns == ["event_id", "etype", "amount_cents", "ts"]
+    rows = {r.event_id: r.ts for r in df.collect()}
+    assert len(rows) == 300
+    for i in (0, 13, 77, 299):
+        # UTC session: naive wall time == epoch
+        import calendar
+
+        got_epoch = calendar.timegm(rows[i].timetuple())
+        assert got_epoch == event_ts_epoch("wt", i), i
+
+
+def test_stream_watermark_equals_batch_admission(spark):
+    """The TRUE readStream twin of q269's lateness profile: stream
+    the synthetic source (20% of rows late by up to 2 h) through
+    withWatermark + tumbling window in update mode, and compare the
+    final per-(window, etype) counts against the BATCH replay of the
+    admission rule (streaming/windows.watermark_admitted) over the
+    identical rows with the identical microbatch boundaries
+    (batch_idx = event_id // batch_rows — the Simple stream reader
+    serves exactly batch_rows per microbatch in arrival order).
+
+    batch_rows=64 on purpose: the late-event watermark lags one full
+    microbatch behind (SPARK-40925 two-watermark semantics), so with
+    256-row batches (~2.1 h of event clock each) the 2 h max lateness
+    never falls behind it and nothing drops — 64-row batches make the
+    admission boundary bite (~47/2000 rows drop), which is the case
+    worth pinning."""
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.streaming.windows import (
+        watermark_admitted,
+    )
+
+    register_synthetic_source(spark)
+    ROWS, BATCH = 2000, 64
+    OPTS = {"rows": ROWS, "seed": "wm", "batch_rows": BATCH, "with_ts": "true"}
+
+    sdf = spark.readStream.format("synthetic_events").options(**OPTS).load()
+    agg = (
+        sdf.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "etype")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "etype", "n")
+    )
+    final: dict = {}
+
+    def sink(batch_df, epoch_id):
+        for r in batch_df.collect():
+            final[(r.ws, r.etype)] = r.n
+
+    q = agg.writeStream.foreachBatch(sink).outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+
+    bdf = (
+        spark.read.format("synthetic_events")
+        .options(**{**OPTS, "parts": 4})
+        .load()
+        .withColumn("batch_idx", (F.col("event_id") / BATCH).cast("int"))
+    )
+    admitted = watermark_admitted(
+        bdf, ts_col="ts", batch_col="batch_idx",
+        window="1 hour", delay="30 minutes",
+    )
+    twin = {
+        (r.ws, r.etype): r.n
+        for r in admitted.groupBy(
+            F.window("ts", "1 hour")["start"].alias("ws"), "etype"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_dropped = ROWS - admitted.count()
+    assert n_dropped > 0, "fixture must actually drop late rows"
+    assert final == twin
