@@ -114,8 +114,11 @@ def merge_upsert(
     file-level pruning; on partitioned plain Parquet use
     ``merge_upsert_partitioned`` — it rewrites only the partitions
     the update keys touch (dynamic partition overwrite) instead of
-    this full-table rewrite. The emulation keeps identical semantics
-    at any scale — only the rewrite granularity changes."""
+    this full-table rewrite. On stores where rename is NOT atomic
+    (object stores), use ``merge_upsert_manifest`` — versioned data
+    directories published by a one-file pointer flip, crash-
+    consistent everywhere. The emulation keeps identical semantics
+    at any scale — only the rewrite/commit granularity changes."""
     n_updates = updates.count()
     n_update_keys = updates.select(key).distinct().count()
     if n_update_keys != n_updates:
@@ -238,6 +241,144 @@ def merge_upsert_partitioned(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n_replaced, n_inserted
+
+
+# ---------------------------------------------------------------------------
+# manifest-pointer table: crash-consistent commits on plain parquet
+# ---------------------------------------------------------------------------
+
+_MANIFEST = "_MANIFEST"
+
+
+def _manifest_path(root: str) -> str:
+    return os.path.join(root, _MANIFEST)
+
+
+def manifest_current(root: str) -> str:
+    """Path of the table's current committed version directory (the
+    one the ``_MANIFEST`` pointer names). Raises if the table was
+    never initialized — an uncommitted staging write must NOT be
+    readable, that is the whole point."""
+    with open(_manifest_path(root)) as f:
+        version = f.read().strip()
+    if not version:
+        raise IOError(f"manifest table {root}: empty _MANIFEST")
+    return os.path.join(root, version)
+
+
+def manifest_read(spark: SparkSession, root: str) -> DataFrame:
+    """Read the current committed version of a manifest table."""
+    return spark.read.parquet(manifest_current(root))
+
+
+def _manifest_commit(root: str, version: str) -> None:
+    """Flip the pointer: write ``_MANIFEST.tmp``, fsync it, then
+    atomically rename over ``_MANIFEST`` (``os.replace`` — POSIX
+    atomic; on HDFS this maps to an atomic single-file rename, on S3
+    to an atomic single-object PUT, which is why the pointer is ONE
+    tiny file and not the data). A crash anywhere in this function
+    leaves either the old pointer (plus a harmless ``.tmp``) or the
+    new pointer — never a torn table, because readers only ever
+    follow the pointer."""
+    tmp = _manifest_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(version + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _manifest_path(root))
+
+
+def _manifest_next_version(root: str) -> str:
+    versions = [
+        d
+        for d in os.listdir(root)
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    n = max((int(d[1:]) for d in versions), default=0) + 1
+    return f"v{n:08d}"
+
+
+def manifest_init(spark: SparkSession, root: str, df: DataFrame) -> str:
+    """Create a manifest table at ``root`` with ``df`` as version 1.
+    Returns the committed version directory name."""
+    os.makedirs(root, exist_ok=True)
+    version = _manifest_next_version(root)
+    df.write.mode("errorifexists").parquet(os.path.join(root, version))
+    _manifest_commit(root, version)
+    return version
+
+
+def manifest_vacuum(root: str, keep: int = 2) -> list[str]:
+    """Delete version directories older than the newest ``keep``,
+    never touching the current pointer's target (asserted). Returns
+    the removed directory names. Run AFTER readers of old versions
+    have drained (time-travel retention is the caller's policy)."""
+    import shutil
+
+    current = os.path.basename(manifest_current(root))
+    versions = sorted(
+        d for d in os.listdir(root) if d.startswith("v") and d[1:].isdigit()
+    )
+    to_drop = [d for d in versions[:-keep] if d != current]
+    for d in to_drop:
+        shutil.rmtree(os.path.join(root, d))
+    return to_drop
+
+
+def merge_upsert_manifest(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key: str,
+    _crash_before_commit: bool = False,
+) -> tuple[int, int]:
+    """``merge_upsert`` with a MANIFEST-POINTER commit instead of the
+    directory swap: the merged result is written to a brand-new
+    version directory, then a one-file pointer flip publishes it —
+    write-new, fsync manifest, atomic replace. This is the
+    crash-consistency mode for stores where directory rename is NOT
+    atomic (object stores: S3A rename = copy+delete with a visible
+    partial window — the ``_fs_swap`` caveat): here the data files
+    are immutable once written and the only mutation readers can
+    observe is the single-object pointer update. The same layout is
+    the kernel of Delta/Iceberg's log; this is the minimal
+    dependency-free form of it.
+
+    Crash matrix (exercised by the crash-injection test):
+    - before/while writing the new version dir -> pointer untouched,
+      readers keep the full old version; the orphan staging dir is
+      retried/ignored (a re-run writes the NEXT version number).
+    - between data write and pointer flip
+      (``_crash_before_commit``) -> same as above.
+    - mid pointer write -> ``.tmp`` is torn but ``_MANIFEST`` is
+      only ever REPLACED atomically; readers keep the old version.
+
+    Returns (n_replaced, n_inserted). Old versions remain readable
+    (time travel) until ``manifest_vacuum``.
+    """
+    n_updates = updates.count()
+    n_update_keys = updates.select(key).distinct().count()
+    if n_update_keys != n_updates:
+        raise ValueError(
+            f"merge_upsert_manifest: updates has "
+            f"{n_updates - n_update_keys} duplicate '{key}' rows; "
+            f"MERGE requires unique source keys"
+        )
+    target = manifest_read(spark, root)
+    matched = target.join(updates.select(key), key, "left_semi")
+    n_replaced = matched.count()
+    n_inserted = n_updates - n_replaced
+    kept = target.join(updates.select(key), key, "left_anti")
+    merged = kept.unionByName(updates.select(*target.columns))
+    version = _manifest_next_version(root)
+    merged.write.mode("errorifexists").parquet(os.path.join(root, version))
+    if _crash_before_commit:
+        raise RuntimeError(
+            "merge_upsert_manifest: injected crash between data write "
+            "and pointer flip (test hook)"
+        )
+    _manifest_commit(root, version)
     return n_replaced, n_inserted
 
 

@@ -384,3 +384,75 @@ def test_cdc_extract_apply_identity_and_minimality(spark, tmp_path):
     )
     # minimality: re-extract after apply -> empty log
     assert cdc_extract(applied, new, "k", ("v", "x")).count() == 0
+
+
+def test_merge_upsert_manifest_crash_injection(spark, tmp_path):
+    """Crash-consistency proof for the manifest-pointer commit: kill
+    the merge BETWEEN the data write and the pointer flip and show
+    readers still see the complete OLD table (never a torn one);
+    retry succeeds; torn pointer tmp files are invisible; vacuum
+    never deletes the live version."""
+    import os
+
+    import pytest
+
+    from citybikedatawarehouse_spark.operators.maintenance import (
+        manifest_current,
+        manifest_init,
+        manifest_read,
+        manifest_vacuum,
+        merge_upsert_manifest,
+    )
+
+    root = str(tmp_path / "mt")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    v1 = manifest_init(spark, root, base)
+    assert manifest_current(root).endswith(v1)
+    before = {(r["k"], r["v"]) for r in manifest_read(spark, root).collect()}
+    assert before == {(1, "a"), (2, "b"), (3, "c")}
+
+    updates = spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string")
+
+    # crash AFTER the new version's data files exist, BEFORE the flip
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge_upsert_manifest(
+            spark, root, updates, "k", _crash_before_commit=True
+        )
+    # the orphan version dir is on disk...
+    orphans = [
+        d for d in os.listdir(root) if d.startswith("v") and d != v1
+    ]
+    assert orphans, "crash injection must leave the staged version"
+    # ...but readers still follow the pointer to the intact old table
+    assert manifest_current(root).endswith(v1)
+    got = {(r["k"], r["v"]) for r in manifest_read(spark, root).collect()}
+    assert got == before
+
+    # a torn pointer tmp (crash mid-manifest-write) is also invisible
+    with open(os.path.join(root, "_MANIFEST.tmp"), "w") as f:
+        f.write("v9")  # torn: no newline, bogus target, never fsynced
+    assert manifest_current(root).endswith(v1)
+
+    # retry commits cleanly (next version number, orphan ignored)
+    n_replaced, n_inserted = merge_upsert_manifest(spark, root, updates, "k")
+    assert (n_replaced, n_inserted) == (1, 1)
+    got2 = {(r["k"], r["v"]) for r in manifest_read(spark, root).collect()}
+    assert got2 == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+
+    # old version still readable (time travel) until vacuumed
+    assert {(r["k"], r["v"]) for r in spark.read.parquet(
+        os.path.join(root, v1)
+    ).collect()} == before
+    current = os.path.basename(manifest_current(root))
+    dropped = manifest_vacuum(root, keep=1)
+    assert v1 in dropped and current not in dropped
+    assert {(r["k"], r["v"]) for r in manifest_read(spark, root).collect()} \
+        == got2
+
+    # duplicate source keys still rejected, pointer untouched
+    dup = spark.createDataFrame([(5, "x"), (5, "y")], "k long, v string")
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_upsert_manifest(spark, root, dup, "k")
+    assert os.path.basename(manifest_current(root)) == current
