@@ -8056,3 +8056,198 @@ def q265_grouped_hll_distinct(
             6,
         ).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q275 — KMV (theta-style) bottom-k sketch: distinct counts AND set
+# intersection, the estimator HLL cannot provide
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+_KMV_DOM = float(1 << 60)  # hash domain: 60-bit md5 prefix
+_KMV_B_PRICE = 150000
+
+
+def _kmv_hash_sql(key: str) -> str:
+    return f"('0x' || substr(md5('kmv:' || {key}), 1, 15))::BIGINT"
+
+
+@register(
+    "q275_kmv_overlap",
+    oracle=f"""
+    WITH a_keys AS (
+      SELECT DISTINCT o_custkey AS key FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    b_keys AS (
+      SELECT DISTINCT o_custkey AS key FROM orders
+      WHERE o_totalprice > {_KMV_B_PRICE}
+    ),
+    a_bot AS (
+      SELECT {_kmv_hash_sql('key')} AS h FROM a_keys
+      ORDER BY h LIMIT {_KMV_K}
+    ),
+    b_bot AS (
+      SELECT {_kmv_hash_sql('key')} AS h FROM b_keys
+      ORDER BY h LIMIT {_KMV_K}
+    ),
+    stats AS (
+      -- effective theta: an UNFILLED sketch holds its whole set, so
+      -- its theta is the full domain (standard theta-sketch rule)
+      SELECT CASE WHEN (SELECT count(*) FROM a_bot) < {_KMV_K}
+                  THEN CAST({1 << 60} AS BIGINT)
+                  ELSE (SELECT max(h) FROM a_bot) END AS th_a,
+             CASE WHEN (SELECT count(*) FROM b_bot) < {_KMV_K}
+                  THEN CAST({1 << 60} AS BIGINT)
+                  ELSE (SELECT max(h) FROM b_bot) END AS th_b,
+             (SELECT CAST(count(*) AS BIGINT) FROM a_bot) AS n_a,
+             (SELECT CAST(count(*) AS BIGINT) FROM b_bot) AS n_b,
+             (SELECT CAST(count(*) AS BIGINT) FROM a_keys) AS exact_a,
+             (SELECT CAST(count(*) AS BIGINT) FROM b_keys) AS exact_b,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM a_keys JOIN b_keys USING (key)) AS exact_overlap
+    ),
+    inter AS (
+      SELECT CAST(count(*) AS BIGINT) AS m
+      FROM a_bot JOIN b_bot USING (h), stats
+      WHERE h < least(th_a, th_b)
+    )
+    SELECT CAST({_KMV_K} AS BIGINT) AS k,
+           exact_a,
+           CASE WHEN n_a < {_KMV_K} THEN n_a
+                ELSE CAST(round(({_KMV_K} - 1) * {_KMV_DOM} / th_a)
+                          AS BIGINT) END AS est_a,
+           exact_b,
+           CASE WHEN n_b < {_KMV_K} THEN n_b
+                ELSE CAST(round(({_KMV_K} - 1) * {_KMV_DOM} / th_b)
+                          AS BIGINT) END AS est_b,
+           exact_overlap,
+           CAST(round(m * {_KMV_DOM} / least(th_a, th_b)) AS BIGINT)
+             AS est_overlap,
+           round((CAST(round(m * {_KMV_DOM} / least(th_a, th_b)) AS BIGINT)
+                  - exact_overlap) * 1.0 / exact_overlap, 6)
+             AS rel_error_overlap
+    FROM stats, inter
+    """,
+)
+def q275_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-style bottom-k sketch — the fourth-and-a-half
+    member of the sketch family (CMS q243, HLL q244/q265, Bloom
+    q245, histogram q261): keep each set's 256 smallest 60-bit md5
+    hash values; the k-th smallest (theta) estimates distinct count
+    as (k-1)*DOMAIN/theta, and — the capability HLL fundamentally
+    LACKS — two sketches INTERSECT: hashes below min(theta_a,
+    theta_b) present in both bottom-k sets form an unbiased sample
+    of the intersection, so overlap ~= |common below theta| * DOMAIN
+    / theta (Beyer et al. 2007; the theta sketch of the DataSketches
+    library). Audience-overlap ("how many URGENT-priority customers
+    are also big-ticket customers?") is THE warehouse question this
+    answers from two 256-row sketches instead of a corpus-scale
+    join.
+
+    Estimates vs exact are both emitted with realized relative
+    error — the audit shape of q243/q244/q257/q262.
+
+    Determinism: hash = integer 60-bit md5 prefix (no floats until
+    the final single division, which both engines compute in IEEE
+    double on identical integers and round identically).
+
+    Scale shape: per set, one DISTINCT (map-side combinable) and one
+    TakeOrderedAndProject(limit=256) — per-partition bottom-k heaps
+    merged at k*P rows, no global sort, no single-task funnel.
+    Everything after is k-row relations (1-row broadcast scalars,
+    k-row hash-equi join). The exact legs (full distinct + key join)
+    exist ONLY for the audit; at 100 TB you run the sketch legs
+    alone — two bottom-k scans and a 256-row intersect.
+
+    Reference basis: the reference has no estimators at all; this
+    extends its COUNT(DISTINCT)-style audits (SURVEY §2.4) the same
+    way q244 does, adding the intersection capability.
+    """
+    o = _t(spark, sf_dir, "orders")
+
+    def kmv_hash(col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv:"), col.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    a_keys = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    b_keys = (
+        o.where(F.col("o_totalprice") > _KMV_B_PRICE)
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    a_bot = a_keys.select(kmv_hash(F.col("key")).alias("h")).orderBy("h").limit(_KMV_K)
+    b_bot = b_keys.select(kmv_hash(F.col("key")).alias("h")).orderBy("h").limit(_KMV_K)
+
+    dom = F.lit(1 << 60).cast("bigint")
+    # effective theta: an UNFILLED sketch holds its whole set, so its
+    # theta is the full domain (standard theta-sketch rule) — keeps
+    # the estimator exact at SFs where a segment is smaller than k
+    th_a = a_bot.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a"),
+        F.max("h").alias("__mx_a"),
+    ).select(
+        "n_a",
+        F.when(F.col("n_a") < _KMV_K, dom)
+        .otherwise(F.col("__mx_a"))
+        .alias("th_a"),
+    )
+    th_b = b_bot.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.max("h").alias("__mx_b"),
+    ).select(
+        "n_b",
+        F.when(F.col("n_b") < _KMV_K, dom)
+        .otherwise(F.col("__mx_b"))
+        .alias("th_b"),
+    )
+    exact_a = a_keys.agg(F.count(F.lit(1)).cast("bigint").alias("exact_a"))
+    exact_b = b_keys.agg(F.count(F.lit(1)).cast("bigint").alias("exact_b"))
+    exact_ov = (
+        a_keys.join(b_keys, "key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_overlap"))
+    )
+    # all 1-row scalars: broadcast cross-attach
+    stats = (
+        th_a.crossJoin(F.broadcast(th_b))
+        .crossJoin(F.broadcast(exact_a))
+        .crossJoin(F.broadcast(exact_b))
+        .crossJoin(F.broadcast(exact_ov))
+    )
+    theta = F.least(F.col("th_a"), F.col("th_b"))
+    m = (
+        a_bot.join(b_bot, "h")
+        .crossJoin(F.broadcast(th_a))
+        .crossJoin(F.broadcast(th_b))
+        .where(F.col("h") < F.least(F.col("th_a"), F.col("th_b")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    est = lambda num, den: F.round(num * F.lit(_KMV_DOM) / den).cast("bigint")
+    return stats.crossJoin(F.broadcast(m)).select(
+        F.lit(_KMV_K).cast("bigint").alias("k"),
+        "exact_a",
+        F.when(F.col("n_a") < _KMV_K, F.col("n_a"))
+        .otherwise(est(F.lit(_KMV_K - 1), F.col("th_a")))
+        .alias("est_a"),
+        "exact_b",
+        F.when(F.col("n_b") < _KMV_K, F.col("n_b"))
+        .otherwise(est(F.lit(_KMV_K - 1), F.col("th_b")))
+        .alias("est_b"),
+        "exact_overlap",
+        est(F.col("m"), theta).alias("est_overlap"),
+        F.round(
+            (est(F.col("m"), theta) - F.col("exact_overlap"))
+            * 1.0
+            / F.col("exact_overlap"),
+            6,
+        ).alias("rel_error_overlap"),
+    )

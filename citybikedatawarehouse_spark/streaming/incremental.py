@@ -1096,3 +1096,84 @@ def hist_quantile_estimate(
             for lab, num, den in quantiles
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming KMV / theta sketch (q275's live twin)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+_KMV_DOM = float(1 << 60)
+
+KMV_STATE_SCHEMA = T.StructType([T.StructField("h", T.LongType())])
+
+
+def kmv_hash(col):
+    """60-bit md5-prefix hash of a key — q275's hash expression."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv:"), col.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def kmv_epoch_step(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    key_col: str,
+) -> None:
+    """One KMV epoch: land this batch's bottom-k DISTINCT hash slice.
+    Bottom-k is a commutative idempotent monoid (bottom-k of a union
+    of bottom-k slices == bottom-k of the union), so slices from any
+    epoch partitioning — or a replayed epoch overwriting its own
+    directory — resolve to exactly the sketch q275 builds in one
+    batch. State per epoch is <= k rows regardless of batch size."""
+    (
+        batch_df.select(kmv_hash(F.col(key_col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(_KMV_K)
+        .write.mode("overwrite")
+        .parquet(f"{state_dir}/epoch={epoch_id}")
+    )
+
+
+def start_incremental_kmv(stream: DataFrame, state_dir: str, key_col: str):
+    """Streaming distinct-count + intersect-capable sketch: bounded
+    state (<= 256 rows per epoch) for any key cardinality — the
+    bottom-k sibling of the HLL stream, kept when sketches must also
+    INTERSECT downstream (audience overlap), which HLL registers
+    cannot."""
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        kmv_epoch_step(batch_df, epoch_id, state_dir, key_col)
+
+    return stream.writeStream.foreachBatch(step).start()
+
+
+def resolve_kmv(state_df: DataFrame) -> DataFrame:
+    """Merge epoch slices into the sketch: global bottom-k of the
+    distinct union — byte-compatible with q275's batch-built
+    bottom-k relation."""
+    return state_df.select("h").distinct().orderBy("h").limit(_KMV_K)
+
+
+def kmv_estimate(sketch: DataFrame) -> DataFrame:
+    """Evaluate the (k-1)*DOMAIN/theta distinct-count estimator over
+    a resolved sketch (exact count if the set never filled k slots
+    — then theta is meaningless and the sketch IS the set)."""
+    stats = sketch.agg(
+        F.count(F.lit(1)).alias("n"), F.max("h").alias("theta")
+    )
+    return stats.select(
+        F.when(F.col("n") < _KMV_K, F.col("n").cast("bigint"))
+        .otherwise(
+            F.round(
+                F.lit(float(_KMV_K - 1)) * F.lit(_KMV_DOM) / F.col("theta")
+            ).cast("bigint")
+        )
+        .alias("kmv_estimate")
+    )

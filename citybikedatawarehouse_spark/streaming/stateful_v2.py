@@ -29,6 +29,9 @@ gated exactly like the multimodal codec and JDBC sink: processors
 and plans are real and logic-tested (fake state handles in
 tests/test_stateful_v2.py); the end-to-end streaming tests
 skip-unless-protobuf and run anywhere the dependency exists.
+(Gate re-checked round 9, 2026-08-15: ``import google.protobuf``
+still fails, pip installs remain disallowed, and the sandbox has no
+network route to PyPI — the 3 e2e skips stand.)
 """
 
 from __future__ import annotations

@@ -892,3 +892,84 @@ def test_stream_hist_equals_batch_q261(spark, tmp_path):
     assert bins.agg(F.sum("cnt")).first()[0] == li.count()
     # bin-for-bin identity with the batch sketch (n_bins column)
     assert bins.count() == batch.n_bins
+
+
+def test_stream_kmv_equals_batch_q275(spark, tmp_path):
+    """KMV bottom-k slices from 3 epochs (one replayed) resolve to
+    exactly the batch sketch over the union — bottom-k of a union of
+    bottom-k slices is the union's bottom-k (idempotent commutative
+    monoid), and the estimator over the resolved sketch matches the
+    one-pass value."""
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.sources.readers import load_table
+    from citybikedatawarehouse_spark.streaming.incremental import (
+        KMV_STATE_SCHEMA,
+        _read_epoch_state,
+        kmv_epoch_step,
+        kmv_estimate,
+        kmv_hash,
+        resolve_kmv,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    o = load_table(spark, sf, "orders").select("o_custkey")
+    state = str(tmp_path / "kmv")
+    for i in range(3):
+        kmv_epoch_step(o.filter(F.col("o_custkey") % 3 == i), i, state, "o_custkey")
+    # replay epoch 1: must overwrite, not double-count
+    kmv_epoch_step(o.filter(F.col("o_custkey") % 3 == 1), 1, state, "o_custkey")
+    sketch = resolve_kmv(_read_epoch_state(spark, state, KMV_STATE_SCHEMA, 99))
+    batch_sketch = (
+        o.select(kmv_hash(F.col("o_custkey")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(256)
+    )
+    assert sorted(r.h for r in sketch.collect()) == sorted(
+        r.h for r in batch_sketch.collect()
+    )
+    got = kmv_estimate(sketch).collect()[0].kmv_estimate
+    want = kmv_estimate(batch_sketch).collect()[0].kmv_estimate
+    assert got == want
+    # accuracy band: rel std err ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+    exact = o.distinct().count()
+    assert abs(got - exact) / exact < 0.25, (got, exact)
+
+
+def test_kmv_estimate_small_set_is_exact(spark):
+    """A set that never fills k slots IS its own sketch — the
+    estimator must return the exact count, not extrapolate."""
+    from citybikedatawarehouse_spark.streaming.incremental import (
+        kmv_estimate,
+        kmv_hash,
+    )
+    from pyspark.sql import functions as F
+
+    small = spark.range(37).select(kmv_hash(F.col("id")).alias("h"))
+    assert kmv_estimate(small).collect()[0].kmv_estimate == 37
+
+
+def test_q275_overlap_laws(spark, sf_dir):
+    """Structural laws of the theta intersection beyond the oracle
+    hash gate: the estimates land within the k=256 accuracy band of
+    their exact legs, and the sampled-intersection estimate is
+    consistent (0 <= est_overlap, est bounded by the smaller set's
+    estimate scaled by band)."""
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    r = QUERIES["q275_kmv_overlap"](spark, sf_dir).collect()[0]
+    assert r.k == 256
+    for est, exact in ((r.est_a, r.exact_a), (r.est_b, r.exact_b)):
+        if exact < 256:
+            # unfilled sketch IS the set: estimator must be exact
+            assert est == exact, (est, exact)
+        else:
+            assert abs(est - exact) / exact < 0.25, (est, exact)
+    assert r.exact_overlap > 0
+    if r.exact_a < 256 and r.exact_b < 256:
+        # both sketches hold their whole sets -> exact intersection
+        assert r.est_overlap == r.exact_overlap
+    else:
+        assert abs(r.est_overlap - r.exact_overlap) / r.exact_overlap < 0.45
+    assert abs(float(r.rel_error_overlap)) < 0.45
