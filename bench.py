@@ -83,6 +83,10 @@ HEADLINE = [
     "q270_bucket_digest_diff",
     "q271_variant_shred",
     "q272_pysource_scan",
+    # round 9: the KMV/theta sketch — watches the two bottom-k
+    # TakeOrdered passes + the k-row intersect (and the exact audit
+    # legs it will one day replace)
+    "q275_kmv_overlap",
 ]
 
 # Queries whose iterative driver loop (convergence counts, d-row
