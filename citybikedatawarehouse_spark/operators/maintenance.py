@@ -326,6 +326,33 @@ def manifest_vacuum(root: str, keep: int = 2) -> list[str]:
     return to_drop
 
 
+def compact_manifest(
+    spark: SparkSession,
+    root: str,
+    target_file_mb: int = 128,
+    sort_by: tuple[str, ...] = (),
+) -> str:
+    """``compact_parquet`` for manifest tables: rewrite the current
+    version into ~target-sized files as a NEW version and flip the
+    pointer — compaction becomes just another commit, with the same
+    crash matrix as ``merge_upsert_manifest`` (readers never see a
+    half-compacted table, and the pre-compaction version stays
+    readable until vacuumed). Returns the new version name."""
+    cur = manifest_current(root)
+    df = spark.read.parquet(cur)
+    _, total = parquet_file_stats(cur)
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    out = (
+        df.repartitionByRange(n_files, *sort_by)
+        if sort_by
+        else df.coalesce(n_files)
+    )
+    version = _manifest_next_version(root)
+    out.write.mode("errorifexists").parquet(os.path.join(root, version))
+    _manifest_commit(root, version)
+    return version
+
+
 def merge_upsert_manifest(
     spark: SparkSession,
     root: str,

@@ -456,3 +456,32 @@ def test_merge_upsert_manifest_crash_injection(spark, tmp_path):
     with pytest.raises(ValueError, match="duplicate"):
         merge_upsert_manifest(spark, root, dup, "k")
     assert os.path.basename(manifest_current(root)) == current
+
+
+def test_compact_manifest_is_a_commit(spark, tmp_path):
+    """Manifest-mode compaction: same rows, fewer files, published by
+    a pointer flip — the old version intact until vacuum."""
+    import os
+
+    from citybikedatawarehouse_spark.operators.maintenance import (
+        compact_manifest,
+        manifest_current,
+        manifest_init,
+        manifest_read,
+        parquet_file_stats,
+    )
+
+    root = str(tmp_path / "ct")
+    # many-partition write to fragment the table
+    df = spark.range(1000).repartition(16)
+    v1 = manifest_init(spark, root, df)
+    n_before, _ = parquet_file_stats(os.path.join(root, v1))
+    assert n_before >= 16
+    v2 = compact_manifest(spark, root, target_file_mb=512)
+    assert os.path.basename(manifest_current(root)) == v2
+    n_after, _ = parquet_file_stats(manifest_current(root))
+    assert n_after < n_before
+    got = sorted(r.id for r in manifest_read(spark, root).collect())
+    assert got == list(range(1000))
+    # pre-compaction version still on disk until vacuumed
+    assert os.path.exists(os.path.join(root, v1))

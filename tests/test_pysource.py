@@ -181,3 +181,72 @@ def test_stream_watermark_equals_batch_admission(spark):
     n_dropped = ROWS - admitted.count()
     assert n_dropped > 0, "fixture must actually drop late rows"
     assert final == twin
+
+
+def test_watermark_admitted_property_random_batches(spark):
+    """Property: for arbitrary (batch, event-time) assignments, the
+    DataFrame twin equals a sequential Python replay of the
+    two-watermark rule (late filter = running max over batches
+    <= k-2, minus delay; admit iff window end > that watermark)."""
+    import datetime
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from citybikedatawarehouse_spark.streaming.windows import (
+        watermark_admitted,
+    )
+
+    BASE = 1704067200
+    WIN_S, DELAY_S = 3600, 1800
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=6),        # batch idx
+                st.integers(min_value=0, max_value=86400),    # ts offset s
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def check(rows):
+        data = [
+            (i, b, datetime.datetime.utcfromtimestamp(BASE + off))
+            for i, (b, off) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(
+            data, "row_id long, batch_idx int, ts timestamp"
+        )
+        got = {
+            r.row_id
+            for r in watermark_admitted(
+                df, "ts", "batch_idx", f"{WIN_S} seconds", f"{DELAY_S} seconds"
+            ).collect()
+        }
+        # sequential replay
+        batches = sorted({b for b, _ in rows})
+        max_ts = {
+            b: max(BASE + off for bb, off in rows if bb == b)
+            for b in batches
+        }
+        want = set()
+        for i, (b, off) in enumerate(rows):
+            pos = batches.index(b)
+            prior = batches[: pos - 1] if pos >= 1 else []
+            wm = (
+                max(max_ts[p] for p in prior) - DELAY_S if prior else None
+            )
+            ts = BASE + off
+            win_end = (ts // WIN_S) * WIN_S + WIN_S
+            if wm is None or win_end > wm:
+                want.add(i)
+        assert got == want
+
+    check()
