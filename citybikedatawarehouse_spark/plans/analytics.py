@@ -8251,3 +8251,151 @@ def q275_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_error_overlap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q276 — grouped KMV sketches: the pairwise audience-overlap MATRIX
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q276_kmv_overlap_matrix",
+    oracle=f"""
+    WITH keys AS (
+      SELECT DISTINCT o_orderpriority AS seg, o_custkey AS key FROM orders
+    ),
+    hashed AS (
+      SELECT seg, key, {_kmv_hash_sql('key')} AS h FROM keys
+    ),
+    bot AS (
+      SELECT seg, h FROM (
+        SELECT seg, h,
+               row_number() OVER (PARTITION BY seg ORDER BY h) AS rn
+        FROM hashed
+      ) WHERE rn <= {_KMV_K}
+    ),
+    thetas AS (
+      SELECT seg,
+             CASE WHEN count(*) < {_KMV_K}
+                  THEN CAST({1 << 60} AS BIGINT)
+                  ELSE max(h) END AS theta
+      FROM bot GROUP BY seg
+    ),
+    pairs AS (
+      SELECT a.seg AS seg_a, b.seg AS seg_b,
+             CAST(count(*) AS BIGINT) AS m,
+             least(ta.theta, tb.theta) AS pair_theta
+      FROM bot a
+      JOIN bot b ON b.h = a.h AND a.seg < b.seg
+      JOIN thetas ta ON ta.seg = a.seg
+      JOIN thetas tb ON tb.seg = b.seg
+      WHERE a.h < least(ta.theta, tb.theta)
+      GROUP BY 1, 2, least(ta.theta, tb.theta)
+    ),
+    exact AS (
+      SELECT a.seg AS seg_a, b.seg AS seg_b,
+             CAST(count(*) AS BIGINT) AS exact_overlap
+      FROM keys a JOIN keys b ON b.key = a.key AND a.seg < b.seg
+      GROUP BY 1, 2
+    )
+    SELECT e.seg_a, e.seg_b, e.exact_overlap,
+           CAST(round(coalesce(p.m, 0) * {_KMV_DOM}
+                      / coalesce(p.pair_theta, {_KMV_DOM})) AS BIGINT)
+             AS est_overlap,
+           round((CAST(round(coalesce(p.m, 0) * {_KMV_DOM}
+                             / coalesce(p.pair_theta, {_KMV_DOM})) AS BIGINT)
+                  - e.exact_overlap) * 1.0 / e.exact_overlap, 6)
+             AS rel_error
+    FROM exact e
+    LEFT JOIN pairs p ON p.seg_a = e.seg_a AND p.seg_b = e.seg_b
+    """,
+)
+def q276_kmv_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped KMV sketches composed into the pairwise audience-
+    overlap MATRIX — the production shape of q275: ONE pass builds a
+    256-row bottom-k sketch per behavioral cohort (customers having
+    ordered at each priority level), then every C(5,2) pairwise
+    overlap estimate comes from joining 5x256-row sketches — never
+    from C(5,2) corpus-scale key joins. This is how audience-overlap
+    dashboards stay sub-second over arbitrary segment counts: sketch
+    once per segment at ingest, intersect k-row relations at query
+    time (the exact legs here are the audit, as in q275).
+
+    Scale shape: one DISTINCT over (segment, key) — map-side
+    combinable — then the per-segment bottom-k as a window
+    row_number over the segment partitioning (segments are
+    low-cardinality; the per-group sort is external/spilling, and at
+    extreme |segment| the two-phase salted bottom-k of
+    operators/ranking.global_row_number applies). Everything
+    downstream touches only |segments| * k rows. Unfilled sketches
+    use the effective-theta-is-domain rule, so the matrix is exact
+    wherever a cohort is smaller than k.
+    """
+    o = _t(spark, sf_dir, "orders")
+
+    def kmv_hash(col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv:"), col.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    keys = (
+        o.select(
+            F.col("o_orderpriority").alias("seg"),
+            F.col("o_custkey").alias("key"),
+        )
+        .distinct()
+    )
+    hashed = keys.select("seg", kmv_hash(F.col("key")).alias("h"))
+    wseg = W.partitionBy("seg").orderBy("h")
+    bot = (
+        hashed.withColumn("rn", F.row_number().over(wseg))
+        .where(F.col("rn") <= _KMV_K)
+        .select("seg", "h")
+    )
+    dom = F.lit(1 << 60).cast("bigint")
+    thetas = bot.groupBy("seg").agg(
+        F.when(F.count(F.lit(1)) < _KMV_K, dom)
+        .otherwise(F.max("h"))
+        .alias("theta")
+    )
+    a = bot.select(F.col("seg").alias("seg_a"), "h")
+    b = bot.select(F.col("seg").alias("seg_b"), F.col("h").alias("h_b"))
+    ta = thetas.select(F.col("seg").alias("seg_a"), F.col("theta").alias("th_a"))
+    tb = thetas.select(F.col("seg").alias("seg_b"), F.col("theta").alias("th_b"))
+    pairs = (
+        a.join(b, (F.col("h") == F.col("h_b")) & (F.col("seg_a") < F.col("seg_b")))
+        .join(F.broadcast(ta), "seg_a")
+        .join(F.broadcast(tb), "seg_b")
+        .where(F.col("h") < F.least(F.col("th_a"), F.col("th_b")))
+        .groupBy("seg_a", "seg_b", F.least(F.col("th_a"), F.col("th_b")).alias("theta"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    ka = keys.select(F.col("seg").alias("seg_a"), "key")
+    kb = keys.select(F.col("seg").alias("seg_b"), F.col("key").alias("key_b"))
+    exact = (
+        ka.join(
+            kb,
+            (F.col("key") == F.col("key_b"))
+            & (F.col("seg_a") < F.col("seg_b")),
+        )
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_overlap"))
+    )
+    est = F.round(
+        F.coalesce(F.col("m"), F.lit(0))
+        * F.lit(_KMV_DOM)
+        / F.coalesce(F.col("theta"), dom)
+    ).cast("bigint")
+    return exact.join(F.broadcast(pairs), ["seg_a", "seg_b"], "left").select(
+        "seg_a",
+        "seg_b",
+        "exact_overlap",
+        est.alias("est_overlap"),
+        F.round(
+            (est - F.col("exact_overlap")) * 1.0 / F.col("exact_overlap"), 6
+        ).alias("rel_error"),
+    )

@@ -973,3 +973,35 @@ def test_q275_overlap_laws(spark, sf_dir):
     else:
         assert abs(r.est_overlap - r.exact_overlap) / r.exact_overlap < 0.45
     assert abs(float(r.rel_error_overlap)) < 0.45
+
+
+def test_q276_matrix_laws(spark, sf_dir):
+    """Matrix laws beyond the hash gate: all C(5,2) priority pairs
+    present, estimates within band of (or exactly equal to, when
+    both cohorts are under k) their exact legs, and symmetry is by
+    construction (seg_a < seg_b, each unordered pair exactly once)."""
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["q276_kmv_overlap_matrix"](spark, sf_dir).collect()
+    prios = {r.seg_a for r in rows} | {r.seg_b for r in rows}
+    assert len(rows) == len(prios) * (len(prios) - 1) // 2
+    assert all(r.seg_a < r.seg_b for r in rows)
+    seen = {(r.seg_a, r.seg_b) for r in rows}
+    assert len(seen) == len(rows)
+    # per-cohort sizes decide which law applies
+    from citybikedatawarehouse_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    sizes = {
+        r.seg: r.n
+        for r in o.groupBy(F.col("o_orderpriority").alias("seg"))
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.exact_overlap > 0
+        if sizes[r.seg_a] < 256 and sizes[r.seg_b] < 256:
+            assert r.est_overlap == r.exact_overlap, r
+        else:
+            assert abs(r.est_overlap - r.exact_overlap) / r.exact_overlap < 0.5, r
