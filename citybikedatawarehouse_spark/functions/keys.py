@@ -185,3 +185,22 @@ def bloom_bit(j: Column | str, key: Column | str, m_bits: int) -> Column:
         ).cast("long")
         % m_bits
     )
+
+
+KMV_DOMAIN = 1 << 60  # kmv_hash range: 60-bit md5 prefix
+
+
+def kmv_hash(key: Column | str) -> Column:
+    """KMV / theta-sketch hash: 60-bit integer md5 prefix of the key
+    — pure, uniform over [0, 2^60), identical across engines (oracle
+    twin: ``('0x' || substr(md5('kmv:' || key), 1, 15))::BIGINT``).
+    Bottom-k sets of this hash form an idempotent commutative monoid
+    (q275/q276 sketches, streaming/incremental.kmv_epoch_step)."""
+    key = F.col(key) if isinstance(key, str) else key
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv:"), key.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")

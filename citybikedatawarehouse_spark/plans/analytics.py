@@ -8166,14 +8166,7 @@ def q275_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = _t(spark, sf_dir, "orders")
 
-    def kmv_hash(col):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("kmv:"), col.cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("bigint")
+    from citybikedatawarehouse_spark.functions.keys import kmv_hash
 
     a_keys = (
         o.where(F.col("o_orderpriority") == "1-URGENT")
@@ -8333,14 +8326,7 @@ def q276_kmv_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = _t(spark, sf_dir, "orders")
 
-    def kmv_hash(col):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("kmv:"), col.cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("bigint")
+    from citybikedatawarehouse_spark.functions.keys import kmv_hash
 
     keys = (
         o.select(

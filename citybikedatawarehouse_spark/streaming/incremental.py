@@ -1108,15 +1108,9 @@ _KMV_DOM = float(1 << 60)
 KMV_STATE_SCHEMA = T.StructType([T.StructField("h", T.LongType())])
 
 
-def kmv_hash(col):
-    """60-bit md5-prefix hash of a key — q275's hash expression."""
-    return F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("kmv:"), col.cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("bigint")
+from citybikedatawarehouse_spark.functions.keys import (  # noqa: E402
+    kmv_hash,
+)
 
 
 def kmv_epoch_step(
