@@ -477,3 +477,28 @@ def test_variant_shred_counts_malformed_json_as_invalid(spark, tmp_path):
     assert r["n"] == 3
     assert r["n_valid"] == 1  # only the well-formed row
     assert r["k_sum"] == 3 and r["k_min"] == 3 and r["k_max"] == 3
+
+
+# ---------------------------------------------------------------------------
+# q275/q276 KMV sketch plan shape (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_overlap_plan_takeordered_no_cartesian(spark, sf_dir):
+    """q275's bottom-k must run as TakeOrderedAndProject
+    (per-partition heaps merged at k*P rows — never a global Sort),
+    and the 1-row scalar attachments must stay broadcast: no
+    CartesianProduct anywhere."""
+    plan = _plan(spark, "q275_kmv_overlap", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kmv_matrix_plan_no_cartesian_and_windowed_bottomk(spark, sf_dir):
+    """q276's per-segment bottom-k is the segment-partitioned window
+    (low-cardinality groups), the theta attachments broadcast, and
+    nothing degenerates to a cartesian product."""
+    plan = _plan(spark, "q276_kmv_overlap_matrix", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
