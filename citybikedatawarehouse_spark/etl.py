@@ -48,14 +48,18 @@ def run_citibike_etl(
     key_mode: str = "sha2",
     fact_strategy: str = "derive",
     partition_fact: bool = True,
+    strict: bool = False,
 ) -> EtlResult:
     """CSV -> member/rideable/station/date dims + ride_fact.
 
     With ``out_dir`` set, writes each table as Parquet (fact
     partitioned by year/month unless disabled); always returns the
-    DataFrames for further composition.
+    DataFrames for further composition. ``strict=True`` passes the
+    reference's fail-fast timestamp-parse contract through to the
+    reader (see read_ride_csv): the pipeline dies on the first
+    unparseable timestamp instead of null-auditing it.
     """
-    rides = read_ride_csv(spark, csv_path).cache()
+    rides = read_ride_csv(spark, csv_path, strict=strict).cache()
 
     member = build_member_dim(rides, key_mode)
     rideable = build_rideable_dim(rides, key_mode)

@@ -258,3 +258,36 @@ def test_parquet_write_partitioned(spark, fixture, tmp_path):
     assert parts  # partitioned layout materialized
     fact = spark.read.parquet(f"{out}/ride_fact")
     assert fact.count() > 0
+
+
+def test_etl_strict_mode_passthrough(spark, tmp_path):
+    """strict=True on the pipeline surfaces the reader's fail-fast
+    contract end-to-end: a bad timestamp kills the ETL; the default
+    lenient run completes on the same file."""
+    import csv as csvmod
+
+    import pytest
+
+    from citybikedatawarehouse_spark.etl import run_citibike_etl
+    from tests.citibike_fixture import HEADER
+
+    path = str(tmp_path / "etl_bad.csv")
+    with open(path, "w", newline="") as f:
+        w = csvmod.writer(f, delimiter=";")
+        w.writerow(HEADER)
+        w.writerow(
+            ["r1", "classic_bike", "2025-01-01 09:00:00",
+             "2025-01-01 10:00:00", "A", "S1", "B", "S2",
+             "40.7", "-74.0", "40.71", "-74.01", "member"]
+        )
+        w.writerow(
+            ["r2", "electric_bike", "garbage-ts", "2025-01-01 11:00:00",
+             "A", "S1", "B", "S2", "40.7", "-74.0", "40.71", "-74.01",
+             "casual"]
+        )
+    lenient = run_citibike_etl(spark, path)
+    assert lenient.tables["ride_fact"].count() == 2  # rows kept
+    with pytest.raises(Exception, match="garbage-ts"):
+        run_citibike_etl(spark, path, strict=True).tables[
+            "ride_fact"
+        ].collect()
