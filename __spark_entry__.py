@@ -68,9 +68,11 @@ _SWEEP_PRIORITY = [
     "q269_watermark_lateness", "q270_bucket_digest_diff",
     "q271_variant_shred", "q272_pysource_scan",
     "q273_scd2_pit_lookup", "q274_udtf_chunks",
-    # -- NEW round 9: KMV/theta sketches (slots 17-18 so they get
-    #    their driver rows the round they ship) --
+    # -- NEW round 9: KMV/theta sketches + rolling-HLL window merge
+    #    + zone-map pruning (slots 17-20 so they get their driver
+    #    rows the round they ship) --
     "q275_kmv_overlap", "q276_kmv_overlap_matrix",
+    "q277_rolling_hll_distinct", "q278_zonemap_prune",
     # ---- everything below already has a driver row; ordered
     #      least-recently-verified first. The r03 block (24) plus
     #      the first 10 of the r04 block fill slots 17-50. ----

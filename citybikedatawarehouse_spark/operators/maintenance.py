@@ -512,3 +512,60 @@ def bucket_digest(
             F.expr("bit_xor(__rh)").cast("bigint").alias(digest_col),
         )
     )
+
+
+def zone_map_stats(
+    spark: SparkSession, path: str, cols: tuple[str, ...]
+) -> DataFrame:
+    """Per-file zone map: (file, n_rows, min_<c>, max_<c> per stats
+    column) for every parquet data file under ``path``. The read-side
+    half of multi-dimensional data skipping — q77's Z-order key keeps
+    each file's min/max box TIGHT at write time; this table is what a
+    reader consults to skip files whose box cannot intersect a
+    predicate. Parquet footers already carry these stats per
+    row-group, and table formats (Delta/Iceberg) lift them into the
+    commit log; this builds the same relation engine-side so the
+    pruning contract is testable on plain parquet, with no format
+    dependency.
+
+    Scale shape: one scan that folds map-side into ONE row per file
+    (groupBy input_file_name is keyed by file, and a file's rows are
+    co-located in its scan partitions, so partial aggregation
+    collapses nearly everything before the |files|-row shuffle). At
+    100 TB the stats table is O(files) ~ 10^5-10^6 tiny rows — this
+    is the relation you persist alongside the table (or in the
+    metastore) and incrementally append to on ingest, not rebuild
+    per query."""
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+
+
+def zonemap_prune_files(
+    stats: DataFrame, col: str, lo, hi
+) -> tuple[list[str], int]:
+    """Files whose [min_<col>, max_<col>] zone intersects [lo, hi],
+    plus the total file count. Interval-overlap test with NULL
+    safety: a file whose stats are NULL for the column (all-NULL
+    zone, or stats never collected) is KEPT — pruning may only ever
+    skip a file PROVEN disjoint, never one merely unknown, or
+    skipping becomes a wrong-answer bug instead of a missed
+    optimization.
+
+    The collect here is the stats relation itself — O(files) tiny
+    rows, the same thing Spark's own driver-side file index (or a
+    Delta/Iceberg snapshot) holds to plan any scan; pruning shrinks
+    what the executors read, it does not add driver state beyond
+    the listing that already exists."""
+    rows = stats.select("file", f"min_{col}", f"max_{col}").collect()
+    keep = [
+        r["file"]
+        for r in rows
+        if r[f"min_{col}"] is None
+        or r[f"max_{col}"] is None
+        or not (r[f"max_{col}"] < lo or r[f"min_{col}"] > hi)
+    ]
+    return keep, len(rows)

@@ -8385,3 +8385,201 @@ def q276_kmv_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (est - F.col("exact_overlap")) * 1.0 / F.col("exact_overlap"), 6
         ).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q277 — rolling-window distinct from daily HLL partials (sketch
+# algebra over time windows)
+# ---------------------------------------------------------------------------
+
+_ROLL_DAYS = 7  # window = asof day + 6 preceding days
+
+
+def _rolling_hll_oracle() -> str:
+    from citybikedatawarehouse_spark.functions.keys import (
+        HLL_RHO_MAX,
+        hll_parts_sql,
+    )
+
+    parts = hll_parts_sql("o_custkey")
+    w = _ROLL_DAYS - 1
+    return f"""
+    WITH days AS (
+      SELECT DISTINCT datediff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS ad
+      FROM orders
+    ),
+    daily AS (
+      SELECT day, bucket, max(rho) AS reg FROM (
+        SELECT datediff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS day,
+               {parts}
+        FROM orders
+      ) GROUP BY 1, 2
+    ),
+    fan AS (
+      SELECT ad, bucket, max(reg) AS reg FROM (
+        SELECT unnest(generate_series(day, day + {w})) AS ad,
+               bucket, reg
+        FROM daily
+      ) GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT d.ad, b.bucket, coalesce(f.reg, 0) AS reg
+      FROM days d
+      CROSS JOIN (SELECT CAST(t.b AS INTEGER) AS bucket
+                  FROM UNNEST(range(0, 256)) t(b)) b
+      LEFT JOIN fan f ON f.ad = d.ad AND f.bucket = b.bucket
+    ),
+    stats AS (
+      SELECT ad,
+             CAST(sum(CAST(1::BIGINT << ({HLL_RHO_MAX} - reg)
+                           AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS sum_scaled,
+             CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+      FROM grid GROUP BY 1
+    ),
+    est AS (
+      SELECT ad,
+             CAST(round(CASE WHEN raw <= 640.0 AND zeros > 0
+                             THEN 256.0 * ln(256.0 / zeros)
+                             ELSE raw END) AS BIGINT) AS hll_estimate
+      FROM (
+        SELECT ad,
+               CAST({_HLL_ALPHA} AS DOUBLE) * 256.0 * 256.0
+                 * CAST(1::BIGINT << {HLL_RHO_MAX} AS DOUBLE)
+                 / CAST(sum_scaled AS DOUBLE) AS raw,
+               zeros
+        FROM stats
+      )
+    ),
+    exact AS (
+      SELECT ad, CAST(count(DISTINCT o_custkey) AS BIGINT)
+                     AS exact_distinct
+      FROM (
+        SELECT unnest(generate_series(day, day + {w})) AS ad, o_custkey
+        FROM (
+          SELECT datediff('day', DATE '1970-01-01',
+                          CAST(o_orderdate AS DATE)) AS day, o_custkey
+          FROM orders
+        )
+      ) GROUP BY 1
+    )
+    SELECT CAST(e.ad AS INTEGER) AS asof_day,
+           x.exact_distinct, e.hll_estimate,
+           round((e.hll_estimate - x.exact_distinct) * 1.0
+                 / x.exact_distinct, 6) AS rel_error
+    FROM est e JOIN exact x ON x.ad = e.ad
+    """
+
+
+@register("q277_rolling_hll_distinct", oracle=_rolling_hll_oracle())
+def q277_rolling_hll_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling 7-day distinct customers from DAILY HLL partials —
+    sketch algebra over time windows, the third leg of the HLL suite
+    (q244 global, q265 per-group, THIS per-sliding-window). The
+    pattern a 100 TB pipeline actually deploys: registers are
+    computed ONCE per (day, bucket) at ingest — 256 small rows per
+    day — and any window [d-6, d] is answered by MAX-merging the
+    partials, never re-scanning the fact. The merge is expressed as
+    a map-side explode of each day's registers to the <=7 window-end
+    days it serves (sequence+explode, no range join, no window
+    function over raw rows), then the same max-monoid aggregate.
+    The exact rolling COUNT(DISTINCT) — which no engine can compute
+    from partials, precisely the problem sketches solve — is carried
+    alongside as the audit; at scale you keep only the sketch path.
+
+    Scale shape: daily partials fold map-side to 256 rows/day; the
+    fan-out is x7 of THAT (not of the fact); the estimate runs on
+    |days| x 256 rows. The exact audit's x7 fan-out of the fact is
+    test-scale-only scaffolding. The ~40-customer daily cardinality
+    at sf keeps every window in the linear-counting branch; q244
+    covers the raw-estimate branch.
+
+    Cites: plans/analytics.py q244/q265 (register construction,
+    estimate constants); functions/keys.py hll_parts/hll_parts_sql.
+    """
+    from citybikedatawarehouse_spark.functions.keys import (
+        HLL_RHO_MAX,
+        hll_parts,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+    )
+    bucket, rho = hll_parts("o_custkey")
+    daily = (
+        o.select(day.alias("day"), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    w = _ROLL_DAYS - 1
+    fan = (
+        daily.select(
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + F.lit(w))
+            ).alias("asof"),
+            "bucket",
+            "reg",
+        )
+        .groupBy("asof", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    days = o.select(day.alias("asof")).distinct()
+    all_b = spark.range(256).select(F.col("id").cast("int").alias("bucket"))
+    grid = (
+        days.crossJoin(F.broadcast(all_b))
+        .join(fan, ["asof", "bucket"], "left")
+        .select("asof", F.coalesce(F.col("reg"), F.lit(0)).alias("reg"))
+    )
+    stats = grid.groupBy("asof").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - reg)").cast(
+                "decimal(20,0)"
+            )
+        ).alias("sum_scaled"),
+        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("zeros"),
+    )
+    raw = (
+        F.lit(_HLL_ALPHA)
+        * 256.0
+        * 256.0
+        * F.lit(float(1 << HLL_RHO_MAX))
+        / F.col("sum_scaled").cast("double")
+    )
+    est = stats.select(
+        "asof",
+        F.round(
+            F.when(
+                (raw <= 640.0) & (F.col("zeros") > 0),
+                F.lit(256.0) * F.log(F.lit(256.0) / F.col("zeros")),
+            ).otherwise(raw)
+        )
+        .cast("bigint")
+        .alias("hll_estimate"),
+    )
+    exact = (
+        o.select(
+            F.explode(F.sequence(day, day + F.lit(w))).alias("asof"),
+            "o_custkey",
+        )
+        .groupBy("asof")
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct")
+        )
+    )
+    return est.join(exact, "asof").select(
+        F.col("asof").cast("int").alias("asof_day"),
+        "exact_distinct",
+        "hll_estimate",
+        F.round(
+            (F.col("hll_estimate") - F.col("exact_distinct"))
+            * F.lit(1.0)
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_error"),
+    )

@@ -1282,3 +1282,97 @@ def q273_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q278 — zone-map file pruning (read-side data skipping, audited)
+# ---------------------------------------------------------------------------
+
+_ZM_LO = "1997-01-01"
+_ZM_HI = "1997-03-31"
+
+
+@register(
+    "q278_zonemap_prune",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)   AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           TRUE AS matches_full_scan,
+           TRUE AS files_skipped
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE)
+          BETWEEN DATE '{_ZM_LO}' AND DATE '{_ZM_HI}'
+    GROUP BY 1
+    """,
+)
+def q278_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping, end to end: lay orders out by date
+    (repartitionByRange keeps each file's o_orderdate min/max box
+    tight — q77's Z-order key is the multi-column generalisation),
+    build the per-file min/max stats relation
+    (operators/maintenance.zone_map_stats), answer a one-quarter
+    revenue query reading ONLY the files whose zone intersects the
+    quarter, and AUDIT the shortcut: matches_full_scan compares the
+    pruned answer to the unpruned one group by group, files_skipped
+    asserts the prune actually dropped files. This is the mechanism
+    that turns a 100 TB scan into a ~1-partition read for
+    time-windowed queries — parquet row-group stats / Delta-Iceberg
+    file stats, reproduced engine-side so the contract (skip only
+    what is PROVEN disjoint) is testable on plain parquet.
+
+    Scale shape: stats build is one scan folding to O(files) rows
+    (persisted in practice, rebuilt here to keep the query
+    self-contained); the pruned read opens only intersecting files —
+    at a 16-file layout over 7 years, a quarter touches 1-2. The
+    audit's full scan exists only to prove equality at test scale;
+    production reads the pruned side alone."""
+    from citybikedatawarehouse_spark.operators.maintenance import (
+        zone_map_stats,
+        zonemap_prune_files,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="cbdw_zonemap_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    work = base + "/orders_by_date"
+    o.repartitionByRange(16, "o_orderdate").write.mode("overwrite").parquet(
+        work
+    )
+    stats = zone_map_stats(spark, work, ("o_orderdate",))
+    import datetime as _dt
+
+    lo = _dt.datetime.fromisoformat(_ZM_LO)
+    hi = _dt.datetime.fromisoformat(_ZM_HI + " 23:59:59")
+    files, n_total = zonemap_prune_files(stats, "o_orderdate", lo, hi)
+
+    in_range = F.col("o_orderdate").between(
+        F.lit(_ZM_LO).cast("timestamp_ntz"),
+        F.lit(_ZM_HI + " 23:59:59").cast("timestamp_ntz"),
+    )
+
+    def _agg(df: DataFrame, n_col: str, rev_col: str) -> DataFrame:
+        return (
+            df.where(in_range)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias(n_col),
+                F.round(F.sum("o_totalprice"), 2).alias(rev_col),
+            )
+        )
+
+    pruned = _agg(spark.read.parquet(*files), "n_orders", "revenue")
+    full = _agg(o, "n_full", "rev_full")
+    return (
+        pruned.join(full, "o_orderpriority", "full")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "revenue",
+            (
+                F.col("n_orders").eqNullSafe(F.col("n_full"))
+                & F.col("revenue").eqNullSafe(F.col("rev_full"))
+            ).alias("matches_full_scan"),
+            F.lit(len(files) < n_total).alias("files_skipped"),
+        )
+    )

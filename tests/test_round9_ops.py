@@ -1,0 +1,146 @@
+"""Round-9 session-3 operators: zone-map data skipping
+(operators/maintenance.zone_map_stats / zonemap_prune_files) and the
+rolling-window HLL merge (q277) — the monoid property the query
+relies on, tested directly on the register algebra."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from citybikedatawarehouse_spark.functions.keys import hll_parts
+from citybikedatawarehouse_spark.operators.maintenance import (
+    zone_map_stats,
+    zonemap_prune_files,
+)
+from citybikedatawarehouse_spark.sources.readers import load_table
+
+
+def _range_layout(spark, sf_dir, tmp_path, n_files=8):
+    path = str(tmp_path / "orders_ranged")
+    load_table(spark, sf_dir, "orders").repartitionByRange(
+        n_files, "o_orderdate"
+    ).write.parquet(path)
+    return path
+
+
+def test_zone_map_stats_one_row_per_file_and_consistent(
+    spark, sf_dir, tmp_path
+):
+    path = _range_layout(spark, sf_dir, tmp_path)
+    stats = zone_map_stats(spark, path, ("o_orderdate", "o_orderkey"))
+    rows = stats.collect()
+    full = spark.read.parquet(path)
+    n_files = len({r["file"] for r in rows})
+    assert n_files == len(rows)  # one row per file
+    assert sum(r["n_rows"] for r in rows) == full.count()
+    glob = full.agg(
+        F.min("o_orderdate"), F.max("o_orderdate")
+    ).collect()[0]
+    assert min(r["min_o_orderdate"] for r in rows) == glob[0]
+    assert max(r["max_o_orderdate"] for r in rows) == glob[1]
+    for r in rows:
+        assert r["min_o_orderdate"] <= r["max_o_orderdate"]
+        assert r["min_o_orderkey"] <= r["max_o_orderkey"]
+
+
+def test_zonemap_prune_is_lossless_and_actually_skips(
+    spark, sf_dir, tmp_path
+):
+    """For a set of range predicates: reading only the kept files and
+    filtering gives EXACTLY the full-scan filter result (losslessness
+    — the correctness contract), and at least one narrow predicate
+    drops files (effectiveness)."""
+    path = _range_layout(spark, sf_dir, tmp_path)
+    stats = zone_map_stats(spark, path, ("o_orderdate",)).cache()
+    full = spark.read.parquet(path)
+    skipped_somewhere = False
+    for lo, hi in [
+        ("1996-02-01", "1996-04-30"),  # narrow: should prune
+        ("1990-01-01", "1991-01-01"),  # before data: prunes all
+        ("1994-01-01", "2002-12-31"),  # covers all: prunes none
+    ]:
+        lo_ts = dt.datetime.fromisoformat(lo)
+        hi_ts = dt.datetime.fromisoformat(hi + " 23:59:59")
+        files, n_total = zonemap_prune_files(
+            stats, "o_orderdate", lo_ts, hi_ts
+        )
+        cond = F.col("o_orderdate").between(F.lit(lo_ts), F.lit(hi_ts))
+        want = full.where(cond)
+        if files:
+            got = spark.read.parquet(*files).where(cond)
+            assert got.count() == want.count()
+            assert (
+                got.agg(F.sum("o_orderkey")).collect()
+                == want.agg(F.sum("o_orderkey")).collect()
+            )
+        else:
+            assert want.count() == 0
+        if len(files) < n_total:
+            skipped_somewhere = True
+    assert skipped_somewhere
+
+
+def test_zonemap_prune_keeps_null_stats_files(spark, tmp_path):
+    """A file whose zone stats are NULL (all-NULL column) must be
+    KEPT — pruning may only skip files proven disjoint."""
+    path = str(tmp_path / "nullzones")
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20)], "k int, v int"
+    ).repartition(1)
+    df.write.parquet(path)
+    spark.createDataFrame(
+        [(3, None), (4, None)], "k int, v int"
+    ).repartition(1).write.mode("append").parquet(path)
+    stats = zone_map_stats(spark, path, ("v",))
+    files, n_total = zonemap_prune_files(stats, "v", 100, 200)
+    # the non-null file [10,20] is disjoint from [100,200] -> skipped;
+    # the all-NULL file has unknown zone -> kept
+    assert n_total == 2 and len(files) == 1
+    kept = spark.read.parquet(*files)
+    assert {r["k"] for r in kept.collect()} == {3, 4}
+
+
+def test_hll_register_window_merge_is_exact_monoid(spark):
+    """q277's algebraic core: MAX-merging per-day (bucket, rho)
+    registers over a day window yields BIT-IDENTICAL registers to
+    hashing the window's raw rows directly — sketch partials lose
+    nothing, which is why the fact table never needs re-scanning."""
+    rows = [
+        (d, f"user{(7 * d + i) % 23}")
+        for d in range(10)
+        for i in range(1 + (d % 4))
+    ]
+    df = spark.createDataFrame(rows, "day int, uid string")
+    bucket, rho = hll_parts("uid")
+    daily = (
+        df.select("day", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    merged = (
+        daily.select(
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + F.lit(2))
+            ).alias("asof"),
+            "bucket",
+            "reg",
+        )
+        .groupBy("asof", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    direct = (
+        df.select(
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + F.lit(2))
+            ).alias("asof"),
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("asof", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
