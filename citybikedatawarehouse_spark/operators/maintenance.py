@@ -569,3 +569,35 @@ def zonemap_prune_files(
         or not (r[f"max_{col}"] < lo or r[f"min_{col}"] > hi)
     ]
     return keep, len(rows)
+
+
+def manifest_versions(root: str) -> list[str]:
+    """All committed-or-orphan version directories of a manifest
+    table, oldest first. The current pointer's target is always a
+    member; earlier entries are readable history until
+    ``manifest_vacuum`` drops them; an entry NEWER than the pointer
+    is an orphan from a crashed writer (readable by nobody who
+    follows the pointer — exactly the crash contract)."""
+    return sorted(
+        d
+        for d in os.listdir(root)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+
+
+def manifest_read_version(
+    spark: SparkSession, root: str, version: str
+) -> DataFrame:
+    """Time-travel read: a SPECIFIC committed version of a manifest
+    table, bypassing the current pointer. Versions are immutable
+    once written (commits only ever ADD a directory and flip the
+    pointer), so this read is a consistent snapshot with no
+    coordination — the Delta/Iceberg ``VERSION AS OF``, in the
+    dependency-free manifest layout."""
+    p = os.path.join(root, version)
+    if not os.path.isdir(p):
+        raise IOError(
+            f"manifest table {root}: no version {version!r} "
+            f"(have {manifest_versions(root)})"
+        )
+    return spark.read.parquet(p)

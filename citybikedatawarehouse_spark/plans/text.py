@@ -2104,3 +2104,95 @@ def q274_udtf_chunks(spark, sf_dir):
         FROM __q274_docs d, LATERAL chunk_doc(d.text, 32, 16) c
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q279 — feature hashing (the hashing-trick vectorizer), collision census
+# ---------------------------------------------------------------------------
+
+_FH_BUCKETS = 1024
+
+
+@register(
+    "q279_feature_hashing",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lower(words[i]) AS word
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+            FROM documents),
+           UNNEST(range(1, len(words) + 1)) t(i)
+      WHERE words[i] <> ''
+    ),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+    hashed AS (
+      SELECT doc_id, word, tf,
+             CAST(('0x' || substr(md5('fh:' || word), 1, 8))::BIGINT
+                  % {_FH_BUCKETS} AS INTEGER) AS bucket,
+             CASE WHEN ('0x' || substr(md5('fh:' || word), 9, 1))::BIGINT >= 8
+                  THEN 1 ELSE -1 END AS sign
+      FROM tf
+    )
+    SELECT bucket,
+           CAST(count(DISTINCT word) AS BIGINT)   AS n_terms,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(tf) AS BIGINT)                AS abs_mass,
+           CAST(sum(sign * tf) AS BIGINT)         AS net_weight
+    FROM hashed
+    GROUP BY bucket
+    """,
+)
+def q279_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (Weinberger et al. 2009, the scikit/VW
+    "hashing trick"): every token maps to one of {_FH_BUCKETS}
+    buckets via an md5 hash, with a SIGNED contribution (second hash
+    nibble -> +/-1) so collisions cancel in expectation instead of
+    biasing upward — the fixed-width featurizer that replaces an
+    unbounded vocabulary with a constant-size vector, which is what
+    makes text -> features feasible on a corpus whose vocabulary
+    never fits a dictionary (no fit pass, no vocab broadcast, new
+    words never re-shape the schema). Output is the corpus-level
+    COLLISION CENSUS of the hash space — per bucket: distinct terms
+    landing there, documents touched, raw mass, and the signed net
+    weight — i.e. the audit you run to size the hash width before
+    training.
+
+    Scale shape: tokenize+tf is q68's one exploded shuffle keyed
+    (doc, word); bucket/sign are per-row codegen md5s; the census
+    folds map-side into <= {_FH_BUCKETS} rows regardless of corpus
+    size (the two COUNT(DISTINCT)s expand-aggregate on word/doc
+    within each bucket, still combiner-friendly). Per-doc sparse
+    vectors — groupBy(doc_id, bucket) — are the same plan minus the
+    final fold; the census is what is bounded enough to RETURN.
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        d.select("doc_id", F.explode(words("text")).alias("tok"))
+        .select("doc_id", F.lower("tok").alias("word"))
+        .filter(F.col("word") != "")
+    )
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    h = F.md5(F.concat(F.lit("fh:"), F.col("word")))
+    bucket = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+        % _FH_BUCKETS
+    ).cast("int")
+    sign = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("int") >= 8, F.lit(1)
+    ).otherwise(F.lit(-1))
+    hashed = tf.select(
+        "doc_id", "word", "tf", bucket.alias("bucket"), sign.alias("sign")
+    )
+    return hashed.groupBy("bucket").agg(
+        F.countDistinct("word").alias("n_terms"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("tf").cast("bigint").alias("abs_mass"),
+        F.sum(F.col("sign") * F.col("tf")).cast("bigint").alias("net_weight"),
+    )
+
+
+# plain docstring with placeholders, filled after the def (the q216/
+# q220/q268 pattern — an inline .format() expression would leave
+# __doc__ None)
+q279_feature_hashing.__doc__ = q279_feature_hashing.__doc__.format(
+    _FH_BUCKETS=_FH_BUCKETS
+)

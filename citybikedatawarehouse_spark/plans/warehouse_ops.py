@@ -1376,3 +1376,112 @@ def q278_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(len(files) < n_total).alias("files_skipped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q280 — time travel: VERSION AS OF reads over the manifest table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q280_time_travel",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    upd AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice,
+             'R' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    ins AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 = 5
+    ),
+    v2 AS (
+      SELECT * FROM v1 WHERE o_orderkey % 100 <> 0
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins
+    )
+    SELECT 'v1' AS version, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(sum(CASE WHEN o_orderstatus = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_r_status
+    FROM v1
+    UNION ALL
+    SELECT 'v2', CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT),
+           round(sum(o_totalprice), 2),
+           CAST(sum(CASE WHEN o_orderstatus = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM v2
+    """,
+)
+def q280_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the manifest-pointer table: init a versioned
+    table (v1 = every 10th order), MERGE a deterministic change set
+    through the crash-consistent pointer-flip commit (updates bump
+    price +1.0 and flag status R on every 100th order; inserts add
+    the %10=5 cohort), then read BOTH versions — v1 via
+    ``manifest_read_version`` (the VERSION AS OF path, bypassing the
+    pointer) and v2 via the pointer — and summarize each. The oracle
+    reconstructs both snapshots relationally, so the parity check
+    proves the committed history IS the algebra it claims to be:
+    old versions are immutable, unaffected by later commits, and a
+    reader pinned to v1 sees pre-merge truth bit-for-bit.
+
+    Scale shape: versions are immutable parquet directories —
+    snapshot reads need no locks at any table size; the merge is
+    merge_upsert_manifest's key-join (one shuffle) + pointer flip.
+    History cost is bounded by ``manifest_vacuum`` retention, and at
+    100 TB the version delta would be partition-scoped (the
+    merge_upsert_partitioned shape) rather than the full-table
+    rewrite this fixture-sized table uses.
+
+    Cites: operators/maintenance.py manifest_init /
+    merge_upsert_manifest / manifest_read_version (crash matrix in
+    tests/test_maintenance_and_stream_joins.py).
+    """
+    from citybikedatawarehouse_spark.operators.maintenance import (
+        manifest_init,
+        manifest_read_version,
+        manifest_versions,
+        merge_upsert_manifest,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    base = tempfile.mkdtemp(prefix="cbdw_timetravel_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    root = base + "/orders_versioned"
+    v1_name = manifest_init(spark, root, o.where(F.col("o_orderkey") % 10 == 0))
+    updates = o.where(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        F.lit("R").alias("o_orderstatus"),
+    )
+    inserts = o.where(F.col("o_orderkey") % 10 == 5)
+    merge_upsert_manifest(
+        spark, root, updates.unionByName(inserts), key="o_orderkey"
+    )
+    v2_name = manifest_versions(root)[-1]
+
+    def _summary(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.sum((F.col("o_orderstatus") == "R").cast("int"))
+            .cast("bigint")
+            .alias("n_r_status"),
+        ).select(
+            "version", "n_rows", "key_checksum", "revenue", "n_r_status"
+        )
+
+    v1 = manifest_read_version(spark, root, v1_name)
+    v2 = manifest_read_version(spark, root, v2_name)
+    return _summary(v1, "v1").unionByName(_summary(v2, "v2"))

@@ -40,7 +40,19 @@ QUERIES_UNDER_TEST = [
     "q264_ivm_join_view",
     "q265_grouped_hll_distinct",
     "q266_cdc_extract",
+    # round-9 session-3 family (same coherent orders build)
+    "q277_rolling_hll_distinct",
+    "q278_zonemap_prune",
 ]
+
+# optional subset: SPARK_GRAFT_SCALE_QUERIES="q277_...,q278_..." times
+# only those (reuses an existing build, so new ops don't re-pay the
+# already-recorded families)
+_subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+if _subset:
+    QUERIES_UNDER_TEST = [
+        q for q in QUERIES_UNDER_TEST if q in set(_subset.split(","))
+    ]
 
 
 def build(spark, mult: int, out: str) -> None:

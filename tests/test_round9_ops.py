@@ -144,3 +144,71 @@ def test_hll_register_window_merge_is_exact_monoid(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_manifest_time_travel_immutability(spark, tmp_path):
+    """A committed version read via manifest_read_version is
+    bit-identical before and after a later merge commit — the
+    snapshot-isolation contract time travel rests on."""
+    from citybikedatawarehouse_spark.operators.maintenance import (
+        manifest_init,
+        manifest_read_version,
+        manifest_versions,
+        merge_upsert_manifest,
+    )
+
+    root = str(tmp_path / "tt")
+    v1_df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, s string, v double",
+    )
+    v1 = manifest_init(spark, root, v1_df)
+    before = sorted(map(tuple, manifest_read_version(spark, root, v1).collect()))
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k int, s string, v double"
+    )
+    n_rep, n_ins = merge_upsert_manifest(spark, root, updates, key="k")
+    assert (n_rep, n_ins) == (1, 1)
+    after = sorted(map(tuple, manifest_read_version(spark, root, v1).collect()))
+    assert before == after == [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]
+    v2 = manifest_versions(root)[-1]
+    assert v2 != v1
+    cur = sorted(map(tuple, manifest_read_version(spark, root, v2).collect()))
+    assert cur == [(1, "a", 10.0), (2, "B", 99.0), (3, "c", 30.0), (4, "d", 40.0)]
+
+
+def test_manifest_read_version_rejects_unknown(spark, tmp_path):
+    import pytest as _pytest
+
+    from citybikedatawarehouse_spark.operators.maintenance import (
+        manifest_init,
+        manifest_read_version,
+    )
+
+    root = str(tmp_path / "tt2")
+    manifest_init(spark, root, spark.range(3))
+    with _pytest.raises(IOError, match="no version"):
+        manifest_read_version(spark, root, "v99999999")
+
+
+def test_feature_hashing_census_laws(spark, sf_dir):
+    """q279 invariants: |net_weight| <= abs_mass per bucket (signs
+    can only cancel mass, never create it); sum of n_terms over
+    buckets == corpus vocabulary size (the hash partitions the
+    vocab); bucket ids live in [0, 1024)."""
+    from citybikedatawarehouse_spark.functions.textfns import words
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+    from citybikedatawarehouse_spark.sources.readers import load_table
+
+    census = QUERIES["q279_feature_hashing"](spark, sf_dir).collect()
+    assert all(abs(r["net_weight"]) <= r["abs_mass"] for r in census)
+    assert all(0 <= r["bucket"] < 1024 for r in census)
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(words("text")).alias("tok"))
+        .select(F.lower("tok").alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_terms"] for r in census) == vocab
