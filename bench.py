@@ -87,6 +87,11 @@ HEADLINE = [
     # TakeOrdered passes + the k-row intersect (and the exact audit
     # legs it will one day replace)
     "q275_kmv_overlap",
+    # round 9 session 3: sketch-partial window merge (5 exchanges,
+    # 2 explode fan-outs) and zone-map data skipping (layout write +
+    # stats fold + pruned read — the end-to-end skipping round-trip)
+    "q277_rolling_hll_distinct",
+    "q278_zonemap_prune",
 ]
 
 # Queries whose iterative driver loop (convergence counts, d-row
@@ -108,6 +113,10 @@ EAGER_BUILD = {
     "q179_copurchase_communities",
     # q262 persists its flagged edge list (same rationale as q176)
     "q262_triangle_sample_estimate",
+    # q278's layout write + stats build + prune-list collect all run
+    # at plan-build time; timing only the returned 5-row aggregate
+    # would measure none of the skipping round-trip
+    "q278_zonemap_prune",
 }
 
 # the round-1 baseline benched exactly these 13; rounds add queries

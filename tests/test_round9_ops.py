@@ -212,3 +212,70 @@ def test_feature_hashing_census_laws(spark, sf_dir):
         .count()
     )
     assert sum(r["n_terms"] for r in census) == vocab
+
+
+# ---------------------------------------------------------------------------
+# plan-shape guards (q277-q280)
+# ---------------------------------------------------------------------------
+
+
+def _plan(spark, name, sf_dir, mode="formatted"):
+    from citybikedatawarehouse_spark.plans.catalog import QUERIES
+
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_rolling_hll_plan_no_cartesian_broadcast_grid(spark, sf_dir):
+    """q277's bucket grid must attach as a broadcast (256 rows), the
+    window merge must be the explode fan-out (no range join, which
+    would plan as BroadcastNestedLoopJoin), and nothing degenerates
+    to a cartesian product."""
+    plan = _plan(spark, "q277_rolling_hll_distinct", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate" in plan, plan  # the explode fan-out
+    assert "BroadcastExchange" in plan, plan  # 256-bucket grid
+    # the only nested-loop join allowed is the broadcast Cross that
+    # attaches the 256-row bucket grid — a data-sized one would mean
+    # the window merge degenerated into a range join
+    import re
+
+    bnlj = re.findall(r"BroadcastNestedLoopJoin [^\n]*", plan)
+    assert all("Cross" in b for b in bnlj), plan
+
+
+def test_feature_hashing_plan_single_expand_no_join(spark, sf_dir):
+    """q279 is scan -> explode -> two hash aggregates; the dual
+    COUNT(DISTINCT) plans as ONE Expand (never a self-join), and no
+    join of any kind appears."""
+    plan = _plan(spark, "q279_feature_hashing", sf_dir)
+    assert plan.count("Expand") >= 1, plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "CartesianProduct"):
+        assert j not in plan, plan
+
+
+def test_zonemap_pruned_scan_reads_fewer_files(spark, sf_dir, tmp_path):
+    """The pruned read's file list — Spark's own inputFiles() — must
+    be a strict subset of the layout for a narrow predicate: the
+    skipping happens at scan-planning time, not as a filter."""
+    import datetime as dt
+
+    from citybikedatawarehouse_spark.operators.maintenance import (
+        zone_map_stats,
+        zonemap_prune_files,
+    )
+
+    path = _range_layout(spark, sf_dir, tmp_path)
+    stats = zone_map_stats(spark, path, ("o_orderdate",))
+    files, n_total = zonemap_prune_files(
+        stats,
+        "o_orderdate",
+        dt.datetime(1996, 2, 1),
+        dt.datetime(1996, 4, 30),
+    )
+    pruned = spark.read.parquet(*files)
+    assert 0 < len(pruned.inputFiles()) < n_total
+    assert len(spark.read.parquet(path).inputFiles()) == n_total

@@ -8,7 +8,11 @@ The transformWithState Python runtime requires google.protobuf
 ship it, so the runtime tests skip — the SAME environment-stub
 pattern as the multimodal codec (operators/multimodal.py) and the
 JDBC sink. The processors' pure-Python state logic is still tested
-below via a direct harness that fakes the state handles."""
+below via a direct harness that fakes the state handles.
+
+Gate re-checked round 9 (import still fails; installs remain
+disallowed in this sandbox) — when google.protobuf appears, these
+skips lift with no code change."""
 
 from __future__ import annotations
 
