@@ -601,3 +601,50 @@ def manifest_read_version(
             f"(have {manifest_versions(root)})"
         )
     return spark.read.parquet(p)
+
+
+def zone_map_append(
+    spark: SparkSession, path: str, stats: DataFrame
+) -> DataFrame:
+    """Incrementally maintain a zone map after an append: compute
+    min/max stats ONLY for data files not yet in ``stats`` and union
+    them in — making the "persist the stats, don't rebuild per
+    query" contract real. The stats columns are inferred from the
+    existing relation (min_<c>/max_<c> pairs), so the appended rows
+    carry the same schema.
+
+    Scale shape: the incremental scan reads ONLY the new files
+    (explicit path list -> Spark's file index holds just those), and
+    the fold is O(new files) rows; the untouched history's stats are
+    never recomputed. This is what ingest does at 100 TB — per-batch
+    stats appended to the metastore — vs ``zone_map_stats``'s full
+    rebuild, which exists for bootstrap and repair."""
+    cols = [
+        c[len("min_"):]
+        for c in stats.columns
+        if c.startswith("min_") and f"max_{c[len('min_'):]}" in stats.columns
+    ]
+    def _norm(p: str) -> str:
+        # input_file_name() renders local files as file:/// URIs;
+        # os.walk yields plain paths — compare scheme-stripped
+        if p.startswith("file:"):
+            return "/" + p[5:].lstrip("/")
+        return p
+
+    known = {_norm(r["file"]) for r in stats.select("file").collect()}
+    all_files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    new_files = [f for f in all_files if _norm(f) not in known]
+    if not new_files:
+        return stats
+    df = spark.read.parquet(*new_files)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    fresh = df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+    return stats.select(fresh.columns).unionByName(fresh)

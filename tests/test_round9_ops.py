@@ -279,3 +279,30 @@ def test_zonemap_pruned_scan_reads_fewer_files(spark, sf_dir, tmp_path):
     pruned = spark.read.parquet(*files)
     assert 0 < len(pruned.inputFiles()) < n_total
     assert len(spark.read.parquet(path).inputFiles()) == n_total
+
+
+def test_zone_map_append_equals_full_rebuild(spark, tmp_path):
+    """After an append, zone_map_append(old_stats) must equal a full
+    zone_map_stats rebuild — and must NOT recompute stats for files
+    it already has (idempotent on no-change)."""
+    from citybikedatawarehouse_spark.operators.maintenance import (
+        zone_map_append,
+        zone_map_stats,
+    )
+
+    path = str(tmp_path / "growing")
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "k int, v int"
+    ).repartition(2).write.parquet(path)
+    stats0 = zone_map_stats(spark, path, ("v",)).cache()
+    stats0.count()
+    # idempotent when nothing new
+    assert zone_map_append(spark, path, stats0) is stats0
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(100, 150)], "k int, v int"
+    ).repartition(1).write.mode("append").parquet(path)
+    inc = zone_map_append(spark, path, stats0)
+    full = zone_map_stats(spark, path, ("v",))
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, full.collect())
+    )
