@@ -1485,3 +1485,116 @@ def q280_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = manifest_read_version(spark, root, v1_name)
     v2 = manifest_read_version(spark, root, v2_name)
     return _summary(v1, "v1").unionByName(_summary(v2, "v2"))
+
+
+# ---------------------------------------------------------------------------
+# q281 — Z-order layout + multi-column zone-map pruning (2-D skipping)
+# ---------------------------------------------------------------------------
+
+_ZM2_CK_LO, _ZM2_CK_HI = 1, 150
+_ZM2_DT_LO, _ZM2_DT_HI = "1997-01-01", "1997-03-31"
+
+
+@register(
+    "q281_zorder_zonemap_prune",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)   AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           TRUE AS matches_full_scan,
+           TRUE AS files_skipped
+    FROM orders
+    WHERE o_custkey BETWEEN {_ZM2_CK_LO} AND {_ZM2_CK_HI}
+      AND CAST(o_orderdate AS DATE)
+          BETWEEN DATE '{_ZM2_DT_LO}' AND DATE '{_ZM2_DT_HI}'
+    GROUP BY 1
+    """,
+)
+def q281_zorder_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multi-dimensional data-skipping round trip: write
+    orders range-partitioned by the q77 Z-ORDER key over (custkey,
+    order day) — so every file's min/max box is tight in BOTH
+    dimensions — then answer a two-predicate query (customer range
+    AND date quarter) reading only the files whose zone intersects
+    BOTH ranges (per-column prune lists intersected). A 1-D date
+    layout (q278) cannot skip on customer; the Morton interleave
+    buys pruning on either predicate, or both, from ONE layout —
+    Delta OPTIMIZE ZORDER BY + file stats, reproduced engine-side.
+    Audited like q278: matches_full_scan proves losslessness group
+    by group; files_skipped proves the prune engaged.
+
+    Scale shape: layout write is the one-off OPTIMIZE cost; stats
+    fold to O(files) rows (ingest-maintained via zone_map_append at
+    scale); the pruned read opens only box-intersecting files. At a
+    16-file z-layout, a quarter x 1/10th-customer-range box touches
+    a corner of the curve, not a stripe.
+
+    Cites: functions/layout.zorder_key (q77 write side);
+    operators/maintenance.zone_map_stats / zonemap_prune_files.
+    """
+    from citybikedatawarehouse_spark.functions.layout import zorder_key
+    from citybikedatawarehouse_spark.operators.maintenance import (
+        zone_map_stats,
+        zonemap_prune_files,
+    )
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "__day",
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))),
+    )
+    base = tempfile.mkdtemp(prefix="cbdw_zorder_zm_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    work = base + "/orders_zordered"
+    (
+        zorder_key(o, ["o_custkey", "__day"])
+        .repartitionByRange(16, "z_key")
+        .drop("z_key", "__day")
+        .write.mode("overwrite")
+        .parquet(work)
+    )
+    stats = zone_map_stats(
+        spark, work, ("o_custkey", "o_orderdate")
+    ).persist()
+    import datetime as _dt
+
+    dt_lo = _dt.datetime.fromisoformat(_ZM2_DT_LO)
+    dt_hi = _dt.datetime.fromisoformat(_ZM2_DT_HI + " 23:59:59")
+    f_ck, n_total = zonemap_prune_files(
+        stats, "o_custkey", _ZM2_CK_LO, _ZM2_CK_HI
+    )
+    f_dt, _ = zonemap_prune_files(stats, "o_orderdate", dt_lo, dt_hi)
+    files = sorted(set(f_ck) & set(f_dt))
+    stats.unpersist()
+
+    pred = F.col("o_custkey").between(_ZM2_CK_LO, _ZM2_CK_HI) & F.col(
+        "o_orderdate"
+    ).between(
+        F.lit(_ZM2_DT_LO).cast("timestamp_ntz"),
+        F.lit(_ZM2_DT_HI + " 23:59:59").cast("timestamp_ntz"),
+    )
+
+    def _agg(df: DataFrame, n_col: str, rev_col: str) -> DataFrame:
+        return (
+            df.where(pred)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias(n_col),
+                F.round(F.sum("o_totalprice"), 2).alias(rev_col),
+            )
+        )
+
+    pruned = _agg(spark.read.parquet(*files), "n_orders", "revenue")
+    full = _agg(_t(spark, sf_dir, "orders"), "n_full", "rev_full")
+    return (
+        pruned.join(full, "o_orderpriority", "full")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "revenue",
+            (
+                F.col("n_orders").eqNullSafe(F.col("n_full"))
+                & F.col("revenue").eqNullSafe(F.col("rev_full"))
+            ).alias("matches_full_scan"),
+            F.lit(len(files) < n_total).alias("files_skipped"),
+        )
+    )

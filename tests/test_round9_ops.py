@@ -306,3 +306,43 @@ def test_zone_map_append_equals_full_rebuild(spark, tmp_path):
     assert sorted(map(tuple, inc.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def test_zorder_layout_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
+    """On a Z-ordered (custkey, day) layout, BOTH single-column zone
+    maps prune files; on a date-only range layout, the custkey zone
+    map is impotent (every file spans ~the full key range). This is
+    the measurable reason q281 z-orders instead of sorting by date."""
+    import datetime as dt
+
+    from citybikedatawarehouse_spark.functions.layout import zorder_key
+    from citybikedatawarehouse_spark.operators.maintenance import (
+        zone_map_stats,
+        zonemap_prune_files,
+    )
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "__day",
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))),
+    )
+    zpath = str(tmp_path / "zordered")
+    (
+        zorder_key(o, ["o_custkey", "__day"])
+        .repartitionByRange(16, "z_key")
+        .drop("z_key", "__day")
+        .write.parquet(zpath)
+    )
+    dpath = str(tmp_path / "datesorted")
+    o.drop("__day").repartitionByRange(16, "o_orderdate").write.parquet(dpath)
+
+    ck_hi = o.agg(F.expr("percentile(o_custkey, 0.1)")).collect()[0][0]
+    dt_lo, dt_hi = dt.datetime(1997, 1, 1), dt.datetime(1997, 3, 31)
+    for path, custkey_should_prune in ((zpath, True), (dpath, False)):
+        stats = zone_map_stats(spark, path, ("o_custkey", "o_orderdate"))
+        f_ck, n = zonemap_prune_files(stats, "o_custkey", 1, int(ck_hi))
+        f_dt, _ = zonemap_prune_files(stats, "o_orderdate", dt_lo, dt_hi)
+        assert len(f_dt) < n or path == zpath  # date prunes on its layout
+        if custkey_should_prune:
+            assert len(f_ck) < n, (path, len(f_ck), n)
+        else:
+            assert len(f_ck) == n, (path, len(f_ck), n)
