@@ -43,6 +43,7 @@ QUERIES_UNDER_TEST = [
     # round-9 session-3 family (same coherent orders build)
     "q277_rolling_hll_distinct",
     "q278_zonemap_prune",
+    "q281_zorder_zonemap_prune",
 ]
 
 # optional subset: SPARK_GRAFT_SCALE_QUERIES="q277_...,q278_..." times
