@@ -35,6 +35,13 @@ disjoint-copy build makes that the ground truth by construction).
 Usage:
   python scripts/scale_skew.py skew [mult] [out_dir]
   python scripts/scale_skew.py triangle [mult] [out_dir]
+  (optional 4th arg: comma-separated query subset)
+
+Memory sizing (r9s3 finding, PERFORMANCE.md): at skewed 50x on an
+8 g heap, q237 needs SPARK_GRAFT_CPUS=16 — shuffle partitions
+beyond the thread count stop buying per-task memory (the pool
+divides by running tasks), so the reliable knob is concurrency,
+not partitions. SPARK_GRAFT_SKEW_REUSE=1 reuses an existing build.
 """
 
 from __future__ import annotations
