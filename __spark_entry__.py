@@ -74,7 +74,7 @@ _SWEEP_PRIORITY = [
     "q275_kmv_overlap", "q276_kmv_overlap_matrix",
     "q277_rolling_hll_distinct", "q278_zonemap_prune",
     "q279_feature_hashing", "q280_time_travel",
-    "q281_zorder_zonemap_prune",
+    "q281_zorder_zonemap_prune", "q282_sampled_aggregate",
     # ---- everything below already has a driver row; ordered
     #      least-recently-verified first. The r03 block (24) plus
     #      the first 10 of the r04 block fill slots 17-50. ----

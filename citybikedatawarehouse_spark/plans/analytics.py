@@ -8583,3 +8583,95 @@ def q277_rolling_hll_distinct(
             6,
         ).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q282 — sampled aggregation with CLT error bars (online-agg /
+# BlinkDB style: answer from a 5% sample, quantify the error)
+# ---------------------------------------------------------------------------
+
+_SAMP_MOD = 1000
+_SAMP_KEEP = 50  # 5%
+_SAMP_Z = 1.96   # 95% CI
+
+
+def _sampled_agg_oracle() -> str:
+    return f"""
+    WITH s AS (
+      SELECT o_orderpriority, o_totalprice
+      FROM orders
+      WHERE ('0x' || substr(md5('olap:' || CAST(o_orderkey AS VARCHAR)),
+                            1, 8))::BIGINT % {_SAMP_MOD} < {_SAMP_KEEP}
+    ),
+    est AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_sample,
+             round(avg(o_totalprice), 6) AS est_avg,
+             round({_SAMP_Z} * stddev_samp(o_totalprice)
+                   / sqrt(count(*)), 6) AS ci_half
+      FROM s GROUP BY 1
+    ),
+    exact AS (
+      SELECT o_orderpriority, round(avg(o_totalprice), 6) AS exact_avg
+      FROM orders GROUP BY 1
+    )
+    SELECT e.o_orderpriority, e.n_sample, e.est_avg, e.ci_half,
+           x.exact_avg,
+           round(abs(e.est_avg - x.exact_avg), 6) <= e.ci_half
+             AS within_ci
+    FROM est e JOIN exact x USING (o_orderpriority)
+    """
+
+
+@register("q282_sampled_aggregate", oracle=_sampled_agg_oracle())
+def q282_sampled_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregation with error bars (online aggregation /
+    BlinkDB): answer a per-priority average from a DETERMINISTIC 5%
+    hash sample of orders and attach the CLT 95% half-width
+    (z * s / sqrt(n)) — then audit against the exact answer, which
+    at 100 TB you would not compute (the whole point: a 5% scan with
+    a quantified error beats a full scan when the dashboard needs
+    seconds, and the CI column tells the user whether the estimate
+    is fit for their decision). The sample is md5(tag || orderkey) —
+    membership is a pure function of the key, so the estimate is
+    reproducible across engines and reruns, and the same sample can
+    be PRE-MATERIALIZED and shared by every query in the BlinkDB
+    manner.
+
+    Determinism across engines: est/CI/exact are rounded to 6
+    decimals BEFORE the within_ci comparison on both sides (double
+    summation order differs; the CI boundary sits orders of
+    magnitude above the rounding grain).
+
+    Scale shape: the sample predicate is a per-row md5 in codegen —
+    at rest you'd store the sample as its own table and scan 5%;
+    both aggregates are one map-side-combinable hash-agg each, and
+    the join is |priorities|-sized."""
+    from citybikedatawarehouse_spark.plans.curation import _md5_tick
+
+    o = _t(spark, sf_dir, "orders")
+    s = o.where(_md5_tick("olap:", "o_orderkey", _SAMP_MOD) < _SAMP_KEEP)
+    est = s.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+        F.round(F.avg("o_totalprice"), 6).alias("est_avg"),
+        F.round(
+            F.lit(_SAMP_Z)
+            * F.stddev_samp("o_totalprice")
+            / F.sqrt(F.count(F.lit(1))),
+            6,
+        ).alias("ci_half"),
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.round(F.avg("o_totalprice"), 6).alias("exact_avg")
+    )
+    return est.join(exact, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_sample",
+        "est_avg",
+        "ci_half",
+        "exact_avg",
+        (
+            F.round(F.abs(F.col("est_avg") - F.col("exact_avg")), 6)
+            <= F.col("ci_half")
+        ).alias("within_ci"),
+    )
