@@ -35,62 +35,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness sweep records the FIRST 50 entries of
 # this dict, in dict order — so dict order decides which queries
-# reach the hard gate each round. Round-9 priority order (per the
-# round-8 VERDICT's explicit ask, item 1):
-#   1. the 16 remaining never-driver-swept queries, q259–q274 —
-#      after this cohort gets its driver rows, every one of the 280
-#      registered queries has green evidence from the DRIVER's own
-#      sweep (q209–q258 got theirs in r8; q259–q274 rest on the
-#      builder's full sweeps plus the r8 judge's 9-query independent
-#      re-verification until now).
-#   2. everything else, least-recently-verified first: the r03-
-#      evidence block backfills the remaining 34 head slots, then
-#      r04, r05, r06, r07, and the 50 queries the round-8 sweep just
-#      proved (q209–q258) at the very tail — freshest evidence last.
-#      All registered queries are re-proven locally at sf0.01
-#      against DuckDB every round regardless of sweep position
-#      (driver-style full sweeps, scripts/full_sweep.py — see
-#      PERFORMANCE.md).
+# reach the hard gate each round. Round-10 priority order (per the
+# round-9 VERDICT's explicit ask, item 4 — keep the rotation
+# honest, least-recently-driver-verified first):
+#   1. the new round-10 queries (driver rows the round they ship),
+#   2. the r04-evidence block (q85, q86, ... — driver rows now 6
+#      rounds old) and as much of the r05 block as fits slot 50,
+#   3. then r06/r07/r08 blocks, and the 50 queries the round-9
+#      sweep just proved (r03 block + q78/q84 + q259–q282) at the
+#      very tail — freshest evidence last.
+# All registered queries are re-proven locally at sf0.01 against
+# DuckDB every round regardless of sweep position (driver-style
+# full sweeps, scripts/full_sweep.py — see PERFORMANCE.md).
 # Every name is asserted against the registry at import time (see
 # the assert after the list).
 _SWEEP_PRIORITY = [
-    # -- 1. never-driver-swept cohort (round-9 head slots, per
-    #       VERDICT r8 "Next round" item 1): q259-q274 = 16 queries.
-    #       These rest on builder full sweeps (scripts/full_sweep.py:
-    #       280/280 ok) and the r8 judge's independent verification
-    #       of 9/16; this rotation gives every registered query a
-    #       driver row. --
-    "q259_simpson_audit", "q260_revenue_deciles_ranged",
-    "q261_histogram_quantiles", "q262_triangle_sample_estimate",
-    "q263_filtered_ann_topk", "q264_ivm_join_view",
-    "q265_grouped_hll_distinct", "q266_cdc_extract",
-    "q267_interval_islands", "q268_k_anonymity",
-    "q269_watermark_lateness", "q270_bucket_digest_diff",
-    "q271_variant_shred", "q272_pysource_scan",
-    "q273_scd2_pit_lookup", "q274_udtf_chunks",
-    # -- NEW round 9: KMV/theta sketches + rolling-HLL window merge
-    #    + zone-map pruning (slots 17-20 so they get their driver
-    #    rows the round they ship) --
-    "q275_kmv_overlap", "q276_kmv_overlap_matrix",
-    "q277_rolling_hll_distinct", "q278_zonemap_prune",
-    "q279_feature_hashing", "q280_time_travel",
-    "q281_zorder_zonemap_prune", "q282_sampled_aggregate",
-    # ---- everything below already has a driver row; ordered
-    #      least-recently-verified first. The r03 block (24) plus
-    #      the first 10 of the r04 block fill slots 17-50. ----
-    # -- 2a. r03-evidence block --
-    "q77_zorder_key", "q48_array_agg", "q61_ngram_jaccard",
-    "q68_tfidf_topterms", "q69_decontaminate", "q49_posexplode",
-    "q91_running_totals_batch", "q47_conditionals", "q56_map_ops",
-    "q57_struct_ops", "q66_quality_filter_pipeline",
-    "q67_stratified_sample", "q73_embedding_stats",
-    "q81_multimodal_features", "q59_cross_join", "q106_salted_aggregate",
-    "q80_multimodal_decode", "q90_stream_dedup_batch", "q107_salted_join",
-    "q58_unpivot", "q45_math_suite", "q46_datetime_suite",
-    "q109_compaction", "q63_simhash_neardup",
-    # -- 2b. r04-verified block --
-    "q78_embedding_quantize", "q84_dataset_split", "q85_repetition_filter",
-    "q86_incremental_dedup", "q87_unigram_logprob",
+    # -- 1. NEW round 10: unified table format (manifest commits +
+    #    maintained Z-order layout + transactional zone map + pruned
+    #    reads) — new queries get their driver row the round they
+    #    ship --
+    "q283_manifest_pruned_read",
+    # -- 2a. r04-evidence block (driver rows now 6 rounds old; the
+    #    two entries that got r9 backfill rows, q78/q84, moved to the
+    #    tail) — fills the head with the least-recently-driver-
+    #    verified queries, per VERDICT r9 item 4 --
+    "q85_repetition_filter", "q86_incremental_dedup", "q87_unigram_logprob",
     "q79_matryoshka_truncate", "q89_split_leakage", "q98_length_buckets",
     "q62_minhash_lsh", "q64_dedup_clusters", "q74_ivf_ann_topk",
     "q82_frame_sample", "q70_cosine_topk", "q71_cosine_neardup",
@@ -103,7 +72,8 @@ _SWEEP_PRIORITY = [
     "q08_semi_join", "q02_filter_pushdown", "q18_window_running_sum",
     "q55_fingerprint", "q27_pivot", "q33b_promo_revenue_share",
     "q31_range_join",
-    # -- 2c. r05-verified block --
+    # -- 2b. r05-evidence block (the first ~11 of these land inside
+    #    the 50-row gate this round; the rest head the r11 sweep) --
     "q01_pricing_summary", "q03_topk_revenue", "q04_exists_priority",
     "q05_region_volume", "q06_predicate_revenue", "q07_left_join_enrich",
     "q11_keyed_dedup_first", "q13_union_distinct", "q14_intersect",
@@ -123,7 +93,7 @@ _SWEEP_PRIORITY = [
     "q92_curation_e2e", "q75_kmeans", "q76_ivf_kmeans_topk",
     "q93_hier_kmeans", "q94_hier_ivf_topk", "q95_pq_encode",
     "q96_pq_adc_topk",
-    # -- 2d. r06-verified block --
+    # -- 2c. r06-evidence block --
     "q126_positive_pairs", "q127_source_quota_filter",
     "q128_funnel_conversion", "q129_retention_cohorts",
     "q130_gap_fill_interp", "q131_outlier_mad", "q132_pii_scrub",
@@ -144,7 +114,7 @@ _SWEEP_PRIORITY = [
     "q32_date_parts", "q33_time_parts", "q34_epoch_duration",
     "q35_tumbling_window", "q36_sliding_window", "q37_sessionization",
     "q38_asof_join", "q39_asof_join_bucketed", "q108_scd2_merge",
-    # -- 2e. r07-verified block (q159-q208, freshest evidence, tail) --
+    # -- 2d. r07-evidence block --
     "q159_bpe_encode", "q160_semantic_decontaminate",
     "q161_cluster_safe_split", "q162_temperature_mixture",
     "q163_cdc_chunk_dedup", "q164_dsir_resample", "q165_ivfpq_topk",
@@ -164,7 +134,7 @@ _SWEEP_PRIORITY = [
     "q202_discount_bands", "q203_seasonal_anomalies",
     "q204_growth_accounting", "q205_stickiness", "q206_abc_classification",
     "q207_windowed_funnel", "q208_purchase_gaps",
-    # -- 2f. r08-verified block (q209-q258, freshest evidence, tail) --
+    # -- 2e. r08-evidence block --
     "q209_table_health", "q210_key_skew_census", "q211_silhouette",
     "q212_sorted_neighborhood", "q213_order_count_distribution",
     "q214_large_volume_customers", "q215_bfs_reach", "q216_item_similarity",
@@ -184,6 +154,28 @@ _SWEEP_PRIORITY = [
     "q250_learning_curve", "q251_pareto_frontier", "q252_cdc_apply",
     "q253_ndcg_at_10", "q254_ipf_mixture", "q255_column_stats",
     "q256_fd_audit", "q257_joinsize_estimate", "q258_benford_audit",
+    # -- 3. round-9-verified tail (freshest driver evidence last):
+    #    the r03 block + q78/q84 (r9 backfill rows) + q259-q282 (r9
+    #    head slots) --
+    "q77_zorder_key", "q48_array_agg", "q61_ngram_jaccard",
+    "q68_tfidf_topterms", "q69_decontaminate", "q49_posexplode",
+    "q91_running_totals_batch", "q47_conditionals", "q56_map_ops",
+    "q57_struct_ops", "q66_quality_filter_pipeline",
+    "q67_stratified_sample", "q73_embedding_stats",
+    "q81_multimodal_features", "q59_cross_join", "q106_salted_aggregate",
+    "q80_multimodal_decode", "q90_stream_dedup_batch", "q107_salted_join",
+    "q58_unpivot", "q45_math_suite", "q46_datetime_suite",
+    "q109_compaction", "q63_simhash_neardup", "q78_embedding_quantize",
+    "q84_dataset_split", "q259_simpson_audit",
+    "q260_revenue_deciles_ranged", "q261_histogram_quantiles",
+    "q262_triangle_sample_estimate", "q263_filtered_ann_topk",
+    "q264_ivm_join_view", "q265_grouped_hll_distinct", "q266_cdc_extract",
+    "q267_interval_islands", "q268_k_anonymity", "q269_watermark_lateness",
+    "q270_bucket_digest_diff", "q271_variant_shred", "q272_pysource_scan",
+    "q273_scd2_pit_lookup", "q274_udtf_chunks", "q275_kmv_overlap",
+    "q276_kmv_overlap_matrix", "q277_rolling_hll_distinct",
+    "q278_zonemap_prune", "q279_feature_hashing", "q280_time_travel",
+    "q281_zorder_zonemap_prune", "q282_sampled_aggregate",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

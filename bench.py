@@ -230,27 +230,15 @@ def main() -> None:
             calib_inline[name] = _calibrate_parallel()
 
     total = round(sum(timings.values()), 4)
+    # Key order matters: the driver records only the TAIL of this
+    # line (BENCH_r09.json lost metric/value/value_r1_subset because
+    # they led the object and the tail capture cut the front). The
+    # bulky per-query maps go FIRST and the scalar summary keys go
+    # LAST so any tail-window capture always retains the summary.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "value_r1_subset": round(
-                    sum(timings[q] for q in R1_SUBSET), 4
-                ),
                 "queries": timings,
-                # timed-section semantics differ for these: each run
-                # REBUILDS the query (fit + serve), so their numbers
-                # are not comparable to any pre-restatement round
-                # (q64's r1-r4 0.013 s was a cached-scan artifact) —
-                # cross-round tooling must not diff them blindly
-                "eager_build": sorted(EAGER_BUILD),
-                "sf": sf,
-                "calib_sec": min(_calibrate() for _ in range(3)),
-                "calib_par_sec": min(
-                    _calibrate_parallel() for _ in range(2)
-                ),
                 # per-query contention context: calib_par samples
                 # taken DURING the sweep (key = query just finished;
                 # "_start" = before the first), and each query's end
@@ -260,6 +248,23 @@ def main() -> None:
                 # a regression.
                 "calib_inline": calib_inline,
                 "query_ts_sec": query_ts,
+                # timed-section semantics differ for these: each run
+                # REBUILDS the query (fit + serve), so their numbers
+                # are not comparable to any pre-restatement round
+                # (q64's r1-r4 0.013 s was a cached-scan artifact) —
+                # cross-round tooling must not diff them blindly
+                "eager_build": sorted(EAGER_BUILD),
+                "metric": "headline_queries_total",
+                "unit": "sec",
+                "sf": sf,
+                "calib_sec": min(_calibrate() for _ in range(3)),
+                "calib_par_sec": min(
+                    _calibrate_parallel() for _ in range(2)
+                ),
+                "value_r1_subset": round(
+                    sum(timings[q] for q in R1_SUBSET), 4
+                ),
+                "value": total,
             }
         )
     )

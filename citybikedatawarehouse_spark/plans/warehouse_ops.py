@@ -13,6 +13,7 @@ emits the file-reduction claim as a self-oracled boolean.
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 
@@ -1328,6 +1329,7 @@ def q278_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit's full scan exists only to prove equality at test scale;
     production reads the pruned side alone."""
     from citybikedatawarehouse_spark.operators.maintenance import (
+        read_pruned_files,
         zone_map_stats,
         zonemap_prune_files,
     )
@@ -1361,7 +1363,9 @@ def q278_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    pruned = _agg(spark.read.parquet(*files), "n_orders", "revenue")
+    # empty prune list (predicate disjoint from all zones) is a legal
+    # empty result, not a read error (round-9 ADVICE)
+    pruned = _agg(read_pruned_files(spark, files, work), "n_orders", "revenue")
     full = _agg(o, "n_full", "rev_full")
     return (
         pruned.join(full, "o_orderpriority", "full")
@@ -1444,9 +1448,9 @@ def q280_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_maintenance_and_stream_joins.py).
     """
     from citybikedatawarehouse_spark.operators.maintenance import (
+        manifest_current,
         manifest_init,
         manifest_read_version,
-        manifest_versions,
         merge_upsert_manifest,
     )
 
@@ -1467,7 +1471,11 @@ def q280_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_upsert_manifest(
         spark, root, updates.unionByName(inserts), key="o_orderkey"
     )
-    v2_name = manifest_versions(root)[-1]
+    # v2 resolved from the COMMITTED pointer, not manifest_versions()
+    # [-1]: the listing can legally contain an orphan directory from a
+    # crashed concurrent writer, and the crash contract this query's
+    # docstring cites is "readers only ever follow the pointer"
+    v2_name = os.path.basename(manifest_current(root))
 
     def _summary(df: DataFrame, label: str) -> DataFrame:
         return df.agg(
@@ -1534,6 +1542,7 @@ def q281_zorder_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from citybikedatawarehouse_spark.functions.layout import zorder_key
     from citybikedatawarehouse_spark.operators.maintenance import (
+        read_pruned_files,
         zone_map_stats,
         zonemap_prune_files,
     )
@@ -1583,7 +1592,9 @@ def q281_zorder_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    pruned = _agg(spark.read.parquet(*files), "n_orders", "revenue")
+    # empty prune list (predicate disjoint from all zones) is a legal
+    # empty result, not a read error (round-9 ADVICE)
+    pruned = _agg(read_pruned_files(spark, files, work), "n_orders", "revenue")
     full = _agg(_t(spark, sf_dir, "orders"), "n_full", "rev_full")
     return (
         pruned.join(full, "o_orderpriority", "full")
@@ -1596,5 +1607,150 @@ def q281_zorder_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & F.col("revenue").eqNullSafe(F.col("rev_full"))
             ).alias("matches_full_scan"),
             F.lit(len(files) < n_total).alias("files_skipped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q283 — the unified table format: manifest commits + maintained Z-order
+#         layout + transactional zone map + pruned reads, one API
+# ---------------------------------------------------------------------------
+
+_TF_CK_LO, _TF_CK_HI = 1, 300
+_TF_DT_LO, _TF_DT_HI = "1996-01-01", "1996-06-30"
+
+
+@register(
+    "q283_manifest_pruned_read",
+    oracle=f"""
+    WITH v2 AS (
+      SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority,
+             CASE WHEN o_orderkey % 100 = 0
+                  THEN o_totalprice + 1.0 ELSE o_totalprice END
+               AS o_totalprice
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           TRUE AS matches_full_scan,
+           TRUE AS files_skipped
+    FROM v2
+    WHERE o_custkey BETWEEN {_TF_CK_LO} AND {_TF_CK_HI}
+      AND CAST(o_orderdate AS DATE)
+          BETWEEN DATE '{_TF_DT_LO}' AND DATE '{_TF_DT_HI}'
+    GROUP BY 1
+    """,
+)
+def q283_manifest_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 unification of q278 + q280 + q281 into ONE table
+    format: a manifest table initialized with ``stats_cols`` +
+    ``zorder_by`` gets, from every subsequent commit, (a) the Z-order
+    clustering re-applied to the commit's output, (b) the per-file
+    zone map rebuilt INSIDE the new version directory, and (c) table
+    properties carried forward — all published by the single atomic
+    pointer flip, so layout, stats and data can never desync (the
+    crash matrix is tested in tests/test_round10_table_format.py).
+
+    The query proves the contract end-to-end ON THE POST-MERGE
+    version — the case the three round-9 demos could not express:
+    init orders Z-ordered on (customer, order day), MERGE an update
+    batch (every 100th order repriced) plus an insert batch (the held
+    -out 10 % of keys), then answer a two-range predicate through
+    ``manifest_read_pruned`` and audit it group-by-group against the
+    full scan of the same committed version. ``matches_full_scan``
+    proves the prune lossless AFTER the merge re-clustered the data;
+    ``files_skipped`` proves it still ENGAGES — i.e. the commit
+    maintained the layout, not just the stats.
+
+    Scale shape: the merge's extra cost over a plain commit is one
+    Z-key range shuffle of the commit output (the price of clustered-
+    on-write); the stats fold is O(files) map-side-combined rows; the
+    pruned read opens only box-intersecting files of the CURRENT
+    version with zero stats recomputation. This is the Delta/Iceberg
+    read/write loop, dependency-free.
+
+    Cites: operators/maintenance.manifest_init / merge_upsert_manifest
+    / manifest_read_pruned; reference's append-only sink
+    (create_db_from_csv.py) has no versioning/skipping story — this is
+    the §2.4 warehouse-gap surface.
+    """
+    from citybikedatawarehouse_spark.operators.maintenance import (
+        manifest_init,
+        manifest_read,
+        manifest_read_pruned,
+        merge_upsert_manifest,
+    )
+
+    day = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+    ).alias("o_orderday")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_orderpriority",
+        "o_totalprice",
+        day,
+    )
+    base = tempfile.mkdtemp(prefix="cbdw_tableformat_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    root = base + "/orders_tf"
+    manifest_init(
+        spark,
+        root,
+        o.where(F.col("o_orderkey") % 10 != 5),
+        stats_cols=("o_custkey", "o_orderday"),
+        zorder_by=("o_custkey", "o_orderday"),
+        layout_files=16,
+    )
+    updates = o.where(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+    )
+    inserts = o.where(F.col("o_orderkey") % 10 == 5)
+    merge_upsert_manifest(
+        spark, root, updates.unionByName(inserts), key="o_orderkey"
+    )
+
+    import datetime as _dt
+
+    day_lo = (_dt.date.fromisoformat(_TF_DT_LO) - _dt.date(1970, 1, 1)).days
+    day_hi = (_dt.date.fromisoformat(_TF_DT_HI) - _dt.date(1970, 1, 1)).days
+    pruned_df, n_read, n_total = manifest_read_pruned(
+        spark,
+        root,
+        {
+            "o_custkey": (_TF_CK_LO, _TF_CK_HI),
+            "o_orderday": (day_lo, day_hi),
+        },
+    )
+    pred = (
+        F.col("o_custkey").between(_TF_CK_LO, _TF_CK_HI)
+        & F.col("o_orderday").between(F.lit(day_lo), F.lit(day_hi))
+    )
+
+    def _agg(df: DataFrame, n_col: str, rev_col: str) -> DataFrame:
+        return (
+            df.where(pred)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias(n_col),
+                F.round(F.sum("o_totalprice"), 2).alias(rev_col),
+            )
+        )
+
+    pruned = _agg(pruned_df, "n_orders", "revenue")
+    full = _agg(manifest_read(spark, root), "n_full", "rev_full")
+    return (
+        pruned.join(full, "o_orderpriority", "full")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "revenue",
+            (
+                F.col("n_orders").eqNullSafe(F.col("n_full"))
+                & F.col("revenue").eqNullSafe(F.col("rev_full"))
+            ).alias("matches_full_scan"),
+            F.lit(n_read < n_total).alias("files_skipped"),
         )
     )

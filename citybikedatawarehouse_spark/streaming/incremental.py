@@ -1171,3 +1171,112 @@ def kmv_estimate(sketch: DataFrame) -> DataFrame:
         )
         .alias("kmv_estimate")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming sink into the manifest table format (round 10): every
+# micro-batch is one transactional MERGE commit, exactly-once by epoch
+# ---------------------------------------------------------------------------
+
+
+def manifest_epoch_step(
+    batch_df: DataFrame,
+    epoch_id: int,
+    root: str,
+    key: str,
+    dedup_order_col: str | None = None,
+    _crash_before_commit: bool = False,
+) -> tuple[str, int, int]:
+    """One micro-batch -> one ``merge_upsert_manifest`` commit, with
+    the epoch id recorded in the SAME atomic commit (``extra_props``,
+    the Delta ``txnAppId``/``txnVersion`` idempotent-sink pattern).
+
+    foreachBatch is at-least-once: after a crash between the sink's
+    side effect and the checkpoint write, Structured Streaming REPLAYS
+    the epoch. The two halves of the contract:
+
+    - **never a torn table**: the commit is the manifest pointer flip
+      — a crash anywhere before it (including mid-write, or the
+      injected ``_crash_before_commit``) leaves the pointer on the
+      previous version; readers never observe partial batch data,
+      half-built zone maps, or a stats/data mismatch (stats live
+      inside the version directory).
+    - **replay is a no-op**: the committed ``last_epoch`` property is
+      read BEFORE merging; a batch whose epoch is <= it was already
+      published (the crash happened after the flip, before the
+      checkpoint) and is skipped entirely — exactly-once publication
+      on top of at-least-once delivery.
+
+    ``dedup_order_col``: micro-batches of a CDC stream can carry
+    several changes for one key; MERGE requires unique source keys,
+    so when set, only each key's row with the max (order_col, then
+    any-column tiebreak via max struct) survives — last-change-wins
+    within the epoch.
+
+    Returns ("committed"|"skipped", n_replaced, n_inserted).
+
+    Scale shape: identical to ``merge_upsert_manifest`` — the merge
+    is one key-partitioned join of table x batch, the layout re-
+    cluster is one range shuffle of the commit output, stats fold to
+    O(files) rows. The epoch check is one tiny local file read. At
+    100 TB the per-epoch rewrite cost is why real deployments pair
+    this with partitioned merges (``merge_upsert_partitioned``) or
+    deletion vectors; the COMMIT contract is the same either way.
+
+    Cites: reference's append-only stream sink has no transactional
+    story (create_db_from_csv.py if_exists='append'); this is the
+    §2.4 streaming-warehouse gap surface.
+    """
+    from citybikedatawarehouse_spark.operators.maintenance import (
+        manifest_table_props,
+        merge_upsert_manifest,
+    )
+
+    last = manifest_table_props(root).get("last_epoch")
+    if last is not None and int(epoch_id) <= int(last):
+        return "skipped", 0, 0
+    updates = batch_df
+    if dedup_order_col is not None:
+        others = [c for c in batch_df.columns if c != key]
+        # max over (order_col-first struct) = deterministic
+        # last-change-wins, one map-side-combinable agg — no window
+        ordered = F.struct(
+            F.col(dedup_order_col),
+            *[F.col(c) for c in others if c != dedup_order_col],
+        ).alias("__s")
+        updates = (
+            batch_df.groupBy(key)
+            .agg(F.max(ordered).alias("__s"))
+            .select(key, "__s.*")
+            .select(*batch_df.columns)
+        )
+    n_rep, n_ins = merge_upsert_manifest(
+        batch_df.sparkSession,
+        root,
+        updates,
+        key=key,
+        _crash_before_commit=_crash_before_commit,
+        extra_props={"last_epoch": int(epoch_id)},
+    )
+    return "committed", n_rep, n_ins
+
+
+def start_manifest_upsert_stream(
+    updates_stream: DataFrame,
+    root: str,
+    key: str,
+    dedup_order_col: str | None = None,
+):
+    """Streaming upsert sink into a manifest table (initialized via
+    ``manifest_init`` — optionally with stats_cols/zorder_by, which
+    every epoch commit then maintains): each micro-batch becomes one
+    atomic, exactly-once MERGE commit. The table is always readable
+    (plain or zone-map-pruned) at some committed epoch boundary —
+    never mid-batch."""
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        manifest_epoch_step(
+            batch_df, epoch_id, root, key, dedup_order_col
+        )
+
+    return updates_stream.writeStream.foreachBatch(step).start()
