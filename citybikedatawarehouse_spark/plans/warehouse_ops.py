@@ -1754,3 +1754,124 @@ def q283_manifest_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_read < n_total).alias("files_skipped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q284 — streaming manifest sink, driver-gated: epoch replay of the
+#         foreachBatch MERGE-commit loop with exactly-once proven by oracle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q284_stream_manifest_sink",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    final AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 70 = 0 THEN o_totalprice + 3.0
+                  WHEN o_orderkey % 50 = 0 THEN o_totalprice + 2.0
+                  WHEN o_orderkey % 30 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 70 = 0 THEN 'E2'
+                  WHEN o_orderkey % 50 = 0 THEN 'E1'
+                  WHEN o_orderkey % 30 = 0 THEN 'E0'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM base
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)    AS n_rows,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(2 AS BIGINT)           AS last_epoch
+    FROM final
+    GROUP BY 1
+    """,
+)
+def q284_stream_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming manifest sink's full at-least-once matrix, run
+    deterministically in batch (the repo's stream-equals-batch gate
+    pattern) so the DRIVER can oracle it: three micro-batch epochs
+    merge-commit into one manifest table through the EXACT production
+    step (streaming/incremental.manifest_epoch_step), with
+
+    - a REPLAY of epoch 1 carrying POISONED rows (price +1000) — the
+      exactly-once guard must skip it, and if it ever did not, the
+      poison lands in the final aggregate and the DuckDB oracle
+      catches it (idempotence is oracle-visible, not just asserted),
+    - a CRASHED attempt of epoch 2 (kill between version write and
+      pointer flip) — readers keep the epoch-1 table, then the
+      retried epoch commits; a torn or double-applied state again
+      breaks the oracle match.
+
+    Later epochs override earlier ones per key (o_orderkey %30/%50/
+    %70 update waves overlap at %150/%210/%350/%1050), which the
+    oracle replays as a priority CASE. ``last_epoch`` is read from
+    the committed table properties — proving the txnVersion rode the
+    same commit as the data.
+
+    Scale shape: each epoch is one key-partitioned merge join + one
+    pointer flip (see merge_upsert_manifest); exactly-once costs one
+    tiny local props read per epoch, not a log scan.
+
+    Cites: reference's append-only stream sink (create_db_from_csv.py
+    ``if_exists='append'``) — no transactional or replay story; §2.4
+    streaming-warehouse gap surface.
+    """
+    from citybikedatawarehouse_spark.operators.maintenance import (
+        manifest_init,
+        manifest_read,
+        manifest_table_props,
+        merge_upsert_manifest,
+    )
+    from citybikedatawarehouse_spark.streaming.incremental import (
+        manifest_epoch_step,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    base = tempfile.mkdtemp(prefix="cbdw_streamsink_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    root = base + "/orders_sink"
+    manifest_init(spark, root, o.where(F.col("o_orderkey") % 10 == 0))
+
+    def _wave(mod: int, delta: float, tag: str) -> DataFrame:
+        return o.where(F.col("o_orderkey") % mod == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") + F.lit(delta)).alias("o_totalprice"),
+            F.lit(tag).alias("o_orderstatus"),
+        )
+
+    st0, _, _ = manifest_epoch_step(_wave(30, 1.0, "E0"), 0, root, "o_orderkey")
+    st1, _, _ = manifest_epoch_step(_wave(50, 2.0, "E1"), 1, root, "o_orderkey")
+    # poisoned replay of epoch 1: MUST be skipped — were it merged,
+    # the +1000 prices would blow the oracle's revenue match
+    st1r, _, _ = manifest_epoch_step(
+        _wave(50, 1000.0, "XX"), 1, root, "o_orderkey"
+    )
+    # epoch 2 crashes before the pointer flip, then is replayed
+    try:
+        manifest_epoch_step(
+            _wave(70, 3.0, "E2"), 2, root, "o_orderkey",
+            _crash_before_commit=True,
+        )
+    except RuntimeError:
+        pass
+    st2, _, _ = manifest_epoch_step(_wave(70, 3.0, "E2"), 2, root, "o_orderkey")
+    assert (st0, st1, st1r, st2) == (
+        "committed", "committed", "skipped", "committed",
+    ), (st0, st1, st1r, st2)
+
+    last_epoch = int(manifest_table_props(root)["last_epoch"])
+    return (
+        manifest_read(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .withColumn("last_epoch", F.lit(last_epoch).cast("bigint"))
+    )
