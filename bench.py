@@ -99,6 +99,10 @@ HEADLINE = [
     # path end-to-end
     "q283_manifest_pruned_read",
     "q284_stream_manifest_sink",
+    # round 10 (session 2): the file-list manifest MERGE —
+    # O(touched-files) upsert with shared immutable files; watches
+    # the targeting range join + the touched-slice rewrite
+    "q285_filelist_merge",
 ]
 
 # Queries whose iterative driver loop (convergence counts, d-row
@@ -130,6 +134,7 @@ EAGER_BUILD = {
     # number covering the whole commit + read round-trip
     "q283_manifest_pruned_read",
     "q284_stream_manifest_sink",
+    "q285_filelist_merge",
 }
 
 # the round-1 baseline benched exactly these 13; rounds add queries

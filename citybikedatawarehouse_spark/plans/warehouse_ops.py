@@ -1875,3 +1875,140 @@ def q284_stream_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("last_epoch", F.lit(last_epoch).cast("bigint"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q285 — file-list manifest MERGE: O(touched-files) upsert with shared
+#         immutable files (operators/table_format.py, the Delta kernel shape)
+# ---------------------------------------------------------------------------
+
+_FL_K_LO, _FL_K_HI = 1000, 2000
+
+
+@register(
+    "q285_filelist_merge",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders
+    ),
+    mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+    v2 AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey BETWEEN {_FL_K_LO} AND {_FL_K_HI}
+                  THEN o_totalprice + 1.0 ELSE o_totalprice END
+               AS o_totalprice,
+             CASE WHEN o_orderkey BETWEEN {_FL_K_LO} AND {_FL_K_HI}
+                  THEN 'R' ELSE o_orderstatus END AS o_orderstatus
+      FROM base
+      UNION ALL
+      SELECT b.o_orderkey + mx.mk + 1, b.o_custkey, b.o_totalprice, 'N'
+      FROM base b, mx WHERE b.o_orderkey % 1000 = 0
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)    AS n_rows,
+           round(sum(o_totalprice), 2) AS revenue,
+           TRUE AS files_rewritten_lt_total,
+           TRUE AS untouched_shared,
+           TRUE AS v1_immutable
+    FROM v2
+    GROUP BY 1
+    """,
+)
+def q285_filelist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB MERGE shape the directory-version manifest cannot
+    express: a file-list manifest table (version = manifest of
+    immutable shared data files with inline per-file stats) takes an
+    upsert that touches a narrow key band plus append-only inserts,
+    and rewrites ONLY the files whose key zone intersects the update
+    keys — every other file carries into the new version by
+    reference, and the pure inserts (keys beyond every zone) rewrite
+    nothing.
+
+    Audited group-by-group against the relational merge (the DuckDB
+    oracle), plus three proven-TRUE flags the oracle pins:
+    ``files_rewritten_lt_total`` (the targeting engaged — the table
+    is range-clustered by the merge key, so the band hits a file
+    corner, not the table), ``untouched_shared`` (v2's manifest
+    names exactly the v1 files it did not rewrite — structural
+    sharing, the reference-counted time-travel store), and
+    ``v1_immutable`` (v1 re-reads bit-identically AFTER the commit).
+
+    Scale shape: targeting is one broadcast range join of distinct
+    update keys x O(files) manifest zones; the merge scans and
+    shuffles O(touched files + updates); commit publishes one small
+    manifest + pointer flip. Merge cost is proportional to what
+    changed, not to the table — with the zone map and the manifest
+    being the SAME artifact, so skipping and targeting cannot
+    desync.
+
+    Cites: operators/table_format.fl_init / fl_merge_upsert /
+    fl_read (crash matrix + vacuum in
+    tests/test_table_format_filelist.py); reference sink
+    create_db_from_csv.py has no incremental story.
+    """
+    from citybikedatawarehouse_spark.operators.table_format import (
+        fl_current_version,
+        fl_init,
+        fl_manifest,
+        fl_merge_upsert,
+        fl_read,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    base = tempfile.mkdtemp(prefix="cbdw_filelist_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    root = base + "/orders_fl"
+    fl_init(
+        spark,
+        root,
+        o,
+        key="o_orderkey",
+        stats_cols=("o_custkey",),
+        zorder_by=("o_orderkey",),
+        layout_files=16,
+    )
+    v1 = fl_current_version(root)
+    m1_paths = set(fl_manifest(root)["path"])
+    v1_before = fl_read(spark, root).agg(
+        F.count(F.lit(1)), F.round(F.sum("o_totalprice"), 2)
+    ).collect()
+
+    band = F.col("o_orderkey").between(_FL_K_LO, _FL_K_HI)
+    updates = o.where(band).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        F.lit("R").alias("o_orderstatus"),
+    )
+    max_k = o.agg(F.max("o_orderkey")).collect()[0][0]
+    inserts = o.where(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + F.lit(max_k + 1)).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    _, _, n_touch, n_total = fl_merge_upsert(
+        spark, root, updates.unionByName(inserts), key="o_orderkey"
+    )
+    m2_paths = set(fl_manifest(root)["path"])
+    shared_ok = len(m1_paths & m2_paths) == n_total - n_touch
+    v1_after = fl_read(spark, root, v1).agg(
+        F.count(F.lit(1)), F.round(F.sum("o_totalprice"), 2)
+    ).collect()
+
+    return (
+        fl_read(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .withColumn(
+            "files_rewritten_lt_total", F.lit(0 < n_touch < n_total)
+        )
+        .withColumn("untouched_shared", F.lit(shared_ok))
+        .withColumn("v1_immutable", F.lit(v1_after == v1_before))
+    )

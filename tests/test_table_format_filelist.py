@@ -1,0 +1,232 @@
+"""File-list manifest table format (operators/table_format.py): the
+O(touched-files) MERGE contract — targeting exactness, shared
+immutable files across versions, crash consistency, pruned reads off
+the manifest, and reference-counting vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from citybikedatawarehouse_spark.operators.table_format import (
+    fl_current_version,
+    fl_init,
+    fl_manifest,
+    fl_merge_upsert,
+    fl_read,
+    fl_read_pruned,
+    fl_table_props,
+    fl_vacuum,
+    fl_versions,
+)
+
+
+def _orders(spark, sf_dir):
+    from citybikedatawarehouse_spark.sources.readers import load_table
+
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+
+
+def _init(spark, sf_dir, tmp_path):
+    """Range-clustered by the merge key (zorder over one column =
+    range layout) so key-band merges are file-sparse."""
+    root = str(tmp_path / "fl")
+    o = _orders(spark, sf_dir)
+    fl_init(
+        spark,
+        root,
+        o,
+        key="o_orderkey",
+        stats_cols=("o_custkey",),
+        zorder_by=("o_orderkey",),
+        layout_files=16,
+    )
+    return root, o
+
+
+def test_merge_rewrites_only_intersecting_files(spark, sf_dir, tmp_path):
+    root, o = _init(spark, sf_dir, tmp_path)
+    m1 = fl_manifest(root)
+    assert len(m1) == 16
+
+    band = F.col("o_orderkey").between(1000, 2000)
+    updates = o.where(band).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+    ).withColumn("o_orderstatus", F.lit("R"))
+    n_rep, n_ins, n_touch, n_total = fl_merge_upsert(
+        spark, root, updates, key="o_orderkey"
+    )
+    assert n_ins == 0 and n_rep == updates.count() > 0
+    assert 0 < n_touch < n_total == 16
+
+    # untouched files are SHARED by reference: v2's manifest carries
+    # exactly the v1 paths it did not rewrite
+    m2 = fl_manifest(root)
+    shared = set(m1["path"]) & set(m2["path"])
+    assert len(shared) == n_total - n_touch
+
+    # content equals the relational merge
+    got = fl_read(spark, root)
+    want_n = o.count()
+    assert got.count() == want_n
+    assert (
+        got.where(F.col("o_orderstatus") == "R").count()
+        == updates.count()
+    )
+    s_got = got.agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
+    s_want = (
+        o.agg(F.sum("o_totalprice")).collect()[0][0] + updates.count()
+    )
+    assert abs(s_got - s_want) < 0.02
+
+
+def test_pure_inserts_touch_zero_files(spark, sf_dir, tmp_path):
+    root, o = _init(spark, sf_dir, tmp_path)
+    max_k = o.agg(F.max("o_orderkey")).collect()[0][0]
+    # keys start at 0, so shift past max_k + 1 to guarantee freshness
+    inserts = o.limit(50).select(
+        (F.col("o_orderkey") + F.lit(max_k + 1)).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    n_rep, n_ins, n_touch, n_total = fl_merge_upsert(
+        spark, root, inserts, key="o_orderkey"
+    )
+    assert (n_rep, n_ins) == (0, 50)
+    assert n_touch == 0, "append-only keys must rewrite no existing file"
+    assert fl_read(spark, root).count() == o.count() + 50
+
+
+def test_time_travel_shares_files_and_v1_immutable(
+    spark, sf_dir, tmp_path
+):
+    root, o = _init(spark, sf_dir, tmp_path)
+    v1 = fl_current_version(root)
+    v1_sum = fl_read(spark, root).agg(F.sum("o_totalprice")).collect()
+    updates = o.where(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * F.lit(2.0)
+    )
+    fl_merge_upsert(spark, root, updates, key="o_orderkey")
+    v2 = fl_current_version(root)
+    assert v2 != v1 and fl_versions(root) == [v1, v2]
+    # v1 still reads bit-identically AFTER the commit (immutability)
+    assert (
+        fl_read(spark, root, v1).agg(F.sum("o_totalprice")).collect()
+        == v1_sum
+    )
+
+
+def test_crash_before_flip_leaves_old_version_and_retry_works(
+    spark, sf_dir, tmp_path
+):
+    root, o = _init(spark, sf_dir, tmp_path)
+    v1 = fl_current_version(root)
+    before = fl_read(spark, root).agg(
+        F.count(F.lit(1)), F.round(F.sum("o_totalprice"), 2)
+    ).collect()
+    updates = o.where(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(5.0)
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        fl_merge_upsert(
+            spark, root, updates, key="o_orderkey",
+            _crash_before_commit=True,
+        )
+    # pointer untouched, reader unchanged (orphan manifest + files are
+    # invisible: readers only follow the pointer)
+    assert fl_current_version(root) == v1
+    assert (
+        fl_read(spark, root).agg(
+            F.count(F.lit(1)), F.round(F.sum("o_totalprice"), 2)
+        ).collect()
+        == before
+    )
+    # retry commits under the NEXT version number
+    n_rep, _, _, _ = fl_merge_upsert(spark, root, updates, key="o_orderkey")
+    assert n_rep == updates.count()
+    assert fl_current_version(root) != v1
+
+
+def test_pruned_read_off_manifest(spark, sf_dir, tmp_path):
+    root, o = _init(spark, sf_dir, tmp_path)
+    df, n_read, n_total = fl_read_pruned(
+        spark, root, {"o_orderkey": (1000, 2000)}
+    )
+    assert 0 < n_read < n_total
+    cond = F.col("o_orderkey").between(1000, 2000)
+    assert df.where(cond).count() == o.where(cond).count() > 0
+    # disjoint predicate: empty relation, not an error
+    df0, n0, _ = fl_read_pruned(
+        spark, root, {"o_orderkey": (10**12, 2 * 10**12)}
+    )
+    assert n0 == 0 and df0.count() == 0
+    assert df0.columns == fl_read(spark, root).columns
+    # untracked column rejected
+    with pytest.raises(ValueError, match="no stats"):
+        fl_read_pruned(spark, root, {"o_totalprice": (0, 1)})
+
+
+def test_vacuum_refcounts_shared_files(spark, sf_dir, tmp_path):
+    root, o = _init(spark, sf_dir, tmp_path)
+    for mod, delta in ((100, 1.0), (50, 2.0)):
+        fl_merge_upsert(
+            spark,
+            root,
+            o.where(F.col("o_orderkey") % mod == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") + F.lit(delta)
+            ),
+            key="o_orderkey",
+        )
+    v1, v2, v3 = fl_versions(root)
+    want = fl_read(spark, root).agg(
+        F.count(F.lit(1)), F.round(F.sum("o_totalprice"), 2)
+    ).collect()
+    deleted = fl_vacuum(spark, root, keep=2)
+    # v1 manifest gone; every deleted file existed only in v1
+    assert fl_versions(root) == [v2, v3]
+    for p in deleted:
+        assert not os.path.exists(p)
+    # kept versions still read perfectly (shared files survived)
+    assert (
+        fl_read(spark, root).agg(
+            F.count(F.lit(1)), F.round(F.sum("o_totalprice"), 2)
+        ).collect()
+        == want
+    )
+    fl_read(spark, root, v2).count()  # kept history intact
+
+
+def test_merge_key_mismatch_and_duplicate_updates_rejected(
+    spark, sf_dir, tmp_path
+):
+    root, o = _init(spark, sf_dir, tmp_path)
+    with pytest.raises(ValueError, match="table key"):
+        fl_merge_upsert(spark, root, o.limit(1), key="o_custkey")
+    dup = o.limit(1).unionAll(o.limit(1))
+    with pytest.raises(ValueError, match="duplicate"):
+        fl_merge_upsert(spark, root, dup, key="o_orderkey")
+    # empty updates: clean no-op, no new version
+    v_before = fl_current_version(root)
+    assert fl_merge_upsert(
+        spark, root, o.where(F.lit(False)), key="o_orderkey"
+    ) == (0, 0, 0, 16)
+    assert fl_current_version(root) == v_before
+
+
+def test_props_carry_and_extra_props_ride_commit(spark, sf_dir, tmp_path):
+    root, o = _init(spark, sf_dir, tmp_path)
+    assert fl_table_props(root)["key"] == "o_orderkey"
+    fl_merge_upsert(
+        spark,
+        root,
+        o.where(F.col("o_orderkey") % 100 == 0),
+        key="o_orderkey",
+        extra_props={"last_epoch": 7},
+    )
+    p = fl_table_props(root)
+    assert p["last_epoch"] == 7 and p["zorder_by"] == ["o_orderkey"]
