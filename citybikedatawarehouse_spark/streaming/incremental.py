@@ -1179,6 +1179,29 @@ def kmv_estimate(sketch: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _dedup_batch_last_wins(
+    batch_df: DataFrame, key: str, dedup_order_col: str | None
+) -> DataFrame:
+    """A CDC micro-batch can carry several changes for one key; MERGE
+    requires unique source keys, so keep each key's row with the max
+    (order_col, then any-column tiebreak via max struct) —
+    deterministic last-change-wins in ONE map-side-combinable agg,
+    no window. Shared by both sink formats."""
+    if dedup_order_col is None:
+        return batch_df
+    others = [c for c in batch_df.columns if c != key]
+    ordered = F.struct(
+        F.col(dedup_order_col),
+        *[F.col(c) for c in others if c != dedup_order_col],
+    ).alias("__s")
+    return (
+        batch_df.groupBy(key)
+        .agg(F.max(ordered).alias("__s"))
+        .select(key, "__s.*")
+        .select(*batch_df.columns)
+    )
+
+
 def manifest_epoch_step(
     batch_df: DataFrame,
     epoch_id: int,
@@ -1235,21 +1258,7 @@ def manifest_epoch_step(
     last = manifest_table_props(root).get("last_epoch")
     if last is not None and int(epoch_id) <= int(last):
         return "skipped", 0, 0
-    updates = batch_df
-    if dedup_order_col is not None:
-        others = [c for c in batch_df.columns if c != key]
-        # max over (order_col-first struct) = deterministic
-        # last-change-wins, one map-side-combinable agg — no window
-        ordered = F.struct(
-            F.col(dedup_order_col),
-            *[F.col(c) for c in others if c != dedup_order_col],
-        ).alias("__s")
-        updates = (
-            batch_df.groupBy(key)
-            .agg(F.max(ordered).alias("__s"))
-            .select(key, "__s.*")
-            .select(*batch_df.columns)
-        )
+    updates = _dedup_batch_last_wins(batch_df, key, dedup_order_col)
     n_rep, n_ins = merge_upsert_manifest(
         batch_df.sparkSession,
         root,
@@ -1278,5 +1287,61 @@ def start_manifest_upsert_stream(
         manifest_epoch_step(
             batch_df, epoch_id, root, key, dedup_order_col
         )
+
+    return updates_stream.writeStream.foreachBatch(step).start()
+
+
+def fl_epoch_step(
+    batch_df: DataFrame,
+    epoch_id: int,
+    root: str,
+    key: str,
+    dedup_order_col: str | None = None,
+    _crash_before_commit: bool = False,
+) -> tuple[str, int, int, int, int]:
+    """``manifest_epoch_step`` for the FILE-LIST manifest format
+    (operators/table_format.py) — the streaming CDC sink at its
+    100 TB shape: each micro-batch is one exactly-once MERGE commit
+    that rewrites ONLY the data files whose key zones intersect the
+    batch's keys, so per-epoch cost tracks the batch, not the table.
+    Same epoch contract as the directory-format step: the committed
+    ``last_epoch`` property is read before merging, a replayed epoch
+    is skipped, and a crash before the pointer flip leaves readers on
+    the previous committed version. Empty batches are clean no-ops.
+    Returns ("committed"|"skipped", n_replaced, n_inserted,
+    files_rewritten, files_total)."""
+    from citybikedatawarehouse_spark.operators.table_format import (
+        fl_merge_upsert,
+        fl_table_props,
+    )
+
+    last = fl_table_props(root).get("last_epoch")
+    if last is not None and int(epoch_id) <= int(last):
+        return "skipped", 0, 0, 0, 0
+    updates = _dedup_batch_last_wins(batch_df, key, dedup_order_col)
+    n_rep, n_ins, n_touch, n_total = fl_merge_upsert(
+        batch_df.sparkSession,
+        root,
+        updates,
+        key=key,
+        _crash_before_commit=_crash_before_commit,
+        extra_props={"last_epoch": int(epoch_id)},
+    )
+    return "committed", n_rep, n_ins, n_touch, n_total
+
+
+def start_fl_upsert_stream(
+    updates_stream: DataFrame,
+    root: str,
+    key: str,
+    dedup_order_col: str | None = None,
+):
+    """Streaming upsert sink into a file-list manifest table
+    (``fl_init`` first; cluster by the merge key so epochs stay
+    file-sparse): every micro-batch is one atomic, exactly-once,
+    O(touched-files) MERGE commit."""
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        fl_epoch_step(batch_df, epoch_id, root, key, dedup_order_col)
 
     return updates_stream.writeStream.foreachBatch(step).start()

@@ -230,3 +230,123 @@ def test_props_carry_and_extra_props_ride_commit(spark, sf_dir, tmp_path):
     )
     p = fl_table_props(root)
     assert p["last_epoch"] == 7 and p["zorder_by"] == ["o_orderkey"]
+
+
+# ---------------------------------------------------------------------------
+# streaming sink -> file-list manifest commits
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import types as T  # noqa: E402
+
+from citybikedatawarehouse_spark.streaming.incremental import (  # noqa: E402
+    fl_epoch_step,
+    start_fl_upsert_stream,
+)
+
+_KV_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType(), True),
+        T.StructField("v", T.StringType(), True),
+        T.StructField("seq", T.LongType(), True),
+    ]
+)
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, _KV_SCHEMA)
+
+
+def test_fl_epoch_step_exactly_once_and_file_sparse(spark, tmp_path):
+    """The file-list streaming sink: epochs are exactly-once (replay
+    skipped), crash-before-flip leaves the previous version readable,
+    and a key-local batch rewrites only the files its keys touch."""
+    root = str(tmp_path / "flsink")
+    base = [(k, f"v{k}", 0) for k in range(100)]
+    fl_init(
+        spark, root, _kv(spark, base), key="k",
+        zorder_by=("k",), layout_files=4,
+    )
+
+    # epoch 0 touches only low keys -> only the low-range file(s)
+    st, n_rep, n_ins, n_touch, n_total = fl_epoch_step(
+        _kv(spark, [(1, "V1", 1), (2, "V2", 1)]), 0, root, key="k"
+    )
+    assert (st, n_rep, n_ins) == ("committed", 2, 0)
+    assert 0 < n_touch < n_total == 4
+
+    # replay: skipped, nothing changes
+    v = fl_current_version(root)
+    assert fl_epoch_step(
+        _kv(spark, [(1, "POISON", 9)]), 0, root, key="k"
+    )[0] == "skipped"
+    assert fl_current_version(root) == v
+
+    # within-batch multi-change: last (max seq) wins
+    st, *_ = fl_epoch_step(
+        _kv(spark, [(5, "a", 2), (5, "b", 3)]), 1, root, key="k",
+        dedup_order_col="seq",
+    )
+    assert st == "committed"
+    got = {
+        (r["k"], r["v"])
+        for r in fl_read(spark, root).where(F.col("k") <= 5).collect()
+    }
+    assert got == {
+        (0, "v0"), (1, "V1"), (2, "V2"), (3, "v3"), (4, "v4"), (5, "b"),
+    }
+
+    # crash before flip -> previous version intact; retry commits
+    v = fl_current_version(root)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        fl_epoch_step(
+            _kv(spark, [(7, "X", 4)]), 2, root, key="k",
+            _crash_before_commit=True,
+        )
+    assert fl_current_version(root) == v
+    assert fl_table_props(root)["last_epoch"] == 1
+    assert fl_epoch_step(
+        _kv(spark, [(7, "X", 4)]), 2, root, key="k"
+    )[0] == "committed"
+    assert fl_table_props(root)["last_epoch"] == 2
+
+
+def test_fl_stream_sink_e2e(spark, tmp_path):
+    """writeStream end-to-end into the file-list table: disjoint-key
+    micro-batches (file-source batch order is not contractual), final
+    state correct, epoch watermark recorded."""
+    src = tmp_path / "src"
+    days = [
+        [(200, "a", 1), (201, "b", 1)],
+        [(300, "c", 2), (300, "c2", 3)],
+        [(400, "d", 4)],
+    ]
+    for day in days:
+        _kv(spark, day).coalesce(1).write.mode("append").parquet(str(src))
+    root = str(tmp_path / "fltbl")
+    fl_init(
+        spark,
+        root,
+        _kv(spark, [(k, f"v{k}", 0) for k in range(100)]),
+        key="k",
+        zorder_by=("k",),
+        layout_files=4,
+    )
+    stream = (
+        spark.readStream.schema(_KV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = start_fl_upsert_stream(stream, root, key="k", dedup_order_col="seq")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["k"], r["v"])
+        for r in fl_read(spark, root).where(F.col("k") >= 200).collect()
+    }
+    assert got == {
+        (200, "a"), (201, "b"), (300, "c2"), (400, "d"),
+    }
+    assert fl_read(spark, root).count() == 104
+    assert fl_table_props(root)["last_epoch"] == 2
