@@ -55,7 +55,7 @@ _SWEEP_PRIORITY = [
     #    reads) — new queries get their driver row the round they
     #    ship --
     "q283_manifest_pruned_read", "q284_stream_manifest_sink",
-    "q285_filelist_merge",
+    "q285_filelist_merge", "q286_filelist_delete_mor",
     # -- 2a. r04-evidence block (driver rows now 6 rounds old; the
     #    two entries that got r9 backfill rows, q78/q84, moved to the
     #    tail) — fills the head with the least-recently-driver-

@@ -103,6 +103,9 @@ HEADLINE = [
     # O(touched-files) upsert with shared immutable files; watches
     # the targeting range join + the touched-slice rewrite
     "q285_filelist_merge",
+    # round 10 (session 2): merge-on-read delete + re-insert + compact
+    # fold — the delete-vector lifecycle
+    "q286_filelist_delete_mor",
 ]
 
 # Queries whose iterative driver loop (convergence counts, d-row
@@ -135,6 +138,7 @@ EAGER_BUILD = {
     "q283_manifest_pruned_read",
     "q284_stream_manifest_sink",
     "q285_filelist_merge",
+    "q286_filelist_delete_mor",
 }
 
 # the round-1 baseline benched exactly these 13; rounds add queries

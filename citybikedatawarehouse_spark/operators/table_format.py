@@ -85,7 +85,11 @@ def fl_versions(root: str) -> list[str]:
     return sorted(
         f[: -len(".parquet")]
         for f in os.listdir(mdir)
+        # exactly vNNNNNNNN.parquet — NOT the .deletes.parquet or
+        # .props.json sidecars that share the version stem
         if f.endswith(".parquet")
+        and f[0] == "v"
+        and f[1:-len(".parquet")].isdigit()
     )
 
 
@@ -309,6 +313,17 @@ def fl_merge_upsert(
     untouched_m = m[~m["path"].isin(touched)]
     schema_src = sorted(m["path"])[0]
     touched_df = read_pruned_files(spark, sorted(touched), schema_src)
+    # merge-on-read interaction: rows already deleted must not count
+    # as matches nor survive into the rewritten files (applying the
+    # set here folds those deletes for free), and any update key is
+    # REMOVED from the delete set in the same commit — an upsert of a
+    # deleted key is a re-insert, and a stale set entry would silently
+    # hide it from every reader
+    dels = fl_delete_keys(root)
+    if len(dels):
+        touched_df = touched_df.join(
+            F.broadcast(spark.createDataFrame(dels)), key, "left_anti"
+        )
 
     matched = touched_df.join(updates.select(key), key, "left_semi")
     n_replaced = matched.count()
@@ -327,6 +342,16 @@ def fl_merge_upsert(
     if extra_props:
         props = {**props, **extra_props}
     _write_manifest(root, version, manifest, props)
+    if len(dels):
+        surviving = dels[
+            ~dels[key].isin(
+                [r[key] for r in updates.select(key).distinct().collect()]
+            )
+        ]
+        if len(surviving):
+            surviving.reset_index(drop=True).to_parquet(
+                _deletes_file(root, version), index=False
+            )
     if _crash_before_commit:
         raise RuntimeError(
             "fl_merge_upsert: injected crash between manifest write "
@@ -353,9 +378,129 @@ def fl_vacuum(spark: SparkSession, root: str, keep: int = 2) -> list[str]:
     for v in drop:
         doomed |= set(fl_manifest(root, v)["path"]) - referenced
         os.remove(_manifest_file(root, v))
-        props_p = os.path.join(root, _MANIFEST_DIR, f"{v}.props.json")
-        if os.path.isfile(props_p):
-            os.remove(props_p)
+        for sidecar in (
+            os.path.join(root, _MANIFEST_DIR, f"{v}.props.json"),
+            _deletes_file(root, v),
+        ):
+            if os.path.isfile(sidecar):
+                os.remove(sidecar)
     for p in sorted(doomed):
         os.remove(p)
     return sorted(doomed)
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read deletes + compaction (Iceberg-v2 delete-vector shape)
+# ---------------------------------------------------------------------------
+
+
+def _deletes_file(root: str, version: str) -> str:
+    return os.path.join(root, _MANIFEST_DIR, f"{version}.deletes.parquet")
+
+
+def fl_delete_keys(root: str, version: str | None = None) -> pd.DataFrame:
+    """The version's cumulative delete set (one column, the table
+    key) — empty if the version carries none. Part of the version's
+    immutable commit artifacts, so time-travel reads apply the
+    delete state AS OF that version."""
+    if version is None:
+        version = fl_current_version(root)
+    p = _deletes_file(root, version)
+    if not os.path.isfile(p):
+        key = fl_table_props(root, version)["key"]
+        return pd.DataFrame({key: []})
+    return pd.read_parquet(p)
+
+
+def _apply_deletes(
+    spark: SparkSession, df: DataFrame, root: str, version: str | None
+) -> DataFrame:
+    dels = fl_delete_keys(root, version)
+    if len(dels) == 0:
+        return df
+    key = dels.columns[0]
+    return df.join(
+        F.broadcast(spark.createDataFrame(dels)), key, "left_anti"
+    )
+
+
+def fl_read_mor(
+    spark: SparkSession, root: str, version: str | None = None
+) -> DataFrame:
+    """Merge-on-read: the version's files MINUS its delete set (one
+    broadcast anti-join — the read-side cost of not rewriting on
+    delete). ``fl_read`` stays the raw file view; use this one when
+    the table uses ``fl_delete``."""
+    return _apply_deletes(spark, fl_read(spark, root, version), root, version)
+
+
+def fl_read_pruned_mor(
+    spark: SparkSession,
+    root: str,
+    preds: dict[str, tuple],
+    version: str | None = None,
+) -> tuple[DataFrame, int, int]:
+    df, n_read, n_total = fl_read_pruned(spark, root, preds, version)
+    return _apply_deletes(spark, df, root, version), n_read, n_total
+
+
+def fl_delete(
+    spark: SparkSession,
+    root: str,
+    keys: DataFrame,
+    _crash_before_commit: bool = False,
+) -> tuple[int, str]:
+    """DELETE BY KEY without rewriting any data file (merge-on-read,
+    the Iceberg v2 delete-vector shape): the new version carries the
+    SAME manifest (every file by reference) plus a cumulative delete
+    set; readers (`fl_read_mor`) anti-join it out. Scattered deletes
+    — the worst case for copy-on-write, which would rewrite every
+    touched file — cost one tiny sidecar write here; the rewrite is
+    deferred to ``fl_compact``, which folds the set at a time of the
+    table's choosing. Returns (n_delete_keys, version).
+
+    Commit = stage manifest copy + merged delete set + props ->
+    pointer flip; same crash matrix as every other commit."""
+    props = fl_table_props(root)
+    key = props["key"]
+    new_keys = keys.select(key).distinct().toPandas()
+    old = fl_delete_keys(root)
+    merged = (
+        pd.concat([old, new_keys], ignore_index=True)
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    version = _next_version(root)
+    _write_manifest(root, version, fl_manifest(root), props)
+    merged.to_parquet(_deletes_file(root, version), index=False)
+    if _crash_before_commit:
+        raise RuntimeError(
+            "fl_delete: injected crash between sidecar write and "
+            "pointer flip (test hook)"
+        )
+    _manifest_commit(root, version)
+    return len(new_keys), version
+
+
+def fl_compact(
+    spark: SparkSession, root: str, layout_files: int | None = None
+) -> str:
+    """Copy-on-write fold: rewrite the current merge-on-read state
+    (files minus delete set) into a fresh clustered layout and commit
+    it with an EMPTY delete set — deletes become physical, the
+    read-side anti-join disappears, and streaming-epoch file
+    fragmentation is bin-packed away. One full rewrite, amortized
+    across every delete and small commit since the last fold — the
+    OPTIMIZE of this format. Returns the new version name."""
+    props = dict(fl_table_props(root))
+    if layout_files is not None:
+        props["layout_files"] = layout_files
+    df = fl_read_mor(spark, root)
+    version = _next_version(root)
+    cdir = _commit_dir(root, version)
+    _apply_layout(df, props).write.mode("errorifexists").parquet(cdir)
+    manifest = _stats_of_commit(spark, cdir, tuple(props["stats_cols"]))
+    _write_manifest(root, version, manifest, props)
+    # no deletes sidecar written: the new version's delete set is empty
+    _manifest_commit(root, version)
+    return version

@@ -2012,3 +2012,127 @@ def q285_filelist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("untouched_shared", F.lit(shared_ok))
         .withColumn("v1_immutable", F.lit(v1_after == v1_before))
     )
+
+
+# ---------------------------------------------------------------------------
+# q286 — merge-on-read DELETE + re-insert + compaction fold on the
+#         file-list table (Iceberg-v2 delete-vector shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q286_filelist_delete_mor",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders
+    ),
+    final AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CASE WHEN o_orderkey % 100 = 3 THEN 'B'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM base
+      WHERE o_orderkey % 10 <> 3 OR o_orderkey % 100 = 3
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)    AS n_rows,
+           round(sum(o_totalprice), 2) AS revenue,
+           TRUE AS delete_rewrote_nothing,
+           TRUE AS reinsert_unhidden,
+           TRUE AS compact_folded
+    FROM final
+    GROUP BY 1
+    """,
+)
+def q286_filelist_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE on the file-list table — the op where
+    copy-on-write is at its worst: deleting every key ending in 3
+    (scattered across EVERY file) would force a full-table rewrite;
+    here it commits as one tiny delete-set sidecar and the manifest
+    carries every data file by reference (``delete_rewrote_nothing``
+    pins that the v2 file list is byte-identical to v1's). Readers
+    anti-join the set out (``fl_read_mor``).
+
+    Then the two lifecycle interactions the naive design gets wrong,
+    both oracle-visible:
+
+    - **re-insert**: a MERGE upserting a subset of the deleted keys
+      (%100 == 3, status 'B') must REMOVE those keys from the delete
+      set in the same commit — a stale entry would silently hide the
+      re-inserted rows, and the oracle's row counts would catch it
+      (``reinsert_unhidden``);
+    - **compaction fold**: ``fl_compact`` rewrites the merge-on-read
+      state into a fresh clustered layout with an EMPTY delete set —
+      same relational content before and after (compared group by
+      group on the engine side, pinned TRUE as ``compact_folded``),
+      deletes now physical, read-side anti-join gone.
+
+    Scale shape: delete = O(delete keys) sidecar write, zero data
+    I/O; reads pay one broadcast anti-join until compaction amortizes
+    it away; compaction is the one full rewrite, scheduled by the
+    table, not forced by the delete pattern.
+
+    Cites: operators/table_format.fl_delete / fl_read_mor /
+    fl_compact; reference has no DELETE path at all (append/replace
+    only, create_db_from_csv.py).
+    """
+    from citybikedatawarehouse_spark.operators.table_format import (
+        fl_compact,
+        fl_delete,
+        fl_delete_keys,
+        fl_init,
+        fl_manifest,
+        fl_merge_upsert,
+        fl_read_mor,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    base = tempfile.mkdtemp(prefix="cbdw_flmor_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    root = base + "/orders_mor"
+    fl_init(
+        spark, root, o, key="o_orderkey",
+        zorder_by=("o_orderkey",), layout_files=16,
+    )
+    m1_paths = set(fl_manifest(root)["path"])
+
+    # scattered delete: every key ending in 3 — zero files rewritten
+    fl_delete(spark, root, o.where(F.col("o_orderkey") % 10 == 3))
+    delete_rewrote_nothing = set(fl_manifest(root)["path"]) == m1_paths
+
+    # re-insert a subset of the deleted keys via MERGE
+    reinserts = o.where(F.col("o_orderkey") % 100 == 3).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lit("B").alias("o_orderstatus"),
+    )
+    fl_merge_upsert(spark, root, reinserts, key="o_orderkey")
+    remaining = set(fl_delete_keys(root)["o_orderkey"])
+    reinsert_unhidden = not (
+        remaining & {r["o_orderkey"] for r in reinserts.collect()}
+    )
+
+    def _agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+
+    before = {
+        tuple(r) for r in _agg(fl_read_mor(spark, root)).collect()
+    }
+    fl_compact(spark, root)
+    assert len(fl_delete_keys(root)) == 0
+    after_df = _agg(fl_read_mor(spark, root))
+    compact_folded = {tuple(r) for r in after_df.collect()} == before
+
+    return (
+        after_df.withColumn(
+            "delete_rewrote_nothing", F.lit(delete_rewrote_nothing)
+        )
+        .withColumn("reinsert_unhidden", F.lit(reinsert_unhidden))
+        .withColumn("compact_folded", F.lit(compact_folded))
+    )

@@ -350,3 +350,100 @@ def test_fl_stream_sink_e2e(spark, tmp_path):
     }
     assert fl_read(spark, root).count() == 104
     assert fl_table_props(root)["last_epoch"] == 2
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read deletes + compaction
+# ---------------------------------------------------------------------------
+
+from citybikedatawarehouse_spark.operators.table_format import (  # noqa: E402
+    fl_compact,
+    fl_delete,
+    fl_delete_keys,
+    fl_read_mor,
+    fl_read_pruned_mor,
+)
+
+
+def test_delete_mor_lifecycle(spark, sf_dir, tmp_path):
+    """Scattered delete rewrites nothing; MOR reads hide the keys;
+    a MERGE re-inserting deleted keys unhides exactly those; compact
+    folds the set physically with identical relational content."""
+    root, o = _init(spark, sf_dir, tmp_path)
+    m1 = set(fl_manifest(root)["path"])
+    n_all = o.count()
+    doomed = o.where(F.col("o_orderkey") % 10 == 3)
+    n_doomed = doomed.count()
+
+    n_keys, _v = fl_delete(spark, root, doomed)
+    assert n_keys == n_doomed
+    assert set(fl_manifest(root)["path"]) == m1  # zero files rewritten
+    assert fl_read_mor(spark, root).count() == n_all - n_doomed
+    # raw file view unchanged (the sidecar is the only difference)
+    assert fl_read(spark, root).count() == n_all
+    # pruned MOR read composes
+    df, n_read, n_total = fl_read_pruned_mor(
+        spark, root, {"o_orderkey": (0, 200)}
+    )
+    assert 0 < n_read < n_total
+    got = df.where(F.col("o_orderkey").between(0, 200))
+    assert (
+        got.where(F.col("o_orderkey") % 10 == 3).count() == 0
+        and got.count() > 0
+    )
+
+    # re-insert a subset: those keys leave the delete set, others stay
+    reins = doomed.where(F.col("o_orderkey") % 100 == 3).withColumn(
+        "o_orderstatus", F.lit("B")
+    )
+    n_reins = reins.count()
+    fl_merge_upsert(spark, root, reins, key="o_orderkey")
+    assert fl_read_mor(spark, root).count() == n_all - n_doomed + n_reins
+    assert (
+        fl_read_mor(spark, root)
+        .where(F.col("o_orderstatus") == "B")
+        .count()
+        == n_reins
+    )
+    remaining = set(fl_delete_keys(root)["o_orderkey"])
+    assert not remaining & {r["o_orderkey"] for r in reins.collect()}
+    assert len(remaining) > 0  # non-reinserted deletes persist
+
+    # compact: content identical, delete set empty, anti-join gone
+    want = fl_read_mor(spark, root).agg(
+        F.count(F.lit(1)), F.round(F.sum("o_totalprice"), 2)
+    ).collect()
+    fl_compact(spark, root)
+    assert len(fl_delete_keys(root)) == 0
+    assert (
+        fl_read_mor(spark, root).agg(
+            F.count(F.lit(1)), F.round(F.sum("o_totalprice"), 2)
+        ).collect()
+        == want
+    )
+    # after the fold, raw view == MOR view
+    assert fl_read(spark, root).count() == n_all - n_doomed + n_reins
+
+
+def test_delete_crash_before_flip_is_invisible(spark, sf_dir, tmp_path):
+    root, o = _init(spark, sf_dir, tmp_path)
+    n_all = o.count()
+    with pytest.raises(RuntimeError, match="injected crash"):
+        fl_delete(
+            spark, root, o.where(F.col("o_orderkey") % 10 == 3),
+            _crash_before_commit=True,
+        )
+    assert fl_read_mor(spark, root).count() == n_all
+    assert len(fl_delete_keys(root)) == 0
+
+
+def test_delete_time_travel_applies_version_set(spark, sf_dir, tmp_path):
+    """Time travel reads the delete state AS OF the version: v1 (no
+    deletes) keeps every row; v2 hides them."""
+    root, o = _init(spark, sf_dir, tmp_path)
+    v1 = fl_current_version(root)
+    n_all = o.count()
+    doomed = o.where(F.col("o_orderkey") % 10 == 3)
+    _, v2 = fl_delete(spark, root, doomed)
+    assert fl_read_mor(spark, root, v1).count() == n_all
+    assert fl_read_mor(spark, root, v2).count() == n_all - doomed.count()
