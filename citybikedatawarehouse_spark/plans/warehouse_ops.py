@@ -2121,13 +2121,26 @@ def q286_filelist_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
 
-    before = {
-        tuple(r) for r in _agg(fl_read_mor(spark, root)).collect()
-    }
+    def _exact(df: DataFrame) -> set:
+        # the fold audit compares EXACT integer cents + key checksum,
+        # not the rounded double sum: at 100x (15M rows) double
+        # summation order differs between the anti-join plan and the
+        # compacted files and can flip the 2nd decimal — measured; the
+        # data itself is bit-identical (counts and key sums agree)
+        return {
+            tuple(r)
+            for r in df.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).cast("bigint"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")),
+                F.sum("o_orderkey").cast("bigint"),
+            ).collect()
+        }
+
+    before = _exact(fl_read_mor(spark, root))
     fl_compact(spark, root)
     assert len(fl_delete_keys(root)) == 0
     after_df = _agg(fl_read_mor(spark, root))
-    compact_folded = {tuple(r) for r in after_df.collect()} == before
+    compact_folded = _exact(fl_read_mor(spark, root)) == before
 
     return (
         after_df.withColumn(

@@ -32,6 +32,10 @@ QUERIES_UNDER_TEST = [
     "q283_manifest_pruned_read",
     "q284_stream_manifest_sink",
     "q285_filelist_merge",
+    # r10s2: MOR delete of 10% of keys (sidecar write, zero file
+    # rewrites) + re-insert merge + compaction fold (the one full
+    # rewrite, by choice not by delete pattern)
+    "q286_filelist_delete_mor",
 ]
 
 
