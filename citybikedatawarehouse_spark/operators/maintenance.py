@@ -11,9 +11,18 @@ from __future__ import annotations
 
 import math
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class CommitConflictError(RuntimeError):
+    """Raised by a CAS pointer flip when the table's pointer no
+    longer names the committing writer's parent version — a
+    concurrent writer won the race. The loser's staged version stays
+    an invisible orphan (readers only follow the pointer); retry the
+    whole operation against the new current version."""
 
 
 def _fs_swap(spark: SparkSession, staging: str, target: str, backup: str) -> None:
@@ -292,14 +301,101 @@ def _manifest_commit(root: str, version: str) -> None:
     os.replace(tmp, _manifest_path(root))
 
 
-def _manifest_next_version(root: str) -> str:
-    versions = [
-        d
-        for d in os.listdir(root)
-        if d.startswith("v") and d[1:].isdigit()
-    ]
-    n = max((int(d[1:]) for d in versions), default=0) + 1
-    return f"v{n:08d}"
+def _pointer_current(root: str) -> str | None:
+    """The pointer's current version name, or None for an
+    uninitialized table — the CAS comparand."""
+    p = _manifest_path(root)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        v = f.read().strip()
+    return v or None
+
+
+_COMMIT_LOCK = "_COMMIT_LOCK"
+_LOCK_STALE_SEC = 30.0
+_LOCK_WAIT_SEC = 10.0
+
+
+def manifest_commit_cas(
+    root: str, version: str, parent: str | None
+) -> None:
+    """Optimistic-concurrency pointer flip (the Delta/Iceberg commit
+    rule): publish ``version`` IFF the pointer still names
+    ``parent`` (None = table must be uninitialized). Two concurrent
+    committers both compute their commit from the same parent; the
+    first flip wins, the second finds the pointer moved and raises
+    ``CommitConflictError`` — never a silent lost update. The staged
+    loser is an orphan invisible to pointer-following readers.
+
+    The read-compare-flip critical section is guarded by an O_EXCL
+    lock file (atomic create on POSIX/HDFS); a lock older than
+    ``_LOCK_STALE_SEC`` is presumed abandoned by a crashed writer
+    and stolen. On object stores without atomic create-if-absent,
+    swap this for the store's conditional-PUT (S3 If-None-Match,
+    GCS x-goog-if-generation-match) — the CAS contract is the same."""
+    lock = os.path.join(root, _COMMIT_LOCK)
+    deadline = time.monotonic() + _LOCK_WAIT_SEC
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except FileNotFoundError:
+                continue  # holder just released; retry immediately
+            if age > _LOCK_STALE_SEC:
+                try:
+                    os.remove(lock)  # crashed holder; steal
+                except FileNotFoundError:
+                    pass
+                continue
+            if time.monotonic() > deadline:
+                raise IOError(
+                    f"commit {version}: could not acquire {lock} in "
+                    f"{_LOCK_WAIT_SEC}s (held {age:.1f}s)"
+                )
+            time.sleep(0.01)
+    try:
+        cur = _pointer_current(root)
+        if cur != parent:
+            raise CommitConflictError(
+                f"commit {version}: table {root} moved from parent "
+                f"{parent!r} to {cur!r} — a concurrent writer "
+                f"committed first; retry against the new version"
+            )
+        _manifest_commit(root, version)
+    finally:
+        os.remove(lock)
+
+
+def _claim_dir_version(root: str) -> str:
+    """Atomically claim the next version number with an O_EXCL
+    ``vNNNNNNNN.claim`` marker (invisible to ``manifest_versions`` —
+    the suffix fails its isdigit filter), so two concurrent writers
+    can never stage into the same version directory. Claimed numbers
+    are never reissued even if the claimant crashes before writing
+    anything."""
+    claimed = []
+    for d in os.listdir(root):
+        stem = d.split(".", 1)[0]
+        if stem.startswith("v") and stem[1:].isdigit():
+            claimed.append(int(stem[1:]))
+    n = max(claimed, default=0) + 1
+    while True:
+        v = f"v{n:08d}"
+        try:
+            fd = os.open(
+                os.path.join(root, f"{v}.claim"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            os.close(fd)
+            return v
+        except FileExistsError:
+            n += 1
 
 
 _ZONEMAP_DIR = "_zonemap"
@@ -490,7 +586,7 @@ def manifest_init(
     (``functions/layout.zorder_key``'s contract). Returns the
     committed version name."""
     os.makedirs(root, exist_ok=True)
-    version = _manifest_next_version(root)
+    version = _claim_dir_version(root)
     props = {
         "stats_cols": list(stats_cols),
         "zorder_by": list(zorder_by),
@@ -502,7 +598,7 @@ def manifest_init(
         _zonemap_write(spark, root, version, tuple(stats_cols))
     if stats_cols or zorder_by:
         _props_write(root, version, props)
-    _manifest_commit(root, version)
+    manifest_commit_cas(root, version, parent=None)
     return version
 
 
@@ -536,6 +632,7 @@ def compact_manifest(
     half-compacted table, and the pre-compaction version stays
     readable until vacuumed). Returns the new version name."""
     cur = manifest_current(root)
+    parent = os.path.basename(cur)
     df = spark.read.parquet(cur)
     _, total = parquet_file_stats(cur)
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
@@ -552,7 +649,7 @@ def compact_manifest(
             if sort_by
             else df.coalesce(n_files)
         )
-    version = _manifest_next_version(root)
+    version = _claim_dir_version(root)
     out.write.mode("errorifexists").parquet(os.path.join(root, version))
     # compaction rewrites files, so the zone map MUST be rebuilt for
     # the new layout — same transactional placement as merge: stats
@@ -562,7 +659,7 @@ def compact_manifest(
         _zonemap_write(spark, root, version, stats_cols)
     if props:
         _props_write(root, version, props)
-    _manifest_commit(root, version)
+    manifest_commit_cas(root, version, parent)
     return version
 
 
@@ -612,13 +709,14 @@ def merge_upsert_manifest(
             f"{n_updates - n_update_keys} duplicate '{key}' rows; "
             f"MERGE requires unique source keys"
         )
+    parent = os.path.basename(manifest_current(root))
     target = manifest_read(spark, root)
     matched = target.join(updates.select(key), key, "left_semi")
     n_replaced = matched.count()
     n_inserted = n_updates - n_replaced
     kept = target.join(updates.select(key), key, "left_anti")
     merged = kept.unionByName(updates.select(*target.columns))
-    version = _manifest_next_version(root)
+    version = _claim_dir_version(root)
     # layout + zone-map maintenance are part of the SAME commit: the
     # merged output is re-clustered to the table's committed Z-order
     # spec (so skipping stays EFFECTIVE, not just correct, after every
@@ -645,7 +743,7 @@ def merge_upsert_manifest(
             "merge_upsert_manifest: injected crash between data write "
             "and pointer flip (test hook)"
         )
-    _manifest_commit(root, version)
+    manifest_commit_cas(root, version, parent)
     return n_replaced, n_inserted
 
 
@@ -890,6 +988,11 @@ def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    # listFiles yields scheme-QUALIFIED paths (file:/...); qualify the
+    # root the same way or the ancestor walk below never terminates at
+    # it and hidden-prefixed ancestors ABOVE the root (a table under
+    # /x/_work/...) wrongly hide every file (round-10 ADVICE)
+    root = fs.makeQualified(jpath)
     out: list[str] = []
     it = fs.listFiles(jpath, True)  # recursive
     while it.hasNext():
@@ -897,9 +1000,9 @@ def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
         p = status.getPath()
         if not p.getName().endswith(".parquet"):
             continue
-        # reject if any path segment under `path` is hidden
+        # reject if any path segment strictly under `root` is hidden
         rel, hidden = p, False
-        while rel is not None and str(rel) != str(jpath):
+        while rel is not None and str(rel) != str(root):
             if rel.getName().startswith(("_", ".")):
                 hidden = True
                 break

@@ -7,9 +7,10 @@ keys cannot cost a full rewrite. This module is the file-level form,
 the actual kernel of Delta/Iceberg:
 
 - a **version is a manifest**: a small driver-side relation of
-  ``(path, n_rows, min_/max_ stats per tracked column)`` — the zone
-  map IS the manifest, so data skipping and merge targeting read the
-  same artifact and cannot desync from each other;
+  ``(path, n_rows, min_/max_ stats per tracked column, write-time
+  schema)`` — the zone map IS the manifest, so data skipping and
+  merge targeting read the same artifact and cannot desync from each
+  other;
 - **data files are immutable and SHARED across versions**: a commit
   writes only new files and a new manifest referencing
   (untouched-old + new); time travel is free and vacuum is reference
@@ -20,23 +21,37 @@ the actual kernel of Delta/Iceberg:
   reference — merge cost is O(touched files + updates), not O(table).
   Pure inserts beyond every file's key range touch ZERO existing
   files;
-- **commit = one pointer flip** (write files -> write manifest ->
-  fsync+rename ``_MANIFEST``), the same crash matrix as the directory
-  format: readers follow the pointer and can never see a torn table,
-  a half-written manifest, or stats inconsistent with data.
+- **merge-on-read DELETE**: delete keys are EXECUTOR-WRITTEN parquet
+  data files (never driver-materialized — a 100 TB table's delete
+  wave can be billions of keys), applied by an AQE-planned anti-join
+  and folded physically by ``fl_compact``;
+- **schema evolution by field id**: add-column and rename commit a
+  new manifest only — old files stay valid forever, readers map each
+  file's write-time columns to the current schema by id (Iceberg's
+  rule, manifest-recorded instead of parquet-field-id-recorded);
+- **commit = one CAS pointer flip** (write files -> write manifest ->
+  verify parent -> fsync+rename ``_MANIFEST``): versions are claimed
+  with O_EXCL marker files and the flip verifies the pointer still
+  names the writer's parent, so two concurrent committers cannot
+  silently lose an update — exactly one wins, the loser gets
+  ``CommitConflictError`` and its orphan stays invisible to readers.
 
 Layout on disk::
 
     root/_MANIFEST                      # pointer: current version name
+    root/_COMMIT_LOCK                   # transient CAS critical section
     root/_manifests/v00000001.parquet   # manifest (pyarrow, 1 file)
     root/_manifests/v00000001.props.json
-    root/data/c_v00000001/part-*.parquet  # immutable data files
+    root/_manifests/v00000001.claim     # O_EXCL version-number claim
+    root/data/c_v00000001/part-*.parquet   # immutable data files
+    root/deletes/d_v00000002/part-*.parquet  # immutable delete-key files
 
 Scale shape: the manifest is O(files) tiny rows — the same
 cardinality Spark's own file index holds to plan any scan; every
 driver-side operation here (targeting, pruning, vacuum ref-count) is
-over that relation, never the data. Executors only ever read the
-file subset a manifest names and write the new files of one commit.
+over that relation, never the data. Executors read only the file
+subset a manifest names, write the new files of one commit, and own
+the delete set end-to-end (write, anti-join, fold).
 
 Cites: reference's sink is ``to_sql(if_exists='append'|'replace')``
 (create_db_from_csv.py) — no versioning, no incremental merge; this
@@ -47,6 +62,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import pandas as pd
 
@@ -54,14 +70,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from citybikedatawarehouse_spark.operators.maintenance import (
+    CommitConflictError,  # noqa: F401  (re-export: the format's error)
     _apply_layout,
-    _manifest_commit,
     _norm_file_uri,
-    read_pruned_files,
+    cdc_extract,
+    manifest_commit_cas,
     zone_map_stats,
 )
 
 _MANIFEST_DIR = "_manifests"
+# fl_delete accumulates one immutable delete-file dir per commit; past
+# this many it folds them into one (executor-side distinct + rewrite)
+# so the read-side anti-join never unions an unbounded dir list
+_DELETE_FOLD_AFTER = 8
 
 
 def _pointer_path(root: str) -> str:
@@ -79,25 +100,60 @@ def fl_current_version(root: str) -> str:
 
 def fl_versions(root: str) -> list[str]:
     """All committed-or-orphan manifest versions, oldest first (an
-    entry newer than the pointer is a crashed writer's orphan —
-    invisible to pointer-following readers)."""
+    entry newer than the pointer is a crashed/conflicted writer's
+    orphan — invisible to pointer-following readers)."""
     mdir = os.path.join(root, _MANIFEST_DIR)
     return sorted(
         f[: -len(".parquet")]
         for f in os.listdir(mdir)
-        # exactly vNNNNNNNN.parquet — NOT the .deletes.parquet or
-        # .props.json sidecars that share the version stem
+        # exactly vNNNNNNNN.parquet — NOT the .props.json / .claim
+        # sidecars that share the version stem
         if f.endswith(".parquet")
         and f[0] == "v"
         and f[1:-len(".parquet")].isdigit()
     )
 
 
-def _next_version(root: str) -> str:
+def _version_numbers(root: str) -> list[int]:
+    """Every version number any artifact (manifest, props, claim) has
+    ever used — claims count, so a crashed writer's number is never
+    reissued to a second writer."""
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    out = []
+    for f in os.listdir(mdir):
+        stem = f.split(".", 1)[0]
+        if stem.startswith("v") and stem[1:].isdigit():
+            out.append(int(stem[1:]))
+    return out
+
+
+def _claim_version(root: str) -> str:
+    """Atomically claim the next version number with an O_EXCL marker
+    file — two concurrent writers can never stage artifacts under the
+    same version name (which would let the loser's manifest overwrite
+    the winner's before the CAS flip even runs)."""
     mdir = os.path.join(root, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
-    n = max((int(v[1:]) for v in fl_versions(root)), default=0) + 1
-    return f"v{n:08d}"
+    n = max(_version_numbers(root), default=0) + 1
+    while True:
+        v = f"v{n:08d}"
+        try:
+            fd = os.open(
+                os.path.join(mdir, f"{v}.claim"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            os.close(fd)
+            return v
+        except FileExistsError:
+            n += 1
+
+
+def _fl_commit(root: str, version: str, parent: str | None) -> None:
+    """CAS pointer flip: publishes ``version`` iff the pointer still
+    names ``parent`` (None = table must be uninitialized); raises
+    ``CommitConflictError`` otherwise, leaving the staged version as
+    an invisible orphan."""
+    manifest_commit_cas(root, version, parent)
 
 
 def _manifest_file(root: str, version: str) -> str:
@@ -107,7 +163,8 @@ def _manifest_file(root: str, version: str) -> str:
 def fl_manifest(root: str, version: str | None = None) -> pd.DataFrame:
     """The manifest relation of a version (current by default):
     one row per data file — (path, n_rows, min_<c>/max_<c> for every
-    tracked column). Driver-side pandas on purpose: it is O(files)
+    tracked column, schema_cols = the file's write-time field-id ->
+    column-name map). Driver-side pandas on purpose: it is O(files)
     metadata consulted by planning, not data."""
     if version is None:
         version = fl_current_version(root)
@@ -132,8 +189,9 @@ def _write_manifest(
     root: str, version: str, manifest: pd.DataFrame, props: dict
 ) -> None:
     """Stage a version's manifest + props. NOT visible to readers
-    until the pointer flips — both artifacts are keyed by the version
-    name, so a crashed writer leaves only orphans."""
+    until the pointer flips — both artifacts are keyed by the
+    claimed version name, so a crashed or conflicted writer leaves
+    only orphans."""
     manifest.reset_index(drop=True).to_parquet(
         _manifest_file(root, version), index=False
     )
@@ -143,21 +201,94 @@ def _write_manifest(
         json.dump(props, f)
 
 
+# ---------------------------------------------------------------------------
+# schema-by-field-id helpers
+# ---------------------------------------------------------------------------
+
+
+def _schema_fields(df: DataFrame) -> list[dict]:
+    """Field-id schema for a fresh table: ids are assigned once at
+    init and NEVER reused — renames keep the id, adds take a new
+    one (the Iceberg identity rule that makes old files readable
+    forever)."""
+    return [
+        {"id": i + 1, "name": f.name, "type": f.dataType.simpleString()}
+        for i, f in enumerate(df.schema.fields)
+    ]
+
+
+def _schema_sig(fields: list[dict]) -> str:
+    """A file group's write-time (field id -> physical column name)
+    map, stored per manifest row. Compact and canonical: reads group
+    files by this string."""
+    return json.dumps([[f["id"], f["name"]] for f in fields])
+
+
+def _empty_relation(spark: SparkSession, props: dict) -> DataFrame:
+    ddl = ", ".join(f"`{f['name']}` {f['type']}" for f in props["schema"])
+    return spark.createDataFrame([], ddl)
+
+
+def _read_files(
+    spark: SparkSession, m_subset: pd.DataFrame, props: dict
+) -> DataFrame:
+    """Read a manifest subset ALIGNED to the current schema: files
+    are grouped by write-time schema signature; within each group,
+    current columns resolve by FIELD ID to the group's physical
+    names (renames), and ids the group predates backfill as typed
+    NULLs (add-column) — no data file is ever rewritten for an
+    evolution commit. The group count is O(distinct schemas ever
+    written), a handful; each group is one ordinary pruned parquet
+    scan, so pushdown/pruning per group is untouched."""
+    if len(m_subset) == 0:
+        return _empty_relation(spark, props)
+    cur = props["schema"]
+    cur_sig = _schema_sig(cur)
+    if "schema_cols" not in m_subset.columns:
+        sigs = pd.Series(cur_sig, index=m_subset.index)
+    else:
+        sigs = m_subset["schema_cols"].fillna(cur_sig)
+    parts = []
+    for sig in sorted(sigs.unique()):
+        paths = sorted(m_subset.loc[sigs == sig, "path"])
+        dfg = spark.read.parquet(*paths)
+        mapping = {fid: name for fid, name in json.loads(sig)}
+        sel = []
+        for f in cur:
+            phys = mapping.get(f["id"])
+            if phys is None:
+                sel.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+            else:
+                sel.append(F.col(phys).alias(f["name"]))
+        parts.append(dfg.select(*sel))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _stats_of_commit(
-    spark: SparkSession, commit_dir: str, cols: tuple[str, ...]
+    spark: SparkSession,
+    commit_dir: str,
+    cols: tuple[str, ...],
+    schema_sig: str,
 ) -> pd.DataFrame:
     """Per-file stats for a commit's freshly-written files — one scan
     folding map-side to O(files) rows (zone_map_stats), paths
-    normalized to plain filesystem form."""
+    normalized to plain filesystem form, each row stamped with the
+    commit's write-time schema signature."""
     rows = zone_map_stats(spark, commit_dir, cols).collect()
     recs = []
     for r in rows:
         d = r.asDict()
         d["path"] = _norm_file_uri(d.pop("file"))
+        d["schema_cols"] = schema_sig
         recs.append(d)
     cols_order = ["path", "n_rows"] + [
         f"{m}_{c}" for c in cols for m in ("min", "max")
-    ]
+    ] + ["schema_cols"]
+    if not recs:
+        return pd.DataFrame(columns=cols_order)
     return pd.DataFrame(recs)[cols_order]
 
 
@@ -179,21 +310,27 @@ def fl_init(
     targeting needs it); ``stats_cols`` adds skipping columns;
     ``zorder_by`` sets the clustering every commit re-applies to the
     files it writes. Cluster by the merge key (or lead with it) to
-    make merges file-sparse — the standard Delta guidance."""
+    make merges file-sparse — the standard Delta guidance. Fails with
+    ``CommitConflictError`` if the table is already initialized."""
     os.makedirs(os.path.join(root, "data"), exist_ok=True)
-    version = _next_version(root)
+    version = _claim_version(root)
     props = {
         "key": key,
         "stats_cols": list(dict.fromkeys((key, *stats_cols))),
         "zorder_by": list(zorder_by),
         "layout_files": layout_files,
+        "schema": _schema_fields(df),
+        "delete_dirs": [],
+        "parent": None,
     }
     out = _apply_layout(df, props)
     cdir = _commit_dir(root, version)
     out.write.mode("errorifexists").parquet(cdir)
-    manifest = _stats_of_commit(spark, cdir, tuple(props["stats_cols"]))
+    manifest = _stats_of_commit(
+        spark, cdir, tuple(props["stats_cols"]), _schema_sig(props["schema"])
+    )
     _write_manifest(root, version, manifest, props)
-    _manifest_commit(root, version)
+    _fl_commit(root, version, parent=None)
     return version
 
 
@@ -201,12 +338,16 @@ def fl_read(
     spark: SparkSession, root: str, version: str | None = None
 ) -> DataFrame:
     """Read a committed version: exactly the files its manifest
-    names (files are immutable and shared, so any version is a
-    consistent snapshot with no coordination)."""
-    paths = sorted(fl_manifest(root, version)["path"])
-    if not paths:
-        raise IOError(f"filelist table {root}: empty manifest")
-    return spark.read.parquet(*paths)
+    names, aligned to the version's current schema (files are
+    immutable and shared, so any version is a consistent snapshot
+    with no coordination). An empty manifest — a table whose every
+    row was deleted then compacted — is an empty relation with the
+    table schema, not an error."""
+    if version is None:
+        version = fl_current_version(root)
+    return _read_files(
+        spark, fl_manifest(root, version), fl_table_props(root, version)
+    )
 
 
 def fl_read_pruned(
@@ -220,6 +361,8 @@ def fl_read_pruned(
     ``col -> (lo, hi)`` range; NULL-stats files always kept; an
     all-pruned result is an empty relation with the table schema.
     Returns (df, n_read, n_total)."""
+    if version is None:
+        version = fl_current_version(root)
     m = fl_manifest(root, version)
     props = fl_table_props(root, version)
     missing = [c for c in preds if c not in props["stats_cols"]]
@@ -233,9 +376,37 @@ def fl_read_pruned(
         mn, mx = m[f"min_{col}"], m[f"max_{col}"]
         disjoint = (mx < lo) | (mn > hi)
         keep &= ~(disjoint & mn.notna() & mx.notna())
-    files = sorted(m.loc[keep, "path"])
-    schema_src = sorted(m["path"])[0]
-    return read_pruned_files(spark, files, schema_src), len(files), len(m)
+    return _read_files(spark, m[keep], props), int(keep.sum()), len(m)
+
+
+def _zone_touched_paths(
+    spark: SparkSession, m_subset: pd.DataFrame, key: str, keys_df: DataFrame
+) -> set[str]:
+    """Exact per-file merge/change targeting: distinct keys range-
+    joined against the broadcast O(files) key zones — a file is
+    touched iff at least one key falls inside its zone (NULL-zone
+    files conservatively touched). The collect is O(touched files)
+    paths, the same cardinality the driver already plans scans with —
+    never the keys themselves."""
+    if len(m_subset) == 0:
+        return set()
+    zones = spark.createDataFrame(
+        m_subset[["path", f"min_{key}", f"max_{key}"]]
+    )
+    return {
+        r["path"]
+        for r in keys_df.select(key)
+        .distinct()
+        .join(
+            F.broadcast(zones),
+            (F.col(f"min_{key}").isNull())
+            | (F.col(f"max_{key}").isNull())
+            | F.col(key).between(F.col(f"min_{key}"), F.col(f"max_{key}")),
+        )
+        .select("path")
+        .distinct()
+        .collect()
+    }
 
 
 def fl_merge_upsert(
@@ -244,6 +415,7 @@ def fl_merge_upsert(
     updates: DataFrame,
     key: str,
     _crash_before_commit: bool = False,
+    _pause_before_commit=None,
     extra_props: dict | None = None,
 ) -> tuple[int, int, int, int]:
     """MERGE (upsert) that rewrites ONLY the data files whose key
@@ -262,130 +434,144 @@ def fl_merge_upsert(
     as the commit's new files, sized to the touched-file count so
     file granularity is stable under repeated merges.
 
-    Commit = stage new files -> stage manifest(untouched + new rows)
-    + props -> pointer flip. Crash anywhere before the flip leaves
-    the old version fully intact (data files are never mutated, the
-    old manifest still names them); a replayed merge writes the next
-    version number. ``extra_props`` rides the commit (the streaming
-    epoch / txnVersion pattern).
+    Merge-on-read interaction, all EXECUTOR-SIDE (no key ever crosses
+    to the driver): rows already deleted are anti-joined out of the
+    touched slice (folding those deletes for free), and the commit's
+    surviving delete set = old set ANTI-JOIN update keys, rewritten
+    as fresh delete files — an upsert of a deleted key is a
+    re-insert, and a stale set entry would silently hide it from
+    every reader.
 
-    Scale shape: ONE broadcast range join of distinct update keys x
-    O(files) zones for targeting; one scan of the touched subset for
-    the merge itself; shuffle volume O(touched + updates). The
-    100 TB merge this repo's directory-format could not express.
+    Commit = claim version -> stage new files + manifest + props ->
+    CAS pointer flip (conflict -> ``CommitConflictError``, staged
+    version stays an invisible orphan). Crash anywhere before the
+    flip leaves the old version fully intact. ``extra_props`` rides
+    the commit (the streaming epoch / txnVersion pattern).
+
+    Scale shape: the ``updates`` lineage is persisted across the
+    merge's actions (count, targeting, joins) and unpersisted on
+    exit; targeting is ONE broadcast range join of distinct update
+    keys x O(files) zones; one scan of the touched subset for the
+    merge itself; shuffle volume O(touched + updates). The 100 TB
+    merge this repo's directory-format could not express.
     """
-    props = fl_table_props(root)
+    parent = fl_current_version(root)
+    props = fl_table_props(root, parent)
     if props["key"] != key:
         raise ValueError(
             f"filelist table {root}: merge key {key!r} != table key "
             f"{props['key']!r}"
         )
-    n_updates = updates.count()
-    if n_updates == 0:
-        # empty micro-batches are routine in streaming — a no-op, not
-        # an empty commit (which would write an unreadable 0-file dir)
-        return 0, 0, 0, len(fl_manifest(root))
-    n_update_keys = updates.select(key).distinct().count()
-    if n_update_keys != n_updates:
-        raise ValueError(
-            f"fl_merge_upsert: updates has "
-            f"{n_updates - n_update_keys} duplicate '{key}' rows; "
-            f"MERGE requires unique source keys"
-        )
-    m = fl_manifest(root)
-    zones = spark.createDataFrame(
-        m[["path", f"min_{key}", f"max_{key}"]]
-    )
-    touched = {
-        r["path"]
-        for r in updates.select(key)
-        .distinct()
-        .join(
-            F.broadcast(zones),
-            (F.col(f"min_{key}").isNull())
-            | (F.col(f"max_{key}").isNull())
-            | F.col(key).between(F.col(f"min_{key}"), F.col(f"max_{key}")),
-        )
-        .select("path")
-        .distinct()
-        .collect()
-    }
-    untouched_m = m[~m["path"].isin(touched)]
-    schema_src = sorted(m["path"])[0]
-    touched_df = read_pruned_files(spark, sorted(touched), schema_src)
-    # merge-on-read interaction: rows already deleted must not count
-    # as matches nor survive into the rewritten files (applying the
-    # set here folds those deletes for free), and any update key is
-    # REMOVED from the delete set in the same commit — an upsert of a
-    # deleted key is a re-insert, and a stale set entry would silently
-    # hide it from every reader
-    dels = fl_delete_keys(root)
-    if len(dels):
-        touched_df = touched_df.join(
-            F.broadcast(spark.createDataFrame(dels)), key, "left_anti"
-        )
-
-    matched = touched_df.join(updates.select(key), key, "left_semi")
-    n_replaced = matched.count()
-    n_inserted = n_updates - n_replaced
-    kept = touched_df.join(updates.select(key), key, "left_anti")
-    merged = kept.unionByName(updates.select(*touched_df.columns))
-
-    version = _next_version(root)
-    slice_props = {**props, "layout_files": max(1, len(touched))}
-    cdir = _commit_dir(root, version)
-    _apply_layout(merged, slice_props).write.mode(
-        "errorifexists"
-    ).parquet(cdir)
-    fresh = _stats_of_commit(spark, cdir, tuple(props["stats_cols"]))
-    manifest = pd.concat([untouched_m, fresh], ignore_index=True)
-    if extra_props:
-        props = {**props, **extra_props}
-    _write_manifest(root, version, manifest, props)
-    if len(dels):
-        surviving = dels[
-            ~dels[key].isin(
-                [r[key] for r in updates.select(key).distinct().collect()]
+    updates = updates.persist()
+    try:
+        counts = updates.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(key)).alias("k"),
+            F.max(F.col(key).isNull().cast("int")).alias("has_null"),
+        ).first()
+        n_updates = counts["n"]
+        if n_updates == 0:
+            # empty micro-batches are routine in streaming — a no-op,
+            # not an empty commit
+            return 0, 0, 0, len(fl_manifest(root, parent))
+        n_update_keys = counts["k"] + (1 if counts["has_null"] else 0)
+        if n_update_keys != n_updates:
+            raise ValueError(
+                f"fl_merge_upsert: updates has "
+                f"{n_updates - n_update_keys} duplicate '{key}' rows; "
+                f"MERGE requires unique source keys"
             )
-        ]
-        if len(surviving):
-            surviving.reset_index(drop=True).to_parquet(
-                _deletes_file(root, version), index=False
-            )
-    if _crash_before_commit:
-        raise RuntimeError(
-            "fl_merge_upsert: injected crash between manifest write "
-            "and pointer flip (test hook)"
+        m = fl_manifest(root, parent)
+        touched = _zone_touched_paths(spark, m, key, updates)
+        untouched_m = m[~m["path"].isin(touched)]
+        touched_df = _read_files(spark, m[m["path"].isin(touched)], props)
+        dels_df = _delete_keys_df(spark, props)
+        if dels_df is not None:
+            touched_df = touched_df.join(dels_df, key, "left_anti")
+
+        matched = touched_df.join(updates.select(key), key, "left_semi")
+        n_replaced = matched.count()
+        n_inserted = n_updates - n_replaced
+        kept = touched_df.join(updates.select(key), key, "left_anti")
+        merged = kept.unionByName(updates.select(*touched_df.columns))
+
+        version = _claim_version(root)
+        slice_props = {**props, "layout_files": max(1, len(touched))}
+        cdir = _commit_dir(root, version)
+        _apply_layout(merged, slice_props).write.mode(
+            "errorifexists"
+        ).parquet(cdir)
+        fresh = _stats_of_commit(
+            spark,
+            cdir,
+            tuple(props["stats_cols"]),
+            _schema_sig(props["schema"]),
         )
-    _manifest_commit(root, version)
-    return n_replaced, n_inserted, len(touched), len(m)
+        manifest = pd.concat([untouched_m, fresh], ignore_index=True)
+        delete_dirs: list[str] = []
+        if dels_df is not None:
+            # surviving deletes = old set minus re-inserted keys —
+            # one distributed anti-join, folded into a single fresh
+            # delete dir (never collected to the driver)
+            surviving = dels_df.distinct().join(
+                updates.select(key), key, "left_anti"
+            )
+            if surviving.limit(1).count():
+                ddir = _delete_dir(root, version)
+                surviving.write.mode("errorifexists").parquet(ddir)
+                delete_dirs = [ddir]
+        new_props = {**props, "delete_dirs": delete_dirs, "parent": parent}
+        if extra_props:
+            new_props.update(extra_props)
+        _write_manifest(root, version, manifest, new_props)
+        if _pause_before_commit is not None:
+            _pause_before_commit()
+        if _crash_before_commit:
+            raise RuntimeError(
+                "fl_merge_upsert: injected crash between manifest write "
+                "and pointer flip (test hook)"
+            )
+        _fl_commit(root, version, parent)
+        return n_replaced, n_inserted, len(touched), len(m)
+    finally:
+        updates.unpersist()
 
 
 def fl_vacuum(spark: SparkSession, root: str, keep: int = 2) -> list[str]:
     """Reference-counting vacuum: drop manifests older than the
     newest ``keep`` (never the pointer's target), then delete every
-    data file no kept manifest references. Shared files survive as
-    long as ANY kept version names them — deleting a version can
-    never corrupt another. Returns deleted file paths."""
+    data file — and every delete-set dir — no kept manifest/props
+    references. Shared artifacts survive as long as ANY kept version
+    names them — deleting a version can never corrupt another.
+    Returns deleted data-file paths."""
     current = fl_current_version(root)
     versions = fl_versions(root)
     drop = [v for v in versions[:-keep] if v != current]
     keep_versions = [v for v in versions if v not in drop]
     referenced: set[str] = set()
+    referenced_dels: set[str] = set()
     for v in keep_versions:
         referenced |= set(fl_manifest(root, v)["path"])
+        referenced_dels |= set(fl_table_props(root, v).get("delete_dirs", []))
     doomed: set[str] = set()
+    doomed_dels: set[str] = set()
     for v in drop:
         doomed |= set(fl_manifest(root, v)["path"]) - referenced
+        doomed_dels |= (
+            set(fl_table_props(root, v).get("delete_dirs", []))
+            - referenced_dels
+        )
         os.remove(_manifest_file(root, v))
         for sidecar in (
             os.path.join(root, _MANIFEST_DIR, f"{v}.props.json"),
-            _deletes_file(root, v),
+            os.path.join(root, _MANIFEST_DIR, f"{v}.claim"),
         ):
             if os.path.isfile(sidecar):
                 os.remove(sidecar)
     for p in sorted(doomed):
         os.remove(p)
+    for d in sorted(doomed_dels):
+        shutil.rmtree(d, ignore_errors=True)
     return sorted(doomed)
 
 
@@ -394,43 +580,64 @@ def fl_vacuum(spark: SparkSession, root: str, keep: int = 2) -> list[str]:
 # ---------------------------------------------------------------------------
 
 
-def _deletes_file(root: str, version: str) -> str:
-    return os.path.join(root, _MANIFEST_DIR, f"{version}.deletes.parquet")
+def _delete_dir(root: str, tag: str) -> str:
+    return os.path.join(root, "deletes", f"d_{tag}")
 
 
-def fl_delete_keys(root: str, version: str | None = None) -> pd.DataFrame:
-    """The version's cumulative delete set (one column, the table
-    key) — empty if the version carries none. Part of the version's
-    immutable commit artifacts, so time-travel reads apply the
-    delete state AS OF that version."""
+def _delete_keys_df(
+    spark: SparkSession, props: dict, key: str | None = None
+) -> DataFrame | None:
+    """The version's cumulative delete set as an EXECUTOR-read
+    relation (union of the version's immutable delete-key files), or
+    None when empty. The single column is positionally renamed to the
+    current key name, so files written before a key rename stay
+    valid. May contain duplicate keys across files — harmless to the
+    anti-joins that consume it."""
+    dirs = props.get("delete_dirs") or []
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs).toDF(key or props["key"])
+
+
+def fl_delete_keys(
+    spark: SparkSession, root: str, version: str | None = None
+) -> pd.DataFrame:
+    """Introspection/test helper ONLY: the version's distinct delete
+    set as pandas — O(set) driver memory by definition, which is why
+    no write path calls it. ``fl_delete``/``fl_merge_upsert`` keep
+    the set executor-side end to end."""
     if version is None:
         version = fl_current_version(root)
-    p = _deletes_file(root, version)
-    if not os.path.isfile(p):
-        key = fl_table_props(root, version)["key"]
-        return pd.DataFrame({key: []})
-    return pd.read_parquet(p)
+    props = fl_table_props(root, version)
+    dels = _delete_keys_df(spark, props)
+    if dels is None:
+        return pd.DataFrame({props["key"]: []})
+    return dels.distinct().toPandas()
 
 
 def _apply_deletes(
     spark: SparkSession, df: DataFrame, root: str, version: str | None
 ) -> DataFrame:
-    dels = fl_delete_keys(root, version)
-    if len(dels) == 0:
+    if version is None:
+        version = fl_current_version(root)
+    props = fl_table_props(root, version)
+    dels = _delete_keys_df(spark, props)
+    if dels is None:
         return df
-    key = dels.columns[0]
-    return df.join(
-        F.broadcast(spark.createDataFrame(dels)), key, "left_anti"
-    )
+    # no forced broadcast: the delete files' sizes are known to the
+    # planner, so AQE/size stats pick broadcast while the set is
+    # small and a shuffled anti-join once it is not — a billion-key
+    # delete set must not try to build a broadcast table
+    return df.join(dels, props["key"], "left_anti")
 
 
 def fl_read_mor(
     spark: SparkSession, root: str, version: str | None = None
 ) -> DataFrame:
     """Merge-on-read: the version's files MINUS its delete set (one
-    broadcast anti-join — the read-side cost of not rewriting on
-    delete). ``fl_read`` stays the raw file view; use this one when
-    the table uses ``fl_delete``."""
+    anti-join — the read-side cost of not rewriting on delete).
+    ``fl_read`` stays the raw file view; use this one when the table
+    uses ``fl_delete``."""
     return _apply_deletes(spark, fl_read(spark, root, version), root, version)
 
 
@@ -452,34 +659,49 @@ def fl_delete(
 ) -> tuple[int, str]:
     """DELETE BY KEY without rewriting any data file (merge-on-read,
     the Iceberg v2 delete-vector shape): the new version carries the
-    SAME manifest (every file by reference) plus a cumulative delete
-    set; readers (`fl_read_mor`) anti-join it out. Scattered deletes
-    — the worst case for copy-on-write, which would rewrite every
-    touched file — cost one tiny sidecar write here; the rewrite is
-    deferred to ``fl_compact``, which folds the set at a time of the
-    table's choosing. Returns (n_delete_keys, version).
+    SAME manifest (every file by reference) plus the delete set;
+    readers (`fl_read_mor`) anti-join it out. Scattered deletes —
+    the worst case for copy-on-write, which would rewrite every
+    touched file — cost one executor-parallel write of the batch's
+    distinct keys here; the rewrite is deferred to ``fl_compact``,
+    which folds the set at a time of the table's choosing. Returns
+    (n_delete_keys, version).
 
-    Commit = stage manifest copy + merged delete set + props ->
-    pointer flip; same crash matrix as every other commit."""
-    props = fl_table_props(root)
+    Scale shape: the keys NEVER land on the driver — they are
+    written as immutable parquet delete files by the executors and
+    re-read by the executors of every MOR read. Each delete commit
+    adds one dir of files; past ``_DELETE_FOLD_AFTER`` dirs the set
+    is folded (distinct + rewrite, also executor-side) so read-side
+    work stays bounded. Commit = claim version -> stage delete files
+    + manifest copy + props -> CAS pointer flip; same crash/conflict
+    matrix as every other commit."""
+    parent = fl_current_version(root)
+    props = fl_table_props(root, parent)
     key = props["key"]
-    new_keys = keys.select(key).distinct().toPandas()
-    old = fl_delete_keys(root)
-    merged = (
-        pd.concat([old, new_keys], ignore_index=True)
-        .drop_duplicates()
-        .reset_index(drop=True)
-    )
-    version = _next_version(root)
-    _write_manifest(root, version, fl_manifest(root), props)
-    merged.to_parquet(_deletes_file(root, version), index=False)
+    version = _claim_version(root)
+    ddir = _delete_dir(root, version)
+    keys.select(key).distinct().write.mode("errorifexists").parquet(ddir)
+    n_new = spark.read.parquet(ddir).count()
+    dirs = list(props.get("delete_dirs") or []) + [ddir]
+    if len(dirs) > _DELETE_FOLD_AFTER:
+        fdir = _delete_dir(root, f"{version}_fold")
+        (
+            spark.read.parquet(*dirs)
+            .toDF(key)
+            .distinct()
+            .write.mode("errorifexists")
+            .parquet(fdir)
+        )
+        dirs = [fdir]
+    new_props = {**props, "delete_dirs": dirs, "parent": parent}
+    _write_manifest(root, version, fl_manifest(root, parent), new_props)
     if _crash_before_commit:
         raise RuntimeError(
             "fl_delete: injected crash between sidecar write and "
             "pointer flip (test hook)"
         )
-    _manifest_commit(root, version)
-    return len(new_keys), version
+    _fl_commit(root, version, parent)
+    return n_new, version
 
 
 def fl_compact(
@@ -491,16 +713,194 @@ def fl_compact(
     read-side anti-join disappears, and streaming-epoch file
     fragmentation is bin-packed away. One full rewrite, amortized
     across every delete and small commit since the last fold — the
-    OPTIMIZE of this format. Returns the new version name."""
-    props = dict(fl_table_props(root))
+    OPTIMIZE of this format. A state left empty by deletes commits an
+    explicitly-empty manifest (``fl_read`` then returns an empty
+    relation with the table schema). Returns the new version name."""
+    parent = fl_current_version(root)
+    props = dict(fl_table_props(root, parent))
     if layout_files is not None:
         props["layout_files"] = layout_files
-    df = fl_read_mor(spark, root)
-    version = _next_version(root)
-    cdir = _commit_dir(root, version)
-    _apply_layout(df, props).write.mode("errorifexists").parquet(cdir)
-    manifest = _stats_of_commit(spark, cdir, tuple(props["stats_cols"]))
+    props["delete_dirs"] = []
+    props["parent"] = parent
+    df = fl_read_mor(spark, root, parent)
+    version = _claim_version(root)
+    sig = _schema_sig(props["schema"])
+    cols = tuple(props["stats_cols"])
+    if df.limit(1).count() == 0:
+        # every row deleted: commit an explicitly-empty manifest (no
+        # data dir at all) — fl_read returns an empty relation with
+        # the table schema, and the delete set is gone
+        manifest = pd.DataFrame(
+            columns=["path", "n_rows"]
+            + [f"{m}_{c}" for c in cols for m in ("min", "max")]
+            + ["schema_cols"]
+        )
+    else:
+        cdir = _commit_dir(root, version)
+        _apply_layout(df, props).write.mode("errorifexists").parquet(cdir)
+        manifest = _stats_of_commit(spark, cdir, cols, sig)
     _write_manifest(root, version, manifest, props)
-    # no deletes sidecar written: the new version's delete set is empty
-    _manifest_commit(root, version)
+    _fl_commit(root, version, parent)
     return version
+
+
+# ---------------------------------------------------------------------------
+# schema evolution: add-column / rename-column by field id
+# ---------------------------------------------------------------------------
+
+
+def fl_add_column(
+    spark: SparkSession, root: str, name: str, type_str: str
+) -> str:
+    """ADD COLUMN as a metadata-only commit: the new field takes a
+    fresh field id in the table schema; NO data file is rewritten —
+    readers backfill typed NULLs for files that predate the field
+    (``_read_files``' id mapping). Subsequent writes (merge/compact)
+    produce files that carry the column physically. Returns the new
+    version name."""
+    parent = fl_current_version(root)
+    props = fl_table_props(root, parent)
+    schema = props["schema"]
+    if any(f["name"] == name for f in schema):
+        raise ValueError(
+            f"filelist table {root}: column {name!r} already exists"
+        )
+    # validate the type string the same way reads will consume it
+    spark.createDataFrame([], f"`{name}` {type_str}")
+    new_field = {
+        "id": max(f["id"] for f in schema) + 1,
+        "name": name,
+        "type": type_str,
+    }
+    version = _claim_version(root)
+    new_props = {**props, "schema": schema + [new_field], "parent": parent}
+    _write_manifest(root, version, fl_manifest(root, parent), new_props)
+    _fl_commit(root, version, parent)
+    return version
+
+
+def fl_rename_column(
+    spark: SparkSession, root: str, old: str, new: str
+) -> str:
+    """RENAME COLUMN as a metadata-only commit: the field keeps its
+    id, only the current name changes — old files stay valid (their
+    manifest rows record the write-time physical name; reads resolve
+    by id). The table key, stats columns, Z-order spec and the
+    manifest's min_/max_ stat headers are renamed in the same commit
+    so targeting/pruning never look up a stale name; delete-key
+    files need nothing (their single column binds positionally).
+    Returns the new version name."""
+    parent = fl_current_version(root)
+    props = fl_table_props(root, parent)
+    schema = props["schema"]
+    if not any(f["name"] == old for f in schema):
+        raise ValueError(f"filelist table {root}: no column {old!r}")
+    if any(f["name"] == new for f in schema):
+        raise ValueError(
+            f"filelist table {root}: column {new!r} already exists"
+        )
+    new_schema = [
+        {**f, "name": new} if f["name"] == old else f for f in schema
+    ]
+    new_props = {**props, "schema": new_schema, "parent": parent}
+    if props["key"] == old:
+        new_props["key"] = new
+    if old in props.get("stats_cols", []):
+        new_props["stats_cols"] = [
+            new if c == old else c for c in props["stats_cols"]
+        ]
+    if old in props.get("zorder_by", []):
+        new_props["zorder_by"] = [
+            new if c == old else c for c in props["zorder_by"]
+        ]
+    m = fl_manifest(root, parent)
+    if old in props.get("stats_cols", []):
+        m = m.rename(
+            columns={f"min_{old}": f"min_{new}", f"max_{old}": f"max_{new}"}
+        )
+    version = _claim_version(root)
+    _write_manifest(root, version, m, new_props)
+    _fl_commit(root, version, parent)
+    return version
+
+
+# ---------------------------------------------------------------------------
+# CDC read: change feed between two committed versions
+# ---------------------------------------------------------------------------
+
+
+def fl_changes(
+    spark: SparkSession,
+    root: str,
+    from_version: str,
+    to_version: str | None = None,
+) -> DataFrame:
+    """Change feed: the minimal (op I/U/D, key, payload) log that
+    turns the ``from_version`` snapshot into ``to_version`` (current
+    by default) — the READ half of the epoch sink's write half, what
+    an incremental consumer tails instead of re-diffing snapshots.
+
+    Touched-files only, the whole point of the format: the two
+    manifests are diffed driver-side (O(files) rows); rows are read
+    ONLY from files present in exactly one version, plus the
+    carried-over files a delete-set delta targets via the same
+    broadcast key-zone range join MERGE uses. Both sides align to the
+    TO-version schema by field id, so evolution between the versions
+    is handled (added columns compare as NULLs on the old side). A
+    file rewrite that changed nothing (compaction) contributes no
+    rows — identical (key, payload) pairs cancel in the final
+    classification (``cdc_extract``'s full-outer join).
+
+    D rows carry the key's LAST payload before deletion; U rows the
+    new payload. Scale shape: O(changed files + delete deltas) scan,
+    one key-partitioned full-outer join of the two changed-region
+    images; never O(table)."""
+    if to_version is None:
+        to_version = fl_current_version(root)
+    props_new = fl_table_props(root, to_version)
+    props_old = fl_table_props(root, from_version)
+    key = props_new["key"]
+    payload = [f["name"] for f in props_new["schema"] if f["name"] != key]
+    m_old = fl_manifest(root, from_version)
+    m_new = fl_manifest(root, to_version)
+    old_paths, new_paths = set(m_old["path"]), set(m_new["path"])
+    removed = m_old[~m_old["path"].isin(new_paths)]
+    added = m_new[~m_new["path"].isin(old_paths)]
+    carried = m_new[m_new["path"].isin(old_paths)]
+
+    old_dels = _delete_keys_df(spark, props_old, key)
+    new_dels = _delete_keys_df(spark, props_new, key)
+
+    old_side = _read_files(spark, removed, props_new)
+    if old_dels is not None:
+        old_side = old_side.join(old_dels, key, "left_anti")
+    new_side = _read_files(spark, added, props_new)
+    if new_dels is not None:
+        new_side = new_side.join(new_dels, key, "left_anti")
+
+    def _set_minus(a: DataFrame | None, b: DataFrame | None):
+        if a is None:
+            return None
+        a = a.distinct()
+        return a if b is None else a.join(b, key, "left_anti")
+
+    # carried files never changed content; only delete-set deltas can
+    # change what a reader sees in them — target just those files
+    for delta, grow_old in (
+        (_set_minus(new_dels, old_dels), True),   # newly deleted -> D
+        (_set_minus(old_dels, new_dels), False),  # undeleted -> I
+    ):
+        if delta is None:
+            continue
+        touched = _zone_touched_paths(spark, carried, key, delta)
+        if not touched:
+            continue
+        rows = _read_files(
+            spark, carried[carried["path"].isin(touched)], props_new
+        ).join(delta, key, "left_semi")
+        if grow_old:
+            old_side = old_side.unionByName(rows)
+        else:
+            new_side = new_side.unionByName(rows)
+
+    return cdc_extract(old_side, new_side, key, tuple(payload))

@@ -2110,7 +2110,7 @@ def q286_filelist_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("B").alias("o_orderstatus"),
     )
     fl_merge_upsert(spark, root, reinserts, key="o_orderkey")
-    remaining = set(fl_delete_keys(root)["o_orderkey"])
+    remaining = set(fl_delete_keys(spark, root)["o_orderkey"])
     reinsert_unhidden = not (
         remaining & {r["o_orderkey"] for r in reinserts.collect()}
     )
@@ -2138,7 +2138,7 @@ def q286_filelist_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     before = _exact(fl_read_mor(spark, root))
     fl_compact(spark, root)
-    assert len(fl_delete_keys(root)) == 0
+    assert len(fl_delete_keys(spark, root)) == 0
     after_df = _agg(fl_read_mor(spark, root))
     compact_folded = _exact(fl_read_mor(spark, root)) == before
 

@@ -1202,12 +1202,34 @@ def _dedup_batch_last_wins(
     )
 
 
+def _epoch_is_replay(
+    props: dict, epoch_id: int, txn_app_id: str | None
+) -> bool:
+    """Exactly-once guard with STREAM IDENTITY (Delta's txnAppId +
+    txnVersion pair, not a bare version): a batch is a replay — and
+    only then skipped — iff the table's recorded lineage matches the
+    caller's ``txn_app_id`` AND the epoch is not newer. A fresh
+    checkpoint (new lineage) restarts epoch ids at 0; under a bare
+    epoch compare all its batches would be silently dropped as
+    replays (round-10 ADVICE) — here the lineage differs, so they
+    commit and the table re-binds to the new lineage. One lineage
+    pair is stored: a table fed by two ALTERNATING checkpoints is
+    outside the contract (as it is for Delta's txn properties)."""
+    last = props.get("last_epoch")
+    return (
+        last is not None
+        and props.get("txn_app_id") == txn_app_id
+        and int(epoch_id) <= int(last)
+    )
+
+
 def manifest_epoch_step(
     batch_df: DataFrame,
     epoch_id: int,
     root: str,
     key: str,
     dedup_order_col: str | None = None,
+    txn_app_id: str | None = None,
     _crash_before_commit: bool = False,
 ) -> tuple[str, int, int]:
     """One micro-batch -> one ``merge_upsert_manifest`` commit, with
@@ -1255,8 +1277,7 @@ def manifest_epoch_step(
         merge_upsert_manifest,
     )
 
-    last = manifest_table_props(root).get("last_epoch")
-    if last is not None and int(epoch_id) <= int(last):
+    if _epoch_is_replay(manifest_table_props(root), epoch_id, txn_app_id):
         return "skipped", 0, 0
     updates = _dedup_batch_last_wins(batch_df, key, dedup_order_col)
     n_rep, n_ins = merge_upsert_manifest(
@@ -1265,7 +1286,10 @@ def manifest_epoch_step(
         updates,
         key=key,
         _crash_before_commit=_crash_before_commit,
-        extra_props={"last_epoch": int(epoch_id)},
+        extra_props={
+            "last_epoch": int(epoch_id),
+            "txn_app_id": txn_app_id,
+        },
     )
     return "committed", n_rep, n_ins
 
@@ -1275,17 +1299,21 @@ def start_manifest_upsert_stream(
     root: str,
     key: str,
     dedup_order_col: str | None = None,
+    txn_app_id: str | None = None,
 ):
     """Streaming upsert sink into a manifest table (initialized via
     ``manifest_init`` — optionally with stats_cols/zorder_by, which
     every epoch commit then maintains): each micro-batch becomes one
     atomic, exactly-once MERGE commit. The table is always readable
     (plain or zone-map-pruned) at some committed epoch boundary —
-    never mid-batch."""
+    never mid-batch. Pass the query's checkpoint location (or any
+    stable query name) as ``txn_app_id`` so the replay guard is keyed
+    to THIS stream's lineage — a restart from a fresh checkpoint then
+    commits instead of being mistaken for a replay."""
 
     def step(batch_df: DataFrame, epoch_id: int) -> None:
         manifest_epoch_step(
-            batch_df, epoch_id, root, key, dedup_order_col
+            batch_df, epoch_id, root, key, dedup_order_col, txn_app_id
         )
 
     return updates_stream.writeStream.foreachBatch(step).start()
@@ -1297,6 +1325,7 @@ def fl_epoch_step(
     root: str,
     key: str,
     dedup_order_col: str | None = None,
+    txn_app_id: str | None = None,
     _crash_before_commit: bool = False,
 ) -> tuple[str, int, int, int, int]:
     """``manifest_epoch_step`` for the FILE-LIST manifest format
@@ -1315,8 +1344,7 @@ def fl_epoch_step(
         fl_table_props,
     )
 
-    last = fl_table_props(root).get("last_epoch")
-    if last is not None and int(epoch_id) <= int(last):
+    if _epoch_is_replay(fl_table_props(root), epoch_id, txn_app_id):
         return "skipped", 0, 0, 0, 0
     updates = _dedup_batch_last_wins(batch_df, key, dedup_order_col)
     n_rep, n_ins, n_touch, n_total = fl_merge_upsert(
@@ -1325,7 +1353,10 @@ def fl_epoch_step(
         updates,
         key=key,
         _crash_before_commit=_crash_before_commit,
-        extra_props={"last_epoch": int(epoch_id)},
+        extra_props={
+            "last_epoch": int(epoch_id),
+            "txn_app_id": txn_app_id,
+        },
     )
     return "committed", n_rep, n_ins, n_touch, n_total
 
@@ -1335,13 +1366,18 @@ def start_fl_upsert_stream(
     root: str,
     key: str,
     dedup_order_col: str | None = None,
+    txn_app_id: str | None = None,
 ):
     """Streaming upsert sink into a file-list manifest table
     (``fl_init`` first; cluster by the merge key so epochs stay
     file-sparse): every micro-batch is one atomic, exactly-once,
-    O(touched-files) MERGE commit."""
+    O(touched-files) MERGE commit. Pass the query's checkpoint
+    location as ``txn_app_id`` to key the replay guard to this
+    stream's lineage (see ``start_manifest_upsert_stream``)."""
 
     def step(batch_df: DataFrame, epoch_id: int) -> None:
-        fl_epoch_step(batch_df, epoch_id, root, key, dedup_order_col)
+        fl_epoch_step(
+            batch_df, epoch_id, root, key, dedup_order_col, txn_app_id
+        )
 
     return updates_stream.writeStream.foreachBatch(step).start()

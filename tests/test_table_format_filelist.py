@@ -405,7 +405,7 @@ def test_delete_mor_lifecycle(spark, sf_dir, tmp_path):
         .count()
         == n_reins
     )
-    remaining = set(fl_delete_keys(root)["o_orderkey"])
+    remaining = set(fl_delete_keys(spark, root)["o_orderkey"])
     assert not remaining & {r["o_orderkey"] for r in reins.collect()}
     assert len(remaining) > 0  # non-reinserted deletes persist
 
@@ -414,7 +414,7 @@ def test_delete_mor_lifecycle(spark, sf_dir, tmp_path):
         F.count(F.lit(1)), F.round(F.sum("o_totalprice"), 2)
     ).collect()
     fl_compact(spark, root)
-    assert len(fl_delete_keys(root)) == 0
+    assert len(fl_delete_keys(spark, root)) == 0
     assert (
         fl_read_mor(spark, root).agg(
             F.count(F.lit(1)), F.round(F.sum("o_totalprice"), 2)
@@ -434,7 +434,7 @@ def test_delete_crash_before_flip_is_invisible(spark, sf_dir, tmp_path):
             _crash_before_commit=True,
         )
     assert fl_read_mor(spark, root).count() == n_all
-    assert len(fl_delete_keys(root)) == 0
+    assert len(fl_delete_keys(spark, root)) == 0
 
 
 def test_delete_time_travel_applies_version_set(spark, sf_dir, tmp_path):
