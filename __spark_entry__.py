@@ -35,49 +35,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness sweep records the FIRST 50 entries of
 # this dict, in dict order — so dict order decides which queries
-# reach the hard gate each round. Round-10 priority order (per the
-# round-9 VERDICT's explicit ask, item 4 — keep the rotation
+# reach the hard gate each round. Round-11 priority order (per the
+# round-10 VERDICT's explicit ask, item 7 — keep the rotation
 # honest, least-recently-driver-verified first):
-#   1. the new round-10 queries (driver rows the round they ship),
-#   2. the r04-evidence block (q85, q86, ... — driver rows now 6
-#      rounds old) and as much of the r05 block as fits slot 50,
-#   3. then r06/r07/r08 blocks, and the 50 queries the round-9
-#      sweep just proved (r03 block + q78/q84 + q259–q282) at the
-#      very tail — freshest evidence last.
+#   1. the new round-11 queries (q287 schema evolution, q288 change
+#      feed) — driver rows the round they ship,
+#   2. the remainder of the r05-evidence block (q14/q16/q19-q24,
+#      q32b-q36b, q41/q44/q50/q51/q65, q110-q125, q88..q96 — driver
+#      rows now 6 rounds old) + the r06 block head to fill slot 50,
+#   3. then the rest in ascending evidence freshness, with the 50
+#      queries CORRECTNESS_r10 just proved (q283-q286, the r04
+#      block, q01-q13) at the very tail — freshest evidence last.
 # All registered queries are re-proven locally at sf0.01 against
 # DuckDB every round regardless of sweep position (driver-style
 # full sweeps, scripts/full_sweep.py — see PERFORMANCE.md).
 # Every name is asserted against the registry at import time (see
 # the assert after the list).
 _SWEEP_PRIORITY = [
-    # -- 1. NEW round 10: unified table format (manifest commits +
-    #    maintained Z-order layout + transactional zone map + pruned
-    #    reads) — new queries get their driver row the round they
-    #    ship --
-    "q283_manifest_pruned_read", "q284_stream_manifest_sink",
-    "q285_filelist_merge", "q286_filelist_delete_mor",
-    # -- 2a. r04-evidence block (driver rows now 6 rounds old; the
-    #    two entries that got r9 backfill rows, q78/q84, moved to the
-    #    tail) — fills the head with the least-recently-driver-
-    #    verified queries, per VERDICT r9 item 4 --
-    "q85_repetition_filter", "q86_incremental_dedup", "q87_unigram_logprob",
-    "q79_matryoshka_truncate", "q89_split_leakage", "q98_length_buckets",
-    "q62_minhash_lsh", "q64_dedup_clusters", "q74_ivf_ann_topk",
-    "q82_frame_sample", "q70_cosine_topk", "q71_cosine_neardup",
-    "q72_lsh_ann_topk", "q26_sort_limit_topk", "q56b_text_normalize",
-    "q52_token_count", "q60_exact_dedup", "q43_haversine",
-    "q54_language_id", "q29_pk_uniqueness", "q40_dim_build",
-    "q42_fact_derived_keys", "q53_quality_score", "q10_distinct_dedup",
-    "q25_agg_stats", "q09_anti_join", "q30_fk_orphans", "q12_union_all",
-    "q15_except", "q22_rollup", "q17_window_topk_per_group",
-    "q08_semi_join", "q02_filter_pushdown", "q18_window_running_sum",
-    "q55_fingerprint", "q27_pivot", "q33b_promo_revenue_share",
-    "q31_range_join",
-    # -- 2b. r05-evidence block (the first ~11 of these land inside
-    #    the 50-row gate this round; the rest head the r11 sweep) --
-    "q01_pricing_summary", "q03_topk_revenue", "q04_exists_priority",
-    "q05_region_volume", "q06_predicate_revenue", "q07_left_join_enrich",
-    "q11_keyed_dedup_first", "q13_union_distinct", "q14_intersect",
+    "q287_schema_evolution", "q288_fl_changes", "q14_intersect",
     "q16_except_all", "q19_window_lag_lead", "q20_window_rank_suite",
     "q21_cube", "q23_grouping_sets", "q24_count_distinct",
     "q32b_shipmode_priority", "q34b_nation_trade_volume",
@@ -93,9 +68,7 @@ _SWEEP_PRIORITY = [
     "q88_semantic_dedup", "q97_mixture_sample", "q83_sequence_pack",
     "q92_curation_e2e", "q75_kmeans", "q76_ivf_kmeans_topk",
     "q93_hier_kmeans", "q94_hier_ivf_topk", "q95_pq_encode",
-    "q96_pq_adc_topk",
-    # -- 2c. r06-evidence block --
-    "q126_positive_pairs", "q127_source_quota_filter",
+    "q96_pq_adc_topk", "q126_positive_pairs", "q127_source_quota_filter",
     "q128_funnel_conversion", "q129_retention_cohorts",
     "q130_gap_fill_interp", "q131_outlier_mad", "q132_pii_scrub",
     "q133_copurchase_pagerank", "q134_random_projection",
@@ -109,74 +82,90 @@ _SWEEP_PRIORITY = [
     "q152_knn_label_audit_ann", "q153_association_rules",
     "q154_session_paths", "q155_multisignal_dedup_audit",
     "q156_product_health_e2e", "q157_pca_two_components",
-    "q158_bigram_logprob", "q100_scalar_subquery", "q101_correlated_exists",
-    "q102_in_subquery", "q103_cte_pipeline", "q104_above_group_avg",
-    "q105_smoke_limit", "q28_percentiles", "q28b_approx_aggregates",
-    "q32_date_parts", "q33_time_parts", "q34_epoch_duration",
-    "q35_tumbling_window", "q36_sliding_window", "q37_sessionization",
-    "q38_asof_join", "q39_asof_join_bucketed", "q108_scd2_merge",
-    # -- 2d. r07-evidence block --
-    "q159_bpe_encode", "q160_semantic_decontaminate",
+    "q158_bigram_logprob", "q100_scalar_subquery",
+    "q101_correlated_exists", "q102_in_subquery", "q103_cte_pipeline",
+    "q104_above_group_avg", "q105_smoke_limit", "q28_percentiles",
+    "q28b_approx_aggregates", "q32_date_parts", "q33_time_parts",
+    "q34_epoch_duration", "q35_tumbling_window", "q36_sliding_window",
+    "q37_sessionization", "q38_asof_join", "q39_asof_join_bucketed",
+    "q108_scd2_merge", "q159_bpe_encode", "q160_semantic_decontaminate",
     "q161_cluster_safe_split", "q162_temperature_mixture",
     "q163_cdc_chunk_dedup", "q164_dsir_resample", "q165_ivfpq_topk",
     "q166_lexical_diversity", "q167_index_drift", "q168_key_skew_audit",
     "q169_entity_match", "q170_lasttouch_attribution",
     "q171_geo_neighbor_pairs", "q172_lateral_topn", "q173_rolling_wau",
-    "q174_equidepth_bins", "q175_cohort_ltv", "q176_triangle_participation",
-    "q177_rater_agreement", "q178_cluster_purity",
-    "q179_copurchase_communities", "q180_linear_attribution",
-    "q181_rfm_segments", "q182_ngram_containment", "q183_mann_whitney",
-    "q184_chi_squared", "q185_dow_seasonality", "q186_trade_flows",
-    "q187_segment_trend", "q188_source_jsd", "q189_graph_stats",
-    "q190_kcore", "q191_ann_recall", "q192_audio_windows",
-    "q193_revenue_streaks", "q194_quality_canonicals", "q195_phrase_search",
-    "q196_collocations", "q197_link_prediction", "q198_supplier_hhi",
-    "q199_ship_latency", "q200_return_rates", "q201_dup_cluster_census",
-    "q202_discount_bands", "q203_seasonal_anomalies",
-    "q204_growth_accounting", "q205_stickiness", "q206_abc_classification",
-    "q207_windowed_funnel", "q208_purchase_gaps",
-    # -- 2e. r08-evidence block --
-    "q209_table_health", "q210_key_skew_census", "q211_silhouette",
-    "q212_sorted_neighborhood", "q213_order_count_distribution",
-    "q214_large_volume_customers", "q215_bfs_reach", "q216_item_similarity",
-    "q217_theil_sen_trend", "q218_revenue_deciles", "q219_gate_bias_audit",
+    "q174_equidepth_bins", "q175_cohort_ltv",
+    "q176_triangle_participation", "q177_rater_agreement",
+    "q178_cluster_purity", "q179_copurchase_communities",
+    "q180_linear_attribution", "q181_rfm_segments",
+    "q182_ngram_containment", "q183_mann_whitney", "q184_chi_squared",
+    "q185_dow_seasonality", "q186_trade_flows", "q187_segment_trend",
+    "q188_source_jsd", "q189_graph_stats", "q190_kcore", "q191_ann_recall",
+    "q192_audio_windows", "q193_revenue_streaks",
+    "q194_quality_canonicals", "q195_phrase_search", "q196_collocations",
+    "q197_link_prediction", "q198_supplier_hhi", "q199_ship_latency",
+    "q200_return_rates", "q201_dup_cluster_census", "q202_discount_bands",
+    "q203_seasonal_anomalies", "q204_growth_accounting", "q205_stickiness",
+    "q206_abc_classification", "q207_windowed_funnel",
+    "q208_purchase_gaps", "q209_table_health", "q210_key_skew_census",
+    "q211_silhouette", "q212_sorted_neighborhood",
+    "q213_order_count_distribution", "q214_large_volume_customers",
+    "q215_bfs_reach", "q216_item_similarity", "q217_theil_sen_trend",
+    "q218_revenue_deciles", "q219_gate_bias_audit",
     "q220_purchase_sequences", "q221_forecast_backtest",
     "q222_mutual_information", "q223_contribution_rollup",
-    "q224_similarity_histogram", "q225_novelty_curve", "q226_bm25_snippets",
-    "q227_top_supplier", "q228_small_quantity_revenue",
-    "q229_disjunctive_revenue", "q230_sole_supplier_orders",
-    "q231_rich_idle_customers", "q232_market_share", "q233_parttype_profit",
+    "q224_similarity_histogram", "q225_novelty_curve",
+    "q226_bm25_snippets", "q227_top_supplier",
+    "q228_small_quantity_revenue", "q229_disjunctive_revenue",
+    "q230_sole_supplier_orders", "q231_rich_idle_customers",
+    "q232_market_share", "q233_parttype_profit",
     "q234_symspell_fuzzy_join", "q235_mmr_rerank", "q236_kcenter_coreset",
-    "q237_hitrate_eval", "q238_calibration_curve", "q239_textrank_keywords",
-    "q240_markov_attribution", "q241_gdpr_cascade_audit",
-    "q242_weighted_quantiles", "q243_countmin_heavy_hitters",
-    "q244_hll_distinct", "q245_bloom_screen", "q246_cuped_ab",
-    "q247_bootstrap_ci", "q248_target_encoding", "q249_model_auc",
-    "q250_learning_curve", "q251_pareto_frontier", "q252_cdc_apply",
-    "q253_ndcg_at_10", "q254_ipf_mixture", "q255_column_stats",
-    "q256_fd_audit", "q257_joinsize_estimate", "q258_benford_audit",
-    # -- 3. round-9-verified tail (freshest driver evidence last):
-    #    the r03 block + q78/q84 (r9 backfill rows) + q259-q282 (r9
-    #    head slots) --
-    "q77_zorder_key", "q48_array_agg", "q61_ngram_jaccard",
-    "q68_tfidf_topterms", "q69_decontaminate", "q49_posexplode",
-    "q91_running_totals_batch", "q47_conditionals", "q56_map_ops",
-    "q57_struct_ops", "q66_quality_filter_pipeline",
-    "q67_stratified_sample", "q73_embedding_stats",
-    "q81_multimodal_features", "q59_cross_join", "q106_salted_aggregate",
-    "q80_multimodal_decode", "q90_stream_dedup_batch", "q107_salted_join",
-    "q58_unpivot", "q45_math_suite", "q46_datetime_suite",
-    "q109_compaction", "q63_simhash_neardup", "q78_embedding_quantize",
-    "q84_dataset_split", "q259_simpson_audit",
-    "q260_revenue_deciles_ranged", "q261_histogram_quantiles",
-    "q262_triangle_sample_estimate", "q263_filtered_ann_topk",
-    "q264_ivm_join_view", "q265_grouped_hll_distinct", "q266_cdc_extract",
+    "q237_hitrate_eval", "q238_calibration_curve",
+    "q239_textrank_keywords", "q240_markov_attribution",
+    "q241_gdpr_cascade_audit", "q242_weighted_quantiles",
+    "q243_countmin_heavy_hitters", "q244_hll_distinct",
+    "q245_bloom_screen", "q246_cuped_ab", "q247_bootstrap_ci",
+    "q248_target_encoding", "q249_model_auc", "q250_learning_curve",
+    "q251_pareto_frontier", "q252_cdc_apply", "q253_ndcg_at_10",
+    "q254_ipf_mixture", "q255_column_stats", "q256_fd_audit",
+    "q257_joinsize_estimate", "q258_benford_audit", "q77_zorder_key",
+    "q48_array_agg", "q61_ngram_jaccard", "q68_tfidf_topterms",
+    "q69_decontaminate", "q49_posexplode", "q91_running_totals_batch",
+    "q47_conditionals", "q56_map_ops", "q57_struct_ops",
+    "q66_quality_filter_pipeline", "q67_stratified_sample",
+    "q73_embedding_stats", "q81_multimodal_features", "q59_cross_join",
+    "q106_salted_aggregate", "q80_multimodal_decode",
+    "q90_stream_dedup_batch", "q107_salted_join", "q58_unpivot",
+    "q45_math_suite", "q46_datetime_suite", "q109_compaction",
+    "q63_simhash_neardup", "q78_embedding_quantize", "q84_dataset_split",
+    "q259_simpson_audit", "q260_revenue_deciles_ranged",
+    "q261_histogram_quantiles", "q262_triangle_sample_estimate",
+    "q263_filtered_ann_topk", "q264_ivm_join_view",
+    "q265_grouped_hll_distinct", "q266_cdc_extract",
     "q267_interval_islands", "q268_k_anonymity", "q269_watermark_lateness",
     "q270_bucket_digest_diff", "q271_variant_shred", "q272_pysource_scan",
     "q273_scd2_pit_lookup", "q274_udtf_chunks", "q275_kmv_overlap",
     "q276_kmv_overlap_matrix", "q277_rolling_hll_distinct",
     "q278_zonemap_prune", "q279_feature_hashing", "q280_time_travel",
     "q281_zorder_zonemap_prune", "q282_sampled_aggregate",
+    "q283_manifest_pruned_read", "q284_stream_manifest_sink",
+    "q285_filelist_merge", "q286_filelist_delete_mor",
+    "q85_repetition_filter", "q86_incremental_dedup",
+    "q87_unigram_logprob", "q79_matryoshka_truncate", "q89_split_leakage",
+    "q98_length_buckets", "q62_minhash_lsh", "q64_dedup_clusters",
+    "q74_ivf_ann_topk", "q82_frame_sample", "q70_cosine_topk",
+    "q71_cosine_neardup", "q72_lsh_ann_topk", "q26_sort_limit_topk",
+    "q56b_text_normalize", "q52_token_count", "q60_exact_dedup",
+    "q43_haversine", "q54_language_id", "q29_pk_uniqueness",
+    "q40_dim_build", "q42_fact_derived_keys", "q53_quality_score",
+    "q10_distinct_dedup", "q25_agg_stats", "q09_anti_join",
+    "q30_fk_orphans", "q12_union_all", "q15_except", "q22_rollup",
+    "q17_window_topk_per_group", "q08_semi_join", "q02_filter_pushdown",
+    "q18_window_running_sum", "q55_fingerprint", "q27_pivot",
+    "q33b_promo_revenue_share", "q31_range_join", "q01_pricing_summary",
+    "q03_topk_revenue", "q04_exists_priority", "q05_region_volume",
+    "q06_predicate_revenue", "q07_left_join_enrich",
+    "q11_keyed_dedup_first", "q13_union_distinct",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

@@ -2149,3 +2149,254 @@ def q286_filelist_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("reinsert_unhidden", F.lit(reinsert_unhidden))
         .withColumn("compact_folded", F.lit(compact_folded))
     )
+
+
+# ---------------------------------------------------------------------------
+# q287 — schema evolution by field id on the file-list table: add +
+#         rename without rewriting a single data file
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q287_schema_evolution",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+    ),
+    mx AS (SELECT max(k) AS mk FROM base),
+    v AS (
+      SELECT k,
+             CASE WHEN k BETWEEN 1000 AND 2000 THEN p + 1.0 ELSE p END
+               AS price,
+             CASE WHEN k BETWEEN 1000 AND 2000 THEN 'gold' ELSE NULL END
+               AS tier
+      FROM base
+      UNION ALL
+      SELECT b.k + mx.mk + 1, b.p, 'new'
+      FROM base b, mx WHERE b.k % 500 = 0
+    )
+    SELECT coalesce(tier, 'none')   AS tier,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(price), 2)     AS revenue,
+           CAST(sum(k) AS BIGINT)   AS key_checksum,
+           TRUE AS add_metadata_only,
+           TRUE AS rename_metadata_only,
+           TRUE AS mixed_schemas
+    FROM v
+    GROUP BY 1
+    """,
+)
+def q287_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the file-list table, the Iceberg field-id
+    rule: ADD COLUMN and RENAME COLUMN are metadata-only commits —
+    the table schema maps every column to an immutable field id, each
+    manifest row records its file's write-time (id -> physical name)
+    map, and readers resolve by id — so files written before the
+    evolution are NEVER rewritten and never misread.
+
+    The lifecycle under audit: init (k, totalprice) -> add column
+    ``o_tier`` -> MERGE that writes the column physically (updates
+    the 1000-2000 key band to 'gold', inserts 'new' rows past the
+    key range) -> rename ``o_totalprice``->``price`` AND the TABLE
+    KEY ``o_orderkey``->``order_id``. The final read unions two
+    write-time schemas: pre-evolution files backfill tier as typed
+    NULL and serve ``price``/``order_id`` from their old physical
+    names; post-merge files carry everything natively. The DuckDB
+    oracle replays the same relational content; three pinned flags
+    prove the evolution mechanics: ``add_metadata_only`` /
+    ``rename_metadata_only`` (the manifest's file list is
+    byte-identical across both evolution commits) and
+    ``mixed_schemas`` (the final manifest really does carry >= 2
+    distinct write-time schemas — the union path executed).
+
+    Scale shape: evolution commits touch O(files) manifest rows and
+    zero data bytes — the only sane ALTER TABLE on a 100 TB table;
+    reads group files by write-time schema (a handful of groups) and
+    stay one pruned scan per group.
+
+    Cites: operators/table_format.fl_add_column / fl_rename_column /
+    _read_files; the reference's replace-sink (create_db_from_csv.py)
+    re-creates the whole table to change a column.
+    """
+    from citybikedatawarehouse_spark.operators.table_format import (
+        fl_add_column,
+        fl_init,
+        fl_manifest,
+        fl_merge_upsert,
+        fl_read,
+        fl_rename_column,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = tempfile.mkdtemp(prefix="cbdw_flevo_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    root = base + "/orders_evo"
+    fl_init(
+        spark, root, o, key="o_orderkey",
+        zorder_by=("o_orderkey",), layout_files=8,
+    )
+    paths_v1 = set(fl_manifest(root)["path"])
+
+    fl_add_column(spark, root, "o_tier", "string")
+    add_metadata_only = set(fl_manifest(root)["path"]) == paths_v1
+
+    # a KEY-LOCAL update band: the Z-ordered layout keeps it inside a
+    # file corner, so pre-evolution files survive the merge and the
+    # final read really unions two write-time schemas
+    updates = o.where(F.col("o_orderkey").between(1000, 2000)).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        F.lit("gold").alias("o_tier"),
+    )
+    max_k = o.agg(F.max("o_orderkey")).collect()[0][0]
+    inserts = o.where(F.col("o_orderkey") % 500 == 0).select(
+        (F.col("o_orderkey") + F.lit(max_k + 1)).alias("o_orderkey"),
+        "o_totalprice",
+        F.lit("new").alias("o_tier"),
+    )
+    fl_merge_upsert(
+        spark, root, updates.unionByName(inserts), key="o_orderkey"
+    )
+
+    paths_v3 = set(fl_manifest(root)["path"])
+    fl_rename_column(spark, root, "o_totalprice", "price")
+    fl_rename_column(spark, root, "o_orderkey", "order_id")
+    rename_metadata_only = set(fl_manifest(root)["path"]) == paths_v3
+    mixed = fl_manifest(root)["schema_cols"].nunique() >= 2
+
+    return (
+        fl_read(spark, root)
+        .groupBy(F.coalesce(F.col("o_tier"), F.lit("none")).alias("tier"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("price"), 2).alias("revenue"),
+            F.sum("order_id").cast("bigint").alias("key_checksum"),
+        )
+        .withColumn("add_metadata_only", F.lit(add_metadata_only))
+        .withColumn("rename_metadata_only", F.lit(rename_metadata_only))
+        .withColumn("mixed_schemas", F.lit(bool(mixed)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q288 — CDC change feed between file-list versions: minimal I/U/D
+#         from touched files only
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q288_fl_changes",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey, o_totalprice, o_orderstatus
+      FROM orders
+    ),
+    mx AS (SELECT max(k) AS mk FROM base),
+    ins AS (
+      SELECT b.k + mx.mk + 1 AS k, b.o_custkey, b.o_totalprice
+      FROM base b, mx WHERE b.k % 1000 = 0
+    ),
+    changes AS (
+      SELECT 'U' AS op, k, o_totalprice + 1.0 AS price
+      FROM base WHERE k BETWEEN 1000 AND 2000 AND k % 10 <> 7
+      UNION ALL
+      SELECT 'I', k, o_totalprice FROM ins WHERE k % 10 <> 7
+      UNION ALL
+      SELECT 'D', k, o_totalprice FROM base WHERE k % 10 = 7
+    )
+    SELECT op,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT)   AS key_checksum,
+           round(sum(price), 2)     AS price_sum,
+           TRUE AS compaction_feed_empty
+    FROM changes
+    GROUP BY 1
+    """,
+)
+def q288_fl_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed off the file-list table: ``fl_changes(v1, v3)``
+    emits the MINIMAL (op I/U/D, key, payload) log that turns the v1
+    snapshot into v3 — the read half of the epoch sink's write half,
+    what an incremental consumer tails instead of re-diffing
+    snapshots (Delta's table_changes / Iceberg's changelog scan).
+
+    History under audit: v1 = init; v2 = MERGE (band 1000-2000 gets
+    price+1 + status 'R', %1000 keys re-inserted past the key range);
+    v3 = merge-on-read DELETE of every %10==7 key. The oracle pins
+    the exact minimal log: band keys surviving the delete are U with
+    the NEW payload; inserts surviving are I; every v1 %10==7 key is
+    D carrying its LAST-BEFORE-DELETE payload — and a key that was
+    updated in v2 then deleted in v3 nets to ONE D (v1 payload),
+    while an inserted-then-deleted key nets to NOTHING. The engine
+    also pins ``compaction_feed_empty``: a pure fl_compact commit
+    (every file rewritten, no row changed) yields a ZERO-row feed,
+    because identical (key, payload) pairs cancel in the full-outer
+    classification.
+
+    Scale shape: manifests diff driver-side (O(files) rows); rows are
+    read only from files present in exactly one version plus the
+    carried files a delete-delta's key-zone range join targets; one
+    key-partitioned full-outer join of the two changed-region images.
+    Never O(table) — the compaction case is the exception by
+    construction and is exactly why a consumer should read the FEED,
+    not re-diff snapshots.
+
+    Cites: operators/table_format.fl_changes + maintenance.cdc_extract
+    (q266's snapshot diff, now file-pruned); reference has no change
+    capture at all (append/replace sink, create_db_from_csv.py).
+    """
+    from citybikedatawarehouse_spark.operators.table_format import (
+        fl_changes,
+        fl_compact,
+        fl_current_version,
+        fl_delete,
+        fl_init,
+        fl_merge_upsert,
+        fl_read,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    base = tempfile.mkdtemp(prefix="cbdw_flcdc_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    root = base + "/orders_cdc"
+    fl_init(
+        spark, root, o, key="o_orderkey",
+        zorder_by=("o_orderkey",), layout_files=16,
+    )
+    v1 = fl_current_version(root)
+
+    band = F.col("o_orderkey").between(1000, 2000)
+    updates = o.where(band).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        F.lit("R").alias("o_orderstatus"),
+    )
+    max_k = o.agg(F.max("o_orderkey")).collect()[0][0]
+    inserts = o.where(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + F.lit(max_k + 1)).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    fl_merge_upsert(
+        spark, root, updates.unionByName(inserts), key="o_orderkey"
+    )
+    doomed = fl_read(spark, root).where(F.col("o_orderkey") % 10 == 7)
+    _, v3 = fl_delete(spark, root, doomed)
+
+    feed = fl_changes(spark, root, v1, v3)
+
+    # a pure compaction commit must produce an EMPTY feed
+    fl_compact(spark, root)
+    compaction_feed_empty = (
+        fl_changes(spark, root, v3).limit(1).count() == 0
+    )
+
+    return feed.groupBy("op").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+        F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+    ).withColumn("compaction_feed_empty", F.lit(compaction_feed_empty))
