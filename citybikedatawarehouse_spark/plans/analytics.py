@@ -6810,7 +6810,16 @@ def q247_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE single-row hash aggregate folds 64 (sum w*cents, sum w)
     pairs plus the point-mean pair — one scan, 66 longs of state,
     zero shuffled rows before the 32-element replicate explode. B
-    scales the aggregate width, not rows."""
+    scales the aggregate width, not rows.
+
+    Codegen shape (round-11 — the 64 KB fix): the original 32x
+    10-deep CASE chains over inline tick expressions blew janino's
+    64 KB method limit in the aggregate stage, silently dropping it
+    to interpreted execution. The ticks are now STAGED as their own
+    projection and each weight is the FLAT sum of 10 comparisons
+    (weight = #thresholds <= tick — arithmetically identical to the
+    inverse-CDF CASE), which compiles at ~45 KB max method size;
+    tests/test_round11_codegen.py pins compilability."""
     o = _t(spark, sf_dir, "orders")
     n_hash = (_BOOT_B + 3) // 4
     staged = o.select(
@@ -6827,22 +6836,34 @@ def q247_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("hs"),
     )
+    ticked = staged.select(
+        "cents",
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.element_at("hs", b // 4 + 1), (b % 4) * 8 + 1, 8
+                    ),
+                    16, 10,
+                ).cast("long") % 1000000
+            ).alias(f"t{b}")
+            for b in range(_BOOT_B)
+        ],
+    )
 
     def _w(b):
-        tick = (
-            F.conv(
-                F.substring(
-                    F.element_at("hs", b // 4 + 1), (b % 4) * 8 + 1, 8
-                ),
-                16, 10,
-            ).cast("long") % 1000000
-        )
-        w = F.lit(10)
-        for k, t in reversed(list(enumerate(_BOOT_THRESHOLDS))):
-            w = F.when(tick < t, F.lit(k)).otherwise(w)
-        return w
+        # weight k <=> exactly k thresholds are <= tick: the CASE
+        # chain flattened into a branch-free comparison sum
+        terms = [
+            (F.col(f"t{b}") >= F.lit(t)).cast("int")
+            for t in _BOOT_THRESHOLDS
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
 
-    one = staged.select(
+    one = ticked.select(
         "cents", *[_w(b).alias(f"w{b}") for b in range(_BOOT_B)]
     ).agg(
         F.sum("cents").cast("bigint").alias("pm_num"),
