@@ -10,7 +10,7 @@ pattern as the multimodal codec (operators/multimodal.py) and the
 JDBC sink. The processors' pure-Python state logic is still tested
 below via a direct harness that fakes the state handles.
 
-Gate re-checked round 9 (import still fails; installs remain
+Gate re-checked round 11 (import still fails; installs remain
 disallowed in this sandbox) — when google.protobuf appears, these
 skips lift with no code change."""
 
