@@ -52,7 +52,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every name is asserted against the registry at import time (see
 # the assert after the list).
 _SWEEP_PRIORITY = [
-    "q287_schema_evolution", "q288_fl_changes", "q14_intersect",
+    "q287_schema_evolution", "q288_fl_changes", "q289_fl_restore",
+    "q14_intersect",
     "q16_except_all", "q19_window_lag_lead", "q20_window_rank_suite",
     "q21_cube", "q23_grouping_sets", "q24_count_distinct",
     "q32b_shipmode_priority", "q34b_nation_trade_volume",

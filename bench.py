@@ -106,6 +106,13 @@ HEADLINE = [
     # round 10 (session 2): merge-on-read delete + re-insert + compact
     # fold — the delete-vector lifecycle
     "q286_filelist_delete_mor",
+    # round 11: schema evolution (add + rename over mixed-schema
+    # files), the I/U/D change feed (manifest diff + delete-delta
+    # targeting + full-outer classification), and RESTORE — the rest
+    # of the format's lifecycle joins the regression watch
+    "q287_schema_evolution",
+    "q288_fl_changes",
+    "q289_fl_restore",
 ]
 
 # Queries whose iterative driver loop (convergence counts, d-row
@@ -139,6 +146,12 @@ EAGER_BUILD = {
     "q284_stream_manifest_sink",
     "q285_filelist_merge",
     "q286_filelist_delete_mor",
+    # q287-q289 likewise run their whole commit lifecycle (init,
+    # merges, evolution/restore commits, feed build) at plan-build
+    # time
+    "q287_schema_evolution",
+    "q288_fl_changes",
+    "q289_fl_restore",
 }
 
 # the round-1 baseline benched exactly these 13; rounds add queries

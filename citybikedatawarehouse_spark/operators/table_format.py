@@ -744,6 +744,26 @@ def fl_compact(
     return version
 
 
+def fl_restore(spark: SparkSession, root: str, version: str) -> str:
+    """RESTORE (rollback): commit ``version``'s exact state — manifest,
+    delete set, schema, layout spec — as a NEW version (Delta RESTORE
+    semantics: history is never rewritten, the rollback is itself an
+    auditable commit, and the undone versions stay time-travelable
+    until vacuum). Metadata-only: data files are immutable and
+    shared, so restoring a 100 TB table writes one manifest + one
+    pointer flip. The restored-to version must still exist (not yet
+    vacuumed). Returns the new version name."""
+    parent = fl_current_version(root)
+    if version == parent:
+        return parent
+    m = fl_manifest(root, version)  # raises if vacuumed/unknown
+    props = {**fl_table_props(root, version), "parent": parent}
+    new_version = _claim_version(root)
+    _write_manifest(root, new_version, m, props)
+    _fl_commit(root, new_version, parent)
+    return new_version
+
+
 # ---------------------------------------------------------------------------
 # schema evolution: add-column / rename-column by field id
 # ---------------------------------------------------------------------------

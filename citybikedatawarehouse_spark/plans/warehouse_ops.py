@@ -2400,3 +2400,115 @@ def q288_fl_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
         F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
     ).withColumn("compaction_feed_empty", F.lit(compaction_feed_empty))
+
+
+# ---------------------------------------------------------------------------
+# q289 — RESTORE (rollback-as-commit) on the file-list table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q289_fl_restore",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)    AS n_rows,
+           round(sum(o_totalprice), 2) AS revenue,
+           TRUE AS restore_metadata_only,
+           TRUE AS undone_version_travelable
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q289_fl_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE on the file-list table: after a bad-deploy pair of
+    commits (a band update then a scattered merge-on-read delete),
+    ``fl_restore(v1)`` rolls the table back to its initial state AS A
+    NEW COMMIT — history is never rewritten (Delta RESTORE
+    semantics), so the rollback itself is auditable and the undone
+    versions stay time-travelable until vacuum.
+
+    The oracle is simply the base relation: a correct restore makes
+    the final read bit-equal to the pre-incident table, group by
+    group. Two pinned flags prove the mechanics:
+    ``restore_metadata_only`` — the restored version's manifest names
+    EXACTLY v1's data files (files are immutable and shared, so
+    rolling back a 100 TB table writes one manifest + one pointer
+    flip, zero data bytes) — and ``undone_version_travelable`` — the
+    rolled-back v2 state (update applied, deletes hidden) still reads
+    correctly by version, because RESTORE adds history instead of
+    erasing it.
+
+    Scale shape: O(files) manifest copy on the driver, one CAS flip;
+    the delete-set state of the restored version rides the same
+    commit (restoring TO a version with live deletes re-applies
+    exactly that version's set).
+
+    Cites: operators/table_format.fl_restore; reference has no
+    versioning at all (if_exists='replace' destroys history,
+    create_db_from_csv.py).
+    """
+    from citybikedatawarehouse_spark.operators.table_format import (
+        fl_current_version,
+        fl_delete,
+        fl_init,
+        fl_manifest,
+        fl_merge_upsert,
+        fl_read,
+        fl_read_mor,
+        fl_restore,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    base = tempfile.mkdtemp(prefix="cbdw_flrestore_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    root = base + "/orders_restore"
+    fl_init(
+        spark, root, o, key="o_orderkey",
+        zorder_by=("o_orderkey",), layout_files=16,
+    )
+    v1 = fl_current_version(root)
+    m1_paths = set(fl_manifest(root)["path"])
+
+    # the "bad deploy": a band update commit, then a scattered delete
+    updates = o.where(F.col("o_orderkey").between(1000, 2000)).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(9.0)).alias("o_totalprice"),
+        F.lit("X").alias("o_orderstatus"),
+    )
+    fl_merge_upsert(spark, root, updates, key="o_orderkey")
+    v2 = fl_current_version(root)
+    fl_delete(spark, root, o.where(F.col("o_orderkey") % 10 == 3))
+    v3 = fl_current_version(root)
+
+    fl_restore(spark, root, v1)
+    restore_metadata_only = set(fl_manifest(root)["path"]) == m1_paths
+
+    # the undone state (v3: update applied + deletes hidden) still
+    # time-travels correctly
+    n_v3 = fl_read_mor(spark, root, v3).count()
+    n_expect_v3 = o.where(F.col("o_orderkey") % 10 != 3).count()
+    undone_travelable = (
+        n_v3 == n_expect_v3
+        and fl_read(spark, root, v2)
+        .where(F.col("o_orderstatus") == "X")
+        .count()
+        == updates.count()
+    )
+
+    return (
+        fl_read_mor(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .withColumn(
+            "restore_metadata_only", F.lit(restore_metadata_only)
+        )
+        .withColumn(
+            "undone_version_travelable", F.lit(undone_travelable)
+        )
+    )

@@ -12,6 +12,11 @@ That dialect ships INSIDE Spark's own JVM
 directly: the CREATE TABLE column DDL Spark would emit against a real
 PostgreSQL is golden-checked here, and the only thing the deployment
 adds is the driver jar on the classpath.
+
+Gate re-checked round 11: no postgresql*.jar anywhere on the box and
+installs remain disallowed — when a jar appears, point
+spark.jars at it and the Derby round-trip suite runs against real PG
+with no code change.
 """
 
 from __future__ import annotations

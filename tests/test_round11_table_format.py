@@ -461,3 +461,41 @@ def test_list_parquet_files_under_hidden_ancestor(spark, tmp_path):
     appended = zone_map_append(spark, str(root), stats)
     assert appended.count() == 3
     assert appended.agg(F.sum("n_rows")).collect()[0][0] == 150
+
+
+# ---------------------------------------------------------------------------
+# RESTORE (rollback-as-commit)
+# ---------------------------------------------------------------------------
+
+
+def test_restore_rolls_back_without_rewriting_history(
+    spark, sf_dir, tmp_path
+):
+    from citybikedatawarehouse_spark.operators.table_format import (
+        fl_restore,
+    )
+
+    root, o = _init(spark, sf_dir, tmp_path)
+    v1 = fl_current_version(root)
+    n_all = o.count()
+    fl_delete(spark, root, o.where(F.col("o_orderkey") % 10 == 3))
+    v2 = fl_current_version(root)
+    assert fl_read_mor(spark, root).count() < n_all
+
+    v4 = fl_restore(spark, root, v1)
+    # rolled back: deletes gone, content == v1
+    assert fl_read_mor(spark, root).count() == n_all
+    assert fl_table_props(root)["delete_dirs"] == []
+    # history preserved: the undone v2 still reads with ITS delete set
+    assert fl_read_mor(spark, root, v2).count() < n_all
+    assert fl_versions(root) == [v1, v2, v4]
+    # restoring to the current version is a no-op
+    assert fl_restore(spark, root, v4) == v4
+    # unknown/vacuumed version raises
+    with pytest.raises(IOError, match="no version"):
+        fl_restore(spark, root, "v99999999")
+    # the table keeps working after a restore
+    n_rep, n_ins, *_ = fl_merge_upsert(
+        spark, root, o.limit(10), key="o_orderkey"
+    )
+    assert (n_rep, n_ins) == (10, 0)
