@@ -50,58 +50,69 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     base = tempfile.mkdtemp(prefix="cbdw_scale_ch_")
-    root = os.path.join(base, "t")
-    df = spark.range(0, N_ROWS).select(
-        F.col("id").alias("k"), (F.col("id") * 7 % 1000).alias("v")
-    )
-    fl_init(spark, root, df, key="k", zorder_by=("k",), layout_files=64)
-    v1 = fl_current_version(root)
 
-    # 0.1% band update + appended inserts
-    band_hi = N_ROWS // 1000
-    ups = spark.range(0, band_hi).select(
-        F.col("id").alias("k"), (F.col("id") + 1).alias("v")
-    )
-    ins = spark.range(N_ROWS, N_ROWS + 10_000).select(
-        F.col("id").alias("k"), F.lit(0).alias("v")
-    )
-    _, _, n_touch, n_total = fl_merge_upsert(
-        spark, root, ups.unionByName(ins), key="k"
-    )
-    # 1% scattered delete
-    dels = spark.range(0, N_ROWS, 100).select(F.col("id").alias("k"))
-    _, v3 = fl_delete(spark, root, dels)
+    def scenario(tag: str, dels_df) -> dict:
+        root = os.path.join(base, tag)
+        df = spark.range(0, N_ROWS).select(
+            F.col("id").alias("k"), (F.col("id") * 7 % 1000).alias("v")
+        )
+        fl_init(spark, root, df, key="k", zorder_by=("k",), layout_files=64)
+        v1 = fl_current_version(root)
 
-    t0 = time.monotonic()
-    n_feed = fl_changes(spark, root, v1, v3).count()
-    t_feed = time.monotonic() - t0
+        # 0.1% band update + appended inserts
+        band_hi = N_ROWS // 1000
+        ups = spark.range(0, band_hi).select(
+            F.col("id").alias("k"), (F.col("id") + 1).alias("v")
+        )
+        ins = spark.range(N_ROWS, N_ROWS + 10_000).select(
+            F.col("id").alias("k"), F.lit(0).alias("v")
+        )
+        _, _, n_touch, n_total = fl_merge_upsert(
+            spark, root, ups.unionByName(ins), key="k"
+        )
+        _, v3 = fl_delete(spark, root, dels_df)
 
-    t0 = time.monotonic()
-    n_diff = cdc_extract(
-        fl_read(spark, root, v1),
-        fl_read_mor(spark, root, v3),
-        "k",
-        ("v",),
-    ).count()
-    t_diff = time.monotonic() - t0
+        t0 = time.monotonic()
+        n_feed = fl_changes(spark, root, v1, v3).count()
+        t_feed = time.monotonic() - t0
 
-    out = {
-        "n_rows": N_ROWS,
-        "files_touched_by_merge": n_touch,
-        "files_total": n_total,
-        "feed_rows": n_feed,
-        "snapshot_diff_rows": n_diff,
-        "fl_changes_wall_s": round(t_feed, 1),
-        "full_snapshot_diff_wall_s": round(t_diff, 1),
-        "speedup": round(t_diff / t_feed, 1),
-    }
-    assert n_feed == n_diff, (n_feed, n_diff)
-    print(out)
+        t0 = time.monotonic()
+        n_diff = cdc_extract(
+            fl_read(spark, root, v1),
+            fl_read_mor(spark, root, v3),
+            "k",
+            ("v",),
+        ).count()
+        t_diff = time.monotonic() - t0
+        assert n_feed == n_diff, (n_feed, n_diff)
+        rec = {
+            "files_touched_by_merge": n_touch,
+            "files_total": n_total,
+            "feed_rows": n_feed,
+            "fl_changes_wall_s": round(t_feed, 1),
+            "full_snapshot_diff_wall_s": round(t_diff, 1),
+            "speedup": round(t_diff / t_feed, 1),
+        }
+        print(tag, rec, flush=True)
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        return rec
+
+    out = {"n_rows": N_ROWS}
+    # scattered 1% delete: the delta targets EVERY carried file —
+    # worst case for the feed, still wins on join size alone
+    out["scattered_delete"] = scenario(
+        "sc", spark.range(0, N_ROWS, 100).select(F.col("id").alias("k"))
+    )
+    # key-local 1% delete: the delta hits one file corner — the
+    # touched-files win compounds with the join-size win
+    out["band_delete"] = scenario(
+        "bd",
+        spark.range(0, N_ROWS // 100).select(F.col("id").alias("k")),
+    )
     with open(os.path.join(_HERE, "scripts", "scale_changes.json"), "w") as f:
         json.dump(out, f, indent=1)
-    import shutil
-
-    shutil.rmtree(base, ignore_errors=True)
     print("DONE")
 
 
