@@ -499,3 +499,64 @@ def test_restore_rolls_back_without_rewriting_history(
         spark, root, o.limit(10), key="o_orderkey"
     )
     assert (n_rep, n_ins) == (10, 0)
+
+
+def test_change_feed_replays_streamed_epochs(spark, tmp_path):
+    """Stream-equals-batch for the change feed (the read half of the
+    epoch sink's write half): micro-batches land through
+    fl_epoch_step, a delete commit lands mid-stream, and then (a)
+    applying the PER-EPOCH feeds in order to the v1 snapshot
+    reproduces the final MOR state exactly, and (b) the one-shot
+    v1->vN feed applied to v1 reproduces the same state — the feed
+    composes across any version slicing a consumer chooses."""
+    from pyspark.sql import types as T
+
+    from citybikedatawarehouse_spark.streaming.incremental import (
+        fl_epoch_step,
+    )
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()), T.StructField("v", T.StringType())
+    ])
+
+    def kv(rows):
+        return spark.createDataFrame(rows, schema)
+
+    root = str(tmp_path / "flfeed")
+    fl_init(spark, root, kv([(k, f"v{k}") for k in range(50)]),
+            key="k", zorder_by=("k",), layout_files=4)
+    versions = [fl_current_version(root)]
+
+    # epoch 0: update + insert; then a DELETE commit; epoch 1: more
+    # changes including a re-insert of a deleted key
+    fl_epoch_step(kv([(1, "U1"), (60, "I60")]), 0, root, key="k",
+                  txn_app_id="feed")
+    versions.append(fl_current_version(root))
+    fl_delete(spark, root, kv([(2, ""), (3, "")]).select("k"))
+    versions.append(fl_current_version(root))
+    fl_epoch_step(kv([(2, "BACK2"), (61, "I61")]), 1, root, key="k",
+                  txn_app_id="feed")
+    versions.append(fl_current_version(root))
+
+    want = {(r["k"], r["v"]) for r in fl_read_mor(spark, root).collect()}
+
+    def apply_feed(state_rows: dict, feed) -> dict:
+        for r in feed.collect():
+            if r["op"] == "D":
+                state_rows.pop(r["k"], None)
+            else:
+                state_rows[r["k"]] = r["v"]
+        return state_rows
+
+    # (a) per-epoch replay
+    state = {r["k"]: r["v"]
+             for r in fl_read(spark, root, versions[0]).collect()}
+    for va, vb in zip(versions, versions[1:]):
+        state = apply_feed(state, fl_changes(spark, root, va, vb))
+    assert set(state.items()) == want
+
+    # (b) one-shot feed composes to the same state
+    state1 = {r["k"]: r["v"]
+              for r in fl_read(spark, root, versions[0]).collect()}
+    state1 = apply_feed(state1, fl_changes(spark, root, versions[0]))
+    assert set(state1.items()) == want
