@@ -669,6 +669,7 @@ def merge_upsert_manifest(
     updates: DataFrame,
     key: str,
     _crash_before_commit: bool = False,
+    _pause_before_commit=None,
     extra_props: dict | None = None,
 ) -> tuple[int, int]:
     """``merge_upsert`` with a MANIFEST-POINTER commit instead of the
@@ -738,6 +739,8 @@ def merge_upsert_manifest(
         props = {**props, **extra_props}
     if props:
         _props_write(root, version, props)
+    if _pause_before_commit is not None:
+        _pause_before_commit()
     if _crash_before_commit:
         raise RuntimeError(
             "merge_upsert_manifest: injected crash between data write "

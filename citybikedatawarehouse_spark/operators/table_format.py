@@ -512,14 +512,18 @@ def fl_merge_upsert(
         if dels_df is not None:
             # surviving deletes = old set minus re-inserted keys —
             # one distributed anti-join, folded into a single fresh
-            # delete dir (never collected to the driver)
+            # delete dir (never collected to the driver); write
+            # unconditionally, then a footer read decides emptiness —
+            # one Spark job instead of an exists-probe plus a write
             surviving = dels_df.distinct().join(
                 updates.select(key), key, "left_anti"
             )
-            if surviving.limit(1).count():
-                ddir = _delete_dir(root, version)
-                surviving.write.mode("errorifexists").parquet(ddir)
+            ddir = _delete_dir(root, version)
+            surviving.write.mode("errorifexists").parquet(ddir)
+            if _parquet_rows(ddir):
                 delete_dirs = [ddir]
+            else:
+                shutil.rmtree(ddir, ignore_errors=True)
         new_props = {**props, "delete_dirs": delete_dirs, "parent": parent}
         if extra_props:
             new_props.update(extra_props)
@@ -582,6 +586,21 @@ def fl_vacuum(spark: SparkSession, root: str, keep: int = 2) -> list[str]:
 
 def _delete_dir(root: str, tag: str) -> str:
     return os.path.join(root, "deletes", f"d_{tag}")
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count of a freshly-written parquet dir from the file
+    FOOTERS (driver-side metadata read, O(files) milliseconds) — so
+    commit bookkeeping never costs a second Spark job over data the
+    executors just wrote. A dir with no part files (an empty frame's
+    write) counts 0."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in os.listdir(path):
+        if f.endswith(".parquet") and not f.startswith(("_", ".")):
+            total += pq.read_metadata(os.path.join(path, f)).num_rows
+    return total
 
 
 def _delete_keys_df(
@@ -681,7 +700,7 @@ def fl_delete(
     version = _claim_version(root)
     ddir = _delete_dir(root, version)
     keys.select(key).distinct().write.mode("errorifexists").parquet(ddir)
-    n_new = spark.read.parquet(ddir).count()
+    n_new = _parquet_rows(ddir)  # footer read, no second Spark job
     dirs = list(props.get("delete_dirs") or []) + [ddir]
     if len(dirs) > _DELETE_FOLD_AFTER:
         fdir = _delete_dir(root, f"{version}_fold")

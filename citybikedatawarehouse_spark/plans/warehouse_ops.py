@@ -2067,9 +2067,11 @@ def q286_filelist_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
       group on the engine side, pinned TRUE as ``compact_folded``),
       deletes now physical, read-side anti-join gone.
 
-    Scale shape: delete = O(delete keys) sidecar write, zero data
-    I/O; reads pay one broadcast anti-join until compaction amortizes
-    it away; compaction is the one full rewrite, scheduled by the
+    Scale shape: delete = one EXECUTOR-parallel write of the batch's
+    distinct keys (r11: never driver-materialized), zero data I/O;
+    reads pay one AQE-planned anti-join (broadcast while the set is
+    small, shuffled once it is not) until compaction amortizes it
+    away; compaction is the one full rewrite, scheduled by the
     table, not forced by the delete pattern.
 
     Cites: operators/table_format.fl_delete / fl_read_mor /
