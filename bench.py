@@ -113,6 +113,7 @@ HEADLINE = [
     "q287_schema_evolution",
     "q288_fl_changes",
     "q289_fl_restore",
+    "q290_fl_optimize",
 ]
 
 # Queries whose iterative driver loop (convergence counts, d-row
@@ -152,6 +153,7 @@ EAGER_BUILD = {
     "q287_schema_evolution",
     "q288_fl_changes",
     "q289_fl_restore",
+    "q290_fl_optimize",
 }
 
 # the round-1 baseline benched exactly these 13; rounds add queries

@@ -763,6 +763,50 @@ def fl_compact(
     return version
 
 
+def fl_optimize(
+    spark: SparkSession,
+    root: str,
+    small_rows: int,
+    target_rows_per_file: int | None = None,
+) -> tuple[str, int, int]:
+    """Incremental OPTIMIZE: bin-pack ONLY the files smaller than
+    ``small_rows`` into the table's clustered layout; every other
+    file is carried by reference. This is the scale-path
+    defragmenter — ``fl_compact`` rewrites the WHOLE table (its job
+    is folding the delete set), which a 100 TB table cannot afford
+    just because a streaming sink dribbled small epoch commits;
+    OPTIMIZE's cost is O(small files), so it can run continuously
+    behind the sink. Purely a LAYOUT commit: rows are moved, never
+    added, dropped, or delete-folded — the delete set (if any)
+    carries unchanged and keeps hiding the same keys in old and new
+    files alike. Returns (version, files_packed, files_total) —
+    (current, 0, n) no-op when fewer than two files qualify."""
+    parent = fl_current_version(root)
+    props = fl_table_props(root, parent)
+    m = fl_manifest(root, parent)
+    small = m[m["n_rows"] < small_rows]
+    if len(small) < 2:
+        return parent, 0, len(m)
+    big = m[~m.index.isin(small.index)]
+    df = _read_files(spark, small, props)
+    n_small_rows = int(small["n_rows"].sum())
+    per_file = target_rows_per_file or max(small_rows, 1)
+    slice_props = {
+        **props,
+        "layout_files": max(1, -(-n_small_rows // per_file)),
+    }
+    version = _claim_version(root)
+    cdir = _commit_dir(root, version)
+    _apply_layout(df, slice_props).write.mode("errorifexists").parquet(cdir)
+    fresh = _stats_of_commit(
+        spark, cdir, tuple(props["stats_cols"]), _schema_sig(props["schema"])
+    )
+    manifest = pd.concat([big, fresh], ignore_index=True)
+    _write_manifest(root, version, manifest, {**props, "parent": parent})
+    _fl_commit(root, version, parent)
+    return version, len(small), len(m)
+
+
 def fl_restore(spark: SparkSession, root: str, version: str) -> str:
     """RESTORE (rollback): commit ``version``'s exact state — manifest,
     delete set, schema, layout spec — as a NEW version (Delta RESTORE

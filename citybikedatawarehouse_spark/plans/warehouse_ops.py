@@ -2514,3 +2514,114 @@ def q289_fl_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "undone_version_travelable", F.lit(undone_travelable)
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q290 — incremental OPTIMIZE: bin-pack ONLY small files
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q290_fl_optimize",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey, o_totalprice, o_orderstatus
+      FROM orders
+    ),
+    mx AS (SELECT max(k) AS mk FROM base),
+    v AS (
+      SELECT k, o_totalprice, o_orderstatus FROM base
+      UNION ALL
+      SELECT b.k + (t.e + 1) * (mx.mk + 1), b.o_totalprice, 'N'
+      FROM base b, mx, UNNEST(range(0, 5)) t(e)
+      WHERE b.k % 1000 = t.e
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)    AS n_rows,
+           round(sum(o_totalprice), 2) AS revenue,
+           TRUE AS only_small_rewritten,
+           TRUE AS file_count_reduced
+    FROM v
+    GROUP BY 1
+    """,
+)
+def q290_fl_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental OPTIMIZE on the file-list table: five streaming-
+    shaped micro-commits (pure appends past the key range — each
+    writes ONE small file and rewrites nothing) fragment the table;
+    ``fl_optimize`` then bin-packs ONLY the small files back into the
+    clustered layout, carrying every large file by reference.
+
+    This is the piece that makes the format operable at 100 TB:
+    ``fl_compact`` rewrites the whole table (its job is folding the
+    delete set), but a table fed by a streaming epoch sink
+    fragments CONTINUOUSLY and can only afford an O(small files)
+    defragmenter behind the sink. OPTIMIZE is purely a layout
+    commit — rows move, never change — so the DuckDB oracle (base +
+    the five insert waves) pins content identity group by group, and
+    two flags pin the mechanics: ``only_small_rewritten`` (the
+    original large files' paths survive INTO the optimized manifest —
+    structural sharing proves they were never rewritten) and
+    ``file_count_reduced`` (the five epoch files packed into fewer).
+
+    Scale shape: one scan of the small-file subset, one range
+    shuffle into the committed Z-order spec, one CAS flip; the large
+    majority of the table contributes zero I/O.
+
+    Cites: operators/table_format.fl_optimize; Delta OPTIMIZE /
+    Iceberg rewrite_data_files are this operation — the reference
+    (append-only to_sql, create_db_from_csv.py) fragments forever.
+    """
+    from citybikedatawarehouse_spark.operators.table_format import (
+        fl_init,
+        fl_manifest,
+        fl_merge_upsert,
+        fl_optimize,
+        fl_read,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    base = tempfile.mkdtemp(prefix="cbdw_flopt_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    root = base + "/orders_opt"
+    fl_init(
+        spark, root, o, key="o_orderkey",
+        zorder_by=("o_orderkey",), layout_files=4,
+    )
+    big_paths = set(fl_manifest(root)["path"])
+    max_k = o.agg(F.max("o_orderkey")).collect()[0][0]
+    for e in range(5):
+        inserts = o.where(F.col("o_orderkey") % 1000 == e).select(
+            (F.col("o_orderkey") + F.lit((e + 1) * (max_k + 1)))
+            .alias("o_orderkey"),
+            "o_custkey",
+            "o_totalprice",
+            F.lit("N").alias("o_orderstatus"),
+        )
+        fl_merge_upsert(spark, root, inserts, key="o_orderkey")
+    n_files_before = len(fl_manifest(root))
+
+    # every base file holds >> 2000 rows at any sf; the epoch files
+    # hold ~orders/1000 each — the threshold cleanly separates them
+    small_rows = min(fl_manifest(root)["n_rows"].nlargest(4)) // 2
+    _, n_packed, _ = fl_optimize(spark, root, small_rows=int(small_rows))
+    m_after = fl_manifest(root)
+    only_small_rewritten = big_paths <= set(m_after["path"])
+    file_count_reduced = (
+        n_packed == 5 and len(m_after) < n_files_before
+    )
+
+    return (
+        fl_read(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .withColumn(
+            "only_small_rewritten", F.lit(bool(only_small_rewritten))
+        )
+        .withColumn("file_count_reduced", F.lit(bool(file_count_reduced)))
+    )

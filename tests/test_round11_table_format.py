@@ -597,3 +597,45 @@ def test_directory_format_concurrent_writers_one_wins(
     # double-init rejected on this format too
     with pytest.raises(CommitConflictError):
         manifest_init(spark, root, o.limit(1))
+
+
+def test_optimize_packs_only_small_files_and_preserves_mor(
+    spark, tmp_path
+):
+    """fl_optimize bin-packs only sub-threshold files (large carried
+    by reference), is a pure layout op (the delete set carries
+    unchanged and keeps hiding its keys), and no-ops when fewer than
+    two files qualify."""
+    from citybikedatawarehouse_spark.operators.table_format import (
+        fl_optimize,
+    )
+
+    root = str(tmp_path / "flopt")
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+    )
+    fl_init(spark, root, df, key="k", zorder_by=("k",), layout_files=2)
+    big = set(fl_manifest(root)["path"])
+    # fragment: 4 tiny append commits + a merge-on-read delete
+    for e in range(4):
+        ins = spark.range(10_000 + e * 10, 10_000 + e * 10 + 10).select(
+            F.col("id").alias("k"), F.lit(-1).alias("v")
+        )
+        fl_merge_upsert(spark, root, ins, key="k")
+    fl_delete(spark, root, spark.range(0, 10_040, 7).select(
+        F.col("id").alias("k")))
+    n_mor = fl_read_mor(spark, root).count()
+    dels_before = len(fl_delete_keys(spark, root))
+
+    version, n_packed, n_total = fl_optimize(spark, root, small_rows=1000)
+    assert n_packed == 4 and n_total == 6
+    m = fl_manifest(root)
+    assert big <= set(m["path"])          # large files shared
+    assert len(m) < 6                     # fragmentation reduced
+    # pure layout: same MOR content, delete set untouched
+    assert fl_read_mor(spark, root).count() == n_mor
+    assert len(fl_delete_keys(spark, root)) == dels_before
+    assert fl_read(spark, root).count() == 10_040
+    # fewer than two qualifying files: clean no-op, no new version
+    v2, packed, _ = fl_optimize(spark, root, small_rows=5)
+    assert packed == 0 and v2 == fl_current_version(root) == version
