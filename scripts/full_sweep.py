@@ -82,7 +82,10 @@ def main() -> None:
     total = time.monotonic() - t_all
     print(f"\nSWEEP {'PASS' if n_bad == 0 else f'{n_bad} FAILURES'} "
           f"({len(todo)} queries, {total:.0f}s)")
-    with open(os.path.join(_HERE, "scripts", "full_sweep.json"), "w") as f:
+    # a SUBSET run must not clobber the committed full-sweep record
+    # (round-11 incident: a one-query check shrank it to one entry)
+    record = "full_sweep.json" if not names else "full_sweep_partial.json"
+    with open(os.path.join(_HERE, "scripts", record), "w") as f:
         json.dump(
             {"sf_dir": sf_dir, "total_s": round(total, 1), "queries": results},
             f,
