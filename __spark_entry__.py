@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-10 VERDICT's explicit ask, item 7 — keep the rotation
 # honest, least-recently-driver-verified first):
 #   1. the new round-11 queries (q287 schema evolution, q288 change
-#      feed, q289 restore, q290 incremental optimize) — driver rows
+#      feed, q289 restore, q290 incremental optimize, q291 constraints) — driver rows
 #      the round they ship,
 #   2. the remainder of the r05-evidence block (q14/q16/q19-q24,
 #      q32b-q36b, q41/q44/q50/q51/q65, q110-q125, q88..q96 — driver
@@ -54,7 +54,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # the assert after the list).
 _SWEEP_PRIORITY = [
     "q287_schema_evolution", "q288_fl_changes", "q289_fl_restore",
-    "q290_fl_optimize",
+    "q290_fl_optimize", "q291_fl_constraints",
     "q14_intersect",
     "q16_except_all", "q19_window_lag_lead", "q20_window_rank_suite",
     "q21_cube", "q23_grouping_sets", "q24_count_distinct",

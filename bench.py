@@ -114,6 +114,7 @@ HEADLINE = [
     "q288_fl_changes",
     "q289_fl_restore",
     "q290_fl_optimize",
+    "q291_fl_constraints",
 ]
 
 # Queries whose iterative driver loop (convergence counts, d-row
@@ -154,6 +155,7 @@ EAGER_BUILD = {
     "q288_fl_changes",
     "q289_fl_restore",
     "q290_fl_optimize",
+    "q291_fl_constraints",
 }
 
 # the round-1 baseline benched exactly these 13; rounds add queries

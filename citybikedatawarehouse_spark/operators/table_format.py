@@ -79,6 +79,12 @@ from citybikedatawarehouse_spark.operators.maintenance import (
 )
 
 _MANIFEST_DIR = "_manifests"
+
+
+class CheckViolation(ValueError):
+    """An updates batch (or, for ``fl_add_constraint``, the existing
+    table state) violates a CHECK constraint — the commit is refused
+    whole; nothing is staged or published."""
 # fl_delete accumulates one immutable delete-file dir per commit; past
 # this many it folds them into one (executor-side distinct + rewrite)
 # so the read-side anti-join never unions an unbounded dir list
@@ -464,16 +470,34 @@ def fl_merge_upsert(
         )
     updates = updates.persist()
     try:
+        constraints = props.get("constraints") or {}
         counts = updates.agg(
             F.count(F.lit(1)).alias("n"),
             F.count_distinct(F.col(key)).alias("k"),
             F.max(F.col(key).isNull().cast("int")).alias("has_null"),
+            # CHECK constraints ride the SAME aggregate — enforcement
+            # costs zero extra jobs; NULL predicate results count as
+            # violations (the SQL CHECK rule is satisfied-or-reject
+            # here, matching Delta's enforcement)
+            *[
+                F.sum(
+                    (~F.coalesce(F.expr(sql), F.lit(False))).cast("bigint")
+                ).alias(f"__viol_{name}")
+                for name, sql in constraints.items()
+            ],
         ).first()
         n_updates = counts["n"]
         if n_updates == 0:
             # empty micro-batches are routine in streaming — a no-op,
             # not an empty commit
             return 0, 0, 0, len(fl_manifest(root, parent))
+        for name, sql in constraints.items():
+            n_viol = counts[f"__viol_{name}"]
+            if n_viol:
+                raise CheckViolation(
+                    f"fl_merge_upsert: {n_viol} update row(s) violate "
+                    f"CHECK constraint {name!r} ({sql}); nothing committed"
+                )
         n_update_keys = counts["k"] + (1 if counts["has_null"] else 0)
         if n_update_keys != n_updates:
             raise ValueError(
@@ -763,6 +787,67 @@ def fl_compact(
     return version
 
 
+def fl_add_constraint(
+    spark: SparkSession, root: str, name: str, sql_expr: str
+) -> str:
+    """ADD a CHECK constraint (Delta ``ALTER TABLE ADD CONSTRAINT``):
+    the EXISTING merge-on-read state is validated first (one scan,
+    one count — a constraint the data already violates is refused,
+    never recorded), then the constraint commits as metadata and
+    every later ``fl_merge_upsert``/epoch sink batch is validated
+    inside the merge's existing counts aggregate — enforcement costs
+    zero additional Spark jobs. A NULL predicate result counts as a
+    violation. Returns the new version name."""
+    parent = fl_current_version(root)
+    props = fl_table_props(root, parent)
+    constraints = dict(props.get("constraints") or {})
+    if name in constraints:
+        raise ValueError(
+            f"filelist table {root}: constraint {name!r} already exists"
+        )
+    existing = fl_read_mor(spark, root, parent)
+    n_viol = existing.where(
+        ~F.coalesce(F.expr(sql_expr), F.lit(False))
+    ).count()
+    if n_viol:
+        raise CheckViolation(
+            f"fl_add_constraint: {n_viol} existing row(s) violate "
+            f"{name!r} ({sql_expr}); constraint not added"
+        )
+    constraints[name] = sql_expr
+    version = _claim_version(root)
+    _write_manifest(
+        root,
+        version,
+        fl_manifest(root, parent),
+        {**props, "constraints": constraints, "parent": parent},
+    )
+    _fl_commit(root, version, parent)
+    return version
+
+
+def fl_drop_constraint(spark: SparkSession, root: str, name: str) -> str:
+    """DROP a CHECK constraint (metadata-only commit)."""
+    parent = fl_current_version(root)
+    props = fl_table_props(root, parent)
+    constraints = dict(props.get("constraints") or {})
+    if name not in constraints:
+        raise ValueError(
+            f"filelist table {root}: no constraint {name!r} "
+            f"(have {sorted(constraints)})"
+        )
+    del constraints[name]
+    version = _claim_version(root)
+    _write_manifest(
+        root,
+        version,
+        fl_manifest(root, parent),
+        {**props, "constraints": constraints, "parent": parent},
+    )
+    _fl_commit(root, version, parent)
+    return version
+
+
 def fl_optimize(
     spark: SparkSession,
     root: str,
@@ -881,6 +966,19 @@ def fl_rename_column(
     if any(f["name"] == new for f in schema):
         raise ValueError(
             f"filelist table {root}: column {new!r} already exists"
+        )
+    import re as _re
+
+    referencing = [
+        n
+        for n, sql in (props.get("constraints") or {}).items()
+        if _re.search(rf"\b{_re.escape(old)}\b", sql)
+    ]
+    if referencing:
+        raise ValueError(
+            f"filelist table {root}: column {old!r} is referenced by "
+            f"CHECK constraint(s) {referencing} — drop them first and "
+            f"re-add under the new name"
         )
     new_schema = [
         {**f, "name": new} if f["name"] == old else f for f in schema

@@ -2625,3 +2625,117 @@ def q290_fl_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("file_count_reduced", F.lit(bool(file_count_reduced)))
     )
+
+
+# ---------------------------------------------------------------------------
+# q291 — CHECK constraints on the file-list table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q291_fl_constraints",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey BETWEEN 1000 AND 2000
+                  THEN o_totalprice + 1.0 ELSE o_totalprice END
+               AS o_totalprice,
+             o_orderstatus
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)    AS n_rows,
+           round(sum(o_totalprice), 2) AS revenue,
+           TRUE AS invalid_rejected_whole,
+           TRUE AS preexisting_violation_refused
+    FROM v
+    GROUP BY 1
+    """,
+)
+def q291_fl_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints on the file-list table (Delta ``ALTER TABLE
+    ADD CONSTRAINT``): quality gates recorded in the table metadata
+    and enforced on EVERY later write — the ingest contract a
+    training-data pipeline pins so a bad CDC batch cannot poison the
+    corpus.
+
+    Mechanics under audit, both oracle-visible:
+
+    - **add-time validation**: a constraint the existing data already
+      violates is refused and never recorded
+      (``preexisting_violation_refused``);
+    - **all-or-nothing enforcement**: a merge carrying even one
+      violating row is rejected WHOLE before anything stages — the
+      pointer never moves (``invalid_rejected_whole``), then the
+      corrected batch (the 1000-2000 band, price+1) commits and the
+      final state matches the relational replay.
+
+    Scale shape: enforcement rides the merge's existing counts
+    aggregate (one extra SUM per constraint in a scan the merge
+    already pays) — zero additional jobs; add-time validation is one
+    scan of the MOR state. NULL predicate results count as
+    violations.
+
+    Cites: operators/table_format.fl_add_constraint /
+    fl_merge_upsert; the reference's to_sql sink has no write-time
+    validation at all (create_db_from_csv.py).
+    """
+    from citybikedatawarehouse_spark.operators.table_format import (
+        CheckViolation,
+        fl_add_constraint,
+        fl_current_version,
+        fl_init,
+        fl_merge_upsert,
+        fl_read,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    base = tempfile.mkdtemp(prefix="cbdw_flck_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    root = base + "/orders_ck"
+    fl_init(
+        spark, root, o, key="o_orderkey",
+        zorder_by=("o_orderkey",), layout_files=8,
+    )
+    fl_add_constraint(spark, root, "price_positive", "o_totalprice > 0")
+
+    preexisting_refused = False
+    try:  # orders spans many statuses — this must be refused
+        fl_add_constraint(spark, root, "only_f", "o_orderstatus = 'F'")
+    except CheckViolation:
+        preexisting_refused = True
+
+    band = F.col("o_orderkey").between(1000, 2000)
+    good = o.where(band).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    bad = good.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(-1.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    v_before = fl_current_version(root)
+    rejected_whole = False
+    try:
+        fl_merge_upsert(spark, root, bad, key="o_orderkey")
+    except CheckViolation:
+        rejected_whole = fl_current_version(root) == v_before
+    fl_merge_upsert(spark, root, good, key="o_orderkey")
+
+    return (
+        fl_read(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .withColumn("invalid_rejected_whole", F.lit(rejected_whole))
+        .withColumn(
+            "preexisting_violation_refused", F.lit(preexisting_refused)
+        )
+    )

@@ -639,3 +639,54 @@ def test_optimize_packs_only_small_files_and_preserves_mor(
     # fewer than two qualifying files: clean no-op, no new version
     v2, packed, _ = fl_optimize(spark, root, small_rows=5)
     assert packed == 0 and v2 == fl_current_version(root) == version
+
+
+def test_check_constraints_enforced_on_merge(spark, tmp_path):
+    """CHECK constraints: existing-state validation at add time, a
+    violating merge is refused WHOLE (nothing committed), a valid
+    merge passes, NULL predicate results count as violations, the
+    epoch sink inherits enforcement, and renaming a constrained
+    column is refused."""
+    from citybikedatawarehouse_spark.operators.table_format import (
+        CheckViolation,
+        fl_add_constraint,
+        fl_drop_constraint,
+    )
+    from citybikedatawarehouse_spark.streaming.incremental import (
+        fl_epoch_step,
+    )
+
+    root = str(tmp_path / "flck")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 50 + 1).alias("v")
+    )
+    fl_init(spark, root, df, key="k", zorder_by=("k",), layout_files=2)
+    fl_add_constraint(spark, root, "v_positive", "v > 0")
+    # a constraint the data already violates is refused
+    with pytest.raises(CheckViolation, match="existing row"):
+        fl_add_constraint(spark, root, "v_big", "v > 10")
+
+    v_before = fl_current_version(root)
+    bad = spark.createDataFrame([(1, 0), (2, 5)], "k long, v long")
+    with pytest.raises(CheckViolation, match="v_positive"):
+        fl_merge_upsert(spark, root, bad, key="k")
+    assert fl_current_version(root) == v_before  # nothing committed
+    # NULL predicate result = violation
+    null_v = spark.createDataFrame([(3, None)], "k long, v long")
+    with pytest.raises(CheckViolation):
+        fl_merge_upsert(spark, root, null_v, key="k")
+    # valid batch passes; the epoch sink inherits enforcement
+    ok = spark.createDataFrame([(1, 7)], "k long, v long")
+    assert fl_merge_upsert(spark, root, ok, key="k")[0] == 1
+    with pytest.raises(CheckViolation):
+        fl_epoch_step(bad, 0, root, key="k", txn_app_id="ck")
+    # constrained column cannot be renamed out from under the SQL
+    with pytest.raises(ValueError, match="referenced by"):
+        fl_rename_column(spark, root, "v", "val")
+    fl_drop_constraint(spark, root, "v_positive")
+    fl_rename_column(spark, root, "v", "val")
+    assert fl_merge_upsert(
+        spark, root,
+        spark.createDataFrame([(9, -1)], "k long, val long"),
+        key="k",
+    )[0] == 1  # constraint gone, negative accepted
