@@ -690,3 +690,34 @@ def test_check_constraints_enforced_on_merge(spark, tmp_path):
         spark.createDataFrame([(9, -1)], "k long, val long"),
         key="k",
     )[0] == 1  # constraint gone, negative accepted
+
+
+def test_aligned_read_keeps_pushdown_and_pruning(spark, sf_dir, tmp_path):
+    """The schema-aligned (mixed write-time schemas) read must not
+    cost scan efficiency: a narrow projection + filter over an
+    evolved table still reaches every underlying parquet scan as
+    PushedFilters + a two-column ReadSchema — the aliasing projection
+    collapses, it does not block Catalyst."""
+    root, o = _init(spark, sf_dir, tmp_path)
+    fl_add_column(spark, root, "tier", "string")
+    ups = o.where(F.col("o_orderkey").between(100, 300)).withColumn(
+        "tier", F.lit("g")
+    )
+    fl_merge_upsert(spark, root, ups, key="o_orderkey")
+    assert fl_manifest(root)["schema_cols"].nunique() == 2  # mixed
+
+    df = (
+        fl_read(spark, root)
+        .select("o_orderkey", "o_totalprice")
+        .where(F.col("o_totalprice") > 100)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(schemas) >= 2  # one scan per write-time schema group
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",")}
+        assert cols == {"o_orderkey", "o_totalprice"}, s  # pruned
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and all("GreaterThan(o_totalprice" in p for p in pushed)
