@@ -508,16 +508,28 @@ def fl_merge_upsert(
         m = fl_manifest(root, parent)
         touched = _zone_touched_paths(spark, m, key, updates)
         untouched_m = m[~m["path"].isin(touched)]
-        touched_df = _read_files(spark, m[m["path"].isin(touched)], props)
         dels_df = _delete_keys_df(spark, props)
-        if dels_df is not None:
-            touched_df = touched_df.join(dels_df, key, "left_anti")
-
-        matched = touched_df.join(updates.select(key), key, "left_semi")
-        n_replaced = matched.count()
+        cols = [f["name"] for f in props["schema"]]
+        if not touched and dels_df is None:
+            # pure-append fast path (THE streaming hot shape: every
+            # batch key beyond every zone): no file intersects, so
+            # there is no matched count to take and no survivor
+            # anti-join to run — zero jobs beyond the write itself
+            n_replaced = 0
+            merged = updates.select(*cols)
+        else:
+            touched_df = _read_files(
+                spark, m[m["path"].isin(touched)], props
+            )
+            if dels_df is not None:
+                touched_df = touched_df.join(dels_df, key, "left_anti")
+            matched = touched_df.join(
+                updates.select(key), key, "left_semi"
+            )
+            n_replaced = matched.count()
+            kept = touched_df.join(updates.select(key), key, "left_anti")
+            merged = kept.unionByName(updates.select(*cols))
         n_inserted = n_updates - n_replaced
-        kept = touched_df.join(updates.select(key), key, "left_anti")
-        merged = kept.unionByName(updates.select(*touched_df.columns))
 
         version = _claim_version(root)
         slice_props = {**props, "layout_files": max(1, len(touched))}
