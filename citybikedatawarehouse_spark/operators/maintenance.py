@@ -12,6 +12,7 @@ from __future__ import annotations
 import math
 import os
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -331,15 +332,33 @@ def manifest_commit_cas(
     The read-compare-flip critical section is guarded by an O_EXCL
     lock file (atomic create on POSIX/HDFS); a lock older than
     ``_LOCK_STALE_SEC`` is presumed abandoned by a crashed writer
-    and stolen. On object stores without atomic create-if-absent,
+    and stolen — by atomic ``os.rename`` of the corpse, so when two
+    recovery writers race over the same stale lock EXACTLY ONE
+    rename succeeds (the loser's raises FileNotFoundError and it
+    re-enters the normal acquire loop against whatever the winner
+    installs). A plain ``os.remove`` steal would be a TOCTOU hole:
+    two stealers could interleave so the second removes the first's
+    FRESH lock and both enter the critical section — a silent lost
+    update, the exact failure the CAS exists to prevent. After
+    winning the rename, the corpse's mtime is re-verified: if it
+    turns out fresh (the μs-scale race where a live holder's lock
+    was yanked between the staleness check and the rename), it is
+    restored via O_EXCL create of the original bytes, or — if the
+    slot was grabbed in between — the stealer FAILS LOUDLY rather
+    than let two writers proceed. Release is token-verified: the
+    lock is removed only if it still holds this writer's unique
+    token, so a holder that stalls past ``_LOCK_STALE_SEC`` and gets
+    legitimately stolen can never delete the thief's live lock on
+    its way out. On object stores without atomic create-if-absent,
     swap this for the store's conditional-PUT (S3 If-None-Match,
     GCS x-goog-if-generation-match) — the CAS contract is the same."""
     lock = os.path.join(root, _COMMIT_LOCK)
+    token = f"{os.getpid()}:{uuid.uuid4().hex}\n"
     deadline = time.monotonic() + _LOCK_WAIT_SEC
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+            os.write(fd, token.encode())
             os.close(fd)
             break
         except FileExistsError:
@@ -348,10 +367,41 @@ def manifest_commit_cas(
             except FileNotFoundError:
                 continue  # holder just released; retry immediately
             if age > _LOCK_STALE_SEC:
+                corpse = f"{lock}.stale.{os.getpid()}.{uuid.uuid4().hex}"
                 try:
-                    os.remove(lock)  # crashed holder; steal
+                    os.rename(lock, corpse)  # atomic: one stealer wins
                 except FileNotFoundError:
-                    pass
+                    continue  # another stealer won; re-enter acquire
+                # rename preserves mtime — re-verify the corpse really
+                # was the stale file the check saw, not a fresh lock
+                # installed in the window since
+                if time.time() - os.path.getmtime(corpse) > _LOCK_STALE_SEC:
+                    os.remove(corpse)  # confirmed crashed holder
+                    continue
+                # mis-steal of a LIVE lock: put it back exactly as it
+                # was, or fail loudly — never proceed alongside the
+                # holder we just yanked
+                with open(corpse, "rb") as f:
+                    original = f.read()
+                os.remove(corpse)
+                try:
+                    fd = os.open(
+                        lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                    )
+                    os.write(fd, original)
+                    os.close(fd)
+                except FileExistsError:
+                    raise IOError(
+                        f"commit {version}: stole a live lock {lock} "
+                        f"and could not restore it (slot re-acquired) "
+                        f"— failing rather than risk a double-entry"
+                    )
+                if time.monotonic() > deadline:
+                    raise IOError(
+                        f"commit {version}: lock {lock} looked stale "
+                        f"but kept proving live past the deadline — "
+                        f"restored it and gave up"
+                    )
                 continue
             if time.monotonic() > deadline:
                 raise IOError(
@@ -369,7 +419,16 @@ def manifest_commit_cas(
             )
         _manifest_commit(root, version)
     finally:
-        os.remove(lock)
+        # token-verified release: only remove a lock that is still
+        # OURS — if we stalled past _LOCK_STALE_SEC and were stolen,
+        # the path now holds the thief's token and must be left alone
+        try:
+            with open(lock) as f:
+                still_ours = f.read() == token
+        except FileNotFoundError:
+            still_ours = False
+        if still_ours:
+            os.remove(lock)
 
 
 def _claim_dir_version(root: str) -> str:

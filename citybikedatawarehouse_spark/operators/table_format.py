@@ -63,6 +63,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 import pandas as pd
 
@@ -469,6 +470,7 @@ def fl_merge_upsert(
             f"{props['key']!r}"
         )
     updates = updates.persist()
+    touched_df = None
     try:
         constraints = props.get("constraints") or {}
         counts = updates.agg(
@@ -523,6 +525,12 @@ def fl_merge_upsert(
             )
             if dels_df is not None:
                 touched_df = touched_df.join(dels_df, key, "left_anti")
+            # the touched slice feeds THREE actions (matched count,
+            # survivor anti-join, merged write) — persist it once so
+            # the touched files are scanned once, not 3×; at 100 TB a
+            # merge touching thousands of files pays real I/O per
+            # rescan. Unpersisted in the finally with `updates`.
+            touched_df = touched_df.persist()
             matched = touched_df.join(
                 updates.select(key), key, "left_semi"
             )
@@ -575,18 +583,45 @@ def fl_merge_upsert(
         return n_replaced, n_inserted, len(touched), len(m)
     finally:
         updates.unpersist()
+        if touched_df is not None:
+            touched_df.unpersist()
 
 
-def fl_vacuum(spark: SparkSession, root: str, keep: int = 2) -> list[str]:
+def fl_vacuum(
+    spark: SparkSession,
+    root: str,
+    keep: int = 2,
+    retain_hours: float = 168.0,
+    force: bool = False,
+) -> list[str]:
     """Reference-counting vacuum: drop manifests older than the
     newest ``keep`` (never the pointer's target), then delete every
     data file — and every delete-set dir — no kept manifest/props
     references. Shared artifacts survive as long as ANY kept version
     names them — deleting a version can never corrupt another.
-    Returns deleted data-file paths."""
+
+    Retention guard (Delta's ``VACUUM ... RETAIN`` rule): a version
+    COMMITTED within the last ``retain_hours`` (default 7 days) is
+    never dropped, even when it falls outside ``keep`` — a reader
+    that resolved that version name before the vacuum (time travel,
+    a long scan, ``fl_changes`` over a window) must still find its
+    manifest and every file it references. There is no reader-lease
+    registry on a shared filesystem, so recency IS the lease; size
+    ``retain_hours`` above the longest query/retention window.
+    ``force=True`` bypasses the horizon — TORN-READ HAZARD: any
+    reader mid-query on a force-dropped version will see its files
+    deleted underneath it (FileNotFoundException mid-scan). Returns
+    deleted data-file paths."""
     current = fl_current_version(root)
     versions = fl_versions(root)
     drop = [v for v in versions[:-keep] if v != current]
+    if not force:
+        horizon = time.time() - retain_hours * 3600.0
+        drop = [
+            v
+            for v in drop
+            if os.path.getmtime(_manifest_file(root, v)) < horizon
+        ]
     keep_versions = [v for v in versions if v not in drop]
     referenced: set[str] = set()
     referenced_dels: set[str] = set()
@@ -644,14 +679,33 @@ def _delete_keys_df(
 ) -> DataFrame | None:
     """The version's cumulative delete set as an EXECUTOR-read
     relation (union of the version's immutable delete-key files), or
-    None when empty. The single column is positionally renamed to the
-    current key name, so files written before a key rename stay
-    valid. May contain duplicate keys across files — harmless to the
-    anti-joins that consume it."""
+    None when empty. Each dir is read SEPARATELY and its single
+    column positionally renamed to the current key name BEFORE the
+    union — a multi-dir ``spark.read.parquet(*dirs)`` resolves
+    columns by NAME across files, so after a key rename the dirs
+    written under the old name would read as all-NULL and the
+    deleted rows would silently resurface. Per-dir positional
+    binding keys the files by position, which is exactly the rename
+    contract (delete files are single-column by construction — the
+    assertion makes that structural). May contain duplicate keys
+    across files — harmless to the anti-joins that consume it."""
     dirs = props.get("delete_dirs") or []
     if not dirs:
         return None
-    return spark.read.parquet(*dirs).toDF(key or props["key"])
+    key = key or props["key"]
+    parts = []
+    for d in dirs:
+        df = spark.read.parquet(d)
+        if len(df.columns) != 1:
+            raise ValueError(
+                f"delete dir {d}: expected exactly 1 column, found "
+                f"{df.columns} — positional key binding would mis-bind"
+            )
+        parts.append(df.toDF(key))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)  # positional: all sides already renamed
+    return out
 
 
 def fl_delete_keys(
@@ -737,12 +791,22 @@ def fl_delete(
     ddir = _delete_dir(root, version)
     keys.select(key).distinct().write.mode("errorifexists").parquet(ddir)
     n_new = _parquet_rows(ddir)  # footer read, no second Spark job
+    if n_new == 0:
+        # empty delete batches are routine in streaming — a no-op,
+        # not an empty commit: committing a zero-row dir would make
+        # the delete set non-empty forever, so every later read pays
+        # the anti-join and merges lose the pure-append fast path
+        shutil.rmtree(ddir, ignore_errors=True)
+        return 0, parent
     dirs = list(props.get("delete_dirs") or []) + [ddir]
     if len(dirs) > _DELETE_FOLD_AFTER:
         fdir = _delete_dir(root, f"{version}_fold")
+        # per-dir positional binding (not spark.read.parquet(*dirs)):
+        # dirs written before a key rename carry the old column name,
+        # and a multi-dir read resolves by name -> NULLs. Route
+        # through the same reader every consumer uses.
         (
-            spark.read.parquet(*dirs)
-            .toDF(key)
+            _delete_keys_df(spark, {"delete_dirs": dirs, "key": key})
             .distinct()
             .write.mode("errorifexists")
             .parquet(fdir)
@@ -1044,8 +1108,12 @@ def fl_changes(
     rows — identical (key, payload) pairs cancel in the final
     classification (``cdc_extract``'s full-outer join).
 
-    D rows carry the key's LAST payload before deletion; U rows the
-    new payload. Scale shape: O(changed files + delete deltas) scan,
+    Net-diff semantics (what comparing two snapshots can know): D
+    rows carry the key's FROM-version payload — an intermediate
+    update that was itself deleted before ``to_version`` is invisible
+    to the diff, exactly as in Delta's CDF when reading across the
+    same range. U rows carry the new payload. Scale shape: O(changed
+    files + delete deltas) scan,
     one key-partitioned full-outer join of the two changed-region
     images; never O(table)."""
     if to_version is None:

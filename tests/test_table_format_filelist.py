@@ -186,7 +186,9 @@ def test_vacuum_refcounts_shared_files(spark, sf_dir, tmp_path):
     want = fl_read(spark, root).agg(
         F.count(F.lit(1)), F.round(F.sum("o_totalprice"), 2)
     ).collect()
-    deleted = fl_vacuum(spark, root, keep=2)
+    # retain_hours=0: this test is about refcounting, not retention
+    # (the round-12 retention tests live in test_round12_table_format)
+    deleted = fl_vacuum(spark, root, keep=2, retain_hours=0.0)
     # v1 manifest gone; every deleted file existed only in v1
     assert fl_versions(root) == [v2, v3]
     for p in deleted:
