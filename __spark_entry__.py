@@ -35,44 +35,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness sweep records the FIRST 50 entries of
 # this dict, in dict order — so dict order decides which queries
-# reach the hard gate each round. Round-11 priority order (per the
-# round-10 VERDICT's explicit ask, item 7 — keep the rotation
+# reach the hard gate each round. Round-12 priority order (per the
+# round-11 VERDICT's explicit ask, item 5 — keep the rotation
 # honest, least-recently-driver-verified first):
-#   1. the new round-11 queries (q287 schema evolution, q288 change
-#      feed, q289 restore, q290 incremental optimize, q291 constraints) — driver rows
-#      the round they ship,
-#   2. the remainder of the r05-evidence block (q14/q16/q19-q24,
-#      q32b-q36b, q41/q44/q50/q51/q65, q110-q125, q88..q96 — driver
-#      rows now 6 rounds old) + the r06 block head to fill slot 50,
+#   1. the new round-12 query (q292 streaming CDC source) — driver
+#      row the round it ships,
+#   2. the round-6 evidence block, now stalest (q129-q158,
+#      q100-q105, q28/q28b, q32-q39, q108 — 47 queries, driver rows
+#      6 rounds old) + the r07 block head (q159/q160) to fill
+#      slot 50,
 #   3. then the rest in ascending evidence freshness, with the 50
-#      queries CORRECTNESS_r10 just proved (q283-q286, the r04
-#      block, q01-q13) at the very tail — freshest evidence last.
+#      queries CORRECTNESS_r11 just proved (q287-q291, the r05
+#      remainder block) at the very tail — freshest evidence last.
 # All registered queries are re-proven locally at sf0.01 against
 # DuckDB every round regardless of sweep position (driver-style
 # full sweeps, scripts/full_sweep.py — see PERFORMANCE.md).
 # Every name is asserted against the registry at import time (see
 # the assert after the list).
 _SWEEP_PRIORITY = [
-    "q287_schema_evolution", "q288_fl_changes", "q289_fl_restore",
-    "q290_fl_optimize", "q291_fl_constraints",
-    "q14_intersect",
-    "q16_except_all", "q19_window_lag_lead", "q20_window_rank_suite",
-    "q21_cube", "q23_grouping_sets", "q24_count_distinct",
-    "q32b_shipmode_priority", "q34b_nation_trade_volume",
-    "q35b_returned_item_ranking", "q36b_large_order_customers",
-    "q41_date_dim_build", "q44_speed_coercion", "q50_string_funcs",
-    "q51_json_extract", "q65_winnow_fingerprint", "q110_pack_segments",
-    "q111_bm25_topk", "q112_doc_chunks", "q113_weighted_sample",
-    "q114_ngram_novelty", "q115_hard_negatives",
-    "q116_dedup_rate_by_source", "q117_semantic_dedup_hier",
-    "q118_hybrid_rrf", "q119_hot_ngrams", "q120_moving_avg_range",
-    "q121_gap_fill_locf", "q122_word_entropy", "q123_embedding_dim_stats",
-    "q124_chunk_dedup_pipeline", "q125_curriculum_buckets",
-    "q88_semantic_dedup", "q97_mixture_sample", "q83_sequence_pack",
-    "q92_curation_e2e", "q75_kmeans", "q76_ivf_kmeans_topk",
-    "q93_hier_kmeans", "q94_hier_ivf_topk", "q95_pq_encode",
-    "q96_pq_adc_topk", "q126_positive_pairs", "q127_source_quota_filter",
-    "q128_funnel_conversion", "q129_retention_cohorts",
+    "q292_fl_changes_stream", "q129_retention_cohorts",
     "q130_gap_fill_interp", "q131_outlier_mad", "q132_pii_scrub",
     "q133_copurchase_pagerank", "q134_random_projection",
     "q135_pca_power_iteration", "q136_winsorized_stats",
@@ -168,7 +149,25 @@ _SWEEP_PRIORITY = [
     "q33b_promo_revenue_share", "q31_range_join", "q01_pricing_summary",
     "q03_topk_revenue", "q04_exists_priority", "q05_region_volume",
     "q06_predicate_revenue", "q07_left_join_enrich",
-    "q11_keyed_dedup_first", "q13_union_distinct",
+    "q11_keyed_dedup_first", "q13_union_distinct", "q287_schema_evolution",
+    "q288_fl_changes", "q289_fl_restore", "q290_fl_optimize",
+    "q291_fl_constraints", "q14_intersect", "q16_except_all",
+    "q19_window_lag_lead", "q20_window_rank_suite", "q21_cube",
+    "q23_grouping_sets", "q24_count_distinct", "q32b_shipmode_priority",
+    "q34b_nation_trade_volume", "q35b_returned_item_ranking",
+    "q36b_large_order_customers", "q41_date_dim_build",
+    "q44_speed_coercion", "q50_string_funcs", "q51_json_extract",
+    "q65_winnow_fingerprint", "q110_pack_segments", "q111_bm25_topk",
+    "q112_doc_chunks", "q113_weighted_sample", "q114_ngram_novelty",
+    "q115_hard_negatives", "q116_dedup_rate_by_source",
+    "q117_semantic_dedup_hier", "q118_hybrid_rrf", "q119_hot_ngrams",
+    "q120_moving_avg_range", "q121_gap_fill_locf", "q122_word_entropy",
+    "q123_embedding_dim_stats", "q124_chunk_dedup_pipeline",
+    "q125_curriculum_buckets", "q88_semantic_dedup", "q97_mixture_sample",
+    "q83_sequence_pack", "q92_curation_e2e", "q75_kmeans",
+    "q76_ivf_kmeans_topk", "q93_hier_kmeans", "q94_hier_ivf_topk",
+    "q95_pq_encode", "q96_pq_adc_topk", "q126_positive_pairs",
+    "q127_source_quota_filter", "q128_funnel_conversion",
 ]
 
 # a stale/renamed entry must fail HERE, at import time, not as a

@@ -163,6 +163,28 @@ def _fl_commit(root: str, version: str, parent: str | None) -> None:
     manifest_commit_cas(root, version, parent)
 
 
+def fl_lineage(root: str) -> list[str]:
+    """The COMMITTED version chain, oldest first, by walking parent
+    pointers back from the pointer's current target — the list
+    ``fl_versions`` cannot give, because that one also returns
+    crashed/conflicted writers' orphans (staged manifests the pointer
+    never named). This is the history an incremental CDC consumer
+    replays: every adjacent pair is one committed diff. O(versions)
+    driver-side metadata reads; stops at the oldest version still on
+    disk (vacuumed ancestry is simply not replayable)."""
+    chain: list[str] = []
+    v: str | None = fl_current_version(root)
+    while v is not None:
+        try:
+            props = fl_table_props(root, v)
+        except FileNotFoundError:
+            break  # this ancestor was vacuumed: not replayable
+        chain.append(v)
+        v = props.get("parent")
+    chain.reverse()
+    return chain
+
+
 def _manifest_file(root: str, version: str) -> str:
     return os.path.join(root, _MANIFEST_DIR, f"{version}.parquet")
 

@@ -2739,3 +2739,153 @@ def q291_fl_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "preexisting_violation_refused", F.lit(preexisting_refused)
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q292 — streaming CDC source: tail the change feed per commit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q292_fl_changes_stream",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey, o_totalprice AS p FROM orders
+    ),
+    mx AS (SELECT max(k) AS mk FROM base),
+    -- commit 2: band update (U for every band key: price+1, status R)
+    --           + tail inserts (I)
+    v2 AS (
+      SELECT 2 AS seq, 'U' AS op, k, p + 1.0 AS price
+      FROM base WHERE k BETWEEN 1000 AND 2000
+      UNION ALL
+      SELECT 2, 'I', b.k + mx.mk + 1, b.p
+      FROM base b, mx WHERE b.k % 1000 = 0
+    ),
+    -- commit 3: MOR delete of every %10==7 key in the v2 state;
+    -- D carries the from-version payload (band keys: updated price)
+    v3 AS (
+      SELECT 3 AS seq, 'D' AS op, k,
+             CASE WHEN k BETWEEN 1000 AND 2000 THEN p + 1.0 ELSE p END
+      FROM base WHERE k % 10 = 7
+      UNION ALL
+      SELECT 3, 'D', b.k + mx.mk + 1, b.p
+      FROM base b, mx
+      WHERE b.k % 1000 = 0 AND (b.k + mx.mk + 1) % 10 = 7
+    ),
+    -- commit 4: re-insert a subset of the deleted keys with their
+    -- ORIGINAL payload: the per-commit feed must report D then I
+    -- across commits 3-4, never a net U
+    v4 AS (
+      SELECT 4 AS seq, 'I' AS op, k, p FROM base WHERE k % 50 = 7
+    ),
+    feed AS (
+      SELECT * FROM v2 UNION ALL SELECT * FROM v3 UNION ALL
+      SELECT * FROM v4
+    )
+    SELECT seq, op,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT)   AS key_checksum,
+           round(sum(price), 2)     AS price_sum
+    FROM feed
+    GROUP BY 1, 2
+    """,
+)
+def q292_fl_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC SOURCE: tail the file-list table's change feed
+    one COMMIT per micro-batch (streaming/changes_feed.py — Delta's
+    readChangeFeed-with-startingVersion shape), completing the loop
+    the epoch sink writes: write stream -> table -> read stream.
+
+    History under audit: v1 init; v2 MERGE (band 1000-2000 price+1 +
+    status 'R', %1000 keys re-inserted past the key range); v3
+    merge-on-read DELETE of every %10==7 key; v4 MERGE re-inserting
+    the %50==7 subset with their ORIGINAL payload. The pump drains
+    three micro-batches (versions_per_batch=1), each row tagged with
+    its commit; the oracle pins the exact per-commit log — in
+    particular that a key deleted in v3 and re-inserted in v4 shows
+    as D then I across the two batches, the commit attribution a net
+    snapshot diff (q266/q288) would collapse.
+
+    Delivery contract proven by the pytest twins
+    (tests/test_changes_feed.py): offset acked AFTER the consumer's
+    step (at-least-once; idempotent-per-commit sinks -> exactly
+    once), checkpointed resume with no gaps or duplicates, initial
+    snapshot as op=I, live tailing under a real StreamingQuery.
+
+    Scale shape: the pump's driver work is O(versions) metadata (the
+    committed-lineage walk + one tiny offset file); every batch's row
+    work is fl_changes' touched-files-only plan. Rate-limited by
+    versions per batch, so a consumer that fell a week behind
+    catches up in bounded steps.
+
+    Cites: operators/table_format.fl_changes/fl_lineage +
+    streaming/changes_feed; reference (create_db_from_csv.py:12-14
+    append/replace sink) has no change-capture surface.
+    """
+    from citybikedatawarehouse_spark.operators.table_format import (
+        fl_delete,
+        fl_init,
+        fl_lineage,
+        fl_merge_upsert,
+        fl_read_mor,
+    )
+    from citybikedatawarehouse_spark.streaming.changes_feed import (
+        run_fl_changes_stream,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    base = tempfile.mkdtemp(prefix="cbdw_flfeed_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    root = base + "/orders_feed"
+    fl_init(
+        spark, root, o, key="o_orderkey",
+        zorder_by=("o_orderkey",), layout_files=16,
+    )
+    band = F.col("o_orderkey").between(1000, 2000)
+    updates = o.where(band).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        F.lit("R").alias("o_orderstatus"),
+    )
+    max_k = o.agg(F.max("o_orderkey")).collect()[0][0]
+    inserts = o.where(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + F.lit(max_k + 1)).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    fl_merge_upsert(
+        spark, root, updates.unionByName(inserts), key="o_orderkey"
+    )
+    doomed = fl_read_mor(spark, root).where(F.col("o_orderkey") % 10 == 7)
+    fl_delete(spark, root, doomed)
+    reinserts = o.where(F.col("o_orderkey") % 50 == 7).select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    fl_merge_upsert(spark, root, reinserts, key="o_orderkey")
+
+    lineage = fl_lineage(root)
+    seq_of = {v: i + 1 for i, v in enumerate(lineage)}
+    batches: list[DataFrame] = []
+    run_fl_changes_stream(
+        spark,
+        root,
+        lambda df, off: batches.append(
+            df.withColumn("seq", F.lit(seq_of[off]))
+        ),
+        from_version=lineage[0],
+        versions_per_batch=1,
+    )
+    feed = batches[0]
+    for b in batches[1:]:
+        feed = feed.unionByName(b)
+    return feed.groupBy("seq", "op").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+        F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+    )
