@@ -67,7 +67,7 @@ import time
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from citybikedatawarehouse_spark.operators.maintenance import (
@@ -492,7 +492,6 @@ def fl_merge_upsert(
             f"{props['key']!r}"
         )
     updates = updates.persist()
-    touched_df = None
     try:
         constraints = props.get("constraints") or {}
         counts = updates.agg(
@@ -547,19 +546,22 @@ def fl_merge_upsert(
             )
             if dels_df is not None:
                 touched_df = touched_df.join(dels_df, key, "left_anti")
-            # the touched slice feeds THREE actions (matched count,
-            # survivor anti-join, merged write) — persist it once so
-            # the touched files are scanned once, not 3×; at 100 TB a
-            # merge touching thousands of files pays real I/O per
-            # rescan. Unpersisted in the finally with `updates`.
-            touched_df = touched_df.persist()
-            matched = touched_df.join(
-                updates.select(key), key, "left_semi"
+            # ONE scan of the touched slice: the matched count rides
+            # the commit write itself via observe() metrics (rows
+            # entering vs surviving the anti-join), so there is no
+            # separate count job, no rescan, and no cache memory a
+            # persist would pin — at 100 TB the slice can be
+            # thousands of files, and a matched.count() action would
+            # re-read every one of them
+            obs_in, obs_kept = Observation(), Observation()
+            touched_df = touched_df.observe(
+                obs_in, F.count(F.lit(1)).alias("n")
             )
-            n_replaced = matched.count()
-            kept = touched_df.join(updates.select(key), key, "left_anti")
+            kept = touched_df.join(
+                updates.select(key), key, "left_anti"
+            ).observe(obs_kept, F.count(F.lit(1)).alias("n"))
             merged = kept.unionByName(updates.select(*cols))
-        n_inserted = n_updates - n_replaced
+            n_replaced = None  # resolved from the observations below
 
         version = _claim_version(root)
         slice_props = {**props, "layout_files": max(1, len(touched))}
@@ -567,6 +569,11 @@ def fl_merge_upsert(
         _apply_layout(merged, slice_props).write.mode(
             "errorifexists"
         ).parquet(cdir)
+        if n_replaced is None:
+            # the write already ran the plan; .get just reads the
+            # recorded metrics (no job)
+            n_replaced = obs_in.get["n"] - obs_kept.get["n"]
+        n_inserted = n_updates - n_replaced
         fresh = _stats_of_commit(
             spark,
             cdir,
@@ -605,8 +612,6 @@ def fl_merge_upsert(
         return n_replaced, n_inserted, len(touched), len(m)
     finally:
         updates.unpersist()
-        if touched_df is not None:
-            touched_df.unpersist()
 
 
 def fl_vacuum(

@@ -371,3 +371,53 @@ def test_vacuum_retention_protects_recent_versions(spark, sf_dir, tmp_path):
     for p in deleted:
         assert not os.path.exists(p)
     assert fl_read(spark, root).count() == fl_read(spark, root, v3).count()
+
+
+# ---------------------------------------------------------------------------
+# merge single-scan pin: counts ride the write via observe()
+# ---------------------------------------------------------------------------
+
+
+def test_merge_counts_ride_the_write_no_count_job(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """fl_merge_upsert must resolve n_replaced WITHOUT a count()
+    action on the touched slice (the pre-round-12 matched.count()
+    rescanned every touched file): DataFrame.count is poisoned for
+    the whole merge — the observe()-metrics path is the only way the
+    returned counts can still be exact."""
+    from pyspark.sql import DataFrame
+
+    root, o = _init(spark, sf_dir, tmp_path, name="flobs12")
+    band = F.col("o_orderkey").between(1000, 2000)
+    n_band = o.where(band).count()
+    updates = o.where(band).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+    )
+    # a delete set forces the full else-branch (anti-join + fold)
+    doomed = o.where((F.col("o_orderkey") % 100 == 3)).select("o_orderkey")
+    n_doomed_in_band = o.where(
+        band & (F.col("o_orderkey") % 100 == 3)
+    ).count()
+    fl_delete(spark, root, doomed)
+
+    def poisoned(self, *a, **kw):
+        raise AssertionError(
+            "fl_merge_upsert launched a DataFrame.count() job — the "
+            "matched count must ride the commit write via observe()"
+        )
+
+    monkeypatch.setattr(DataFrame, "count", poisoned)
+    try:
+        n_rep, n_ins, n_touch, _ = fl_merge_upsert(
+            spark, root, updates, key="o_orderkey"
+        )
+    finally:
+        monkeypatch.undo()
+    # deleted band keys are NOT matched (they re-insert), so exact
+    # counts prove the observations measured the real plan
+    assert n_rep == n_band - n_doomed_in_band
+    assert n_ins == n_doomed_in_band
+    assert n_touch > 0
+    got = fl_read_mor(spark, root).where(band)
+    assert got.count() == n_band
