@@ -38,12 +38,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # reach the hard gate each round. Round-12 priority order (per the
 # round-11 VERDICT's explicit ask, item 5 — keep the rotation
 # honest, least-recently-driver-verified first):
-#   1. the new round-12 query (q292 streaming CDC source) — driver
-#      row the round it ships,
+#   1. the new round-12 queries (q292 streaming CDC source, q293
+#      CDC replication) — driver rows the round they ship,
 #   2. the round-6 evidence block, now stalest (q129-q158,
 #      q100-q105, q28/q28b, q32-q39, q108 — 47 queries, driver rows
-#      6 rounds old) + the r07 block head (q159/q160) to fill
-#      slot 50,
+#      6 rounds old) + the r07 block head (q159) to fill slot 50,
 #   3. then the rest in ascending evidence freshness, with the 50
 #      queries CORRECTNESS_r11 just proved (q287-q291, the r05
 #      remainder block) at the very tail — freshest evidence last.
@@ -53,7 +52,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every name is asserted against the registry at import time (see
 # the assert after the list).
 _SWEEP_PRIORITY = [
-    "q292_fl_changes_stream", "q129_retention_cohorts",
+    "q292_fl_changes_stream", "q293_fl_replicate",
+    "q129_retention_cohorts",
     "q130_gap_fill_interp", "q131_outlier_mad", "q132_pii_scrub",
     "q133_copurchase_pagerank", "q134_random_projection",
     "q135_pca_power_iteration", "q136_winsorized_stats",

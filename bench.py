@@ -115,6 +115,15 @@ HEADLINE = [
     "q289_fl_restore",
     "q290_fl_optimize",
     "q291_fl_constraints",
+    # round 12: the streaming CDC source — drains the per-commit
+    # change feed over a 4-commit history (3 fl_changes plans + the
+    # lineage walk + offset pump); watches the feed's touched-files
+    # diff cost end-to-end
+    "q292_fl_changes_stream",
+    # round 12: feed-driven table-to-table replication — the heaviest
+    # lifecycle query (source history + per-commit replica commits +
+    # the convergence exceptAll audit)
+    "q293_fl_replicate",
 ]
 
 # Queries whose iterative driver loop (convergence counts, d-row
@@ -156,6 +165,10 @@ EAGER_BUILD = {
     "q289_fl_restore",
     "q290_fl_optimize",
     "q291_fl_constraints",
+    # q292 builds its 4-commit history and drains the feed pump at
+    # plan-build time; the returned DataFrame is a tiny aggregate
+    "q292_fl_changes_stream",
+    "q293_fl_replicate",
 }
 
 # the round-1 baseline benched exactly these 13; rounds add queries

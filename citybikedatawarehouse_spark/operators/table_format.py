@@ -457,7 +457,10 @@ def fl_merge_upsert(
     against the broadcast manifest key-zones (``key BETWEEN min AND
     max``) — a file is touched iff at least one update key falls
     inside its zone (NULL-zone files conservatively touched).
-    Touched files are read ONCE; their non-updated rows survive via
+    Touched files are read ONCE — the replaced-row count rides the
+    commit write itself via two ``observe()`` metric points (rows
+    entering vs surviving the anti-join), so there is no separate
+    matched-count job and no rescan; non-updated rows survive via
     anti-join; updates (matched + fresh inserts) union in; the slice
     is re-clustered on the table's committed Z-order spec and written
     as the commit's new files, sized to the touched-file count so

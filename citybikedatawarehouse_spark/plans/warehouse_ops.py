@@ -2889,3 +2889,124 @@ def q292_fl_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
         F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q293 — CDC replication: feed-driven table-to-table incremental sync
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q293_fl_replicate",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey, o_totalprice AS p,
+             o_orderstatus AS st
+      FROM orders
+    ),
+    mx AS (SELECT max(k) AS mk FROM base),
+    -- the replica's final state, derived purely relationally:
+    -- band keys updated (R, price+1); %10==7 keys deleted except the
+    -- %50==7 subset re-inserted as (N, original price); %1000==0
+    -- keys re-inserted past the key range unless themselves deleted
+    final AS (
+      SELECT CASE WHEN k BETWEEN 1000 AND 2000 THEN 'R' ELSE st END AS st,
+             CASE WHEN k BETWEEN 1000 AND 2000 THEN p + 1.0 ELSE p END AS price
+      FROM base WHERE k % 10 <> 7
+      UNION ALL
+      SELECT 'N', p FROM base WHERE k % 50 = 7
+      UNION ALL
+      SELECT 'N', b.p FROM base b, mx
+      WHERE b.k % 1000 = 0 AND (b.k + mx.mk + 1) % 10 <> 7
+    )
+    SELECT st AS o_orderstatus,
+           CAST(count(*) AS BIGINT)  AS n_rows,
+           round(sum(price), 2)      AS revenue,
+           TRUE AS replica_equals_source
+    FROM final
+    GROUP BY 1
+    """,
+)
+def q293_fl_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-to-table INCREMENTAL REPLICATION over the change feed
+    (streaming/changes_feed.replicate_changes) — the canonical CDC
+    consumer: the q292 history (init, band MERGE + tail inserts, MOR
+    delete of %10==7, re-insert of %50==7) is replayed onto a SECOND
+    file-list table commit by commit — initial snapshot ``fl_init``s
+    the replica; each later source commit applies as one fl_delete
+    (D keys) + one fl_merge_upsert (I/U payloads), so the replica is
+    itself a transactional table with its own lineage.
+
+    The oracle derives the replica's final state purely relationally
+    and the engine pins ``replica_equals_source``: symmetric
+    ``exceptAll`` between the replica's MOR read and the source's is
+    empty — bitwise state convergence, not just aggregate agreement.
+
+    Scale shape: replication cost tracks the CHANGES (O(changed
+    files) feed reads, O(changed keys) replica commits), never the
+    table — the 100 TB sync pattern; driver work is O(versions)
+    metadata plus one tiny offset file.
+
+    Cites: streaming/changes_feed.replicate_changes (crash-replay
+    convergence proven in tests/test_changes_feed.py); the reference
+    copies tables only by full re-load (create_db_from_csv.py) — no
+    incremental sync exists there.
+    """
+    from citybikedatawarehouse_spark.operators.table_format import (
+        fl_delete,
+        fl_init,
+        fl_merge_upsert,
+        fl_read_mor,
+    )
+    from citybikedatawarehouse_spark.streaming.changes_feed import (
+        replicate_changes,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    base = tempfile.mkdtemp(prefix="cbdw_flrepl_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src = base + "/src"
+    dst = base + "/dst"
+    fl_init(
+        spark, src, o, key="o_orderkey",
+        zorder_by=("o_orderkey",), layout_files=16,
+    )
+    band = F.col("o_orderkey").between(1000, 2000)
+    updates = o.where(band).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        F.lit("R").alias("o_orderstatus"),
+    )
+    max_k = o.agg(F.max("o_orderkey")).collect()[0][0]
+    inserts = o.where(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + F.lit(max_k + 1)).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    fl_merge_upsert(
+        spark, src, updates.unionByName(inserts), key="o_orderkey"
+    )
+    doomed = fl_read_mor(spark, src).where(F.col("o_orderkey") % 10 == 7)
+    fl_delete(spark, src, doomed)
+    reinserts = o.where(F.col("o_orderkey") % 50 == 7).select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    fl_merge_upsert(spark, src, reinserts, key="o_orderkey")
+
+    replicate_changes(spark, src, dst, versions_per_batch=2)
+
+    replica = fl_read_mor(spark, dst)
+    source = fl_read_mor(spark, src)
+    converged = (
+        replica.exceptAll(source).limit(1).count() == 0
+        and source.exceptAll(replica).limit(1).count() == 0
+    )
+    return replica.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    ).withColumn("replica_equals_source", F.lit(converged))

@@ -140,7 +140,7 @@ class FlChangesCursor:
         ``ack(new_offset)`` after the batch is durably consumed."""
         from citybikedatawarehouse_spark.operators.table_format import (
             fl_changes,
-            fl_read,
+            fl_read_mor,
             fl_table_props,
         )
 
@@ -154,12 +154,15 @@ class FlChangesCursor:
         for v in take:
             if prev == BEFORE_FIRST:
                 # initial snapshot: every row is an insert — shaped
-                # exactly like cdc_extract output (op, key, payload)
+                # exactly like cdc_extract output (op, key, payload).
+                # MOR view on purpose: after a vacuum the oldest
+                # replayable version can carry a delete set, and a
+                # plain file read would resurrect its deleted rows
                 props = fl_table_props(self.root, v)
                 cols = [f["name"] for f in props["schema"]]
                 key = props["key"]
                 payload = [c for c in cols if c != key]
-                ch = fl_read(self.spark, self.root, v).select(
+                ch = fl_read_mor(self.spark, self.root, v).select(
                     F.lit("I").alias("op"), key, *payload
                 )
             else:
@@ -242,3 +245,86 @@ def start_fl_changes_feed(
         .writeStream.foreachBatch(tick)
         .start()
     )
+
+
+def replicate_changes(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    checkpoint_dir: str | None = None,
+    versions_per_batch: int = 4,
+    max_batches: int | None = None,
+) -> int:
+    """Table-to-table INCREMENTAL REPLICATION over the change feed —
+    the canonical CDC consumer (Delta deep-clone-incremental /
+    Fivetran-style sync), composed entirely from this module's
+    cursor and the table format's own write ops, so every applied
+    batch is itself an atomic commit on the replica:
+
+    - the initial-snapshot batch (all op=I) ``fl_init``s the replica
+      with the source's key/stats/zorder/layout props;
+    - each later batch applies PER SOURCE COMMIT, in commit order:
+      D keys -> ``fl_delete`` (merge-on-read, no replica rewrite),
+      I/U payloads -> ``fl_merge_upsert`` (O(touched-files));
+      within one commit the feed nets each key to at most one op, so
+      delete-before-upsert is always safe.
+
+    Exactly-once state: the offset acks after the whole batch
+    applies (at-least-once delivery), and a replayed batch
+    re-applies to the SAME logical state (delete of already-absent
+    keys and upsert of identical rows are state-idempotent), so the
+    replica converges regardless of crashes between apply and ack.
+    Cost tracks the CHANGES, never the table: a 100 TB source whose
+    day touched 0.1 % of keys replicates that day as O(changed
+    files) reads and O(changed keys) replica commits. Returns the
+    number of source commits applied."""
+    from citybikedatawarehouse_spark.operators.table_format import (
+        fl_delete,
+        fl_init,
+        fl_merge_upsert,
+        fl_table_props,
+    )
+
+    applied = 0
+
+    def step(df: DataFrame, _offset: str) -> None:
+        nonlocal applied
+        src_props = fl_table_props(src_root)
+        key = src_props["key"]
+        cols = [f["name"] for f in src_props["schema"]]
+        # commits inside the batch must apply in order — they are
+        # few (<= versions_per_batch version names), the rows under
+        # each stay distributed
+        versions = sorted(
+            r[0]
+            for r in df.select("_commit_version").distinct().collect()
+        )
+        for v in versions:
+            commit = df.where(F.col("_commit_version") == v)
+            if not os.path.exists(os.path.join(dst_root, "_MANIFEST")):
+                fl_init(
+                    spark,
+                    dst_root,
+                    commit.where(F.col("op") == "I").select(*cols),
+                    key=key,
+                    stats_cols=tuple(src_props.get("stats_cols", [])),
+                    zorder_by=tuple(src_props.get("zorder_by", [])),
+                    layout_files=src_props.get("layout_files", 16),
+                )
+                applied += 1
+                continue
+            dels = commit.where(F.col("op") == "D").select(key)
+            fl_delete(spark, dst_root, dels)  # empty batch = no-op
+            ups = commit.where(F.col("op").isin("I", "U")).select(*cols)
+            fl_merge_upsert(spark, dst_root, ups, key=key)
+            applied += 1
+
+    run_fl_changes_stream(
+        spark,
+        src_root,
+        step,
+        versions_per_batch=versions_per_batch,
+        checkpoint_dir=checkpoint_dir,
+        max_batches=max_batches,
+    )
+    return applied

@@ -200,3 +200,52 @@ def test_offset_vacuumed_away_raises(spark, sf_dir, tmp_path):
     cur = FlChangesCursor(spark, root, from_version=v1)
     with pytest.raises(ValueError, match="lineage"):
         cur.next_batch()
+
+
+def test_replication_converges_and_survives_replay(spark, sf_dir, tmp_path):
+    """replicate_changes: the replica equals the source's MOR head
+    after an incremental catch-up in two separately-checkpointed
+    runs, and a crash-shaped replay (offset rolled back one commit)
+    re-applies to the same state — convergence, not duplication."""
+    import json as _json
+    import pandas as pd
+
+    from citybikedatawarehouse_spark.streaming.changes_feed import (
+        replicate_changes,
+    )
+
+    src, o = _history(spark, sf_dir, tmp_path, "repl_src")
+    dst = str(tmp_path / "repl_dst")
+    ckpt = str(tmp_path / "repl_ckpt")
+
+    def snap(root):
+        df = fl_read_mor(spark, root).toPandas()
+        return (
+            df.sort_values("o_orderkey")
+            .reset_index(drop=True)
+            .round({"o_totalprice": 2})
+        )
+
+    # first run stops after 2 source commits (init + one)
+    n1 = replicate_changes(
+        spark, src, dst, checkpoint_dir=ckpt,
+        versions_per_batch=1, max_batches=2,
+    )
+    assert n1 == 2
+    # resume: applies the remaining 2 commits
+    n2 = replicate_changes(
+        spark, src, dst, checkpoint_dir=ckpt, versions_per_batch=1,
+    )
+    assert n1 + n2 == len(fl_lineage(src)) == 4
+    pd.testing.assert_frame_equal(snap(dst), snap(src))
+
+    # crash replay: roll the offset back one commit and re-apply —
+    # the replayed delete/upsert must converge to the same state
+    lineage = fl_lineage(src)
+    with open(os.path.join(ckpt, "offset.json"), "w") as f:
+        _json.dump({"last_version": lineage[-2]}, f)
+    n3 = replicate_changes(
+        spark, src, dst, checkpoint_dir=ckpt, versions_per_batch=1,
+    )
+    assert n3 == 1
+    pd.testing.assert_frame_equal(snap(dst), snap(src))
