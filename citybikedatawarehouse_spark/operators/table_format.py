@@ -814,20 +814,28 @@ def fl_delete(
     work stays bounded. Commit = claim version -> stage delete files
     + manifest copy + props -> CAS pointer flip; same crash/conflict
     matrix as every other commit."""
+    import uuid as _uuid
+
     parent = fl_current_version(root)
     props = fl_table_props(root, parent)
     key = props["key"]
+    # stage into a temp dir FIRST and claim the version only once the
+    # batch proves non-empty: empty delete batches are routine in
+    # streaming, and claiming up front would leak one orphan .claim
+    # marker per empty batch forever (claimed numbers are never
+    # reissued). An empty batch must also be a no-op, not an empty
+    # commit — a committed zero-row dir would make the delete set
+    # non-empty forever, so every later read pays the anti-join and
+    # merges lose the pure-append fast path.
+    tdir = _delete_dir(root, f"tmp_{_uuid.uuid4().hex}")
+    keys.select(key).distinct().write.mode("errorifexists").parquet(tdir)
+    n_new = _parquet_rows(tdir)  # footer read, no second Spark job
+    if n_new == 0:
+        shutil.rmtree(tdir, ignore_errors=True)
+        return 0, parent
     version = _claim_version(root)
     ddir = _delete_dir(root, version)
-    keys.select(key).distinct().write.mode("errorifexists").parquet(ddir)
-    n_new = _parquet_rows(ddir)  # footer read, no second Spark job
-    if n_new == 0:
-        # empty delete batches are routine in streaming — a no-op,
-        # not an empty commit: committing a zero-row dir would make
-        # the delete set non-empty forever, so every later read pays
-        # the anti-join and merges lose the pure-append fast path
-        shutil.rmtree(ddir, ignore_errors=True)
-        return 0, parent
+    os.rename(tdir, ddir)  # same filesystem: atomic move into place
     dirs = list(props.get("delete_dirs") or []) + [ddir]
     if len(dirs) > _DELETE_FOLD_AFTER:
         fdir = _delete_dir(root, f"{version}_fold")

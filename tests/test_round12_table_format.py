@@ -174,10 +174,18 @@ def test_empty_delete_batch_is_noop(spark, sf_dir, tmp_path):
     fast path."""
     root, o = _init(spark, sf_dir, tmp_path, name="flnoop12")
     v_before = fl_current_version(root)
+    mdir = os.path.join(root, "_manifests")
+    claims_before = sorted(f for f in os.listdir(mdir) if f.endswith(".claim"))
     n, v = fl_delete(spark, root, o.select("o_orderkey").where(F.lit(False)))
     assert (n, v) == (0, v_before)
     assert fl_current_version(root) == v_before
     assert fl_table_props(root)["delete_dirs"] == []
+    # no version number claimed, no staging dir left behind: a
+    # streaming sink's routine empty batches must not leak artifacts
+    assert sorted(
+        f for f in os.listdir(mdir) if f.endswith(".claim")
+    ) == claims_before
+    assert os.listdir(os.path.join(root, "deletes")) == []
     # pure-append fast path intact: far-beyond-range inserts rewrite 0
     hi = o.agg(F.max("o_orderkey")).first()[0]
     ins = o.limit(2).withColumn(
