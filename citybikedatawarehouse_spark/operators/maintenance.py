@@ -661,11 +661,23 @@ def manifest_init(
     return version
 
 
-def manifest_vacuum(root: str, keep: int = 2) -> list[str]:
+def manifest_vacuum(
+    root: str,
+    keep: int = 2,
+    retain_hours: float = 168.0,
+    force: bool = False,
+) -> list[str]:
     """Delete version directories older than the newest ``keep``,
     never touching the current pointer's target (asserted). Returns
-    the removed directory names. Run AFTER readers of old versions
-    have drained (time-travel retention is the caller's policy)."""
+    the removed directory names.
+
+    Retention guard (same rule as ``fl_vacuum``, Delta's ``VACUUM
+    ... RETAIN``): a version committed within the last
+    ``retain_hours`` (default 7 days) is never dropped even outside
+    ``keep`` — recency is the reader lease on a shared filesystem,
+    so a reader that resolved the version pre-vacuum still finds it.
+    ``force=True`` bypasses the horizon — torn-read hazard for any
+    reader mid-query on a force-dropped version."""
     import shutil
 
     current = os.path.basename(manifest_current(root))
@@ -673,6 +685,13 @@ def manifest_vacuum(root: str, keep: int = 2) -> list[str]:
         d for d in os.listdir(root) if d.startswith("v") and d[1:].isdigit()
     )
     to_drop = [d for d in versions[:-keep] if d != current]
+    if not force:
+        horizon = time.time() - retain_hours * 3600.0
+        to_drop = [
+            d
+            for d in to_drop
+            if os.path.getmtime(os.path.join(root, d)) < horizon
+        ]
     for d in to_drop:
         shutil.rmtree(os.path.join(root, d))
     return to_drop

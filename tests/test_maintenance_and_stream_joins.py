@@ -446,7 +446,10 @@ def test_merge_upsert_manifest_crash_injection(spark, tmp_path):
         os.path.join(root, v1)
     ).collect()} == before
     current = os.path.basename(manifest_current(root))
-    dropped = manifest_vacuum(root, keep=1)
+    # default retention would keep the fresh version; retention
+    # semantics are pinned in test_round12_table_format
+    assert manifest_vacuum(root, keep=1) == []
+    dropped = manifest_vacuum(root, keep=1, retain_hours=0.0)
     assert v1 in dropped and current not in dropped
     assert {(r["k"], r["v"]) for r in manifest_read(spark, root).collect()} \
         == got2

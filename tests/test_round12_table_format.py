@@ -429,3 +429,29 @@ def test_merge_counts_ride_the_write_no_count_job(
     assert n_touch > 0
     got = fl_read_mor(spark, root).where(band)
     assert got.count() == n_band
+
+
+def test_manifest_vacuum_retention_parity(spark, tmp_path):
+    """The directory-format vacuum honors the same retention rule as
+    fl_vacuum: fresh versions survive a default vacuum, force drops
+    them."""
+    from citybikedatawarehouse_spark.operators.maintenance import (
+        manifest_init,
+        manifest_vacuum,
+        merge_upsert_manifest,
+    )
+
+    root = str(tmp_path / "dirfmt")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    manifest_init(spark, root, df)
+    merge_upsert_manifest(
+        spark, root,
+        spark.createDataFrame([(2, "B")], "k long, v string"), "k",
+    )
+    merge_upsert_manifest(
+        spark, root,
+        spark.createDataFrame([(3, "c")], "k long, v string"), "k",
+    )
+    assert manifest_vacuum(root, keep=1) == []          # all too young
+    dropped = manifest_vacuum(root, keep=1, force=True)
+    assert len(dropped) == 2
