@@ -292,39 +292,49 @@ def replicate_changes(
         src_props = fl_table_props(src_root)
         key = src_props["key"]
         cols = [f["name"] for f in src_props["schema"]]
-        # commits inside the batch must apply in order — they are
-        # few (<= versions_per_batch version names), the rows under
-        # each stay distributed
-        versions = sorted(
-            r[0]
-            for r in df.select("_commit_version").distinct().collect()
-        )
-        for v in versions:
-            commit = df.where(F.col("_commit_version") == v)
+        # the diff behind this batch is a full-outer join over the
+        # commit's changed files — persist it so the D-filter and the
+        # I/U-filter (and the merge's constraint aggregate) compute
+        # it ONCE, not once per consuming action
+        df = df.persist()
+        try:
             if not os.path.exists(os.path.join(dst_root, "_MANIFEST")):
                 fl_init(
                     spark,
                     dst_root,
-                    commit.where(F.col("op") == "I").select(*cols),
+                    df.where(F.col("op") == "I").select(*cols),
                     key=key,
                     stats_cols=tuple(src_props.get("stats_cols", [])),
                     zorder_by=tuple(src_props.get("zorder_by", [])),
                     layout_files=src_props.get("layout_files", 16),
                 )
                 applied += 1
-                continue
-            dels = commit.where(F.col("op") == "D").select(key)
+                return
+            dels = df.where(F.col("op") == "D").select(key)
             fl_delete(spark, dst_root, dels)  # empty batch = no-op
-            ups = commit.where(F.col("op").isin("I", "U")).select(*cols)
+            ups = df.where(F.col("op").isin("I", "U")).select(*cols)
             fl_merge_upsert(spark, dst_root, ups, key=key)
             applied += 1
+        finally:
+            df.unpersist()
 
+    # one COMMIT per cursor batch regardless of the caller's
+    # versions_per_batch: commits must apply to the replica in order
+    # anyway, and a single-commit batch means the offset IS the
+    # commit version — no job to rediscover which versions a batch
+    # holds. versions_per_batch still bounds how many commits one
+    # CALL may apply (rate limiting composes with max_batches).
+    budget = (
+        None
+        if max_batches is None
+        else max_batches * max(1, versions_per_batch)
+    )
     run_fl_changes_stream(
         spark,
         src_root,
         step,
-        versions_per_batch=versions_per_batch,
+        versions_per_batch=1,
         checkpoint_dir=checkpoint_dir,
-        max_batches=max_batches,
+        max_batches=budget,
     )
     return applied
