@@ -249,3 +249,58 @@ def test_replication_converges_and_survives_replay(spark, sf_dir, tmp_path):
     )
     assert n3 == 1
     pd.testing.assert_frame_equal(snap(dst), snap(src))
+
+
+def test_feed_crosses_restore_as_compensating_changes(
+    spark, sf_dir, tmp_path
+):
+    """RESTORE is itself a commit, so the feed must emit the rollback
+    as compensating changes (undoing v2's U/I), and a consumer that
+    applies the whole feed lands exactly on the restored state."""
+    from citybikedatawarehouse_spark.operators.table_format import (
+        fl_restore,
+    )
+
+    root = str(tmp_path / "feed_restore")
+    o = _orders(spark, sf_dir).limit(500)
+    fl_init(
+        spark, root, o, key="o_orderkey",
+        zorder_by=("o_orderkey",), layout_files=2,
+    )
+    v1 = fl_current_version(root)
+    hi = o.agg(F.max("o_orderkey")).first()[0]
+    ups = (
+        o.orderBy("o_orderkey").limit(5)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(5.0))
+    )
+    ins = o.orderBy("o_orderkey").limit(2).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(hi + 1)
+    )
+    fl_merge_upsert(spark, root, ups.unionByName(ins), key="o_orderkey")
+    fl_restore(spark, root, v1)
+
+    batches = []
+    run_fl_changes_stream(
+        spark, root, lambda df, off: batches.append(df.toPandas()),
+        from_version=v1, versions_per_batch=1,
+    )
+    assert len(batches) == 2
+    # batch 1: the merge (5 U + 2 I); batch 2: the rollback undoes it
+    # (5 U back to the original payload, 2 D for the inserts)
+    ops1 = batches[0]["op"].value_counts().to_dict()
+    ops2 = batches[1]["op"].value_counts().to_dict()
+    assert ops1 == {"U": 5, "I": 2}
+    assert ops2 == {"U": 5, "D": 2}
+    # net application of both batches = restored (= v1) state
+    from citybikedatawarehouse_spark.operators.table_format import fl_read
+
+    snap_v1 = fl_read(spark, root, v1).toPandas()
+    import pandas as pd
+
+    feed = pd.concat(batches, ignore_index=True)
+    head = fl_read_mor(spark, root).toPandas()
+    want = {
+        r["o_orderkey"]: (r["o_custkey"], round(float(r["o_totalprice"]), 2))
+        for _, r in head.iterrows()
+    }
+    assert _apply_feed(snap_v1, feed) == want
