@@ -304,3 +304,88 @@ def test_feed_crosses_restore_as_compensating_changes(
         for _, r in head.iterrows()
     }
     assert _apply_feed(snap_v1, feed) == want
+
+
+def test_live_loop_write_stream_to_read_stream(spark, tmp_path):
+    """The full loop LIVE: a streaming epoch sink commits
+    micro-batches into the table WHILE the CDC feed streams them
+    back out concurrently — write stream -> table -> read stream.
+    After both stop (plus a final catch-up drain), the feed applied
+    over the initial snapshot equals the table's head state."""
+    import pandas as pd
+
+    from citybikedatawarehouse_spark.operators.table_format import (
+        fl_read,
+    )
+    from citybikedatawarehouse_spark.streaming.incremental import (
+        start_fl_upsert_stream,
+    )
+
+    root = str(tmp_path / "liveloop")
+    ckpt = str(tmp_path / "liveloop_ckpt")
+    seed = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.lit(-1).alias("v")
+    )
+    fl_init(spark, root, seed, key="k", zorder_by=("k",), layout_files=2)
+    v1 = fl_current_version(root)
+
+    # writer: rate ticks -> (k = value % 80, v = value); keys 50-79
+    # are inserts, the rest updates; value is the last-wins order
+    updates = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 40)
+        .load()
+        .select(
+            (F.col("value") % 80).alias("k"), F.col("value").alias("v")
+        )
+    )
+    sink = start_fl_upsert_stream(
+        updates, root, key="k", dedup_order_col="v", txn_app_id=root
+    )
+
+    feed_batches = []
+    reader = start_fl_changes_feed(
+        spark,
+        root,
+        lambda df, off: feed_batches.append(df.toPandas()),
+        from_version=v1,
+        versions_per_batch=1,
+        checkpoint_dir=ckpt,
+        ticks_per_second=4,
+    )
+    try:
+        deadline = time.monotonic() + 90
+        # run until the sink has committed a few epochs AND the live
+        # reader has delivered at least two of them concurrently
+        while time.monotonic() < deadline and (
+            len(fl_lineage(root)) < 4 or len(feed_batches) < 2
+        ):
+            time.sleep(0.5)
+    finally:
+        sink.stop()
+        reader.stop()
+    assert len(fl_lineage(root)) >= 4, "sink committed too few epochs"
+    assert len(feed_batches) >= 2, "live reader never caught a commit"
+
+    # drain whatever the live reader had not yet consumed (same
+    # checkpoint -> continues exactly where it stopped)
+    run_fl_changes_stream(
+        spark,
+        root,
+        lambda df, off: feed_batches.append(df.toPandas()),
+        checkpoint_dir=ckpt,
+    )
+
+    snap_v1 = fl_read(spark, root, v1).toPandas()
+    feed = pd.concat(feed_batches, ignore_index=True)
+    head = fl_read_mor(spark, root).toPandas()
+    want = {
+        r["k"]: r["v"] for _, r in head.iterrows()
+    }
+    state = {r["k"]: r["v"] for _, r in snap_v1.iterrows()}
+    for _, r in feed.sort_values("_commit_version", kind="stable").iterrows():
+        if r["op"] == "D":
+            state.pop(r["k"], None)
+        else:
+            state[r["k"]] = r["v"]
+    assert state == want
