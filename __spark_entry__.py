@@ -39,7 +39,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-11 VERDICT's explicit ask, item 5 — keep the rotation
 # honest, least-recently-driver-verified first):
 #   1. the new round-12 queries (q292 streaming CDC source, q293
-#      CDC replication) — driver rows the round they ship,
+#      CDC replication, q294 cluster evolution) — driver rows the
+#      round they ship,
 #   2. the round-6 evidence block, now stalest (q129-q158,
 #      q100-q105, q28/q28b, q32-q39, q108 — 47 queries, driver rows
 #      6 rounds old) + the r07 block head (q159) to fill slot 50,
@@ -53,6 +54,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # the assert after the list).
 _SWEEP_PRIORITY = [
     "q292_fl_changes_stream", "q293_fl_replicate",
+    "q294_fl_set_zorder",
     "q129_retention_cohorts",
     "q130_gap_fill_interp", "q131_outlier_mad", "q132_pii_scrub",
     "q133_copurchase_pagerank", "q134_random_projection",

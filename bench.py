@@ -124,6 +124,9 @@ HEADLINE = [
     # lifecycle query (source history + per-commit replica commits +
     # the convergence exceptAll audit)
     "q293_fl_replicate",
+    # round 12 (late): cluster-spec evolution — metadata flip + merge
+    # on the new spec + compact migration + pruned read
+    "q294_fl_set_zorder",
 ]
 
 # Queries whose iterative driver loop (convergence counts, d-row
@@ -169,6 +172,7 @@ EAGER_BUILD = {
     # plan-build time; the returned DataFrame is a tiny aggregate
     "q292_fl_changes_stream",
     "q293_fl_replicate",
+    "q294_fl_set_zorder",
 }
 
 # the round-1 baseline benched exactly these 13; rounds add queries

@@ -1006,6 +1006,60 @@ def fl_optimize(
     return version, len(small), len(m)
 
 
+def fl_set_zorder(
+    spark: SparkSession,
+    root: str,
+    zorder_by: tuple[str, ...],
+    stats_cols: tuple[str, ...] = (),
+) -> str:
+    """ALTER TABLE CLUSTER BY (cluster-spec evolution, the Delta
+    liquid-clustering story): a METADATA-ONLY commit that changes the
+    Z-order spec — and extends the tracked stats columns — without
+    rewriting a single data file. Existing files keep their old
+    layout; their manifest rows carry NULL zones for newly tracked
+    columns, which every consumer already treats conservatively
+    (pruning keeps NULL-zone files, merge targeting touches them).
+    From this commit on, every write (merge, OPTIMIZE, compact)
+    re-clusters ITS OUTPUT on the new spec and records real stats —
+    so the table migrates to the new clustering incrementally, at
+    the pace of its own writes, and ``fl_compact`` finishes the job
+    in one rewrite when the table chooses. Returns the new version.
+
+    Cites: Delta clustered tables (ALTER TABLE ... CLUSTER BY) /
+    Iceberg's write-order metadata — the reference has no layout
+    control at all (heap tables, create_db_from_csv.py)."""
+    parent = fl_current_version(root)
+    props = fl_table_props(root, parent)
+    names = {f["name"] for f in props["schema"]}
+    unknown = [c for c in (*zorder_by, *stats_cols) if c not in names]
+    if unknown:
+        raise ValueError(
+            f"filelist table {root}: no column(s) {unknown} "
+            f"(schema: {sorted(names)})"
+        )
+    new_stats = list(
+        dict.fromkeys(
+            [*props["stats_cols"], *stats_cols, *zorder_by]
+        )
+    )
+    m = fl_manifest(root, parent).copy()
+    for c in new_stats:
+        for side in ("min", "max"):
+            col = f"{side}_{c}"
+            if col not in m.columns:
+                m[col] = pd.NA  # NULL zone: conservatively unprunable
+    new_props = {
+        **props,
+        "zorder_by": list(zorder_by),
+        "stats_cols": new_stats,
+        "parent": parent,
+    }
+    version = _claim_version(root)
+    _write_manifest(root, version, m, new_props)
+    _fl_commit(root, version, parent)
+    return version
+
+
 def fl_restore(spark: SparkSession, root: str, version: str) -> str:
     """RESTORE (rollback): commit ``version``'s exact state — manifest,
     delete set, schema, layout spec — as a NEW version (Delta RESTORE

@@ -3010,3 +3010,93 @@ def q293_fl_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     ).withColumn("replica_equals_source", F.lit(converged))
+
+
+# ---------------------------------------------------------------------------
+# q294 — cluster-spec evolution (ALTER TABLE CLUSTER BY)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q294_fl_set_zorder",
+    oracle="""
+    WITH banded AS (
+      SELECT o_custkey, o_totalprice FROM orders
+      WHERE o_custkey BETWEEN 400 AND 800
+    )
+    SELECT CAST(count(*) AS BIGINT)       AS n_rows,
+           CAST(sum(o_custkey) AS BIGINT) AS cust_checksum,
+           round(sum(o_totalprice + 1.0), 2) AS revenue,
+           TRUE AS evolution_metadata_only,
+           TRUE AS pruned_after_compact
+    FROM banded
+    """,
+)
+def q294_fl_set_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-spec EVOLUTION (``fl_set_zorder`` — Delta's ALTER
+    TABLE CLUSTER BY / liquid clustering): the table starts
+    clustered by its key; one metadata-only commit switches the spec
+    to ``o_custkey`` (zero files rewritten — pinned by byte-identical
+    file list; existing files get NULL zones, conservatively
+    unprunable); a MERGE then writes ITS files on the new spec; a
+    compact finishes the migration, after which a custkey-band
+    pruned read actually skips files (pinned: n_read < n_total).
+    The returned aggregate runs over the PRUNED read, so the oracle
+    also proves pruning lost no rows.
+
+    Scale shape: re-clustering a 100 TB table is not one giant job —
+    the spec flips in O(1) metadata, every subsequent write migrates
+    its own slice, and the full rewrite (compact) is an optional
+    final step the table schedules. Pruning correctness never
+    depends on migration progress (NULL zones are kept).
+
+    Cites: operators/table_format.fl_set_zorder; reference has no
+    layout control (PostgreSQL heap tables, create_db_from_csv.py).
+    """
+    from citybikedatawarehouse_spark.operators.table_format import (
+        fl_compact,
+        fl_init,
+        fl_manifest,
+        fl_merge_upsert,
+        fl_read_pruned,
+        fl_set_zorder,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    base = tempfile.mkdtemp(prefix="cbdw_flzo_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    root = base + "/orders_zo"
+    fl_init(
+        spark, root, o, key="o_orderkey",
+        zorder_by=("o_orderkey",), layout_files=16,
+    )
+    files_v1 = sorted(fl_manifest(root)["path"])
+    v = fl_set_zorder(spark, root, ("o_custkey",))
+    evolution_metadata_only = (
+        sorted(fl_manifest(root, v)["path"]) == files_v1
+    )
+    # a wave of updates commits files already clustered on the new
+    # spec; +1.0 so the oracle sees the merged payload
+    fl_merge_upsert(
+        spark,
+        root,
+        o.withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0)),
+        key="o_orderkey",
+    )
+    fl_compact(spark, root, layout_files=16)
+    df, n_read, n_total = fl_read_pruned(
+        spark, root, {"o_custkey": (400, 800)}
+    )
+    pruned = 0 < n_read < n_total
+    return (
+        df.where(F.col("o_custkey").between(400, 800))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("o_custkey").cast("bigint").alias("cust_checksum"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .withColumn("evolution_metadata_only", F.lit(evolution_metadata_only))
+        .withColumn("pruned_after_compact", F.lit(pruned))
+    )

@@ -455,3 +455,63 @@ def test_manifest_vacuum_retention_parity(spark, tmp_path):
     assert manifest_vacuum(root, keep=1) == []          # all too young
     dropped = manifest_vacuum(root, keep=1, force=True)
     assert len(dropped) == 2
+
+
+# ---------------------------------------------------------------------------
+# cluster-spec evolution (ALTER TABLE CLUSTER BY)
+# ---------------------------------------------------------------------------
+
+
+def test_set_zorder_migrates_incrementally(spark, sf_dir, tmp_path):
+    """fl_set_zorder is metadata-only (no file rewritten, NULL zones
+    for the new stats column), later writes cluster on the NEW spec,
+    and a compact finishes the migration: pruning on the new column
+    then actually skips files. Content is identical throughout."""
+    from citybikedatawarehouse_spark.operators.table_format import (
+        fl_compact,
+        fl_manifest,
+        fl_read_pruned,
+        fl_set_zorder,
+    )
+
+    root, o = _init(spark, sf_dir, tmp_path, name="flzorder12")
+    want = o.count()
+    files_before = sorted(fl_manifest(root)["path"])
+
+    # o_totalprice is NOT tracked at init — the evolution must add
+    # it as a NULL zone on every existing file
+    v = fl_set_zorder(spark, root, ("o_totalprice",))
+    m = fl_manifest(root, v)
+    assert sorted(m["path"]) == files_before  # metadata-only
+    assert m["min_o_totalprice"].isna().all()
+    props = fl_table_props(root, v)
+    assert props["zorder_by"] == ["o_totalprice"]
+    assert "o_totalprice" in props["stats_cols"]
+    # pruning on the new column is allowed but skips nothing yet
+    lo = o.agg(F.expr("percentile(o_totalprice, 0.4)")).first()[0]
+    hi = o.agg(F.expr("percentile(o_totalprice, 0.6)")).first()[0]
+    df, n_read, n_total = fl_read_pruned(
+        spark, root, {"o_totalprice": (lo, hi)}
+    )
+    assert n_read == n_total
+    assert fl_read(spark, root).count() == want
+
+    # one full re-cluster on the new spec -> pruning now engages
+    fl_compact(spark, root, layout_files=8)
+    df2, n_read2, n_total2 = fl_read_pruned(
+        spark, root, {"o_totalprice": (lo, hi)}
+    )
+    assert 0 < n_read2 < n_total2
+    band = F.col("o_totalprice").between(lo, hi)
+    assert df2.where(band).count() == o.where(band).count()
+    assert fl_read(spark, root).count() == want
+
+
+def test_set_zorder_rejects_unknown_column(spark, sf_dir, tmp_path):
+    from citybikedatawarehouse_spark.operators.table_format import (
+        fl_set_zorder,
+    )
+
+    root, _ = _init(spark, sf_dir, tmp_path, name="flzorder12b")
+    with pytest.raises(ValueError, match="no column"):
+        fl_set_zorder(spark, root, ("nope",))
