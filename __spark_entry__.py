@@ -43,7 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #      round they ship,
 #   2. the round-6 evidence block, now stalest (q129-q158,
 #      q100-q105, q28/q28b, q32-q39, q108 — 47 queries, driver rows
-#      6 rounds old) + the r07 block head (q159) to fill slot 50,
+#      6 rounds old), filling the 50-slot gate exactly,
 #   3. then the rest in ascending evidence freshness, with the 50
 #      queries CORRECTNESS_r11 just proved (q287-q291, the r05
 #      remainder block) at the very tail — freshest evidence last.

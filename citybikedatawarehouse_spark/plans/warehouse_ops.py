@@ -3020,9 +3020,14 @@ def q293_fl_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q294_fl_set_zorder",
     oracle="""
-    WITH banded AS (
-      SELECT o_custkey, o_totalprice FROM orders
-      WHERE o_custkey BETWEEN 400 AND 800
+    WITH bounds AS (
+      SELECT quantile_cont(o_custkey, 0.4) AS lo,
+             quantile_cont(o_custkey, 0.6) AS hi
+      FROM orders
+    ),
+    banded AS (
+      SELECT o_custkey, o_totalprice FROM orders, bounds
+      WHERE o_custkey BETWEEN bounds.lo AND bounds.hi
     )
     SELECT CAST(count(*) AS BIGINT)       AS n_rows,
            CAST(sum(o_custkey) AS BIGINT) AS cust_checksum,
@@ -3086,12 +3091,19 @@ def q294_fl_set_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="o_orderkey",
     )
     fl_compact(spark, root, layout_files=16)
+    # data-dependent band (40th-60th percentile) so the query is
+    # non-degenerate at every SF; Spark's exact interpolated
+    # percentile matches DuckDB's quantile_cont rule
+    lo, hi = o.agg(
+        F.expr("percentile(o_custkey, 0.4)"),
+        F.expr("percentile(o_custkey, 0.6)"),
+    ).first()
     df, n_read, n_total = fl_read_pruned(
-        spark, root, {"o_custkey": (400, 800)}
+        spark, root, {"o_custkey": (lo, hi)}
     )
     pruned = 0 < n_read < n_total
     return (
-        df.where(F.col("o_custkey").between(400, 800))
+        df.where(F.col("o_custkey").between(lo, hi))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.sum("o_custkey").cast("bigint").alias("cust_checksum"),
