@@ -41,6 +41,7 @@ def zorder_key(
     cols: list[str],
     bits: int = 16,
     out_col: str = "z_key",
+    bounds: dict[str, tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Append a Z-order key over ``cols``: each column is first
     range-normalized to [0, 2^bits) with exact BIGINT arithmetic
@@ -63,20 +64,34 @@ def zorder_key(
     what overflows in this branch); same [0, 2^bits) codomain after
     the least() clamp, no wrap at any BIGINT range.
     """
-    bounds = df.agg(
-        *[
-            f
-            for c in cols
-            for f in (
-                F.min(F.col(c).cast("long")).alias(f"__mn_{c}"),
-                F.max(F.col(c).cast("long")).alias(f"__mx_{c}"),
-            )
-        ]
-    )
     top = (1 << bits) - 1
     # widest range for which (v - mn) * top cannot exceed 2^63 - 1
     safe_range = ((1 << 63) - 1) // top
-    joined = df.crossJoin(F.broadcast(bounds))
+    if bounds is not None and all(c in bounds for c in cols):
+        # caller-supplied bounds (e.g. from a table format's own
+        # per-file zone stats): the bounds pass — a full aggregate
+        # scan of df per write — disappears entirely. Supplied
+        # bounds may be WIDER than the data (never narrower): the
+        # normalization stays monotone and in-codomain, only bucket
+        # resolution softens.
+        joined = df
+        for c in cols:
+            mn, mx = bounds[c]
+            joined = joined.withColumn(
+                f"__mn_{c}", F.lit(int(mn)).cast("long")
+            ).withColumn(f"__mx_{c}", F.lit(int(mx)).cast("long"))
+    else:
+        agg_bounds = df.agg(
+            *[
+                f
+                for c in cols
+                for f in (
+                    F.min(F.col(c).cast("long")).alias(f"__mn_{c}"),
+                    F.max(F.col(c).cast("long")).alias(f"__mx_{c}"),
+                )
+            ]
+        )
+        joined = df.crossJoin(F.broadcast(agg_bounds))
     scaled = [
         F.when(
             F.col(f"__mx_{c}") == F.col(f"__mn_{c}"), F.lit(0).cast("long")

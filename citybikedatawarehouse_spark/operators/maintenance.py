@@ -494,14 +494,22 @@ def manifest_table_props(root: str, version: str | None = None) -> dict:
         return json.load(f)
 
 
-def _apply_layout(df: DataFrame, props: dict) -> DataFrame:
+def _apply_layout(
+    df: DataFrame,
+    props: dict,
+    bounds: dict[str, tuple[int, int]] | None = None,
+) -> DataFrame:
     """Re-apply the table's committed clustering to a commit's output:
     Z-order key over ``zorder_by``, range-partitioned into
     ``layout_files`` files — Delta's OPTIMIZE ZORDER BY maintained ON
     WRITE, so every version's files keep tight multi-dimensional
     min/max boxes and the zone map stays PRUNABLE, not merely
     correct. Without this, a merge's shuffle output scatters keys
-    across files and skipping quietly degrades to nothing."""
+    across files and skipping quietly degrades to nothing.
+    ``bounds`` (col -> (min, max), may be wider than the data, never
+    narrower) skips the Z-order bounds aggregate pass — suppliers
+    with per-file zone stats (the file-list format) already know
+    them."""
     zcols = props.get("zorder_by") or []
     if not zcols:
         return df
@@ -509,7 +517,7 @@ def _apply_layout(df: DataFrame, props: dict) -> DataFrame:
 
     n = int(props.get("layout_files") or 16)
     return (
-        zorder_key(df, list(zcols))
+        zorder_key(df, list(zcols), bounds=bounds)
         .repartitionByRange(n, "z_key")
         .drop("z_key")
     )
@@ -931,6 +939,89 @@ def bucket_digest(
             F.expr("bit_xor(__rh)").cast("bigint").alias(digest_col),
         )
     )
+
+
+def footer_stats_trustworthy(arrow_type) -> bool:
+    """Types whose parquet footer min/max are EXACT and ordered the
+    way Spark's min/max aggregates order them: integers, dates,
+    booleans, timestamps. Excluded on purpose — float/double (NaN:
+    Spark's max treats NaN as largest while parquet writers skip
+    NaNs in stats) and strings/binary (writers may truncate long
+    byte-array stats). Untrusted types make the caller fall back to
+    a Spark scan, never to wrong stats."""
+    import pyarrow.types as pat
+
+    return (
+        pat.is_integer(arrow_type)
+        or pat.is_date(arrow_type)
+        or pat.is_boolean(arrow_type)
+        or pat.is_timestamp(arrow_type)
+    )
+
+
+def footer_zone_stats(path: str, cols: tuple[str, ...]):
+    """Per-file (path, n_rows, min_<c>, max_<c>) for every parquet
+    data file directly under ``path``, read from the file FOOTERS —
+    O(files) driver-side metadata, zero Spark jobs. This is how
+    Delta/Iceberg gather per-file stats at commit time; the scan
+    form (``zone_map_stats``) remains for bootstrap/repair and as
+    the fallback. Returns a pandas DataFrame, or None whenever any
+    tracked column's footer stats cannot be trusted bit-exactly
+    (untrusted type, absent statistics, or a chunk whose min/max is
+    missing for any reason other than being all-NULL) — the caller
+    must then use the scan path. ``SPARK_GRAFT_FOOTER_STATS=0``
+    disables the fast path globally (A/B escape hatch)."""
+    if os.environ.get("SPARK_GRAFT_FOOTER_STATS") == "0":
+        return None
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    recs: list[dict] = []
+    for fname in sorted(os.listdir(path)):
+        if not fname.endswith(".parquet") or fname.startswith(("_", ".")):
+            continue
+        fp = os.path.join(path, fname)
+        md = pq.read_metadata(fp)
+        arrow_schema = md.schema.to_arrow_schema()
+        rec: dict = {"path": fp, "n_rows": md.num_rows}
+        for c in cols:
+            idx = arrow_schema.get_field_index(c)
+            if idx < 0 or not footer_stats_trustworthy(
+                arrow_schema.field(idx).type
+            ):
+                return None
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                cc = None
+                for ci in range(rgm.num_columns):
+                    cand = rgm.column(ci)
+                    if cand.path_in_schema == c:
+                        cc = cand
+                        break
+                if cc is None:
+                    return None
+                st = cc.statistics
+                if st is None:
+                    return None
+                if not st.has_min_max:
+                    # an all-NULL chunk legitimately has no min/max
+                    # and contributes no values; anything else means
+                    # the writer dropped stats -> fall back
+                    if st.has_null_count and st.null_count == cc.num_values:
+                        continue
+                    return None
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            rec[f"min_{c}"] = mn
+            rec[f"max_{c}"] = mx
+        recs.append(rec)
+    cols_order = ["path", "n_rows"] + [
+        f"{m}_{c}" for c in cols for m in ("min", "max")
+    ]
+    if not recs:
+        return pd.DataFrame(columns=cols_order)
+    return pd.DataFrame(recs)[cols_order]
 
 
 def zone_map_stats(

@@ -75,6 +75,7 @@ from citybikedatawarehouse_spark.operators.maintenance import (
     _apply_layout,
     _norm_file_uri,
     cdc_extract,
+    footer_zone_stats,
     manifest_commit_cas,
     zone_map_stats,
 )
@@ -296,16 +297,35 @@ def _read_files(
     return out
 
 
+def _manifest_cols_order(cols: tuple[str, ...]) -> list[str]:
+    return ["path", "n_rows"] + [
+        f"{m}_{c}" for c in cols for m in ("min", "max")
+    ] + ["schema_cols"]
+
+
 def _stats_of_commit(
     spark: SparkSession,
     commit_dir: str,
     cols: tuple[str, ...],
     schema_sig: str,
 ) -> pd.DataFrame:
-    """Per-file stats for a commit's freshly-written files — one scan
-    folding map-side to O(files) rows (zone_map_stats), paths
-    normalized to plain filesystem form, each row stamped with the
-    commit's write-time schema signature."""
+    """Per-file stats for a commit's freshly-written files: parquet
+    FOOTER metadata when every tracked column's footer stats are
+    trustworthy-exact (the common case — keys are integers; zero
+    Spark jobs, O(files) driver-side metadata reads, the way
+    Delta/Iceberg gather commit stats), else one zone_map_stats scan
+    folding map-side to O(files) rows. Paths normalized to plain
+    filesystem form, each row stamped with the commit's write-time
+    schema signature. ``SPARK_GRAFT_FOOTER_STATS=0`` forces the scan
+    path (A/B escape hatch)."""
+    fast = footer_zone_stats(commit_dir, cols)
+    if fast is not None:
+        fast = fast.copy()
+        fast["schema_cols"] = schema_sig
+        cols_order = _manifest_cols_order(cols)
+        if len(fast) == 0:
+            return pd.DataFrame(columns=cols_order)
+        return fast[cols_order]
     rows = zone_map_stats(spark, commit_dir, cols).collect()
     recs = []
     for r in rows:
@@ -313,9 +333,7 @@ def _stats_of_commit(
         d["path"] = _norm_file_uri(d.pop("file"))
         d["schema_cols"] = schema_sig
         recs.append(d)
-    cols_order = ["path", "n_rows"] + [
-        f"{m}_{c}" for c in cols for m in ("min", "max")
-    ] + ["schema_cols"]
+    cols_order = _manifest_cols_order(cols)
     if not recs:
         return pd.DataFrame(columns=cols_order)
     return pd.DataFrame(recs)[cols_order]
@@ -352,9 +370,24 @@ def fl_init(
         "delete_dirs": [],
         "parent": None,
     }
-    out = _apply_layout(df, props)
-    cdir = _commit_dir(root, version)
-    out.write.mode("errorifexists").parquet(cdir)
+    # with a Z-order spec the layout needs a bounds pass and the
+    # range partitioner a sampling pass — three computations of the
+    # input without a persist. SPARK_GRAFT_FL_PERSIST=0 restores the
+    # recompute behaviour (a bulk load bigger than local cache+spill
+    # would rather re-scan the source three times)
+    cache_input = (
+        bool(zorder_by)
+        and os.environ.get("SPARK_GRAFT_FL_PERSIST") != "0"
+    )
+    if cache_input:
+        df = df.persist()
+    try:
+        out = _apply_layout(df, props)
+        cdir = _commit_dir(root, version)
+        out.write.mode("errorifexists").parquet(cdir)
+    finally:
+        if cache_input:
+            df.unpersist()
     manifest = _stats_of_commit(
         spark, cdir, tuple(props["stats_cols"]), _schema_sig(props["schema"])
     )
@@ -408,33 +441,169 @@ def fl_read_pruned(
     return _read_files(spark, m[keep], props), int(keep.sum()), len(m)
 
 
-def _zone_touched_paths(
-    spark: SparkSession, m_subset: pd.DataFrame, key: str, keys_df: DataFrame
+def _zone_touched_paths_range(
+    spark: SparkSession, zones_pdf: pd.DataFrame, key: str, keys_df: DataFrame
 ) -> set[str]:
-    """Exact per-file merge/change targeting: distinct keys range-
-    joined against the broadcast O(files) key zones — a file is
-    touched iff at least one key falls inside its zone (NULL-zone
-    files conservatively touched). The collect is O(touched files)
-    paths, the same cardinality the driver already plans scans with —
-    never the keys themselves."""
-    if len(m_subset) == 0:
-        return set()
+    """Fallback targeting for non-integer keys: broadcast range join
+    (a BroadcastNestedLoopJoin — |keys| x |files| predicate
+    evaluations, fine for small zone sets, which is why integer keys
+    take the bucketed hash-join path instead)."""
     zones = spark.createDataFrame(
-        m_subset[["path", f"min_{key}", f"max_{key}"]]
+        zones_pdf[["path", f"min_{key}", f"max_{key}"]]
     )
     return {
         r["path"]
         for r in keys_df.select(key)
-        .distinct()
         .join(
             F.broadcast(zones),
-            (F.col(f"min_{key}").isNull())
-            | (F.col(f"max_{key}").isNull())
-            | F.col(key).between(F.col(f"min_{key}"), F.col(f"max_{key}")),
+            F.col(key).between(F.col(f"min_{key}"), F.col(f"max_{key}")),
         )
         .select("path")
         .distinct()
         .collect()
+    }
+
+
+def _zone_touched_paths(
+    spark: SparkSession, m_subset: pd.DataFrame, key: str, keys_df: DataFrame
+) -> set[str]:
+    """Exact per-file merge/change targeting: which files' [min, max]
+    key zones contain at least one update key. NULL-zone files are
+    conservatively touched (driver-side — no join needed for them).
+
+    Integer keys (every merge key in practice) take a grid-bucketed
+    BROADCAST HASH JOIN: the zone set is cut into uniform integer
+    buckets driver-side (a file registers in every bucket its zone
+    overlaps), each key computes its bucket with one integer
+    division, and the join is an equi-join on the bucket id with the
+    exact between() as a post-filter. The old shape — distinct keys
+    range-joined on a pure inequality — planned as a
+    BroadcastNestedLoopJoin: |keys| x |files| predicate evaluations
+    (at 100 TB, billions x 10^5) plus a full distinct exchange of
+    the update keys; the bucketed form is O(keys + matches) with no
+    key-side shuffle at all. Non-integer keys fall back to the range
+    join. The collect is O(touched files) paths, the same
+    cardinality the driver already plans scans with — never the keys
+    themselves."""
+    if len(m_subset) == 0:
+        return set()
+    mn_s, mx_s = m_subset[f"min_{key}"], m_subset[f"max_{key}"]
+    null_zone = mn_s.isna() | mx_s.isna()
+    touched = set(m_subset.loc[null_zone, "path"])
+    zones = m_subset.loc[~null_zone, ["path", f"min_{key}", f"max_{key}"]]
+    if zones.empty:
+        return touched
+    paths = zones["path"].tolist()
+    try:
+        mins = [int(v) for v in zones[f"min_{key}"].tolist()]
+        maxs = [int(v) for v in zones[f"max_{key}"].tolist()]
+        exact = all(
+            i == v
+            for i, v in zip(
+                mins + maxs,
+                list(zones[f"min_{key}"]) + list(zones[f"max_{key}"]),
+            )
+        )
+    except (TypeError, ValueError, OverflowError):
+        exact = False
+    gmin = min(mins) if exact else 0
+    gmax = max(maxs) if exact else 0
+    # python-int arithmetic: exact at any magnitude; bail to the
+    # range join if the span would overflow the BIGINT bucket math
+    if not exact or (gmax - gmin) >= (1 << 62):
+        return touched | _zone_touched_paths_range(
+            spark, zones, key, keys_df
+        )
+    span = gmax - gmin + 1
+    n_buckets = max(1, min(4 * len(zones), 4096))
+    while True:
+        width = -(-span // n_buckets)  # ceil
+        n_pairs = sum(
+            (mx - gmin) // width - (mn - gmin) // width + 1
+            for mn, mx in zip(mins, maxs)
+        )
+        if n_pairs <= 32 * len(zones) + 1024 or n_buckets == 1:
+            break
+        n_buckets //= 2  # wide overlapping zones: coarser grid
+    pairs = [
+        (b, p, mn, mx)
+        for p, mn, mx in zip(paths, mins, maxs)
+        for b in range((mn - gmin) // width, (mx - gmin) // width + 1)
+    ]
+    zdf = spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["__b", "path", "__zmn", "__zmx"])
+    )
+    hits = (
+        keys_df.select(F.col(key).cast("long").alias("__k"))
+        # keys outside the global zone span match nothing (and the
+        # filter keeps __k - gmin inside BIGINT)
+        .where(F.col("__k").between(F.lit(gmin), F.lit(gmax)))
+        .withColumn("__b", F.expr(f"(__k - {gmin}) div {width}"))
+        .join(F.broadcast(zdf), "__b")
+        .where(F.col("__k").between(F.col("__zmn"), F.col("__zmx")))
+        .select("path")
+        .distinct()
+    )
+    return touched | {r["path"] for r in hits.collect()}
+
+
+def _manifest_bounds(
+    m: pd.DataFrame, zcols: list[str]
+) -> dict[str, tuple[int, int]] | None:
+    """Z-order bounds (col -> (min, max)) for a commit whose rows all
+    come from the files of manifest subset ``m`` — derived from the
+    per-file zone stats the manifest already holds, so the layout's
+    bounds aggregate (an extra full pass over the commit input per
+    write) is skipped. None (caller computes bounds in-plan) when any
+    zone is NULL/untracked or a stat is not exactly integral —
+    supplied bounds may be wider than the data but never narrower,
+    and the integral check keeps them consistent with zorder_key's
+    CAST(col AS BIGINT) view of the data."""
+    if not zcols or len(m) == 0:
+        return None
+    out: dict[str, tuple[int, int]] = {}
+    for c in zcols:
+        if f"min_{c}" not in m.columns or f"max_{c}" not in m.columns:
+            return None
+        mns, mxs = m[f"min_{c}"], m[f"max_{c}"]
+        if mns.isna().any() or mxs.isna().any():
+            return None
+        try:
+            lo, hi = mns.min(), mxs.max()
+            if int(lo) != lo or int(hi) != hi:
+                return None
+        except (TypeError, ValueError, OverflowError):
+            return None
+        out[c] = (int(lo), int(hi))
+    return out
+
+
+def _merge_bounds(
+    touched_m: pd.DataFrame, counts, zcols: list[str]
+) -> dict[str, tuple[int, int]] | None:
+    """Z-order bounds for a MERGE commit's output: the union of the
+    updates' bounds (rode the merge's existing counts aggregate —
+    zero extra jobs) and the touched files' manifest zones. None ->
+    the layout computes bounds in-plan (over the persisted slice)."""
+    if not zcols:
+        return None
+    upd: dict[str, tuple[int, int]] = {}
+    for c in zcols:
+        lo, hi = counts[f"__zmn_{c}"], counts[f"__zmx_{c}"]
+        if lo is None or hi is None:
+            return None
+        upd[c] = (int(lo), int(hi))
+    if len(touched_m) == 0:
+        return upd
+    file_bounds = _manifest_bounds(touched_m, zcols)
+    if file_bounds is None:
+        return None
+    return {
+        c: (
+            min(upd[c][0], file_bounds[c][0]),
+            max(upd[c][1], file_bounds[c][1]),
+        )
+        for c in zcols
     }
 
 
@@ -494,7 +663,9 @@ def fl_merge_upsert(
             f"filelist table {root}: merge key {key!r} != table key "
             f"{props['key']!r}"
         )
+    zcols = list(props.get("zorder_by") or [])
     updates = updates.persist()
+    merged_cached = None
     try:
         constraints = props.get("constraints") or {}
         counts = updates.agg(
@@ -510,6 +681,19 @@ def fl_merge_upsert(
                     (~F.coalesce(F.expr(sql), F.lit(False))).cast("bigint")
                 ).alias(f"__viol_{name}")
                 for name, sql in constraints.items()
+            ],
+            # Z-order bounds of the updates ride the same aggregate
+            # too: combined with the touched files' manifest zones
+            # they bound the whole merged slice, so the layout's
+            # bounds pass (a full extra computation of the merge
+            # plan per commit) disappears
+            *[
+                f
+                for c in zcols
+                for f in (
+                    F.min(F.col(c).cast("long")).alias(f"__zmn_{c}"),
+                    F.max(F.col(c).cast("long")).alias(f"__zmx_{c}"),
+                )
             ],
         ).first()
         n_updates = counts["n"]
@@ -533,6 +717,7 @@ def fl_merge_upsert(
             )
         m = fl_manifest(root, parent)
         touched = _zone_touched_paths(spark, m, key, updates)
+        touched_m = m[m["path"].isin(touched)]
         untouched_m = m[~m["path"].isin(touched)]
         dels_df = _delete_keys_df(spark, props)
         cols = [f["name"] for f in props["schema"]]
@@ -544,18 +729,13 @@ def fl_merge_upsert(
             n_replaced = 0
             merged = updates.select(*cols)
         else:
-            touched_df = _read_files(
-                spark, m[m["path"].isin(touched)], props
-            )
+            touched_df = _read_files(spark, touched_m, props)
             if dels_df is not None:
                 touched_df = touched_df.join(dels_df, key, "left_anti")
             # ONE scan of the touched slice: the matched count rides
             # the commit write itself via observe() metrics (rows
             # entering vs surviving the anti-join), so there is no
-            # separate count job, no rescan, and no cache memory a
-            # persist would pin — at 100 TB the slice can be
-            # thousands of files, and a matched.count() action would
-            # re-read every one of them
+            # separate count job and no rescan
             obs_in, obs_kept = Observation(), Observation()
             touched_df = touched_df.observe(
                 obs_in, F.count(F.lit(1)).alias("n")
@@ -564,14 +744,23 @@ def fl_merge_upsert(
                 updates.select(key), key, "left_anti"
             ).observe(obs_kept, F.count(F.lit(1)).alias("n"))
             merged = kept.unionByName(updates.select(*cols))
+            # the layout's range partitioner SAMPLES its input to
+            # pick split points, i.e. the merge plan (touched scan +
+            # two anti-joins + union) would execute once for the
+            # sample pass and again for the write. Persist the slice
+            # so it computes ONCE; it is O(touched + updates) — the
+            # bounded working set of the merge, spilled to disk if
+            # it does not fit (never O(table))
+            merged_cached = merged.persist()
+            merged = merged_cached
             n_replaced = None  # resolved from the observations below
 
         version = _claim_version(root)
         slice_props = {**props, "layout_files": max(1, len(touched))}
         cdir = _commit_dir(root, version)
-        _apply_layout(merged, slice_props).write.mode(
-            "errorifexists"
-        ).parquet(cdir)
+        _apply_layout(
+            merged, slice_props, bounds=_merge_bounds(touched_m, counts, zcols)
+        ).write.mode("errorifexists").parquet(cdir)
         if n_replaced is None:
             # the write already ran the plan; .get just reads the
             # recorded metrics (no job)
@@ -614,6 +803,8 @@ def fl_merge_upsert(
         _fl_commit(root, version, parent)
         return n_replaced, n_inserted, len(touched), len(m)
     finally:
+        if merged_cached is not None:
+            merged_cached.unpersist()
         updates.unpersist()
 
 
@@ -883,19 +1074,30 @@ def fl_compact(
     version = _claim_version(root)
     sig = _schema_sig(props["schema"])
     cols = tuple(props["stats_cols"])
-    if df.limit(1).count() == 0:
-        # every row deleted: commit an explicitly-empty manifest (no
-        # data dir at all) — fl_read returns an empty relation with
-        # the table schema, and the delete set is gone
-        manifest = pd.DataFrame(
-            columns=["path", "n_rows"]
-            + [f"{m}_{c}" for c in cols for m in ("min", "max")]
-            + ["schema_cols"]
-        )
-    else:
-        cdir = _commit_dir(root, version)
-        _apply_layout(df, props).write.mode("errorifexists").parquet(cdir)
-        manifest = _stats_of_commit(spark, cdir, cols, sig)
+    # persist the MOR state across the emptiness probe, the range
+    # partitioner's sampling pass and the write (otherwise the
+    # files-minus-delete-set plan computes up to three times);
+    # Z-order bounds come from the manifest zones when complete —
+    # wider than the post-delete data is fine, narrower impossible
+    df = df.persist()
+    try:
+        if df.limit(1).count() == 0:
+            # every row deleted: commit an explicitly-empty manifest
+            # (no data dir at all) — fl_read returns an empty
+            # relation with the table schema, and the delete set is
+            # gone
+            manifest = pd.DataFrame(columns=_manifest_cols_order(cols))
+        else:
+            cdir = _commit_dir(root, version)
+            bounds = _manifest_bounds(
+                fl_manifest(root, parent), list(props.get("zorder_by") or [])
+            )
+            _apply_layout(df, props, bounds=bounds).write.mode(
+                "errorifexists"
+            ).parquet(cdir)
+            manifest = _stats_of_commit(spark, cdir, cols, sig)
+    finally:
+        df.unpersist()
     _write_manifest(root, version, manifest, props)
     _fl_commit(root, version, parent)
     return version
@@ -996,7 +1198,17 @@ def fl_optimize(
     }
     version = _claim_version(root)
     cdir = _commit_dir(root, version)
-    _apply_layout(df, slice_props).write.mode("errorifexists").parquet(cdir)
+    # bounds from the packed files' own zones (skips the bounds
+    # pass); persist the small-file slice across the sampling pass
+    # and the write
+    bounds = _manifest_bounds(small, list(props.get("zorder_by") or []))
+    df = df.persist()
+    try:
+        _apply_layout(df, slice_props, bounds=bounds).write.mode(
+            "errorifexists"
+        ).parquet(cdir)
+    finally:
+        df.unpersist()
     fresh = _stats_of_commit(
         spark, cdir, tuple(props["stats_cols"]), _schema_sig(props["schema"])
     )

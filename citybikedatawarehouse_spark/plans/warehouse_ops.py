@@ -2938,9 +2938,11 @@ def q293_fl_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself a transactional table with its own lineage.
 
     The oracle derives the replica's final state purely relationally
-    and the engine pins ``replica_equals_source``: symmetric
-    ``exceptAll`` between the replica's MOR read and the source's is
-    empty — bitwise state convergence, not just aggregate agreement.
+    and the engine pins ``replica_equals_source``: the signed-count
+    multiset diff between the replica's MOR read and the source's is
+    empty (equivalent to symmetric ``exceptAll`` emptiness, in one
+    pass per side) — bitwise state convergence, not just aggregate
+    agreement.
 
     Scale shape: replication cost tracks the CHANGES (O(changed
     files) feed reads, O(changed keys) replica commits), never the
@@ -3002,10 +3004,20 @@ def q293_fl_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     replica = fl_read_mor(spark, dst)
     source = fl_read_mor(spark, src)
-    converged = (
-        replica.exceptAll(source).limit(1).count() == 0
-        and source.exceptAll(replica).limit(1).count() == 0
+    # bitwise multiset equality in ONE pass over each side: +1/-1
+    # signed counts per distinct row sum to zero everywhere iff the
+    # two relations are exceptAll-empty in both directions (the
+    # previous form ran two exceptAll plans = two MOR reads per
+    # side); one aggregate, same hash-partitioned shuffle shape
+    row_cols = [c for c in replica.columns]
+    diff = (
+        replica.select(*row_cols, F.lit(1).alias("__sgn"))
+        .unionByName(source.select(*row_cols, F.lit(-1).alias("__sgn")))
+        .groupBy(*row_cols)
+        .agg(F.sum("__sgn").alias("__d"))
+        .where(F.col("__d") != 0)
     )
+    converged = diff.limit(1).count() == 0
     return replica.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
