@@ -534,11 +534,71 @@ def _zonemap_write(
     zone-map maintenance transactional for free: the one atomic
     pointer flip publishes data and stats together, so a reader can
     never observe a version whose stats disagree with its files —
-    there is no second commit to crash between."""
+    there is no second commit to crash between.
+
+    Stats come from the freshly written files' parquet FOOTERS when
+    every tracked column's footer stats are trustworthy-exact
+    (``footer_zone_stats`` — O(files) driver-side metadata reads,
+    zero Spark jobs, the way Delta/Iceberg gather commit stats),
+    else the one-scan ``zone_map_stats`` fold. The fast path removes
+    a full re-read of every commit's output from the write path."""
     vdir = os.path.join(root, version)
+    zpath = _zonemap_path(root, version)
+    fast = footer_zone_stats(vdir, cols)
+    if fast is not None and len(fast):
+        if os.path.exists(zpath):
+            raise IOError(f"zone map already exists: {zpath}")
+        os.makedirs(zpath)
+        fast.rename(columns={"path": "file"}).reset_index(
+            drop=True
+        ).to_parquet(os.path.join(zpath, "zonemap.parquet"), index=False)
+        return
     zone_map_stats(spark, vdir, cols).coalesce(1).write.mode(
         "errorifexists"
-    ).parquet(_zonemap_path(root, version))
+    ).parquet(zpath)
+
+
+def _zonemap_bounds(
+    root: str, version: str, zcols: list[str]
+) -> dict[str, tuple[int, int]] | None:
+    """Z-order bounds (col -> (min, max)) from a committed version's
+    zone map, read driver-side (O(files) tiny rows). Lets the next
+    commit's ``_apply_layout`` skip the bounds aggregate — an extra
+    full computation of the commit input per write. None (caller
+    computes bounds in-plan) when the version has no zone map, a
+    column is untracked/NULL, or a stat is not exactly integral —
+    supplied bounds may be wider than the data but never narrower."""
+    if not zcols:
+        return None
+    zpath = _zonemap_path(root, version)
+    if not os.path.isdir(zpath):
+        return None
+    import pandas as pd
+
+    files = [f for f in os.listdir(zpath) if f.endswith(".parquet")]
+    if not files:
+        return None
+    m = pd.concat(
+        [pd.read_parquet(os.path.join(zpath, f)) for f in sorted(files)],
+        ignore_index=True,
+    )
+    if len(m) == 0:
+        return None
+    out: dict[str, tuple[int, int]] = {}
+    for c in zcols:
+        if f"min_{c}" not in m.columns or f"max_{c}" not in m.columns:
+            return None
+        mns, mxs = m[f"min_{c}"], m[f"max_{c}"]
+        if mns.isna().any() or mxs.isna().any():
+            return None
+        try:
+            lo, hi = mns.min(), mxs.max()
+            if int(lo) != lo or int(hi) != hi:
+                return None
+        except (TypeError, ValueError, OverflowError):
+            return None
+        out[c] = (int(lo), int(hi))
+    return out
 
 
 def manifest_stats_cols(
@@ -659,8 +719,22 @@ def manifest_init(
         "zorder_by": list(zorder_by),
         "layout_files": layout_files,
     }
-    df = _apply_layout(df, props)
-    df.write.mode("errorifexists").parquet(os.path.join(root, version))
+    # with a Z-order spec the layout needs a bounds pass and the
+    # range partitioner a sampling pass — three computations of the
+    # input without a persist (SPARK_GRAFT_FL_PERSIST=0 restores the
+    # recompute behaviour for a bulk load bigger than cache+spill)
+    cache_input = (
+        bool(zorder_by)
+        and os.environ.get("SPARK_GRAFT_FL_PERSIST") != "0"
+    )
+    if cache_input:
+        df = df.persist()
+    try:
+        out = _apply_layout(df, props)
+        out.write.mode("errorifexists").parquet(os.path.join(root, version))
+    finally:
+        if cache_input:
+            df.unpersist()
     if stats_cols:
         _zonemap_write(spark, root, version, tuple(stats_cols))
     if stats_cols or zorder_by:
@@ -726,9 +800,19 @@ def compact_manifest(
     if props.get("zorder_by") and not sort_by:
         # size-retargeted Z-order rewrite: compaction IS the table's
         # OPTIMIZE, so it re-clusters on the committed spec with the
-        # new file count and records it for future commits
+        # new file count and records it for future commits. Bounds
+        # come from the parent's zone map (skips the bounds pass);
+        # the input is a plain scan of the parent version, so the
+        # range partitioner's sampling pass re-reads files, not a
+        # join pipeline — no persist needed.
         props = {**props, "layout_files": n_files}
-        out = _apply_layout(df, props)
+        out = _apply_layout(
+            df,
+            props,
+            bounds=_zonemap_bounds(
+                root, parent, list(props["zorder_by"])
+            ),
+        )
     else:
         out = (
             df.repartitionByRange(n_files, *sort_by)
@@ -788,20 +872,45 @@ def merge_upsert_manifest(
     properties (plus ``extra_props`` riders — e.g. a streaming sink's
     epoch id, the txnVersion idempotence pattern) are carried forward.
     """
-    n_updates = updates.count()
-    n_update_keys = updates.select(key).distinct().count()
+    parent = os.path.basename(manifest_current(root))
+    props = manifest_table_props(root)
+    zcols = list(props.get("zorder_by") or [])
+    # ONE aggregate over the updates: row count, duplicate-key check
+    # (count_distinct excludes NULL — counted separately) and the
+    # updates' Z-order bounds all ride it, replacing the former
+    # count() + distinct().count() pair of full passes
+    counts = updates.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(key)).alias("k"),
+        F.max(F.col(key).isNull().cast("int")).alias("has_null"),
+        *[
+            f
+            for c in zcols
+            for f in (
+                F.min(F.col(c).cast("long")).alias(f"__zmn_{c}"),
+                F.max(F.col(c).cast("long")).alias(f"__zmx_{c}"),
+            )
+        ],
+    ).first()
+    n_updates = counts["n"]
+    n_update_keys = counts["k"] + (1 if counts["has_null"] else 0)
     if n_update_keys != n_updates:
         raise ValueError(
             f"merge_upsert_manifest: updates has "
             f"{n_updates - n_update_keys} duplicate '{key}' rows; "
             f"MERGE requires unique source keys"
         )
-    parent = os.path.basename(manifest_current(root))
+    from pyspark.sql import Observation
+
     target = manifest_read(spark, root)
-    matched = target.join(updates.select(key), key, "left_semi")
-    n_replaced = matched.count()
-    n_inserted = n_updates - n_replaced
-    kept = target.join(updates.select(key), key, "left_anti")
+    # the matched count rides the commit write itself via observe()
+    # metrics (target rows entering vs surviving the anti-join) —
+    # no separate semi-join count job, no extra scan of the table
+    obs_in, obs_kept = Observation(), Observation()
+    target_obs = target.observe(obs_in, F.count(F.lit(1)).alias("n"))
+    kept = target_obs.join(updates.select(key), key, "left_anti").observe(
+        obs_kept, F.count(F.lit(1)).alias("n")
+    )
     merged = kept.unionByName(updates.select(*target.columns))
     version = _claim_dir_version(root)
     # layout + zone-map maintenance are part of the SAME commit: the
@@ -812,9 +921,49 @@ def merge_upsert_manifest(
     # them atomically. A crash anywhere before the flip orphans the
     # whole version together; a reader following the pointer can never
     # see stats or layout from one version paired with data of another.
-    props = manifest_table_props(root)
-    merged = _apply_layout(merged, props)
-    merged.write.mode("errorifexists").parquet(os.path.join(root, version))
+    #
+    # Z-order bounds = parent version's zone map UNION the updates'
+    # bounds (rode the counts aggregate) — the layout's bounds pass,
+    # a full extra computation of the merge plan, disappears; any
+    # gap (no zone map, NULL/non-integral stats) falls back in-plan.
+    bounds = None
+    if zcols:
+        upd = {}
+        for c in zcols:
+            lo, hi = counts[f"__zmn_{c}"], counts[f"__zmx_{c}"]
+            if lo is None or hi is None:
+                upd = None
+                break
+            upd[c] = (int(lo), int(hi))
+        parent_b = _zonemap_bounds(root, parent, zcols)
+        if upd is not None and parent_b is not None:
+            bounds = {
+                c: (
+                    min(upd[c][0], parent_b[c][0]),
+                    max(upd[c][1], parent_b[c][1]),
+                )
+                for c in zcols
+            }
+    merged = _apply_layout(merged, props, bounds=bounds)
+    # the range partitioner SAMPLES its input to pick split points —
+    # without a persist the merge plan (table scan + anti-join +
+    # union) executes once for the sample pass and again for the
+    # write. SPARK_GRAFT_FL_PERSIST=0 restores recompute (a table
+    # bigger than local cache+spill would rather re-scan twice).
+    cache = bool(zcols) and os.environ.get("SPARK_GRAFT_FL_PERSIST") != "0"
+    if cache:
+        merged = merged.persist()
+    try:
+        merged.write.mode("errorifexists").parquet(
+            os.path.join(root, version)
+        )
+    finally:
+        if cache:
+            merged.unpersist()
+    # the write already ran the plan; .get just reads the recorded
+    # metrics (no extra job)
+    n_replaced = obs_in.get["n"] - obs_kept.get["n"]
+    n_inserted = n_updates - n_replaced
     stats_cols = manifest_stats_cols(spark, root)
     if stats_cols:
         _zonemap_write(spark, root, version, stats_cols)
