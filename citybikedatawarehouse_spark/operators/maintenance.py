@@ -494,6 +494,68 @@ def manifest_table_props(root: str, version: str | None = None) -> dict:
         return json.load(f)
 
 
+# Scale-adaptive persist threshold for commit slices (rows). The range
+# partitioner's sampling pass re-executes the commit plan before the
+# write does, so a persist saves one recompute — but building the
+# columnar cache costs a full extra pass of its own, and below ~10^6
+# rows that build measurably LOSES to just recomputing a local-mode
+# slice (q285 interleaved flag A/B: no-persist 4.4 s vs persist 5.9 s
+# at sf0.1, OPTIMIZATION_r12.md). Above it, the slice's upstream is a
+# multi-join pipeline whose recompute doubles real work (the 100x
+# scale points run 30-60 M-row slices). Local default 4M rows;
+# cluster operators size it to executor cache capacity via env.
+_PERSIST_MIN_ROWS_DEFAULT = 4_000_000
+
+# Byte-form of the same threshold, for call sites with no row count
+# available (init: only the optimizer's size estimate exists). ~64
+# bytes/row at the 4M-row crossover.
+_PERSIST_MIN_BYTES_DEFAULT = 256 * 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """The optimizer's sizeInBytes estimate for a plan — file-size
+    truth for scans/projections (the init shape), a crude upper bound
+    for join pipelines. Driver-side metadata only, zero jobs."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return None
+
+
+def _persist_wanted(
+    est_rows: int | None = None, est_bytes: int | None = None
+) -> bool:
+    """Persist a commit slice across the sampling pass + write?
+    ``SPARK_GRAFT_FL_PERSIST``: "0" = never, "1" = always (the A/B
+    hatches), unset = adaptive on the slice's KNOWN row estimate
+    (manifest n_rows + update counts — no extra job) against
+    ``SPARK_GRAFT_FL_PERSIST_MIN_ROWS``, or on a byte estimate
+    against ``SPARK_GRAFT_FL_PERSIST_MIN_BYTES``. Unknown size ->
+    persist (the conservative choice at scale)."""
+    mode = os.environ.get("SPARK_GRAFT_FL_PERSIST")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    if est_rows is not None:
+        return est_rows >= int(
+            os.environ.get(
+                "SPARK_GRAFT_FL_PERSIST_MIN_ROWS",
+                str(_PERSIST_MIN_ROWS_DEFAULT),
+            )
+        )
+    if est_bytes is not None:
+        return est_bytes >= int(
+            os.environ.get(
+                "SPARK_GRAFT_FL_PERSIST_MIN_BYTES",
+                str(_PERSIST_MIN_BYTES_DEFAULT),
+            )
+        )
+    return True
+
+
 def _apply_layout(
     df: DataFrame,
     props: dict,
@@ -549,13 +611,50 @@ def _zonemap_write(
         if os.path.exists(zpath):
             raise IOError(f"zone map already exists: {zpath}")
         os.makedirs(zpath)
-        fast.rename(columns={"path": "file"}).reset_index(
-            drop=True
-        ).to_parquet(os.path.join(zpath, "zonemap.parquet"), index=False)
+        fast = fast.rename(columns={"path": "file"}).reset_index(drop=True)
+        # match the scan path's input_file_name() URI form exactly —
+        # consumers compare these strings against Spark-derived file
+        # lists (tests pin the equality)
+        fast["file"] = "file://" + fast["file"]
+        fast.to_parquet(os.path.join(zpath, "zonemap.parquet"), index=False)
         return
     zone_map_stats(spark, vdir, cols).coalesce(1).write.mode(
         "errorifexists"
     ).parquet(zpath)
+
+
+def _dir_parquet_rows(path: str) -> int:
+    """Row total of the parquet files directly under ``path`` from
+    their footers — driver-side metadata, no Spark job."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in os.listdir(path):
+        if f.endswith(".parquet") and not f.startswith(("_", ".")):
+            total += pq.read_metadata(os.path.join(path, f)).num_rows
+    return total
+
+
+def _zonemap_rows(root: str, version: str) -> int | None:
+    """Total row count of a committed version from its zone map
+    (driver-side O(files) read of the n_rows column), or None when
+    the version carries no zone map. Feeds the adaptive persist
+    decision — no Spark job."""
+    zpath = _zonemap_path(root, version)
+    if not os.path.isdir(zpath):
+        return None
+    import pandas as pd
+
+    files = [f for f in os.listdir(zpath) if f.endswith(".parquet")]
+    if not files:
+        return None
+    total = 0
+    for f in sorted(files):
+        m = pd.read_parquet(
+            os.path.join(zpath, f), columns=["n_rows"]
+        )
+        total += int(m["n_rows"].sum())
+    return total
 
 
 def _zonemap_bounds(
@@ -721,11 +820,12 @@ def manifest_init(
     }
     # with a Z-order spec the layout needs a bounds pass and the
     # range partitioner a sampling pass — three computations of the
-    # input without a persist (SPARK_GRAFT_FL_PERSIST=0 restores the
-    # recompute behaviour for a bulk load bigger than cache+spill)
-    cache_input = (
-        bool(zorder_by)
-        and os.environ.get("SPARK_GRAFT_FL_PERSIST") != "0"
+    # input without a persist. Adaptive on the optimizer's size
+    # estimate (no manifest exists yet to count from): below the
+    # threshold the cache build loses to recomputing a small local
+    # slice (_persist_wanted). SPARK_GRAFT_FL_PERSIST=0/1 force.
+    cache_input = bool(zorder_by) and _persist_wanted(
+        est_bytes=_plan_size_bytes(df)
     )
     if cache_input:
         df = df.persist()
@@ -903,14 +1003,32 @@ def merge_upsert_manifest(
     from pyspark.sql import Observation
 
     target = manifest_read(spark, root)
-    # the matched count rides the commit write itself via observe()
-    # metrics (target rows entering vs surviving the anti-join) —
-    # no separate semi-join count job, no extra scan of the table
-    obs_in, obs_kept = Observation(), Observation()
-    target_obs = target.observe(obs_in, F.count(F.lit(1)).alias("n"))
-    kept = target_obs.join(updates.select(key), key, "left_anti").observe(
-        obs_kept, F.count(F.lit(1)).alias("n")
+    # Matched-count strategy (no separate semi-join count job in any
+    # common case):
+    # - persisted slice, or no Z-order spec (single plan execution):
+    #   observe() metrics ride the materialization — target rows
+    #   entering vs surviving the anti-join. With an UNPERSISTED
+    #   Z-ordered commit the range partitioner's sampling sub-job
+    #   and the write both run the observe nodes inside one action
+    #   and DOUBLE the counts, so that shape must not use them.
+    # - unpersisted + Z-order: zero-job arithmetic from metadata —
+    #   parent zone-map row total + updates - rows actually written
+    #   (footers); one semi-join count only if the parent has no
+    #   zone map.
+    zrows = _zonemap_rows(root, parent)
+    cache = bool(zcols) and _persist_wanted(
+        est_rows=None if zrows is None else zrows + n_updates
     )
+    use_obs = cache or not zcols
+    obs_in = obs_kept = None
+    if use_obs:
+        obs_in, obs_kept = Observation(), Observation()
+        target_obs = target.observe(obs_in, F.count(F.lit(1)).alias("n"))
+        kept = target_obs.join(
+            updates.select(key), key, "left_anti"
+        ).observe(obs_kept, F.count(F.lit(1)).alias("n"))
+    else:
+        kept = target.join(updates.select(key), key, "left_anti")
     merged = kept.unionByName(updates.select(*target.columns))
     version = _claim_dir_version(root)
     # layout + zone-map maintenance are part of the SAME commit: the
@@ -948,9 +1066,9 @@ def merge_upsert_manifest(
     # the range partitioner SAMPLES its input to pick split points —
     # without a persist the merge plan (table scan + anti-join +
     # union) executes once for the sample pass and again for the
-    # write. SPARK_GRAFT_FL_PERSIST=0 restores recompute (a table
-    # bigger than local cache+spill would rather re-scan twice).
-    cache = bool(zcols) and os.environ.get("SPARK_GRAFT_FL_PERSIST") != "0"
+    # write; the persist decision was taken above with the counting
+    # strategy (below the threshold the cache build loses to the
+    # recompute, _persist_wanted)
     if cache:
         merged = merged.persist()
     try:
@@ -960,9 +1078,23 @@ def merge_upsert_manifest(
     finally:
         if cache:
             merged.unpersist()
-    # the write already ran the plan; .get just reads the recorded
-    # metrics (no extra job)
-    n_replaced = obs_in.get["n"] - obs_kept.get["n"]
+    if obs_in is not None:
+        # the materialization already ran the plan; .get just reads
+        # the recorded metrics (no extra job)
+        n_replaced = obs_in.get["n"] - obs_kept.get["n"]
+    elif zrows is not None:
+        # zero-job arithmetic: parent rows from its zone map, rows
+        # actually written from the fresh files' footers —
+        # written = (target - matched) + updates
+        n_replaced = zrows + n_updates - _dir_parquet_rows(
+            os.path.join(root, version)
+        )
+    else:
+        # unpersisted Z-ordered commit on a zone-map-less table: one
+        # semi-join count is the only correct source left
+        n_replaced = target.join(
+            updates.select(key), key, "left_semi"
+        ).count()
     n_inserted = n_updates - n_replaced
     stats_cols = manifest_stats_cols(spark, root)
     if stats_cols:

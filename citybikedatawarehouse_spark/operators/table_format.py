@@ -74,6 +74,8 @@ from citybikedatawarehouse_spark.operators.maintenance import (
     CommitConflictError,  # noqa: F401  (re-export: the format's error)
     _apply_layout,
     _norm_file_uri,
+    _persist_wanted,
+    _plan_size_bytes,
     cdc_extract,
     footer_zone_stats,
     manifest_commit_cas,
@@ -91,6 +93,7 @@ class CheckViolation(ValueError):
 # this many it folds them into one (executor-side distinct + rewrite)
 # so the read-side anti-join never unions an unbounded dir list
 _DELETE_FOLD_AFTER = 8
+
 
 
 def _pointer_path(root: str) -> str:
@@ -372,12 +375,14 @@ def fl_init(
     }
     # with a Z-order spec the layout needs a bounds pass and the
     # range partitioner a sampling pass — three computations of the
-    # input without a persist. SPARK_GRAFT_FL_PERSIST=0 restores the
-    # recompute behaviour (a bulk load bigger than local cache+spill
-    # would rather re-scan the source three times)
-    cache_input = (
-        bool(zorder_by)
-        and os.environ.get("SPARK_GRAFT_FL_PERSIST") != "0"
+    # input without a persist. Persist ADAPTIVELY on the optimizer's
+    # size estimate (no job: init has no manifest to count from):
+    # when persisted, the bounds aggregate materializes the cache and
+    # the input computes ONCE; below the threshold the cache build
+    # measurably loses to recomputing a small local slice
+    # (_persist_wanted rationale). SPARK_GRAFT_FL_PERSIST=0/1 force.
+    cache_input = bool(zorder_by) and _persist_wanted(
+        est_bytes=_plan_size_bytes(df)
     )
     if cache_input:
         df = df.persist()
@@ -732,28 +737,43 @@ def fl_merge_upsert(
             touched_df = _read_files(spark, touched_m, props)
             if dels_df is not None:
                 touched_df = touched_df.join(dels_df, key, "left_anti")
-            # ONE scan of the touched slice: the matched count rides
-            # the commit write itself via observe() metrics (rows
-            # entering vs surviving the anti-join), so there is no
-            # separate count job and no rescan
-            obs_in, obs_kept = Observation(), Observation()
-            touched_df = touched_df.observe(
-                obs_in, F.count(F.lit(1)).alias("n")
-            )
-            kept = touched_df.join(
-                updates.select(key), key, "left_anti"
-            ).observe(obs_kept, F.count(F.lit(1)).alias("n"))
-            merged = kept.unionByName(updates.select(*cols))
-            # the layout's range partitioner SAMPLES its input to
-            # pick split points, i.e. the merge plan (touched scan +
-            # two anti-joins + union) would execute once for the
-            # sample pass and again for the write. Persist the slice
-            # so it computes ONCE; it is O(touched + updates) — the
+            # the layout's range partitioner SAMPLES its input INSIDE
+            # the write action, i.e. the merge plan (touched scan +
+            # two anti-joins + union) executes once for the sample
+            # pass and again for the write. Persist the slice so it
+            # computes ONCE — but only when its KNOWN size (touched
+            # files' manifest rows + update count, zero extra jobs)
+            # says the cache build beats the recompute
+            # (_persist_wanted); it is O(touched + updates) — the
             # bounded working set of the merge, spilled to disk if
-            # it does not fit (never O(table))
-            merged_cached = merged.persist()
-            merged = merged_cached
-            n_replaced = None  # resolved from the observations below
+            # it does not fit (never O(table)).
+            cache = _persist_wanted(
+                int(touched_m["n_rows"].sum()) + n_updates
+            )
+            obs_in = obs_kept = None
+            if cache:
+                # ONE scan of the touched slice: the matched count
+                # rides the cache materialization via observe()
+                # metrics (rows entering vs surviving the anti-join)
+                # — no separate count job. Valid ONLY because the
+                # persisted plan materializes exactly once: unpersisted,
+                # the sampling sub-job and the write would BOTH run the
+                # observe nodes inside one action and double the counts
+                # (caught by test_merge_identical_with_and_without_persist).
+                obs_in, obs_kept = Observation(), Observation()
+                touched_df = touched_df.observe(
+                    obs_in, F.count(F.lit(1)).alias("n")
+                )
+                kept = touched_df.join(
+                    updates.select(key), key, "left_anti"
+                ).observe(obs_kept, F.count(F.lit(1)).alias("n"))
+            else:
+                kept = touched_df.join(updates.select(key), key, "left_anti")
+            merged = kept.unionByName(updates.select(*cols))
+            if cache:
+                merged_cached = merged.persist()
+                merged = merged_cached
+            n_replaced = None  # resolved after the write below
 
         version = _claim_version(root)
         slice_props = {**props, "layout_files": max(1, len(touched))}
@@ -761,17 +781,35 @@ def fl_merge_upsert(
         _apply_layout(
             merged, slice_props, bounds=_merge_bounds(touched_m, counts, zcols)
         ).write.mode("errorifexists").parquet(cdir)
-        if n_replaced is None:
-            # the write already ran the plan; .get just reads the
-            # recorded metrics (no job)
-            n_replaced = obs_in.get["n"] - obs_kept.get["n"]
-        n_inserted = n_updates - n_replaced
         fresh = _stats_of_commit(
             spark,
             cdir,
             tuple(props["stats_cols"]),
             _schema_sig(props["schema"]),
         )
+        if n_replaced is None:
+            if obs_in is not None:
+                # the cache materialization already ran the plan;
+                # .get just reads the recorded metrics (no job)
+                n_replaced = obs_in.get["n"] - obs_kept.get["n"]
+            elif dels_df is None:
+                # zero-job arithmetic: the touched files' row total
+                # is in the parent manifest and the commit's own row
+                # total is in the fresh footer stats —
+                # written = (touched - matched) + updates
+                n_replaced = (
+                    int(touched_m["n_rows"].sum())
+                    + n_updates
+                    - (int(fresh["n_rows"].sum()) if len(fresh) else 0)
+                )
+            else:
+                # delete set present: rows hidden by it are unknowable
+                # from metadata — one light semi-join count of the
+                # (small, unpersisted) touched slice
+                n_replaced = touched_df.join(
+                    updates.select(key), key, "left_semi"
+                ).count()
+        n_inserted = n_updates - n_replaced
         manifest = pd.concat([untouched_m, fresh], ignore_index=True)
         delete_dirs: list[str] = []
         if dels_df is not None:
@@ -1076,10 +1114,15 @@ def fl_compact(
     cols = tuple(props["stats_cols"])
     # persist the MOR state across the emptiness probe, the range
     # partitioner's sampling pass and the write (otherwise the
-    # files-minus-delete-set plan computes up to three times);
-    # Z-order bounds come from the manifest zones when complete —
-    # wider than the post-delete data is fine, narrower impossible
-    df = df.persist()
+    # files-minus-delete-set plan computes up to three times) —
+    # adaptively, on the manifest's row total (an upper bound of the
+    # MOR state; below the threshold the cache build loses to the
+    # recompute, _persist_wanted). Z-order bounds come from the
+    # manifest zones when complete — wider than the post-delete data
+    # is fine, narrower impossible
+    cached = _persist_wanted(int(fl_manifest(root, parent)["n_rows"].sum()))
+    if cached:
+        df = df.persist()
     try:
         if df.limit(1).count() == 0:
             # every row deleted: commit an explicitly-empty manifest
@@ -1097,7 +1140,8 @@ def fl_compact(
             ).parquet(cdir)
             manifest = _stats_of_commit(spark, cdir, cols, sig)
     finally:
-        df.unpersist()
+        if cached:
+            df.unpersist()
     _write_manifest(root, version, manifest, props)
     _fl_commit(root, version, parent)
     return version
@@ -1200,15 +1244,20 @@ def fl_optimize(
     cdir = _commit_dir(root, version)
     # bounds from the packed files' own zones (skips the bounds
     # pass); persist the small-file slice across the sampling pass
-    # and the write
+    # and the write — adaptively on its exact row count
+    # (_persist_wanted; OPTIMIZE's slice is re-read small files, the
+    # cheapest possible recompute)
     bounds = _manifest_bounds(small, list(props.get("zorder_by") or []))
-    df = df.persist()
+    cached = _persist_wanted(n_small_rows)
+    if cached:
+        df = df.persist()
     try:
         _apply_layout(df, slice_props, bounds=bounds).write.mode(
             "errorifexists"
         ).parquet(cdir)
     finally:
-        df.unpersist()
+        if cached:
+            df.unpersist()
     fresh = _stats_of_commit(
         spark, cdir, tuple(props["stats_cols"]), _schema_sig(props["schema"])
     )

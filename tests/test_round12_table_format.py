@@ -515,3 +515,87 @@ def test_set_zorder_rejects_unknown_column(spark, sf_dir, tmp_path):
     root, _ = _init(spark, sf_dir, tmp_path, name="flzorder12b")
     with pytest.raises(ValueError, match="no column"):
         fl_set_zorder(spark, root, ("nope",))
+
+
+# ---------------------------------------------------------------------------
+# round-12 optimization: scale-adaptive commit-slice persist
+# ---------------------------------------------------------------------------
+
+
+def test_persist_wanted_thresholds(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_FL_PERSIST", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_FL_PERSIST_MIN_ROWS", raising=False)
+    assert not mnt._persist_wanted(est_rows=100)
+    assert mnt._persist_wanted(est_rows=mnt._PERSIST_MIN_ROWS_DEFAULT)
+    assert not mnt._persist_wanted(est_bytes=1024)
+    assert mnt._persist_wanted(est_bytes=mnt._PERSIST_MIN_BYTES_DEFAULT)
+    # unknown size -> persist (the conservative choice at scale)
+    assert mnt._persist_wanted()
+    monkeypatch.setenv("SPARK_GRAFT_FL_PERSIST", "0")
+    assert not mnt._persist_wanted(est_rows=10**12)
+    monkeypatch.setenv("SPARK_GRAFT_FL_PERSIST", "1")
+    assert mnt._persist_wanted(est_rows=1)
+    monkeypatch.setenv("SPARK_GRAFT_FL_PERSIST", "")
+    monkeypatch.setenv("SPARK_GRAFT_FL_PERSIST_MIN_ROWS", "10")
+    assert mnt._persist_wanted(est_rows=10)
+    assert not mnt._persist_wanted(est_rows=9)
+
+
+def test_merge_identical_with_and_without_persist(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Both persist regimes must produce the same committed state and
+    the same (n_replaced, n_inserted) counts — the observe() metrics
+    are deterministic whichever pass materializes first."""
+    import pandas as pd
+
+    o = _orders(spark, sf_dir)
+    states = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("SPARK_GRAFT_FL_PERSIST", mode)
+        root = str(tmp_path / f"flpersist_{mode}")
+        fl_init(
+            spark, root, o, key="o_orderkey",
+            zorder_by=("o_orderkey",), layout_files=4,
+        )
+        upd = o.where(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(2.0)
+        )
+        counts = fl_merge_upsert(spark, root, upd, key="o_orderkey")
+        states[mode] = (
+            counts[:2],
+            fl_read(spark, root)
+            .orderBy("o_orderkey")
+            .toPandas(),
+        )
+    assert states["0"][0] == states["1"][0]
+    pd.testing.assert_frame_equal(states["0"][1], states["1"][1])
+
+
+def test_dir_merge_identical_with_and_without_persist(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    import pandas as pd
+
+    o = _orders(spark, sf_dir)
+    states = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("SPARK_GRAFT_FL_PERSIST", mode)
+        root = str(tmp_path / f"dirpersist_{mode}")
+        mnt.manifest_init(
+            spark, root, o.where(F.col("o_orderkey") % 3 != 0),
+            stats_cols=("o_orderkey",), zorder_by=("o_orderkey",),
+            layout_files=4,
+        )
+        upd = o.where(F.col("o_orderkey") % 6 == 0)
+        counts = mnt.merge_upsert_manifest(
+            spark, root, upd, key="o_orderkey"
+        )
+        states[mode] = (
+            counts,
+            mnt.manifest_read(spark, root)
+            .orderBy("o_orderkey")
+            .toPandas(),
+        )
+    assert states["0"][0] == states["1"][0]
+    pd.testing.assert_frame_equal(states["0"][1], states["1"][1])
