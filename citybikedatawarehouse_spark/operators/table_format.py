@@ -446,29 +446,6 @@ def fl_read_pruned(
     return _read_files(spark, m[keep], props), int(keep.sum()), len(m)
 
 
-def _zone_touched_paths_range(
-    spark: SparkSession, zones_pdf: pd.DataFrame, key: str, keys_df: DataFrame
-) -> set[str]:
-    """Fallback targeting for non-integer keys: broadcast range join
-    (a BroadcastNestedLoopJoin — |keys| x |files| predicate
-    evaluations, fine for small zone sets, which is why integer keys
-    take the bucketed hash-join path instead)."""
-    zones = spark.createDataFrame(
-        zones_pdf[["path", f"min_{key}", f"max_{key}"]]
-    )
-    return {
-        r["path"]
-        for r in keys_df.select(key)
-        .join(
-            F.broadcast(zones),
-            F.col(key).between(F.col(f"min_{key}"), F.col(f"max_{key}")),
-        )
-        .select("path")
-        .distinct()
-        .collect()
-    }
-
-
 def _zone_touched_paths(
     spark: SparkSession, m_subset: pd.DataFrame, key: str, keys_df: DataFrame
 ) -> set[str]:
@@ -490,14 +467,32 @@ def _zone_touched_paths(
     join. The collect is O(touched files) paths, the same
     cardinality the driver already plans scans with — never the keys
     themselves."""
+    touched, hits = _targeting_hits(spark, m_subset, key, keys_df)
+    if hits is None:
+        return touched
+    return touched | {r["path"] for r in hits.collect()}
+
+
+def _targeting_hits(
+    spark: SparkSession, m_subset: pd.DataFrame, key: str, keys_df: DataFrame
+) -> tuple[set[str], DataFrame | None]:
+    """The lazy half of ``_zone_touched_paths``: driver-side grid
+    planning over the manifest zones, returning (paths touched with
+    no Spark job needed — the NULL-zone files — , a LAZY distinct
+    touched-``path`` frame to collect, or None when the zone set
+    resolves entirely driver-side). Split out so ``fl_merge_upsert``
+    can attach ``observe()`` metric points to ``keys_df`` and harvest
+    its row counts / bounds / constraint violations from the SAME
+    action that collects the touched paths — one pass over the
+    updates instead of two."""
     if len(m_subset) == 0:
-        return set()
+        return set(), None
     mn_s, mx_s = m_subset[f"min_{key}"], m_subset[f"max_{key}"]
     null_zone = mn_s.isna() | mx_s.isna()
     touched = set(m_subset.loc[null_zone, "path"])
     zones = m_subset.loc[~null_zone, ["path", f"min_{key}", f"max_{key}"]]
     if zones.empty:
-        return touched
+        return touched, None
     paths = zones["path"].tolist()
     try:
         mins = [int(v) for v in zones[f"min_{key}"].tolist()]
@@ -516,9 +511,21 @@ def _zone_touched_paths(
     # python-int arithmetic: exact at any magnitude; bail to the
     # range join if the span would overflow the BIGINT bucket math
     if not exact or (gmax - gmin) >= (1 << 62):
-        return touched | _zone_touched_paths_range(
-            spark, zones, key, keys_df
+        zdf = spark.createDataFrame(
+            zones[["path", f"min_{key}", f"max_{key}"]]
         )
+        hits = (
+            keys_df.select(key)
+            .join(
+                F.broadcast(zdf),
+                F.col(key).between(
+                    F.col(f"min_{key}"), F.col(f"max_{key}")
+                ),
+            )
+            .select("path")
+            .distinct()
+        )
+        return touched, hits
     span = gmax - gmin + 1
     n_buckets = max(1, min(4 * len(zones), 4096))
     while True:
@@ -549,7 +556,7 @@ def _zone_touched_paths(
         .select("path")
         .distinct()
     )
-    return touched | {r["path"] for r in hits.collect()}
+    return touched, hits
 
 
 def _manifest_bounds(
@@ -673,11 +680,9 @@ def fl_merge_upsert(
     merged_cached = None
     try:
         constraints = props.get("constraints") or {}
-        counts = updates.agg(
+        row_metrics = [
             F.count(F.lit(1)).alias("n"),
-            F.count_distinct(F.col(key)).alias("k"),
-            F.max(F.col(key).isNull().cast("int")).alias("has_null"),
-            # CHECK constraints ride the SAME aggregate — enforcement
+            # CHECK constraints ride the SAME pass — enforcement
             # costs zero extra jobs; NULL predicate results count as
             # violations (the SQL CHECK rule is satisfied-or-reject
             # here, matching Delta's enforcement)
@@ -687,11 +692,11 @@ def fl_merge_upsert(
                 ).alias(f"__viol_{name}")
                 for name, sql in constraints.items()
             ],
-            # Z-order bounds of the updates ride the same aggregate
-            # too: combined with the touched files' manifest zones
-            # they bound the whole merged slice, so the layout's
-            # bounds pass (a full extra computation of the merge
-            # plan per commit) disappears
+            # Z-order bounds of the updates ride the same pass too:
+            # combined with the touched files' manifest zones they
+            # bound the whole merged slice, so the layout's bounds
+            # pass (a full extra computation of the merge plan per
+            # commit) disappears
             *[
                 f
                 for c in zcols
@@ -700,12 +705,53 @@ def fl_merge_upsert(
                     F.max(F.col(c).cast("long")).alias(f"__zmx_{c}"),
                 )
             ],
-        ).first()
+        ]
+        m = fl_manifest(root, parent)
+        # ONE action over the updates: row counts / CHECK violations /
+        # Z-order bounds ride the zone-targeting job as observe()
+        # metric points (valid here because the targeting collect is
+        # a single action that executes the updates subtree exactly
+        # once), and the duplicate-source-key check rides the SAME
+        # job as a groupBy(key) reshape of the targeting input — the
+        # key exchange it adds replaces the one the old standalone
+        # count_distinct aggregate paid, and the grid/range join
+        # probes distinct keys instead of raw rows. Before: counts
+        # aggregate + targeting = two full passes over the updates
+        # per commit; now: one.
+        obs_rows, obs_keys = Observation(), Observation()
+        grouped_keys = (
+            updates.observe(obs_rows, *row_metrics)
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("__cbdw_c"))
+        )
+        keys_frame = grouped_keys.observe(
+            obs_keys,
+            F.count(F.lit(1)).alias("k_groups"),
+            F.max("__cbdw_c").alias("max_c"),
+        ).select(key)
+        touched, hits = _targeting_hits(spark, m, key, keys_frame)
+        if hits is not None:
+            touched = touched | {r["path"] for r in hits.collect()}
+            counts = {**obs_rows.get, **obs_keys.get}
+        else:
+            # the zone set resolved driver-side (empty manifest or
+            # all-NULL zones): no targeting job ran, so the metric
+            # points never fired — fall back to one plain aggregate
+            agg_row = updates.agg(
+                *row_metrics,
+                F.count_distinct(F.col(key)).alias("__kd"),
+                F.max(F.col(key).isNull().cast("int")).alias("__has_null"),
+            ).first()
+            counts = agg_row.asDict()
+            counts["k_groups"] = counts["__kd"] + (
+                1 if counts["__has_null"] else 0
+            )
+            counts["max_c"] = None  # k_groups vs n carries the check
         n_updates = counts["n"]
         if n_updates == 0:
             # empty micro-batches are routine in streaming — a no-op,
             # not an empty commit
-            return 0, 0, 0, len(fl_manifest(root, parent))
+            return 0, 0, 0, len(m)
         for name, sql in constraints.items():
             n_viol = counts[f"__viol_{name}"]
             if n_viol:
@@ -713,15 +759,15 @@ def fl_merge_upsert(
                     f"fl_merge_upsert: {n_viol} update row(s) violate "
                     f"CHECK constraint {name!r} ({sql}); nothing committed"
                 )
-        n_update_keys = counts["k"] + (1 if counts["has_null"] else 0)
-        if n_update_keys != n_updates:
+        n_update_keys = counts["k_groups"]
+        if n_update_keys != n_updates or (
+            counts["max_c"] is not None and counts["max_c"] > 1
+        ):
             raise ValueError(
                 f"fl_merge_upsert: updates has "
                 f"{n_updates - n_update_keys} duplicate '{key}' rows; "
                 f"MERGE requires unique source keys"
             )
-        m = fl_manifest(root, parent)
-        touched = _zone_touched_paths(spark, m, key, updates)
         touched_m = m[m["path"].isin(touched)]
         untouched_m = m[~m["path"].isin(touched)]
         dels_df = _delete_keys_df(spark, props)
