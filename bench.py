@@ -286,44 +286,51 @@ def main() -> None:
             calib_inline[name] = _calibrate_parallel()
 
     total = round(sum(timings.values()), 4)
-    # Key order matters: the driver records only the TAIL of this
-    # line (BENCH_r09.json lost metric/value/value_r1_subset because
-    # they led the object and the tail capture cut the front). The
-    # bulky per-query maps go FIRST and the scalar summary keys go
-    # LAST so any tail-window capture always retains the summary.
-    print(
-        json.dumps(
-            {
-                "queries": timings,
-                # per-query contention context: calib_par samples
-                # taken DURING the sweep (key = query just finished;
-                # "_start" = before the first), and each query's end
-                # offset from bench start. A query whose nearest
-                # inline calib is >>min(calib_inline) ran on a
-                # contended host — discount it instead of calling it
-                # a regression.
-                "calib_inline": calib_inline,
-                "query_ts_sec": query_ts,
-                # timed-section semantics differ for these: each run
-                # REBUILDS the query (fit + serve), so their numbers
-                # are not comparable to any pre-restatement round
-                # (q64's r1-r4 0.013 s was a cached-scan artifact) —
-                # cross-round tooling must not diff them blindly
-                "eager_build": sorted(EAGER_BUILD),
-                "metric": "headline_queries_total",
-                "unit": "sec",
-                "sf": sf,
-                "calib_sec": min(_calibrate() for _ in range(3)),
-                "calib_par_sec": min(
-                    _calibrate_parallel() for _ in range(2)
-                ),
-                "value_r1_subset": round(
-                    sum(timings[q] for q in R1_SUBSET), 4
-                ),
-                "value": total,
-            }
+    summary = {
+        # Key order matters: the driver records only the TAIL of this
+        # line (BENCH_r09.json lost metric/value/value_r1_subset
+        # because they led the object and the tail capture cut the
+        # front). The per-query map goes FIRST and the scalar summary
+        # keys go LAST so any tail-window capture retains the summary.
+        "queries": timings,
+        "metric": "headline_queries_total",
+        "unit": "sec",
+        "sf": sf,
+        "calib_sec": min(_calibrate() for _ in range(3)),
+        "calib_par_sec": min(_calibrate_parallel() for _ in range(2)),
+        "value_r1_subset": round(sum(timings[q] for q in R1_SUBSET), 4),
+        "value": total,
+    }
+    # Bulky context maps live in a SIDE FILE, not the printed line:
+    # through round 12 the one-line JSON (53 queries x 3 per-query
+    # maps) overflowed the driver's ~2000-char tail capture, so the
+    # driver could not parse even a green bench (PERF_r11/r12
+    # parsed=null). The printed line is now queries + scalars only,
+    # compact separators (~1.7k chars); everything else — inline
+    # calib_par samples (key = query just finished; "_start" = before
+    # the first; a query whose nearest inline calib is
+    # >>min(calib_inline) ran on a contended host), per-query end
+    # offsets, and the EAGER_BUILD restatement list (those queries
+    # REBUILD fit+serve per timed run, not comparable to pre-
+    # restatement rounds) — goes to scripts/bench_last_detail.json.
+    detail = {
+        **summary,
+        "calib_inline": calib_inline,
+        "query_ts_sec": query_ts,
+        "eager_build": sorted(EAGER_BUILD),
+    }
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "scripts",
+            "bench_last_detail.json",
         )
-    )
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # a read-only checkout must not kill the bench
+    print(json.dumps(summary, separators=(",", ":")))
     spark.stop()
 
 

@@ -1000,35 +1000,21 @@ def merge_upsert_manifest(
             f"{n_updates - n_update_keys} duplicate '{key}' rows; "
             f"MERGE requires unique source keys"
         )
-    from pyspark.sql import Observation
-
     target = manifest_read(spark, root)
-    # Matched-count strategy (no separate semi-join count job in any
-    # common case):
-    # - persisted slice, or no Z-order spec (single plan execution):
-    #   observe() metrics ride the materialization — target rows
-    #   entering vs surviving the anti-join. With an UNPERSISTED
-    #   Z-ordered commit the range partitioner's sampling sub-job
-    #   and the write both run the observe nodes inside one action
-    #   and DOUBLE the counts, so that shape must not use them.
-    # - unpersisted + Z-order: zero-job arithmetic from metadata —
-    #   parent zone-map row total + updates - rows actually written
-    #   (footers); one semi-join count only if the parent has no
-    #   zone map.
+    # Matched-count strategy (no separate semi-join count job in the
+    # common case): zero-job arithmetic from metadata — parent
+    # zone-map row total + updates − rows actually written (footers of
+    # the fresh version dir); one semi-join count only if the parent
+    # has no zone map. Deliberately NOT observe()-based:
+    # Observation.get's py4j row fetch crashes (toPyRow assertion)
+    # when AQE empty-relation propagation elides the metric points
+    # (e.g. an empty update batch) and was flaky even on non-empty
+    # batches in the driver environment.
     zrows = _zonemap_rows(root, parent)
     cache = bool(zcols) and _persist_wanted(
         est_rows=None if zrows is None else zrows + n_updates
     )
-    use_obs = cache or not zcols
-    obs_in = obs_kept = None
-    if use_obs:
-        obs_in, obs_kept = Observation(), Observation()
-        target_obs = target.observe(obs_in, F.count(F.lit(1)).alias("n"))
-        kept = target_obs.join(
-            updates.select(key), key, "left_anti"
-        ).observe(obs_kept, F.count(F.lit(1)).alias("n"))
-    else:
-        kept = target.join(updates.select(key), key, "left_anti")
+    kept = target.join(updates.select(key), key, "left_anti")
     merged = kept.unionByName(updates.select(*target.columns))
     version = _claim_dir_version(root)
     # layout + zone-map maintenance are part of the SAME commit: the
@@ -1078,20 +1064,17 @@ def merge_upsert_manifest(
     finally:
         if cache:
             merged.unpersist()
-    if obs_in is not None:
-        # the materialization already ran the plan; .get just reads
-        # the recorded metrics (no extra job)
-        n_replaced = obs_in.get["n"] - obs_kept.get["n"]
-    elif zrows is not None:
+    if zrows is not None:
         # zero-job arithmetic: parent rows from its zone map, rows
         # actually written from the fresh files' footers —
         # written = (target - matched) + updates
+        # (exact whether or not the merged slice was persisted)
         n_replaced = zrows + n_updates - _dir_parquet_rows(
             os.path.join(root, version)
         )
     else:
-        # unpersisted Z-ordered commit on a zone-map-less table: one
-        # semi-join count is the only correct source left
+        # zone-map-less table: one semi-join count is the only
+        # correct source left
         n_replaced = target.join(
             updates.select(key), key, "left_semi"
         ).count()

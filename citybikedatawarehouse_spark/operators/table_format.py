@@ -67,7 +67,7 @@ import time
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from citybikedatawarehouse_spark.operators.maintenance import (
@@ -638,14 +638,17 @@ def fl_merge_upsert(
     against the broadcast manifest key-zones (``key BETWEEN min AND
     max``) — a file is touched iff at least one update key falls
     inside its zone (NULL-zone files conservatively touched).
-    Touched files are read ONCE — the replaced-row count rides the
-    commit write itself via two ``observe()`` metric points (rows
-    entering vs surviving the anti-join), so there is no separate
-    matched-count job and no rescan; non-updated rows survive via
-    anti-join; updates (matched + fresh inserts) union in; the slice
-    is re-clustered on the table's committed Z-order spec and written
-    as the commit's new files, sized to the touched-file count so
-    file granularity is stable under repeated merges.
+    Touched files are read ONCE — the replaced-row count is derived
+    from zero-job metadata arithmetic (touched files' manifest row
+    total + update count − rows actually written, read back from the
+    fresh commit's parquet footers), so there is no separate
+    matched-count job and no rescan; one light semi-join count only
+    when a delete set hides rows from that arithmetic. Non-updated
+    rows survive via anti-join; updates (matched + fresh inserts)
+    union in; the slice is re-clustered on the table's committed
+    Z-order spec and written as the commit's new files, sized to the
+    touched-file count so file granularity is stable under repeated
+    merges.
 
     Merge-on-read interaction, all EXECUTOR-SIDE (no key ever crosses
     to the driver): rows already deleted are anti-joined out of the
@@ -662,11 +665,21 @@ def fl_merge_upsert(
     the commit (the streaming epoch / txnVersion pattern).
 
     Scale shape: the ``updates`` lineage is persisted across the
-    merge's actions (count, targeting, joins) and unpersisted on
-    exit; targeting is ONE broadcast range join of distinct update
-    keys x O(files) zones; one scan of the touched subset for the
-    merge itself; shuffle volume O(touched + updates). The 100 TB
-    merge this repo's directory-format could not express.
+    merge's actions and unpersisted on exit: ONE aggregate over the
+    updates materializes the cache and carries the row count, CHECK
+    violations, duplicate-key check and Z-order bounds together (an
+    empty micro-batch returns here, before any targeting job);
+    targeting is then ONE broadcast range join of distinct update
+    keys x O(files) zones reading from the cache; one scan of the
+    touched subset for the merge itself; shuffle volume
+    O(touched + updates). The 100 TB merge this repo's
+    directory-format could not express.
+
+    Counts deliberately avoid ``observe()``/``Observation.get``: its
+    py4j row fetch hard-crashes (toPyRow assertion) when AQE
+    empty-relation propagation elides the metric points — e.g. an
+    empty streaming micro-batch — and was seen to crash flakily even
+    on non-empty replication batches.
     """
     parent = fl_current_version(root)
     props = fl_table_props(root, parent)
@@ -707,46 +720,25 @@ def fl_merge_upsert(
             ],
         ]
         m = fl_manifest(root, parent)
-        # ONE action over the updates: row counts / CHECK violations /
-        # Z-order bounds ride the zone-targeting job as observe()
-        # metric points (valid here because the targeting collect is
-        # a single action that executes the updates subtree exactly
-        # once), and the duplicate-source-key check rides the SAME
-        # job as a groupBy(key) reshape of the targeting input — the
-        # key exchange it adds replaces the one the old standalone
-        # count_distinct aggregate paid, and the grid/range join
-        # probes distinct keys instead of raw rows. Before: counts
-        # aggregate + targeting = two full passes over the updates
-        # per commit; now: one.
-        obs_rows, obs_keys = Observation(), Observation()
-        grouped_keys = (
-            updates.observe(obs_rows, *row_metrics)
-            .groupBy(key)
-            .agg(F.count(F.lit(1)).alias("__cbdw_c"))
+        # ONE plain aggregate over the (persisted) updates carries the
+        # row count, CHECK violations, Z-order bounds AND the
+        # duplicate-source-key check (count_distinct excludes NULL —
+        # counted separately); the targeting pass below then reuses
+        # the materialized cache. Deliberately NOT observe()-fused
+        # with targeting: Observation.get's py4j row fetch crashes
+        # (toPyRow assertion) when AQE empty-relation propagation
+        # elides the metric points (empty micro-batch) and was flaky
+        # even on non-empty replication batches. The aggregate also
+        # puts the empty-batch no-op return BEFORE any targeting job.
+        agg_row = updates.agg(
+            *row_metrics,
+            F.count_distinct(F.col(key)).alias("__kd"),
+            F.max(F.col(key).isNull().cast("int")).alias("__has_null"),
+        ).first()
+        counts = agg_row.asDict()
+        counts["k_groups"] = counts["__kd"] + (
+            1 if counts["__has_null"] else 0
         )
-        keys_frame = grouped_keys.observe(
-            obs_keys,
-            F.count(F.lit(1)).alias("k_groups"),
-            F.max("__cbdw_c").alias("max_c"),
-        ).select(key)
-        touched, hits = _targeting_hits(spark, m, key, keys_frame)
-        if hits is not None:
-            touched = touched | {r["path"] for r in hits.collect()}
-            counts = {**obs_rows.get, **obs_keys.get}
-        else:
-            # the zone set resolved driver-side (empty manifest or
-            # all-NULL zones): no targeting job ran, so the metric
-            # points never fired — fall back to one plain aggregate
-            agg_row = updates.agg(
-                *row_metrics,
-                F.count_distinct(F.col(key)).alias("__kd"),
-                F.max(F.col(key).isNull().cast("int")).alias("__has_null"),
-            ).first()
-            counts = agg_row.asDict()
-            counts["k_groups"] = counts["__kd"] + (
-                1 if counts["__has_null"] else 0
-            )
-            counts["max_c"] = None  # k_groups vs n carries the check
         n_updates = counts["n"]
         if n_updates == 0:
             # empty micro-batches are routine in streaming — a no-op,
@@ -760,14 +752,16 @@ def fl_merge_upsert(
                     f"CHECK constraint {name!r} ({sql}); nothing committed"
                 )
         n_update_keys = counts["k_groups"]
-        if n_update_keys != n_updates or (
-            counts["max_c"] is not None and counts["max_c"] > 1
-        ):
+        if n_update_keys != n_updates:
             raise ValueError(
                 f"fl_merge_upsert: updates has "
                 f"{n_updates - n_update_keys} duplicate '{key}' rows; "
                 f"MERGE requires unique source keys"
             )
+        keys_frame = updates.select(key).distinct()
+        touched, hits = _targeting_hits(spark, m, key, keys_frame)
+        if hits is not None:
+            touched = touched | {r["path"] for r in hits.collect()}
         touched_m = m[m["path"].isin(touched)]
         untouched_m = m[~m["path"].isin(touched)]
         dels_df = _delete_keys_df(spark, props)
@@ -796,25 +790,7 @@ def fl_merge_upsert(
             cache = _persist_wanted(
                 int(touched_m["n_rows"].sum()) + n_updates
             )
-            obs_in = obs_kept = None
-            if cache:
-                # ONE scan of the touched slice: the matched count
-                # rides the cache materialization via observe()
-                # metrics (rows entering vs surviving the anti-join)
-                # — no separate count job. Valid ONLY because the
-                # persisted plan materializes exactly once: unpersisted,
-                # the sampling sub-job and the write would BOTH run the
-                # observe nodes inside one action and double the counts
-                # (caught by test_merge_identical_with_and_without_persist).
-                obs_in, obs_kept = Observation(), Observation()
-                touched_df = touched_df.observe(
-                    obs_in, F.count(F.lit(1)).alias("n")
-                )
-                kept = touched_df.join(
-                    updates.select(key), key, "left_anti"
-                ).observe(obs_kept, F.count(F.lit(1)).alias("n"))
-            else:
-                kept = touched_df.join(updates.select(key), key, "left_anti")
+            kept = touched_df.join(updates.select(key), key, "left_anti")
             merged = kept.unionByName(updates.select(*cols))
             if cache:
                 merged_cached = merged.persist()
@@ -834,15 +810,12 @@ def fl_merge_upsert(
             _schema_sig(props["schema"]),
         )
         if n_replaced is None:
-            if obs_in is not None:
-                # the cache materialization already ran the plan;
-                # .get just reads the recorded metrics (no job)
-                n_replaced = obs_in.get["n"] - obs_kept.get["n"]
-            elif dels_df is None:
+            if dels_df is None:
                 # zero-job arithmetic: the touched files' row total
                 # is in the parent manifest and the commit's own row
                 # total is in the fresh footer stats —
                 # written = (touched - matched) + updates
+                # (exact whether or not the slice was persisted)
                 n_replaced = (
                     int(touched_m["n_rows"].sum())
                     + n_updates

@@ -1,9 +1,11 @@
 """Capture .explain('formatted') for named catalog queries into
-plans/r12/<query>_<tag>.txt — the before/after evidence the
-optimization round commits alongside code changes.
+plans/$SPARK_GRAFT_PLAN_DIR/<query>_<tag>.txt (default r13) — the
+before/after evidence the optimization round commits alongside code
+changes.
 
 Run: python scripts/capture_plans.py <before|after> name [name ...]
-Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.01)
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.01),
+     SPARK_GRAFT_PLAN_DIR (default r13)
 """
 
 from __future__ import annotations
@@ -23,7 +25,9 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    out_dir = os.path.join(_HERE, "plans", "r12")
+    out_dir = os.path.join(
+        _HERE, "plans", os.environ.get("SPARK_GRAFT_PLAN_DIR", "r13")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = (
         SparkSession.builder.master(
