@@ -57,6 +57,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     assume_partitioned_by_src: bool = False,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """PageRank over a DIRECTED edge list (pass both directions for
     an undirected graph) with a fixed iteration count.
@@ -128,8 +129,22 @@ def pagerank(
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(n_iter):
+        # ranks are O(|V|) — dim-sized for relation-derived graphs —
+        # while e_deg is the O(|E|) corpus-scale relation. WITHOUT the
+        # hint the planner broadcasts by size estimate, and a
+        # localCheckpoint's stats made it broadcast E_DEG (the O(E)
+        # side!) every iteration at sf0.1 — n_iter full driver
+        # collects of the edge list. Broadcasting the RANKS side keeps
+        # the edge relation cache-local all run: per iteration the
+        # only corpus-scale work is one streamed pass over e_deg plus
+        # the map-side-combinable groupBy(dst) exchange of O(|V|)
+        # partials. The hint is hard (overrides the size threshold),
+        # so the LIBRARY default stays False — callers with dim-sized
+        # node sets opt in (q133 does); web-scale node sets keep the
+        # planner's broadcast protection.
+        rank_rel = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            e_deg.join(ranks, e_deg.src == ranks.node)
+            e_deg.join(rank_rel, e_deg.src == rank_rel.node)
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
         )
@@ -195,6 +210,8 @@ def triangle_counts(
     no driver state. Returns (node, n_triangles), one row per node
     that participates in ≥ 1 triangle.
     """
+    from pyspark import StorageLevel
+
     canon = (
         pairs.select(
             F.least(a_col, b_col).alias("a"),
@@ -202,12 +219,27 @@ def triangle_counts(
         )
         .where(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
+        # canon feeds FIVE subtrees before ``oriented`` materializes:
+        # the degree union's two branches (per degree attachment,
+        # da AND db are separate relations) and the edge join itself —
+        # unpersisted, the CALLER'S edge-generation pipeline (q176:
+        # the lineitem co-purchase groupBy + pair explode + dedup)
+        # executed 5x inside the one persist-building action
+        # (r13 plan audit: 5 full Scan-parquet→collect_set→Generate
+        # chains under InMemoryRelation(2)). Persisted, it executes
+        # once; every other read is a cache scan of O(E) rows.
+        # Serialized spillable level, same 100x-OOM rationale as
+        # ``oriented`` below.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = (
         canon.select(F.col("a").alias("node"))
         .unionAll(canon.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        # O(|V|) rows, two consumers (da and db): cache the one
+        # degree aggregate instead of running it per attachment
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # deg is |V| rows — dim-sized for relation-derived graphs (the
     # co-purchase node set is the part catalog), so OPT-IN callers
@@ -244,8 +276,6 @@ def triangle_counts(
     # OOMed an 8 GiB driver (measured), while serialized columnar
     # batches spill; lineage-cutting isn't needed here (no
     # iteration), only reuse.
-    from pyspark import StorageLevel
-
     oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = (

@@ -640,8 +640,15 @@ def q133_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst")
+    # opt-in rank broadcast: this graph's node set is the part
+    # catalog (dim-sized by construction), so the per-iteration join
+    # ships O(|V|) ranks instead of letting the planner broadcast the
+    # O(|E|) edge relation n_iter times (see operators/graph.py)
     ranks = pagerank(
-        edges, damping=_PAGERANK_DAMPING, n_iter=_PAGERANK_ITER
+        edges,
+        damping=_PAGERANK_DAMPING,
+        n_iter=_PAGERANK_ITER,
+        broadcast_ranks=True,
     )
     return ranks.select(
         F.col("node").alias("part_id"), F.round("rank", 10).alias("pr")

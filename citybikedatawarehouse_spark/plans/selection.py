@@ -326,6 +326,13 @@ def q237_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pp.p1").alias("p1"), F.col("pp.p2").alias("p2")
         )
         .agg(F.count(F.lit(1)).alias("n_co"))
+        # co_sym = co ∪ co.swap: unpersisted, BOTH union branches
+        # re-run the pair explode + corpus-scale groupBy (the r13
+        # plan audit showed the Generate→HashAggregate→Exchange
+        # subtree twice under the co_sym union). Persisted, the
+        # heaviest shuffle of the model build runs once and the
+        # swap leg is a cache read of O(distinct pairs) rows.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nw = W.partitionBy("p").orderBy(F.col("n_co").desc(), F.col("q"))
     co_sym = (
@@ -341,6 +348,10 @@ def q237_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         op_arr.join(F.broadcast(eligible), "o_custkey")
         .select("o_custkey", F.explode("ps").alias("l_partkey"))
         .distinct()
+        # two consumers (cand_src join + the ownership markers):
+        # cache the distinct once instead of re-exchanging it per
+        # branch
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     owned = profile.select(
         F.col("o_custkey").alias("ck_o"), F.col("l_partkey").alias("pk_o")
